@@ -1,0 +1,578 @@
+"""Compile IR expressions to PySpark Columns.
+
+The PySpark analogue of the reference's expression mapper
+(morpheus-spark-cypher/src/main/scala/org/opencypher/morpheus/impl/
+SparkSQLExprMapper.scala:106-478).  Everything stays JVM-side: built-in
+``pyspark.sql.functions`` only — no Python UDFs in the Cypher surface, so every
+predicate/projection participates in whole-stage codegen and can be pushed
+down by Catalyst.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..ir import expr as E
+from .header import Header, TypeOf
+
+
+class ExprContext:
+    """Carries everything needed to compile an expression."""
+
+    def __init__(self, header: Header, df, params: dict | None = None,
+                 local_vars: dict | None = None, in_agg: bool = False):
+        self.header = header
+        self.df = df
+        self.params = params or {}
+        self.local_vars = local_vars or {}  # LocalVar name -> Column (lambda args)
+        self.in_agg = in_agg  # aggregators compile to agg Columns in this scope
+
+    def with_locals(self, **kv) -> "ExprContext":
+        loc = dict(self.local_vars)
+        loc.update(kv)
+        return ExprContext(self.header, self.df, self.params, loc, self.in_agg)
+
+    def with_agg(self, flag: bool = True) -> "ExprContext":
+        return ExprContext(self.header, self.df, self.params, self.local_vars, flag)
+
+    def dtype(self, col_name: str):
+        try:
+            return self.df.schema[col_name].dataType
+        except Exception:
+            return None
+
+
+def to_column(expr: E.Expr, ctx: ExprContext) -> Column:
+    """Main entry: IR expression -> pyspark Column."""
+    # Header hit first: aliases and precomputed fields resolve to their column
+    # (SparkSQLExprMapper.scala:96).
+    c = ctx.header.get(expr)
+    if c is not None:
+        return F.col(c)
+    return _compute(expr, ctx)
+
+
+def spark_dtype(expr: E.Expr, ctx: ExprContext):
+    """Best-effort Spark type of an expression (for overload resolution)."""
+    c = ctx.header.get(expr)
+    if c is not None:
+        return ctx.dtype(c)
+    if isinstance(expr, E.Lit):
+        v = expr.value
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        return None
+    if isinstance(expr, (E.ListLit, E.ListComprehension, E.ListSlice)):
+        return T.ArrayType(T.LongType())
+    if isinstance(expr, E.FuncCall):
+        n = expr.name
+        if n in ("tostring", "toupper", "tolower", "trim", "ltrim", "rtrim",
+                 "reverse", "replace", "substring", "left", "right"):
+            return T.StringType()
+        if n in ("tointeger", "size", "length", "id", "timestamp", "sign"):
+            return T.LongType()
+        if n in ("tofloat", "sqrt", "exp", "log", "log10", "avg", "round"):
+            return T.DoubleType()
+        if n in ("split", "labels", "keys", "range", "collect", "tail"):
+            return T.ArrayType(T.StringType())
+        if n == "date":
+            return T.DateType()
+        if n in ("datetime", "localdatetime"):
+            return T.TimestampType()
+        return None
+    if isinstance(expr, E.BinOp) and expr.op in ("+", "-", "*", "/", "%", "^"):
+        lt = spark_dtype(expr.lhs, ctx)
+        rt = spark_dtype(expr.rhs, ctx)
+        for t in (lt, rt):
+            if isinstance(t, (T.StringType, T.ArrayType, T.DoubleType)):
+                return t
+        return lt or rt
+    if isinstance(expr, E.Property):
+        # Unresolved property on a map/struct column.
+        ot = spark_dtype(expr.owner, ctx)
+        if isinstance(ot, T.StructType):
+            try:
+                return ot[expr.key].dataType
+            except Exception:
+                return None
+    return None
+
+
+def _is(t, cls) -> bool:
+    return isinstance(t, cls)
+
+
+def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
+    # Inside an aggregation projection, aggregator sub-expressions compile to
+    # aggregating Columns and scalars wrap them (e.g. round(avg(x), 2)).
+    if ctx.in_agg and (isinstance(expr, E.CountStar) or
+                       (isinstance(expr, E.FuncCall) and expr.name in E.AGG_FUNCS
+                        and not (expr.name in ("min", "max") and len(expr.args) > 1))):
+        return compile_aggregator(expr, ctx.with_agg(False))
+
+    if isinstance(expr, E.LocalVar):
+        if expr.name in ctx.local_vars:
+            return ctx.local_vars[expr.name]
+        raise KeyError(f"unbound local variable {expr.name}")
+
+    if isinstance(expr, E.Var):
+        raise KeyError(f"variable {expr.name!r} not in scope (header miss)")
+
+    if isinstance(expr, E.Param):
+        if expr.name not in ctx.params:
+            raise KeyError(f"missing query parameter ${expr.name}")
+        return F.lit(ctx.params[expr.name])
+
+    if isinstance(expr, E.Lit):
+        return F.lit(expr.value)
+
+    if isinstance(expr, E.ListLit):
+        return F.array(*[to_column(i, ctx) for i in expr.items])
+
+    if isinstance(expr, E.MapLit):
+        return F.struct(*[to_column(v, ctx).alias(k) for k, v in expr.items])
+
+    if isinstance(expr, E.Property):
+        return _property(expr, ctx)
+
+    if isinstance(expr, E.HasLabel):
+        # Label column missing from header => label not in schema => false
+        # for every row (discardScansForNonexistentLabels analogue).
+        return F.lit(False)
+
+    if isinstance(expr, E.HasType):
+        tc = ctx.header.get(TypeOf(expr.rel))
+        if tc is None:
+            return F.lit(False)
+        return F.col(tc).isin(*expr.types)
+
+    if isinstance(expr, (E.StartNode, E.EndNode)):
+        raise KeyError(f"{expr!r} not in header")
+
+    if isinstance(expr, E.BinOp):
+        return _binop(expr, ctx)
+
+    if isinstance(expr, E.Not):
+        return ~to_column(expr.child, ctx)
+
+    if isinstance(expr, E.Neg):
+        return -to_column(expr.child, ctx)
+
+    if isinstance(expr, E.IsNull):
+        c = to_column(expr.child, ctx)
+        return c.isNotNull() if expr.negated else c.isNull()
+
+    if isinstance(expr, E.CaseExpr):
+        return _case(expr, ctx)
+
+    if isinstance(expr, E.Subscript):
+        owner = to_column(expr.owner, ctx)
+        ot = spark_dtype(expr.owner, ctx)
+        idx = to_column(expr.index, ctx)
+        if _is(ot, T.MapType):
+            return F.element_at(owner, idx)
+        if _is(ot, T.StructType) and isinstance(expr.index, E.Lit):
+            return owner.getField(expr.index.value)
+        # Cypher list index is 0-based, element_at is 1-based; negative
+        # indices count from the end in both (MorpheusFunctions.scala:62-74).
+        return F.element_at(owner, F.when(idx >= 0, idx + 1).otherwise(idx).cast("int"))
+
+    if isinstance(expr, E.ListSlice):
+        return _slice(expr, ctx)
+
+    if isinstance(expr, E.ListComprehension):
+        return _list_comprehension(expr, ctx)
+
+    if isinstance(expr, E.ListPredicate):
+        return _list_predicate(expr, ctx)
+
+    if isinstance(expr, E.ListReduce):
+        lst = to_column(expr.list_expr, ctx)
+        init = to_column(expr.init, ctx)
+        return F.aggregate(
+            lst, init,
+            lambda acc, x: to_column(
+                expr.step, ctx.with_locals(**{expr.acc: acc, expr.var: x})),
+        )
+
+    if isinstance(expr, E.FuncCall):
+        return _function(expr, ctx)
+
+    if isinstance(expr, E.CountStar):
+        raise ValueError("count(*) outside aggregation context")
+
+    if isinstance(expr, E.PatternPredicate):
+        raise ValueError("pattern predicate must be planned as a join "
+                         "(planner bug: reached expression compiler)")
+
+    raise NotImplementedError(f"cannot compile {expr!r}")
+
+
+# ---------------------------------------------------------------------------
+
+def _property(expr: E.Property, ctx: ExprContext) -> Column:
+    owner_t = spark_dtype(expr.owner, ctx)
+    key = expr.key
+    # Temporal accessors: n.d.year etc (TemporalUdfs.scala:93-150 — here pure
+    # column functions, no UDFs).
+    if _is(owner_t, (T.DateType, T.TimestampType)):
+        owner = to_column(expr.owner, ctx)
+        k = key.lower()
+        temporal = {
+            "year": F.year, "month": F.month, "day": F.dayofmonth,
+            "hour": F.hour, "minute": F.minute, "second": F.second,
+            "week": F.weekofyear, "quarter": F.quarter,
+            "dayofweek": F.dayofweek, "ordinalday": F.dayofyear,
+        }
+        if k in temporal:
+            return temporal[k](owner).cast("long")
+        if k == "millisecond":
+            return (F.unix_micros(owner.cast("timestamp")) % 1_000_000 / 1000).cast("long")
+        if k == "epochmillis":
+            return F.unix_millis(owner.cast("timestamp"))
+        if k == "epochseconds":
+            return F.unix_seconds(owner.cast("timestamp"))
+        raise ValueError(f"unknown temporal accessor .{key}")
+    if _is(owner_t, T.StructType):
+        return to_column(expr.owner, ctx).getField(key)
+    if _is(owner_t, T.MapType):
+        return F.element_at(to_column(expr.owner, ctx), F.lit(key))
+    if ctx.header.get(expr.owner) is not None:
+        # Property of a graph element that is not in the schema -> null
+        # (SparkSQLExprMapper.scala:151).
+        return F.lit(None)
+    # Fall back: compute owner (e.g. map literal / function result).
+    return to_column(expr.owner, ctx).getField(key)
+
+
+def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
+    op = expr.op
+    if op in ("AND", "OR", "XOR"):
+        l, r = to_column(expr.lhs, ctx), to_column(expr.rhs, ctx)
+        if op == "AND":
+            return l & r
+        if op == "OR":
+            return l | r
+        return (l & ~r) | (~l & r)
+
+    if op == "IN":
+        l = to_column(expr.lhs, ctx)
+        r = to_column(expr.rhs, ctx)
+        return F.array_contains(r, l)
+
+    if op in ("STARTS WITH", "ENDS WITH", "CONTAINS"):
+        l, r = to_column(expr.lhs, ctx), to_column(expr.rhs, ctx)
+        if op == "STARTS WITH":
+            return l.startswith(r)
+        if op == "ENDS WITH":
+            return l.endswith(r)
+        return l.contains(r)
+
+    if op == "=~":
+        # Cypher regex matches the ENTIRE string (MorpheusFunctions.scala:98
+        # wraps RLike the same way).
+        l = to_column(expr.lhs, ctx)
+        r = to_column(expr.rhs, ctx)
+        return F.regexp_like(l, F.concat(F.lit("^(?:"), r, F.lit(")$")))
+
+    l, r = to_column(expr.lhs, ctx), to_column(expr.rhs, ctx)
+    if op == "=":
+        return l == r
+    if op == "<>":
+        return l != r
+    if op == "<":
+        return l < r
+    if op == "<=":
+        return l <= r
+    if op == ">":
+        return l > r
+    if op == ">=":
+        return l >= r
+
+    lt, rt = spark_dtype(expr.lhs, ctx), spark_dtype(expr.rhs, ctx)
+    if op == "+":
+        # Overloads: string concat, list concat, list+element
+        # (SparkSQLExprMapper.scala:171-188).
+        if _is(lt, T.StringType) or _is(rt, T.StringType):
+            return F.concat(l, r)
+        if _is(lt, T.ArrayType) and _is(rt, T.ArrayType):
+            return F.concat(l, r)
+        if _is(lt, T.ArrayType):
+            return F.concat(l, F.array(r))
+        if _is(rt, T.ArrayType):
+            return F.concat(F.array(l), r)
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        # Cypher: integer / integer -> integer (truncating toward zero).
+        if _is(lt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)) and \
+           _is(rt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return (l / r).cast("long")
+        return l / r
+    if op == "%":
+        return l % r
+    if op == "^":
+        return F.pow(l, r)
+    raise NotImplementedError(f"operator {op}")
+
+
+def _case(expr: E.CaseExpr, ctx: ExprContext) -> Column:
+    col = None
+    test = to_column(expr.test, ctx) if expr.test is not None else None
+    for when, then in expr.alternatives:
+        cond = (test == to_column(when, ctx)) if test is not None \
+            else to_column(when, ctx)
+        thenc = to_column(then, ctx)
+        col = F.when(cond, thenc) if col is None else col.when(cond, thenc)
+    default = to_column(expr.default, ctx) if expr.default is not None else F.lit(None)
+    return col.otherwise(default) if col is not None else default
+
+
+def _slice(expr: E.ListSlice, ctx: ExprContext) -> Column:
+    owner = to_column(expr.owner, ctx)
+    n = F.size(owner)
+    lo = to_column(expr.lo, ctx).cast("int") if expr.lo is not None else F.lit(0)
+    hi = to_column(expr.hi, ctx).cast("int") if expr.hi is not None else n
+    lo = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(F.least(lo, n))
+    hi = F.when(hi < 0, F.greatest(n + hi, F.lit(0))).otherwise(F.least(hi, n))
+    length = F.greatest(hi - lo, F.lit(0))
+    return F.slice(owner, lo + 1, length)
+
+
+def _list_comprehension(expr: E.ListComprehension, ctx: ExprContext) -> Column:
+    lst = to_column(expr.list_expr, ctx)
+    if expr.where is not None:
+        lst = F.filter(lst, lambda x: to_column(
+            expr.where, ctx.with_locals(**{expr.var: x})))
+    if expr.projection is not None:
+        lst = F.transform(lst, lambda x: to_column(
+            expr.projection, ctx.with_locals(**{expr.var: x})))
+    return lst
+
+
+def _list_predicate(expr: E.ListPredicate, ctx: ExprContext) -> Column:
+    lst = to_column(expr.list_expr, ctx)
+
+    def pred(x):
+        return to_column(expr.where, ctx.with_locals(**{expr.var: x}))
+
+    if expr.kind == "any":
+        return F.exists(lst, pred)
+    if expr.kind == "all":
+        return ~F.exists(lst, lambda x: ~pred(x))
+    if expr.kind == "none":
+        return ~F.exists(lst, pred)
+    if expr.kind == "single":
+        return F.size(F.filter(lst, pred)) == 1
+    raise ValueError(expr.kind)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (SURVEY §2.5; SparkSQLExprMapper.scala:199-478)
+# ---------------------------------------------------------------------------
+
+def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
+    name = expr.name
+    args = expr.args
+
+    def a(i):
+        return to_column(args[i], ctx)
+
+    cols = None  # lazily build all arg columns
+
+    def all_cols():
+        return [to_column(x, ctx) for x in args]
+
+    # --- element/meta ---------------------------------------------------
+    if name == "id":
+        return a(0)  # var column already stores the id
+    if name == "labels":
+        var = args[0]
+        pairs = sorted(
+            ((e.label, ctx.header.col(e)) for e in ctx.header.exprs()
+             if isinstance(e, E.HasLabel) and e.node == var),
+        )
+        if not pairs:
+            return F.array().cast("array<string>")
+        return F.array_compact(F.array(
+            *[F.when(F.col(c), F.lit(lbl)) for lbl, c in pairs]))
+    if name == "type":
+        tc = ctx.header.get(TypeOf(args[0]))
+        if tc is None:
+            raise KeyError(f"type() of non-relationship {args[0]!r}")
+        return F.col(tc)
+    if name == "startnode":
+        return F.col(ctx.header.col(E.StartNode(args[0])))
+    if name == "endnode":
+        return F.col(ctx.header.col(E.EndNode(args[0])))
+    if name == "keys":
+        var = args[0]
+        props = sorted(
+            ((e.key, ctx.header.col(e)) for e in ctx.header.exprs()
+             if isinstance(e, E.Property) and e.owner == var),
+        )
+        if not props:
+            return F.array().cast("array<string>")
+        return F.array_compact(F.array(
+            *[F.when(F.col(c).isNotNull(), F.lit(k)) for k, c in props]))
+    if name == "properties":
+        var = args[0]
+        props = sorted(
+            ((e.key, ctx.header.col(e)) for e in ctx.header.exprs()
+             if isinstance(e, E.Property) and e.owner == var),
+        )
+        return F.struct(*[F.col(c).alias(k) for k, c in props]) if props \
+            else F.struct(F.lit(None).alias("__empty"))
+    if name == "exists":
+        return a(0).isNotNull()
+    if name == "timestamp":
+        return F.unix_millis(F.current_timestamp())
+
+    # --- casts ----------------------------------------------------------
+    if name == "tointeger":
+        src = a(0)
+        if _is(spark_dtype(args[0], ctx), T.StringType):
+            return F.try_cast(src, "double").cast("long")
+        return src.cast("long")
+    if name == "tofloat":
+        src = a(0)
+        if _is(spark_dtype(args[0], ctx), T.StringType):
+            return F.try_cast(src, "double")
+        return src.cast("double")
+    if name == "tostring":
+        return a(0).cast("string")
+    if name == "toboolean":
+        return a(0).cast("boolean")
+
+    # --- strings --------------------------------------------------------
+    simple = {
+        "toupper": F.upper, "tolower": F.lower, "trim": F.trim,
+        "ltrim": F.ltrim, "rtrim": F.rtrim, "reverse": F.reverse,
+        "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log10": F.log10,
+        "abs": F.abs, "ceil": lambda c: F.ceil(c).cast("long"),
+        "floor": lambda c: F.floor(c).cast("long"),
+        "sign": lambda c: F.signum(c).cast("long"),
+        "sin": F.sin, "cos": F.cos, "tan": F.tan, "cot": lambda c: 1.0 / F.tan(c),
+        "asin": F.asin, "acos": F.acos, "atan": F.atan,
+        "degrees": F.degrees, "radians": F.radians,
+        "isempty": lambda c: F.size(c) == 0,
+    }
+    if name in simple:
+        return simple[name](a(0))
+    if name == "round":
+        return F.round(a(0), int(args[1].value) if len(args) > 1 else 0)
+    if name == "atan2":
+        return F.atan2(a(0), a(1))
+    if name == "haversin":
+        return (1.0 - F.cos(a(0))) / 2.0
+    if name == "e":
+        return F.exp(F.lit(1.0))
+    if name == "pi":
+        return F.lit(3.141592653589793)
+    if name == "rand":
+        return F.rand()
+    if name == "replace":
+        return F.replace(a(0), a(1), a(2))
+    if name == "substring":
+        start = a(1) + 1
+        if len(args) > 2:
+            return F.substring(a(0), start, a(2))
+        return F.substring(a(0), start, F.length(a(0)))
+    if name == "left":
+        return F.substring(a(0), 1, a(1))
+    if name == "right":
+        return F.substring(a(0), -a(1).cast("int"), a(1))
+    if name == "split":
+        return F.split(a(0), a(1))
+
+    # --- lists ----------------------------------------------------------
+    if name in ("size", "length"):
+        t = spark_dtype(args[0], ctx)
+        if _is(t, T.StringType):
+            return F.length(a(0)).cast("long")
+        return F.size(a(0)).cast("long")
+    if name == "head":
+        return F.element_at(a(0), 1)
+    if name == "last":
+        return F.element_at(a(0), -1)
+    if name == "tail":
+        c = a(0)
+        return F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
+    if name == "range":
+        step = a(2) if len(args) > 2 else F.lit(1)
+        return F.sequence(a(0), a(1), step)
+    if name == "coalesce":
+        return F.coalesce(*all_cols())
+    if name == "min" and len(args) > 1:
+        return F.least(*all_cols())
+    if name == "max" and len(args) > 1:
+        return F.greatest(*all_cols())
+
+    # --- temporal constructors (struct-free: DateType/TimestampType) ----
+    if name == "date":
+        if not args:
+            return F.current_date()
+        return F.to_date(a(0))
+    if name in ("datetime", "localdatetime"):
+        if not args:
+            return F.current_timestamp()
+        arg = args[0]
+        if isinstance(arg, E.Lit) and isinstance(arg.value, str):
+            return F.to_timestamp(F.lit(arg.value.replace("T", " ")))
+        return F.to_timestamp(F.translate(a(0), "T", " "))
+
+    if name in E.AGG_FUNCS:
+        raise ValueError(f"aggregate {name}() used outside aggregation context")
+
+    raise NotImplementedError(f"function {name}()")
+
+
+# ---------------------------------------------------------------------------
+# Aggregators (SURVEY §2.6; SparkSQLExprMapper.scala:426-469)
+# ---------------------------------------------------------------------------
+
+def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
+    """Compile an aggregate expression to an (unaliased) aggregating Column."""
+    if isinstance(expr, E.CountStar):
+        return F.count(F.lit(1))
+    if not isinstance(expr, E.FuncCall) or expr.name not in E.AGG_FUNCS:
+        raise ValueError(f"not an aggregator: {expr!r}")
+    arg = to_column(expr.args[0], ctx)
+    n = expr.name
+    if n == "count":
+        return F.count_distinct(arg) if expr.distinct else F.count(arg)
+    if n == "sum":
+        return F.sum_distinct(arg) if expr.distinct else F.sum(arg)
+    if n == "avg":
+        return F.avg(arg)
+    if n == "min":
+        return F.min(arg)
+    if n == "max":
+        return F.max(arg)
+    if n == "collect":
+        out = F.collect_set(arg) if expr.distinct else F.collect_list(arg)
+        return out
+    if n == "stdev":
+        return F.stddev_samp(arg)
+    if n == "stdevp":
+        return F.stddev_pop(arg)
+    if n == "percentilecont":
+        # Exact interpolated percentile — built-in since Spark 3.5
+        # (the reference needed an O(group)-memory UDAF: PercentileUdafs.scala:41).
+        return F.percentile(arg, to_column(expr.args[1], ctx))
+    if n == "percentiledisc":
+        return F.percentile_approx(arg, to_column(expr.args[1], ctx), 10000)
+    raise NotImplementedError(f"aggregator {n}")

@@ -1,0 +1,103 @@
+"""Parser AST for the supported openCypher subset.
+
+All nodes are frozen/hashable so pattern fragments can be embedded in the
+expression IR (PatternPredicate).  The clause inventory matches the
+reference's IR blocks (okapi-ir/.../api/block/Block.scala:34-43: SourceBlock,
+MatchBlock, ProjectBlock, AggregationBlock, OrderAndSliceBlock, UnwindBlock,
+ResultBlock).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class NodePattern:
+    var: object          # str | None
+    labels: tuple = ()
+    props: tuple = ()    # ((key, Expr), ...)
+
+
+@dataclass(frozen=True)
+class RelPattern:
+    var: object          # str | None
+    types: tuple = ()
+    direction: str = "out"   # 'out' | 'in' | 'both'
+    props: tuple = ()
+    var_length: bool = False
+    lo: object = None        # int | None
+    hi: object = None        # int | None
+
+
+@dataclass(frozen=True)
+class PatternPart:
+    """Alternating (NodePattern, RelPattern, NodePattern, ...)."""
+    elements: tuple
+    path_var: object = None   # str | None (named paths — unsupported, reserved)
+
+    @property
+    def nodes(self):
+        return self.elements[0::2]
+
+    @property
+    def rels(self):
+        return self.elements[1::2]
+
+
+@dataclass(frozen=True)
+class MatchClause:
+    patterns: tuple          # (PatternPart, ...)
+    where: object = None     # Expr | None
+    optional: bool = False
+
+
+@dataclass(frozen=True)
+class ProjectionItem:
+    expr: object             # Expr
+    alias: object = None     # str | None
+
+
+@dataclass(frozen=True)
+class SortItem:
+    expr: object
+    ascending: bool = True
+
+
+@dataclass(frozen=True)
+class WithClause:
+    items: tuple
+    star: bool = False
+    distinct: bool = False
+    order_by: tuple = ()
+    skip: object = None
+    limit: object = None
+    where: object = None
+
+
+@dataclass(frozen=True)
+class ReturnClause:
+    items: tuple
+    star: bool = False
+    distinct: bool = False
+    order_by: tuple = ()
+    skip: object = None
+    limit: object = None
+
+
+@dataclass(frozen=True)
+class UnwindClause:
+    expr: object
+    alias: str = "x"
+
+
+@dataclass(frozen=True)
+class SingleQuery:
+    clauses: tuple
+
+
+@dataclass(frozen=True)
+class Query:
+    """parts[0] (UNION [ALL] parts[i])..."""
+    parts: tuple
+    union_alls: tuple = ()   # len == len(parts) - 1

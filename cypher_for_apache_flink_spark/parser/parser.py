@@ -1,0 +1,698 @@
+"""Recursive-descent openCypher parser.
+
+Covers the Cypher-9 read surface exercised by the reference's acceptance
+suites (SURVEY §5 layer 2): MATCH / OPTIONAL MATCH / WHERE / WITH / RETURN /
+UNWIND / UNION [ALL] / ORDER BY / SKIP / LIMIT / DISTINCT, patterns with
+var-length relationships, and the expression grammar of SURVEY §2.5.  The
+reference uses the published neo4j ``org.opencypher.v9_0`` front-end
+(okapi-ir/.../impl/parse/CypherParser.scala:56-79); from Python we hand-roll
+a small backtracking parser instead (SURVEY §7.1.5).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..ir import expr as E
+from . import ast as A
+
+
+class CypherSyntaxError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|//[^\n]*)
+  | (?P<FLOAT>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<INT>\d+)
+  | (?P<STRING>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
+  | (?P<PARAM>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<PUNCT><=|>=|<>|=~|\.\.|->|<-|[-+*/%^=<>(),\[\]{}.:|])
+""", re.VERBOSE)
+
+_KEYWORDS = {
+    "match", "optional", "where", "with", "return", "unwind", "as", "union",
+    "all", "order", "by", "skip", "limit", "distinct", "and", "or", "xor",
+    "not", "in", "starts", "ends", "contains", "is", "null", "true", "false",
+    "case", "when", "then", "else", "end", "asc", "ascending", "desc",
+    "descending", "any", "none", "single", "reduce", "exists", "from",
+}
+
+
+class Tok:
+    __slots__ = ("kind", "text", "pos")
+
+    def __init__(self, kind, text, pos):
+        self.kind = kind       # 'INT','FLOAT','STRING','IDENT','KW','PARAM','PUNCT','EOF'
+        self.text = text
+        self.pos = pos
+
+    def __repr__(self):
+        return f"Tok({self.kind},{self.text!r})"
+
+
+def tokenize(src: str) -> list:
+    toks = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise CypherSyntaxError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "WS":
+            continue
+        if kind == "IDENT":
+            if text.startswith("`"):
+                toks.append(Tok("IDENT", text[1:-1], m.start()))
+                continue
+            low = text.lower()
+            if low in _KEYWORDS:
+                toks.append(Tok("KW", low, m.start()))
+                continue
+        toks.append(Tok(kind, text, m.start()))
+    toks.append(Tok("EOF", "", len(src)))
+    return toks
+
+
+def _unescape(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(
+        m.group(1), m.group(1)), body)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+class Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.toks = tokenize(src)
+        self.pos = 0
+
+    # -- token helpers --------------------------------------------------
+    def peek(self, ahead=0) -> Tok:
+        return self.toks[min(self.pos + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def at_kw(self, *kws) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.text in kws
+
+    def at_punct(self, *ps) -> bool:
+        t = self.peek()
+        return t.kind == "PUNCT" and t.text in ps
+
+    def eat_kw(self, kw):
+        if not self.at_kw(kw):
+            self.err(f"expected {kw.upper()}")
+        return self.next()
+
+    def eat_punct(self, p):
+        if not self.at_punct(p):
+            self.err(f"expected {p!r}")
+        return self.next()
+
+    def opt_punct(self, p) -> bool:
+        if self.at_punct(p):
+            self.next()
+            return True
+        return False
+
+    def opt_kw(self, kw) -> bool:
+        if self.at_kw(kw):
+            self.next()
+            return True
+        return False
+
+    def err(self, msg):
+        t = self.peek()
+        frag = self.src[max(0, t.pos - 20):t.pos + 20]
+        raise CypherSyntaxError(f"{msg} at position {t.pos} near {frag!r} "
+                                f"(got {t.kind} {t.text!r})")
+
+    # -- entry ----------------------------------------------------------
+    def parse_query(self) -> A.Query:
+        parts = [self.parse_single_query()]
+        alls = []
+        while self.at_kw("union"):
+            self.next()
+            alls.append(self.opt_kw("all"))
+            parts.append(self.parse_single_query())
+        if self.peek().kind != "EOF":
+            self.err("unexpected trailing input")
+        return A.Query(tuple(parts), tuple(alls))
+
+    def parse_single_query(self) -> A.SingleQuery:
+        clauses = []
+        while True:
+            if self.at_kw("optional"):
+                self.next()
+                self.eat_kw("match")
+                clauses.append(self.parse_match(optional=True))
+            elif self.at_kw("match"):
+                self.next()
+                clauses.append(self.parse_match(optional=False))
+            elif self.at_kw("unwind"):
+                self.next()
+                e = self.parse_expr()
+                self.eat_kw("as")
+                clauses.append(A.UnwindClause(e, self.ident()))
+            elif self.at_kw("with"):
+                self.next()
+                clauses.append(self.parse_projection(is_with=True))
+            elif self.at_kw("return"):
+                self.next()
+                clauses.append(self.parse_projection(is_with=False))
+            else:
+                break
+        if not clauses:
+            self.err("expected a clause")
+        return A.SingleQuery(tuple(clauses))
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t.kind == "IDENT":
+            return self.next().text
+        if t.kind == "KW":   # keywords usable as identifiers in most positions
+            return self.next().text
+        self.err("expected identifier")
+
+    # -- clauses --------------------------------------------------------
+    def parse_match(self, optional: bool) -> A.MatchClause:
+        patterns = [self.parse_pattern_part()]
+        while self.opt_punct(","):
+            patterns.append(self.parse_pattern_part())
+        where = None
+        if self.at_kw("where"):
+            self.next()
+            where = self.parse_expr()
+        return A.MatchClause(tuple(patterns), where, optional)
+
+    def parse_projection(self, is_with: bool):
+        distinct = self.opt_kw("distinct")
+        star = False
+        items = []
+        if self.at_punct("*"):
+            self.next()
+            star = True
+            if self.opt_punct(","):
+                items = self.parse_projection_items()
+        else:
+            items = self.parse_projection_items()
+        order_by: tuple = ()
+        skip = None
+        limit = None
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            sorts = []
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.at_kw("asc", "ascending"):
+                    self.next()
+                elif self.at_kw("desc", "descending"):
+                    self.next()
+                    asc = False
+                sorts.append(A.SortItem(e, asc))
+                if not self.opt_punct(","):
+                    break
+            order_by = tuple(sorts)
+        if self.at_kw("skip"):
+            self.next()
+            skip = self.parse_expr()
+        if self.at_kw("limit"):
+            self.next()
+            limit = self.parse_expr()
+        where = None
+        if is_with and self.at_kw("where"):
+            self.next()
+            where = self.parse_expr()
+        if is_with:
+            return A.WithClause(tuple(items), star, distinct, order_by, skip,
+                                limit, where)
+        return A.ReturnClause(tuple(items), star, distinct, order_by, skip, limit)
+
+    def parse_projection_items(self):
+        items = [self.parse_projection_item()]
+        while self.opt_punct(","):
+            items.append(self.parse_projection_item())
+        return items
+
+    def parse_projection_item(self) -> A.ProjectionItem:
+        e = self.parse_expr()
+        alias = None
+        if self.opt_kw("as"):
+            alias = self.ident()
+        return A.ProjectionItem(e, alias)
+
+    # -- patterns -------------------------------------------------------
+    def parse_pattern_part(self) -> A.PatternPart:
+        elements = [self.parse_node_pattern()]
+        while self.at_punct("-", "<-"):
+            rel = self.parse_rel_pattern()
+            node = self.parse_node_pattern()
+            elements.extend([rel, node])
+        return A.PatternPart(tuple(elements))
+
+    def parse_node_pattern(self) -> A.NodePattern:
+        self.eat_punct("(")
+        var = None
+        labels = []
+        props: tuple = ()
+        t = self.peek()
+        if t.kind == "IDENT":
+            var = self.next().text
+        while self.at_punct(":"):
+            self.next()
+            labels.append(self.ident())
+        if self.at_punct("{"):
+            props = self.parse_map_entries()
+        self.eat_punct(")")
+        return A.NodePattern(var, tuple(labels), props)
+
+    def parse_rel_pattern(self) -> A.RelPattern:
+        direction = "out"
+        if self.at_punct("<-"):
+            self.next()
+            direction = "in"
+        else:
+            self.eat_punct("-")
+        var = None
+        types = []
+        props: tuple = ()
+        var_length = False
+        lo = hi = None
+        if self.at_punct("["):
+            self.next()
+            if self.peek().kind == "IDENT":
+                var = self.next().text
+            while self.at_punct(":"):
+                self.next()
+                types.append(self.ident())
+                while self.at_punct("|"):
+                    self.next()
+                    self.opt_punct(":")
+                    types.append(self.ident())
+            if self.at_punct("*"):
+                self.next()
+                var_length = True
+                lo, hi = 1, None
+                if self.peek().kind == "INT":
+                    lo = int(self.next().text)
+                    hi = lo
+                if self.at_punct(".."):
+                    self.next()
+                    hi = None
+                    if self.peek().kind == "INT":
+                        hi = int(self.next().text)
+            if self.at_punct("{"):
+                props = self.parse_map_entries()
+            self.eat_punct("]")
+        if self.at_punct("->"):
+            self.next()
+            if direction == "in":
+                self.err("invalid relationship direction <- .. ->")
+        else:
+            self.eat_punct("-")
+            if direction == "out":
+                direction = "both"
+        return A.RelPattern(var, tuple(types), direction, props, var_length, lo, hi)
+
+    def parse_map_entries(self) -> tuple:
+        self.eat_punct("{")
+        entries = []
+        if not self.at_punct("}"):
+            while True:
+                k = self.ident()
+                self.eat_punct(":")
+                entries.append((k, self.parse_expr()))
+                if not self.opt_punct(","):
+                    break
+        self.eat_punct("}")
+        return tuple(entries)
+
+    # -- expressions ----------------------------------------------------
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        e = self.parse_xor()
+        while self.at_kw("or"):
+            self.next()
+            e = E.BinOp("OR", e, self.parse_xor())
+        return e
+
+    def parse_xor(self):
+        e = self.parse_and()
+        while self.at_kw("xor"):
+            self.next()
+            e = E.BinOp("XOR", e, self.parse_and())
+        return e
+
+    def parse_and(self):
+        e = self.parse_not()
+        while self.at_kw("and"):
+            self.next()
+            e = E.BinOp("AND", e, self.parse_not())
+        return e
+
+    def parse_not(self):
+        if self.at_kw("not"):
+            self.next()
+            child = self.parse_not()
+            if isinstance(child, E.PatternPredicate):
+                return E.PatternPredicate(child.pattern, negated=not child.negated)
+            return E.Not(child)
+        return self.parse_comparison()
+
+    def parse_comparison(self):
+        e = self.parse_additive()
+        out = None
+        while True:
+            if self.at_punct("=", "<>", "<", "<=", ">", ">=", "=~"):
+                op = self.next().text
+                rhs = self.parse_additive()
+                term = E.BinOp(op, e, rhs)
+                out = term if out is None else E.BinOp("AND", out, term)
+                e = rhs
+            elif self.at_kw("in"):
+                self.next()
+                term = E.BinOp("IN", e, self.parse_additive())
+                out = term if out is None else E.BinOp("AND", out, term)
+            elif self.at_kw("starts"):
+                self.next()
+                self.eat_kw("with")
+                term = E.BinOp("STARTS WITH", e, self.parse_additive())
+                out = term if out is None else E.BinOp("AND", out, term)
+            elif self.at_kw("ends"):
+                self.next()
+                self.eat_kw("with")
+                term = E.BinOp("ENDS WITH", e, self.parse_additive())
+                out = term if out is None else E.BinOp("AND", out, term)
+            elif self.at_kw("contains"):
+                self.next()
+                term = E.BinOp("CONTAINS", e, self.parse_additive())
+                out = term if out is None else E.BinOp("AND", out, term)
+            elif self.at_kw("is"):
+                self.next()
+                negated = self.opt_kw("not")
+                self.eat_kw("null")
+                term = E.IsNull(e, negated)
+                out = term if out is None else E.BinOp("AND", out, term)
+            else:
+                break
+        return out if out is not None else e
+
+    def parse_additive(self):
+        e = self.parse_multiplicative()
+        while self.at_punct("+", "-"):
+            op = self.next().text
+            e = E.BinOp(op, e, self.parse_multiplicative())
+        return e
+
+    def parse_multiplicative(self):
+        e = self.parse_power()
+        while self.at_punct("*", "/", "%"):
+            op = self.next().text
+            e = E.BinOp(op, e, self.parse_power())
+        return e
+
+    def parse_power(self):
+        e = self.parse_unary()
+        if self.at_punct("^"):
+            self.next()
+            return E.BinOp("^", e, self.parse_power())
+        return e
+
+    def parse_unary(self):
+        if self.at_punct("-"):
+            self.next()
+            return E.Neg(self.parse_unary())
+        if self.at_punct("+"):
+            self.next()
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_atom()
+        while True:
+            if self.at_punct("."):
+                self.next()
+                e = E.Property(e, self.ident())
+            elif self.at_punct("["):
+                self.next()
+                lo = None
+                if not self.at_punct(".."):
+                    lo = self.parse_expr()
+                if self.at_punct(".."):
+                    self.next()
+                    hi = None
+                    if not self.at_punct("]"):
+                        hi = self.parse_expr()
+                    self.eat_punct("]")
+                    e = E.ListSlice(e, lo, hi)
+                else:
+                    self.eat_punct("]")
+                    e = E.Subscript(e, lo)
+            elif self.at_punct(":") and isinstance(e, E.Var):
+                # n:Label[:Label2] predicate in expression position
+                node = E.NodeVar(e.name)
+                term = None
+                while self.at_punct(":"):
+                    self.next()
+                    h = E.HasLabel(node, self.ident())
+                    term = h if term is None else E.BinOp("AND", term, h)
+                e = term
+            else:
+                return e
+
+    # -- atoms ----------------------------------------------------------
+    def parse_atom(self):
+        t = self.peek()
+
+        if t.kind == "INT":
+            self.next()
+            return E.Lit(int(t.text))
+        if t.kind == "FLOAT":
+            self.next()
+            return E.Lit(float(t.text))
+        if t.kind == "STRING":
+            self.next()
+            return E.Lit(_unescape(t.text))
+        if t.kind == "PARAM":
+            self.next()
+            return E.Param(t.text[1:])
+
+        if t.kind == "KW":
+            if t.text == "null":
+                self.next()
+                return E.Lit(None)
+            if t.text == "true":
+                self.next()
+                return E.Lit(True)
+            if t.text == "false":
+                self.next()
+                return E.Lit(False)
+            if t.text == "case":
+                return self.parse_case()
+            if t.text in ("any", "all", "none", "single") and \
+                    self.peek(1).kind == "PUNCT" and self.peek(1).text == "(":
+                return self.parse_list_predicate()
+            if t.text == "reduce":
+                return self.parse_reduce()
+            if t.text == "exists":
+                return self.parse_exists()
+            # keyword used as function name (e.g. count) or bare identifier
+            if self.peek(1).kind == "PUNCT" and self.peek(1).text == "(":
+                return self.parse_func_call()
+
+        if t.kind == "IDENT":
+            nxt = self.peek(1)
+            if nxt.kind == "PUNCT" and nxt.text == "(":
+                return self.parse_func_call()
+            self.next()
+            return E.Var(t.text)
+
+        if self.at_punct("("):
+            # pattern predicate vs parenthesised expression: backtrack.
+            save = self.pos
+            try:
+                part = self.parse_pattern_part()
+                if len(part.elements) > 1:
+                    return E.PatternPredicate(part)
+            except CypherSyntaxError:
+                pass
+            self.pos = save
+            self.next()
+            e = self.parse_expr()
+            self.eat_punct(")")
+            return e
+
+        if self.at_punct("["):
+            return self.parse_list_atom()
+
+        if self.at_punct("{"):
+            return E.MapLit(self.parse_map_entries())
+
+        self.err("expected expression")
+
+    def parse_func_call(self):
+        name = self.ident().lower()
+        self.eat_punct("(")
+        if name == "count" and self.at_punct("*"):
+            self.next()
+            self.eat_punct(")")
+            return E.CountStar()
+        distinct = self.opt_kw("distinct")
+        args = []
+        if not self.at_punct(")"):
+            while True:
+                args.append(self.parse_expr())
+                if not self.opt_punct(","):
+                    break
+        self.eat_punct(")")
+        return E.FuncCall(name, tuple(args), distinct)
+
+    def parse_case(self):
+        self.eat_kw("case")
+        test = None
+        if not self.at_kw("when"):
+            test = self.parse_expr()
+        alts = []
+        while self.at_kw("when"):
+            self.next()
+            w = self.parse_expr()
+            self.eat_kw("then")
+            alts.append((w, self.parse_expr()))
+        default = None
+        if self.at_kw("else"):
+            self.next()
+            default = self.parse_expr()
+        self.eat_kw("end")
+        return E.CaseExpr(test, tuple(alts), default)
+
+    def parse_list_predicate(self):
+        kind = self.next().text
+        self.eat_punct("(")
+        var = self.ident()
+        self.eat_kw("in")
+        lst = self._sub_localized(var, self.parse_expr)
+        self.eat_kw("where")
+        pred = self._sub_localized(var, self.parse_expr)
+        self.eat_punct(")")
+        return E.ListPredicate(kind, var, _localize(lst, var, strip=True),
+                               _localize(pred, var))
+
+    def parse_reduce(self):
+        self.eat_kw("reduce")
+        self.eat_punct("(")
+        acc = self.ident()
+        self.eat_punct("=")
+        init = self.parse_expr()
+        self.eat_punct(",")
+        var = self.ident()
+        self.eat_kw("in")
+        lst = self.parse_expr()
+        self.eat_punct("|")
+        step = self.parse_expr()
+        self.eat_punct(")")
+        return E.ListReduce(acc, init, var, lst,
+                            _localize(_localize(step, var), acc))
+
+    def parse_exists(self):
+        self.eat_kw("exists")
+        self.eat_punct("(")
+        save = self.pos
+        try:
+            part = self.parse_pattern_part()
+            if len(part.elements) > 1:
+                self.eat_punct(")")
+                return E.PatternPredicate(part)
+        except CypherSyntaxError:
+            pass
+        self.pos = save
+        e = self.parse_expr()
+        self.eat_punct(")")
+        return E.FuncCall("exists", (e,))
+
+    def parse_list_atom(self):
+        # [x IN list WHERE p | proj]  or plain list literal
+        save = self.pos
+        self.eat_punct("[")
+        if self.peek().kind == "IDENT" and self.peek(1).kind == "KW" and \
+                self.peek(1).text == "in":
+            var = self.ident()
+            self.eat_kw("in")
+            lst = self.parse_expr()
+            where = None
+            proj = None
+            if self.at_kw("where"):
+                self.next()
+                where = self.parse_expr()
+            if self.at_punct("|"):
+                self.next()
+                proj = self.parse_expr()
+            self.eat_punct("]")
+            return E.ListComprehension(
+                var, _localize(lst, var, strip=True),
+                _localize(where, var) if where is not None else None,
+                _localize(proj, var) if proj is not None else None)
+        self.pos = save
+        self.eat_punct("[")
+        items = []
+        if not self.at_punct("]"):
+            while True:
+                items.append(self.parse_expr())
+                if not self.opt_punct(","):
+                    break
+        self.eat_punct("]")
+        return E.ListLit(tuple(items))
+
+    def _sub_localized(self, var, fn):
+        return fn()
+
+
+def _localize(e, var, strip=False):
+    """Rewrite Var(var) -> LocalVar(var) inside lambda bodies."""
+    if e is None:
+        return None
+    if isinstance(e, E.Var) and e.name == var and not strip:
+        return E.LocalVar(var)
+    if isinstance(e, E.Var) or isinstance(e, (E.Lit, E.Param, E.CountStar,
+                                              E.LocalVar)):
+        return e
+    # generic rebuild via dataclass fields
+    import dataclasses
+    if dataclasses.is_dataclass(e):
+        changes = {}
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, E.Expr):
+                changes[f.name] = _localize(v, var)
+            elif isinstance(v, tuple):
+                newv = tuple(
+                    _localize(x, var) if isinstance(x, E.Expr)
+                    else (tuple(_localize(y, var) if isinstance(y, E.Expr) else y
+                                for y in x) if isinstance(x, tuple) else x)
+                    for x in v)
+                changes[f.name] = newv
+        if changes:
+            return dataclasses.replace(e, **changes)
+    return e
+
+
+def parse(query: str) -> A.Query:
+    return Parser(query).parse_query()

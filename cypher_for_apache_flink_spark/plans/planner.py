@@ -1,0 +1,767 @@
+"""Clause planner: parser AST -> lazily composed (Header, DataFrame) Records.
+
+Collapses the reference's logical + relational layers (okapi-logical/.../impl/
+LogicalPlanner.scala:47-433 and okapi-relational/.../impl/planning/
+RelationalPlanner.scala:55-563) into one Python planner that emits DataFrame
+operations directly — Catalyst is our physical planner (SURVEY §3, §7.1.3).
+
+Pattern planning mirrors the reference: per connected component, start from a
+node scan and greedily chain Expand / ExpandInto / var-length expands
+(LogicalPlanner.planComponentPattern :328-368); components combine by cross
+join, and Catalyst's PushPredicateThroughJoin turns crossJoin+equality-filter
+into proper equi-joins (the reference needed its own
+replaceCartesianWithValueJoin — LogicalOptimizer.scala:53-65 — because its
+physical layer was its own; we get the rewrite from Catalyst and verify it in
+tests)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import functions as F
+
+from ..ir import expr as E
+from ..operators.columns import ExprContext, compile_aggregator, to_column
+from ..operators.header import Header, TypeOf, column_name
+from ..operators.records import (
+    Records,
+    empty_records,
+    join_records,
+    scan_nodes,
+    scan_rels,
+    union_records,
+)
+from ..parser import ast as A
+
+
+class PlanError(Exception):
+    pass
+
+
+def _text(expr: E.Expr) -> str:
+    if isinstance(expr, E.Var):
+        return expr.name
+    if isinstance(expr, E.Property):
+        return f"{_text(expr.owner)}.{expr.key}"
+    if isinstance(expr, E.CountStar):
+        return "count(*)"
+    if isinstance(expr, E.FuncCall):
+        return f"{expr.name}({', '.join(_text(a) for a in expr.args)})"
+    if isinstance(expr, E.Lit):
+        return repr(expr.value)
+    return "expr"
+
+
+def resolve_vars(expr, header: Header):
+    """Rewrite parser-level Var nodes to the typed header vars of the same
+    name (NodeVar/RelVar/ListRelVar), so header lookups hit."""
+    if expr is None:
+        return None
+    if isinstance(expr, E.LocalVar):
+        return expr
+    if isinstance(expr, E.Var):
+        hv = header.var(expr.name)
+        return hv if hv is not None else expr
+    if not isinstance(expr, E.Expr) or not dataclasses.is_dataclass(expr):
+        return expr
+    changes = {}
+    for f in dataclasses.fields(expr):
+        v = getattr(expr, f.name)
+        if isinstance(v, E.Expr):
+            changes[f.name] = resolve_vars(v, header)
+        elif isinstance(v, tuple):
+            changes[f.name] = tuple(
+                resolve_vars(x, header) if isinstance(x, E.Expr)
+                else (tuple(resolve_vars(y, header) if isinstance(y, E.Expr)
+                            else y for y in x) if isinstance(x, tuple) else x)
+                for x in v)
+    return dataclasses.replace(expr, **changes) if changes else expr
+
+
+class Planner:
+    def __init__(self, session, graph, params: dict | None = None):
+        self.session = session
+        self.graph = graph
+        self.params = params or {}
+        self._anon = 0
+
+    # ------------------------------------------------------------------
+    def fresh_name(self) -> str:
+        self._anon += 1
+        return f"_a{self._anon}"
+
+    def ctx(self, records: Records) -> ExprContext:
+        return ExprContext(records.header, records.df, self.params)
+
+    # ------------------------------------------------------------------
+    def plan(self, query: A.Query):
+        """Plan a full (possibly UNION'ed) query.  Returns (Records, outputs)
+        where outputs = [(friendly_name, physical_col), ...]."""
+        recs, outs = self.plan_single(query.parts[0])
+        for part, is_all in zip(query.parts[1:], query.union_alls):
+            r2, o2 = Planner(self.session, self.graph, self.params).plan_single(part)
+            if [n for n, _ in o2] != [n for n, _ in outs]:
+                raise PlanError("UNION parts must have identical column names")
+            # align physical columns by output position
+            rename = {c2: c1 for (_, c1), (_, c2) in zip(outs, o2)}
+            df2 = r2.df.select(*[F.col(c).alias(rename.get(c, c))
+                                 for c in r2.df.columns])
+            recs = recs.with_df(recs.df.select(*[c for _, c in outs]).unionByName(
+                df2.select(*[c for _, c in outs])))
+            if not is_all:
+                recs = recs.with_df(recs.df.dropDuplicates())
+        return recs, outs
+
+    def plan_single(self, q: A.SingleQuery):
+        records = None
+        outputs = None
+        for clause in q.clauses:
+            if isinstance(clause, A.MatchClause):
+                records = self.plan_match(records, clause)
+            elif isinstance(clause, A.UnwindClause):
+                records = self.plan_unwind(records, clause)
+            elif isinstance(clause, (A.WithClause, A.ReturnClause)):
+                records, outs = self.plan_projection(records, clause)
+                if isinstance(clause, A.ReturnClause):
+                    outputs = outs
+            else:
+                raise PlanError(f"unsupported clause {clause!r}")
+        if outputs is None:
+            raise PlanError("query must end with RETURN")
+        return records, outputs
+
+    # ------------------------------------------------------------------
+    # MATCH
+    # ------------------------------------------------------------------
+    def plan_match(self, records, clause: A.MatchClause) -> Records:
+        if clause.optional:
+            if records is None:
+                raise PlanError("OPTIONAL MATCH as first clause is unsupported")
+            return self.plan_optional(records, clause)
+
+        # ---- gather pattern info -------------------------------------
+        node_labels: dict[str, set] = {}
+        rels = []       # (src_name, RelPattern(with var), dst_name)
+        conjuncts: list = []
+        named_parts = []
+        for part in clause.patterns:
+            named = self._name_pattern(part)
+            named_parts.append(named)
+            for np in named.nodes:
+                node_labels.setdefault(np.var, set()).update(np.labels)
+                for k, v in np.props:
+                    conjuncts.append(E.BinOp("=", E.Property(E.NodeVar(np.var), k), v))
+            elems = named.elements
+            for i in range(1, len(elems), 2):
+                rp = elems[i]
+                rels.append((elems[i - 1].var, rp, elems[i + 1].var))
+                for k, v in rp.props:
+                    if not rp.var_length:
+                        conjuncts.append(
+                            E.BinOp("=", E.Property(E.RelVar(rp.var), k), v))
+
+        bound = {v.name for v in records.header.vars()} if records is not None else set()
+
+        # pushLabelsIntoScans (OkapiLateRewriting.scala:44): WHERE n:L on a
+        # var scanned in this clause becomes a scan constraint.
+        where_conjuncts = []
+        if clause.where is not None:
+            for c in E.split_conjunctions(clause.where):
+                if isinstance(c, E.HasLabel) and isinstance(c.node, E.Var) and \
+                        c.node.name in node_labels and c.node.name not in bound:
+                    node_labels[c.node.name].add(c.label)
+                else:
+                    where_conjuncts.append(c)
+
+        # ---- connected components (union-find over node vars) --------
+        parent = {n: n for n in node_labels}
+
+        def root(n):
+            while parent[n] != n:
+                parent[n] = parent[parent[n]]
+                n = parent[n]
+            return n
+
+        def union(a, b):
+            parent[root(a)] = root(b)
+
+        for s, rp, d in rels:
+            union(s, d)
+        # bound vars glue their components to the driving records
+        bound_in_pattern = [n for n in node_labels if n in bound]
+        for a, b in zip(bound_in_pattern, bound_in_pattern[1:]):
+            union(a, b)
+
+        comps: dict[str, dict] = {}
+        for n in node_labels:
+            r = root(n)
+            comps.setdefault(r, {"nodes": set(), "rels": []})["nodes"].add(n)
+        for s, rp, d in rels:
+            comps[root(s)]["rels"].append((s, rp, d))
+
+        # ---- plan each component -------------------------------------
+        current = records
+        standalone = []
+        clause_rel_vars = []   # (name, is_list, types)
+        for comp in comps.values():
+            touches_bound = bool(comp["nodes"] & bound)
+            if touches_bound and current is not None:
+                current = self._plan_component(current, comp, node_labels,
+                                               bound, clause_rel_vars)
+            else:
+                standalone.append(
+                    self._plan_component(None, comp, node_labels, set(),
+                                         clause_rel_vars))
+        for r in standalone:
+            if current is None:
+                current = r
+            else:
+                # cross join; equality predicates in WHERE become real joins
+                # via Catalyst's PushPredicateThroughJoin.
+                current = join_records(current, r, [], how="cross")
+        if current is None:
+            raise PlanError("empty MATCH")
+
+        # ---- relationship isomorphism within the clause --------------
+        current = self._rel_uniqueness(current, clause_rel_vars)
+
+        # ---- WHERE ----------------------------------------------------
+        current = self.apply_predicates(current, where_conjuncts + conjuncts)
+        return current
+
+    def _name_pattern(self, part: A.PatternPart) -> A.PatternPart:
+        """Give every anonymous node/rel a fresh variable name."""
+        elems = []
+        for i, el in enumerate(part.elements):
+            if isinstance(el, A.NodePattern):
+                elems.append(el if el.var else dataclasses.replace(
+                    el, var=self.fresh_name()))
+            else:
+                elems.append(el if el.var else dataclasses.replace(
+                    el, var=self.fresh_name()))
+        return A.PatternPart(tuple(elems))
+
+    def _plan_component(self, current, comp, node_labels, bound,
+                        clause_rel_vars) -> Records:
+        nodes = comp["nodes"]
+        pending = list(comp["rels"])
+        solved: set = set(nodes & bound) if current is not None else set()
+
+        if current is None:
+            # start from the most constrained node (labels prune scans)
+            start = max(nodes, key=lambda n: (len(node_labels[n]),
+                                              -len(self.graph.schema.combos_with(
+                                                  node_labels[n])), n))
+            if pending:
+                # prefer a node that participates in a relationship
+                rel_nodes = {s for s, _, _ in pending} | {d for _, _, d in pending}
+                in_rels = [n for n in nodes if n in rel_nodes]
+                start = max(in_rels, key=lambda n: (len(node_labels[n]), n))
+            current = scan_nodes(self.session, self.graph, start,
+                                 frozenset(node_labels[start]))
+            solved = {start}
+
+        progressed = True
+        while pending and progressed:
+            progressed = False
+            for i, (s, rp, d) in enumerate(pending):
+                if s in solved or d in solved:
+                    current = self._plan_rel(current, s, rp, d, solved,
+                                             node_labels, clause_rel_vars)
+                    solved.update((s, d))
+                    pending.pop(i)
+                    progressed = True
+                    break
+        if pending:
+            raise PlanError("disconnected relationship inside component")
+
+        # isolated nodes in this component (single-node patterns)
+        for n in sorted(nodes - solved):
+            scan = scan_nodes(self.session, self.graph, n,
+                              frozenset(node_labels[n]))
+            current = join_records(current, scan, [], how="cross")
+            solved.add(n)
+        return current
+
+    # -- single relationship hop ---------------------------------------
+    def _plan_rel(self, current, s, rp: A.RelPattern, d, solved,
+                  node_labels, clause_rel_vars) -> Records:
+        if rp.var_length:
+            clause_rel_vars.append((rp.var, True, rp.types))
+            return self._plan_var_length(current, s, rp, d, solved, node_labels)
+
+        clause_rel_vars.append((rp.var, False, rp.types))
+        rel = scan_rels(self.session, self.graph, rp.var, rp.types)
+        rv = E.RelVar(rp.var)
+        if rp.direction == "both":
+            rel = _bidirectional(rel, rv)
+
+        # normalise to edge orientation source->target
+        if rp.direction == "in":
+            src_expr, dst_expr = E.EndNode(rv), E.StartNode(rv)
+        else:
+            src_expr, dst_expr = E.StartNode(rv), E.EndNode(rv)
+
+        sv = E.NodeVar(s)
+        dv = E.NodeVar(d)
+        if s in solved and d in solved:
+            # ExpandInto (RelationalPlanner.scala:167-189): single join on the
+            # composite (source, target) key.
+            return join_records(current, rel, [(sv, src_expr), (dv, dst_expr)])
+        if s in solved:
+            out = join_records(current, rel, [(sv, src_expr)])
+            dst_scan = scan_nodes(self.session, self.graph, d,
+                                  frozenset(node_labels[d]))
+            return join_records(out, dst_scan, [(dst_expr, dv)])
+        # d solved, expand in reverse
+        out = join_records(current, rel, [(dv, dst_expr)])
+        src_scan = scan_nodes(self.session, self.graph, s,
+                              frozenset(node_labels[s]))
+        return join_records(out, src_scan, [(src_expr, sv)])
+
+    # -- var-length expand (SURVEY §2.3; VarLengthExpandPlanner.scala) --
+    def _plan_var_length(self, current, s, rp: A.RelPattern, d, solved,
+                         node_labels) -> Records:
+        lo = rp.lo if rp.lo is not None else 1
+        hi = rp.hi if rp.hi is not None else 10
+        if hi > 12:
+            raise PlanError("unbounded/huge var-length expand (cap is 12 hops)")
+        if s not in solved and d in solved:
+            # plan from the bound side; flip orientation
+            s, d = d, s
+            rp = dataclasses.replace(rp, direction={
+                "out": "in", "in": "out", "both": "both"}[rp.direction])
+        if s not in solved:
+            raise PlanError("var-length expand with no bound endpoint")
+
+        rel = scan_rels(self.session, self.graph, rp.var, rp.types)
+        rv = E.RelVar(rp.var)
+        if rp.direction == "both":
+            rel = _bidirectional(rel, rv)
+            src_expr, dst_expr = E.StartNode(rv), E.EndNode(rv)
+        elif rp.direction == "in":
+            src_expr, dst_expr = E.EndNode(rv), E.StartNode(rv)
+        else:
+            src_expr, dst_expr = E.StartNode(rv), E.EndNode(rv)
+        # The edge table is reused once per hop — cache it (the reference's
+        # InsertCachingOperators heuristic, RelationalOptimizer.scala:41-92).
+        if hi - lo > 0 or hi > 1:
+            rel = rel.cache()
+
+        sv = E.NodeVar(s)
+        dv = E.NodeVar(d)
+        list_var = E.ListRelVar(rp.var)
+        list_col = column_name(list_var)
+        end_col = f"__vl_end_{rp.var}"
+
+        dst_scan = scan_nodes(self.session, self.graph, d,
+                              frozenset(node_labels[d])).cache()
+
+        sv_col = current.header.col(sv)
+        frontier = current.df.withColumn(end_col, F.col(sv_col))
+        edge_cols = []
+        results = []
+
+        def finalize(fr_df, k):
+            """Join the frontier's end column to the destination scan."""
+            ids = [F.col(c) for c in edge_cols[:k]]
+            arr = F.array(*ids) if ids else F.array().cast("array<bigint>")
+            out_df = fr_df.select(
+                *[c for c in current.df.columns],
+                F.col(end_col),
+                arr.alias(list_col),
+            )
+            out = Records(self.session, current.header, out_df)
+            joined = join_records(
+                out.with_header(current.header.added(
+                    E.Var(end_col), end_col).added(list_var, list_col)),
+                dst_scan, [(E.Var(end_col), dv)])
+            return joined
+
+        if lo == 0:
+            results.append(finalize(frontier, 0))
+
+        rel_src = rel.header.col(src_expr)
+        rel_dst = rel.header.col(dst_expr)
+        rel_id = rel.header.col(rv)
+        for k in range(1, hi + 1):
+            step_sfx = f"__s{k}_{rp.var}"
+            step_df = rel.df.select(
+                F.col(rel_id).alias(f"e{step_sfx}"),
+                F.col(rel_src).alias(f"src{step_sfx}"),
+                F.col(rel_dst).alias(f"dst{step_sfx}"),
+            )
+            joined = frontier.join(
+                step_df, F.col(end_col) == F.col(f"src{step_sfx}"), "inner")
+            # relationship isomorphism per step
+            # (VarLengthExpandPlanner.scala:178-179)
+            for prev in edge_cols:
+                joined = joined.where(F.col(f"e{step_sfx}") != F.col(prev))
+            frontier = joined.drop(end_col, f"src{step_sfx}") \
+                .withColumnRenamed(f"dst{step_sfx}", end_col)
+            edge_cols.append(f"e{step_sfx}")
+            if k >= lo:
+                results.append(finalize(frontier, k))
+
+        out = results[0]
+        for r in results[1:]:
+            out = union_records(out, r)
+        return out
+
+    # -- OPTIONAL MATCH (planOptional — RelationalPlanner.scala:298-330)
+    def plan_optional(self, records: Records, clause: A.MatchClause) -> Records:
+        inner = Planner(self.session, self.graph, self.params)
+        inner._anon = self._anon + 100
+        rhs = inner.plan_match(None, dataclasses.replace(clause, optional=False))
+        shared = [v.name for v in records.header.vars()
+                  if rhs.header.var(v.name) is not None]
+        if not shared:
+            raise PlanError("OPTIONAL MATCH shares no variables with input")
+        pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
+        return join_records(records, rhs, pairs, how="left")
+
+    # -- predicates -----------------------------------------------------
+    def apply_predicates(self, records: Records, conjuncts) -> Records:
+        plain = []
+        for c in conjuncts:
+            c = resolve_vars(c, records.header)
+            if isinstance(c, E.PatternPredicate):
+                records = self._pattern_join(records, c,
+                                             "left_anti" if c.negated else "left_semi")
+            elif _contains_pattern(c):
+                records, c = self._materialize_pattern_flags(records, c)
+                plain.append(c)
+            else:
+                plain.append(c)
+        if plain:
+            ctx = self.ctx(records)
+            cond = None
+            for c in plain:
+                col = to_column(c, ctx)
+                cond = col if cond is None else (cond & col)
+            records = records.with_df(records.df.where(cond))
+        return records
+
+    def _pattern_join(self, records: Records, pp: E.PatternPredicate,
+                      how: str) -> Records:
+        inner = Planner(self.session, self.graph, self.params)
+        inner._anon = self._anon + 200
+        rhs = inner.plan_match(None, A.MatchClause((pp.pattern,), None, False))
+        shared = [v.name for v in records.header.vars()
+                  if rhs.header.var(v.name) is not None]
+        if not shared:
+            raise PlanError("pattern predicate shares no variables with scope")
+        pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
+        return join_records(records, rhs, pairs, how=how)
+
+    def _materialize_pattern_flags(self, records: Records, expr):
+        """Precompute nested pattern predicates as boolean flag columns
+        (left join + IS NOT NULL marker — RelationalPlanner.scala:224-246)."""
+        patterns: list[E.PatternPredicate] = []
+
+        def collect(e):
+            if isinstance(e, E.PatternPredicate):
+                if E.PatternPredicate(e.pattern) not in patterns:
+                    patterns.append(E.PatternPredicate(e.pattern))
+            for ch in e.children() if isinstance(e, E.Expr) else ():
+                collect(ch)
+        collect(expr)
+
+        for pos_pp in patterns:
+            inner = Planner(self.session, self.graph, self.params)
+            inner._anon = self._anon + 300
+            rhs = inner.plan_match(None, A.MatchClause((pos_pp.pattern,), None, False))
+            shared = [v.name for v in records.header.vars()
+                      if rhs.header.var(v.name) is not None]
+            pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
+            marker = f"__pp_{self.fresh_name()}"
+            rhs_cols = [rhs.header.col(r) for _, r in pairs]
+            rdf = rhs.df.select(*rhs_cols).dropDuplicates() \
+                .withColumn(marker, F.lit(True))
+            rhs2 = Records(self.session,
+                           Header({r: rhs.header.col(r) for _, r in pairs}),
+                           rdf)
+            joined = join_records(records, rhs2, pairs, how="left")
+            flag = f"{marker}_flag"
+            df = joined.df.withColumn(flag, F.col(marker).isNotNull()) \
+                .drop(marker)
+            records = Records(self.session,
+                              records.header.added(pos_pp, flag), df)
+        return records, expr
+
+    def _rel_uniqueness(self, records: Records, rel_vars) -> Records:
+        """Cypher edge-uniqueness within one MATCH: pairwise distinct rels
+        (cheap non-shuffling filters; skipped when type sets are provably
+        disjoint)."""
+        df = records.df
+        h = records.header
+        for i in range(len(rel_vars)):
+            for j in range(i + 1, len(rel_vars)):
+                n1, l1, t1 = rel_vars[i]
+                n2, l2, t2 = rel_vars[j]
+                if t1 and t2 and not (set(t1) & set(t2)):
+                    continue
+                c1 = h.get(E.ListRelVar(n1)) if l1 else h.get(E.RelVar(n1))
+                c2 = h.get(E.ListRelVar(n2)) if l2 else h.get(E.RelVar(n2))
+                if c1 is None or c2 is None:
+                    continue
+                if not l1 and not l2:
+                    df = df.where(F.col(c1) != F.col(c2))
+                elif l1 and l2:
+                    df = df.where(~F.arrays_overlap(F.col(c1), F.col(c2)))
+                else:
+                    lst, sc = (c1, c2) if l1 else (c2, c1)
+                    df = df.where(~F.array_contains(F.col(lst), F.col(sc)))
+        return records.with_df(df)
+
+    # ------------------------------------------------------------------
+    # UNWIND
+    # ------------------------------------------------------------------
+    def plan_unwind(self, records, clause: A.UnwindClause) -> Records:
+        var = E.Var(clause.alias)
+        col = column_name(var)
+        if records is None:
+            df = self.session.spark.range(1).select()
+            records = Records(self.session, Header({}), df)
+        ctx = self.ctx(records)
+        lst = to_column(resolve_vars(clause.expr, records.header), ctx)
+        df = records.df.select("*", F.explode(lst).alias(col))
+        return Records(self.session, records.header.added(var, col), df)
+
+    # ------------------------------------------------------------------
+    # WITH / RETURN  (ProjectBlock / AggregationBlock / OrderAndSliceBlock)
+    # ------------------------------------------------------------------
+    def plan_projection(self, records, clause):
+        if records is None:
+            df = self.session.spark.range(1).select()
+            records = Records(self.session, Header({}), df)
+
+        items = []
+        if clause.star:
+            for v in records.header.vars():
+                if not v.name.startswith("_a") and not v.name.startswith("__"):
+                    items.append(A.ProjectionItem(v, v.name))
+        for it in clause.items:
+            items.append(A.ProjectionItem(
+                resolve_vars(it.expr, records.header), it.alias))
+
+        has_agg = any(E.is_aggregation(it.expr) for it in items)
+        if has_agg:
+            out, outputs = self._plan_aggregation(records, items)
+        else:
+            out, outputs = self._plan_project(records, items,
+                                              distinct=clause.distinct)
+        if has_agg and clause.distinct:
+            out = out.with_df(out.df.dropDuplicates(
+                [c for _, c in outputs]))
+
+        # ORDER BY / SKIP / LIMIT on the projected scope
+        out = self._order_and_slice(out, clause, items, outputs)
+
+        # WITH ... WHERE (filters the new scope)
+        where = getattr(clause, "where", None)
+        if where is not None:
+            out = self.apply_predicates(
+                out, [resolve_vars(c, out.header)
+                      for c in E.split_conjunctions(where)])
+        # For WITH: restrict scope strictly to projected items
+        out = out.with_df(out.df.select(*_dedup([c for _, c in outputs] + [
+            out.header.col(e) for nm, _ in outputs
+            for e in out.header.owned_by(out.header.var(nm) or E.Var(nm))
+            if out.header.var(nm) is not None])))
+        keep_cols = set(out.df.columns)
+        out = out.with_header(Header({e: c for e, c in out.header.mapping.items()
+                                      if c in keep_cols}))
+        return out, outputs
+
+    def _plan_project(self, records: Records, items, distinct: bool):
+        ctx = self.ctx(records)
+        header = records.header
+        taken = set(records.df.columns)
+        new_cols = []       # (Column, phys_name)
+        outputs = []        # (friendly, phys)
+        new_header = {}
+        for it in items:
+            name = it.alias or _text(it.expr)
+            var = E.Var(name)
+            if isinstance(it.expr, E.Var) and header.get(it.expr) is not None:
+                # carry the element with all its sub-columns (alias semantics:
+                # RecordHeader.withAlias :357-379)
+                src = it.expr
+                tgt = _typed_var(src, name)
+                for e in header.owned_by(src):
+                    new_header[_retarget(e, src, tgt)] = header.col(e)
+                outputs.append((name, header.col(src)))
+            else:
+                phys = _fresh_phys(var, taken)
+                new_cols.append((to_column(it.expr, ctx), phys))
+                new_header[var] = phys
+                outputs.append((name, phys))
+
+        df = records.df
+        if new_cols:
+            df = df.select("*", *[c.alias(n) for c, n in new_cols])
+        out = Records(self.session, Header(new_header), df)
+        if distinct:
+            # Distinct over ALL columns of the projected scope (an element
+            # var's id functionally determines its sub-columns, so this is
+            # distinct-by-value — reference: RelationalOperator.Distinct :325)
+            cols = _dedup(list(new_header.values()))
+            out = out.with_df(df.select(*cols).dropDuplicates(cols))
+        return out, outputs
+
+    def _plan_aggregation(self, records: Records, items):
+        ctx = self.ctx(records)
+        header = records.header
+        taken = set(records.df.columns)
+        group_cols = []
+        new_header = {}
+        outputs = []
+        pre_cols = []
+        aggs = []
+        agg_item_cols = {}
+        for it in items:
+            name = it.alias or _text(it.expr)
+            var = E.Var(name)
+            if E.is_aggregation(it.expr):
+                phys = _fresh_phys(var, taken)
+                aggs.append(to_column(it.expr, ctx.with_agg()).alias(phys))
+                new_header[var] = phys
+                outputs.append((name, phys))
+                agg_item_cols[it.expr] = phys
+            else:
+                if isinstance(it.expr, E.Var) and header.get(it.expr) is not None:
+                    src = it.expr
+                    tgt = _typed_var(src, name)
+                    for e in header.owned_by(src):
+                        c = header.col(e)
+                        new_header[_retarget(e, src, tgt)] = c
+                        group_cols.append(c)
+                    outputs.append((name, header.col(src)))
+                else:
+                    phys = _fresh_phys(var, taken)
+                    pre_cols.append((to_column(it.expr, ctx), phys))
+                    group_cols.append(phys)
+                    new_header[var] = phys
+                    outputs.append((name, phys))
+
+        df = records.df
+        if pre_cols:
+            df = df.select("*", *[c.alias(n) for c, n in pre_cols])
+        group_cols = _dedup(group_cols)
+        if group_cols:
+            gdf = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+        else:
+            gdf = df.agg(*aggs)
+        return Records(self.session, Header(new_header), gdf), outputs
+
+    def _order_and_slice(self, out: Records, clause, items, outputs):
+        order_by = getattr(clause, "order_by", ())
+        df = out.df
+        if order_by:
+            item_to_col = {}
+            for it, (nm, c) in zip(items, outputs):
+                item_to_col[it.expr] = c
+                item_to_col[E.Var(nm)] = c
+            sort_cols = []
+            tmp = []
+            ctx = ExprContext(out.header, df, self.params)
+            for i, s in enumerate(order_by):
+                se = resolve_vars(s.expr, out.header)
+                if se in item_to_col:
+                    col = F.col(item_to_col[se])
+                else:
+                    cexpr = to_column(se, ctx)
+                    tname = f"__sort_{i}"
+                    df = df.withColumn(tname, cexpr)
+                    tmp.append(tname)
+                    col = F.col(tname)
+                # Cypher null ordering: nulls largest (asc → last, desc → first)
+                sort_cols.append(col.asc_nulls_last() if s.ascending
+                                 else col.desc_nulls_first())
+            df = df.orderBy(*sort_cols)
+            if tmp:
+                df = df.drop(*tmp)
+        skip = getattr(clause, "skip", None)
+        limit = getattr(clause, "limit", None)
+        if skip is not None:
+            df = df.offset(int(_const(skip, self.params)))
+        if limit is not None:
+            df = df.limit(int(_const(limit, self.params)))
+        return out.with_df(df)
+
+
+# ---------------------------------------------------------------------------
+
+def _const(expr, params):
+    if isinstance(expr, E.Lit):
+        return expr.value
+    if isinstance(expr, E.Param):
+        return params[expr.name]
+    raise PlanError("SKIP/LIMIT must be a literal or parameter")
+
+
+def _fresh_phys(var: E.Var, taken: set) -> str:
+    base = column_name(var)
+    name = base
+    i = 0
+    while name in taken:
+        i += 1
+        name = f"{base}_{i}"
+    taken.add(name)
+    return name
+
+
+def _dedup(seq):
+    seen = {}
+    for s in seq:
+        seen.setdefault(s)
+    return list(seen)
+
+
+def _typed_var(src: E.Var, name: str) -> E.Var:
+    if isinstance(src, E.NodeVar):
+        return E.NodeVar(name)
+    if isinstance(src, E.ListRelVar):
+        return E.ListRelVar(name)
+    if isinstance(src, E.RelVar):
+        return E.RelVar(name)
+    return E.Var(name)
+
+
+def _retarget(e: E.Expr, src: E.Var, tgt: E.Var) -> E.Expr:
+    if e == src:
+        return tgt
+    if isinstance(e, E.Property):
+        return E.Property(tgt, e.key)
+    if isinstance(e, E.HasLabel):
+        return E.HasLabel(tgt, e.label)
+    if isinstance(e, E.StartNode):
+        return E.StartNode(tgt)
+    if isinstance(e, E.EndNode):
+        return E.EndNode(tgt)
+    if isinstance(e, TypeOf):
+        return TypeOf(tgt)
+    return e
+
+
+def _contains_pattern(e) -> bool:
+    if isinstance(e, E.PatternPredicate):
+        return True
+    if not isinstance(e, E.Expr):
+        return False
+    return any(_contains_pattern(c) for c in e.children())
+
+
+def _bidirectional(rel: Records, rv: E.RelVar) -> Records:
+    """Undirected edge table: scan ∪ mirror (source/target swapped; self-loops
+    kept once).  Reference: RelationalPlanner.scala:154-164."""
+    h = rel.header
+    src = h.col(E.StartNode(rv))
+    dst = h.col(E.EndNode(rv))
+    mirror = rel.df.where(F.col(src) != F.col(dst)).select(
+        *[F.col(dst).alias(src) if c == src
+          else F.col(src).alias(dst) if c == dst
+          else F.col(c)
+          for c in rel.df.columns])
+    return rel.with_df(rel.df.unionByName(mirror))

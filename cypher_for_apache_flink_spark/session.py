@@ -1,0 +1,106 @@
+"""CypherSession: graph catalog + query entry point.
+
+Reference: ``CypherSession`` / ``RelationalCypherSession``
+(okapi-api/.../api/graph/CypherSession.scala:42-99,
+okapi-relational/.../api/graph/RelationalCypherSession.scala:130-266).
+The result stays lazy: planning composes one DataFrame expression and the
+only cluster-side actions are the terminal collect/count/show/write
+(SURVEY §3 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph import PropertyGraph
+from .parser.parser import parse
+from .plans.planner import Planner
+
+
+class CypherResult:
+    """Lazy query result; ``df`` has user-facing column names."""
+
+    def __init__(self, records, outputs):
+        self.records = records
+        self.outputs = outputs
+
+    @property
+    def df(self) -> DataFrame:
+        cols = []
+        seen = set()
+        for name, phys in self.outputs:
+            if name in seen:
+                continue
+            seen.add(name)
+            cols.append(F.col(phys).alias(name))
+        return self.records.df.select(*cols)
+
+    def collect(self):
+        return self.df.collect()
+
+    def to_bag(self):
+        """Multiset of row-dicts (the reference's Bag comparison —
+        okapi-testing/.../Bag.scala)."""
+        from collections import Counter
+        return Counter(tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
+                       for r in self.collect())
+
+    def show(self, n: int = 20):
+        self.df.show(n)
+
+    def explain(self, mode: str = "formatted"):
+        self.df.explain(mode)
+
+
+class CypherSession:
+    """Session catalog of named property graphs + ``cypher()`` entry."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or SparkSession.builder.getOrCreate()
+        self.catalog: dict[str, PropertyGraph] = {}
+
+    @classmethod
+    def for_graph(cls, graph: PropertyGraph) -> "CypherSession":
+        spark = None
+        for df in list(graph.node_tables.values()) + list(graph.rel_tables.values()):
+            spark = df.sparkSession
+            break
+        s = cls(spark)
+        s.register(graph.name, graph)
+        return s
+
+    # -- catalog (CypherSession.scala:70-83) ----------------------------
+    def register(self, name: str, graph: PropertyGraph) -> None:
+        self.catalog[name] = graph
+
+    def deregister(self, name: str) -> None:
+        self.catalog.pop(name, None)
+
+    def graph(self, name: str) -> PropertyGraph:
+        return self.catalog[name]
+
+    # -- graph construction helpers ------------------------------------
+    def create_graph(self, name: str, nodes: dict, rels: dict | None = None
+                     ) -> PropertyGraph:
+        g = PropertyGraph(nodes, rels or {}, name=name)
+        self.register(name, g)
+        return g
+
+    # -- query ----------------------------------------------------------
+    def cypher(self, query: str, params: dict | None = None,
+               graph: PropertyGraph | str | None = None) -> CypherResult:
+        if isinstance(graph, str):
+            graph = self.catalog[graph]
+        if graph is None:
+            if len(self.catalog) != 1:
+                raise ValueError("specify graph= when catalog has != 1 graph")
+            graph = next(iter(self.catalog.values()))
+        ast = parse(query)
+        planner = Planner(self, graph, params)
+        records, outputs = planner.plan(ast)
+        return CypherResult(records, outputs)
+
+    def sql(self, query: str) -> DataFrame:
+        """Escape hatch (MorpheusSession.sql — MorpheusSession.scala:84)."""
+        return self.spark.sql(query)
