@@ -1,0 +1,191 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB corpora):
+ - exact dedup = hash + groupBy (one shuffle on a 32-char key);
+ - n-gram Jaccard = shingle-blocked self-join (standard candidate generation;
+   optional frequency cap drops ubiquitous shingles to kill join skew);
+ - MinHash+LSH = per-doc signature (narrow map) + band-bucket join, so the
+   candidate set shrinks from O(n²) to near-duplicate buckets only;
+ - SimHash = 64-bit bit-vote signature, banded for candidate generation.
+
+Hashing is md5 (available verbatim in DuckDB) so the oracle can mirror the
+exact candidate generation; min-hashes compare md5 hex strings
+lexicographically, avoiding any engine-specific integer hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def word_shingles(text, n: int = 3):
+    """Distinct word n-gram shingles of the lower-cased text."""
+    toks = tokens(text)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via normalised-text fingerprint.  Returns
+    (fingerprint, keep_id, dup_ids, n_dups) for groups with >1 member."""
+    from .text import fingerprint
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return (fp.groupBy("fp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > 1)
+            .select("fp", "keep_id", "n_docs"))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per distinct normalised text."""
+    from .text import fingerprint
+    fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (fp.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__fp", "__rn"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard, blocked on shared
+    shingles.  Returns (a, b, jaccard) with a < b and jaccard >= threshold.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many docs
+    before the self-join (skew control at scale; off by default so the SQL
+    oracle is simple)."""
+    sh = df.select(F.col(id_col).alias("doc"),
+                   F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(F.broadcast(freq.where(F.col("df") <= max_shingle_freq)
+                                 .select("sh")), "sh")
+    a = sh.select(F.col("doc").alias("a"), "sh")
+    b = sh.select(F.col("doc").alias("b"), "sh")
+    inter = (a.join(b, "sh").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "a").join(sb, "b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def minhash_signature(text, n: int = 3, num_hashes: int = 8):
+    """MinHash signature: per seed i, min over shingles of md5(i || shingle).
+    Hex-string minima — portable across engines."""
+    sh = word_shingles(text, n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
+                      bands: int = 4, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band bucket become candidate
+    pairs, then exact Jaccard verifies.  Returns (a, b, jaccard).
+
+    The candidate join is on (band_index, band_key) — at 100 TB this is the
+    only shuffle and its width is the number of near-dup candidates, not n²."""
+    rows = bands  # num_hashes / bands hashes per band
+    per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("doc"),
+                    minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
+                    word_shingles(F.col(text_col), n).alias("sh"))
+    band_entries = sig.select(
+        "doc", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *[
+                         F.col("sig")[b * per_band + r]
+                         for r in range(per_band)])).alias("key"))
+            for b in range(bands)])).alias("bk"))
+    left = band_entries.select(F.col("doc").alias("a"), F.col("sh").alias("sha"),
+                               F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    right = band_entries.select(F.col("doc").alias("b"), F.col("sh").alias("shb"),
+                                F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (left.join(right, ["band", "key"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "sha", "shb").dropDuplicates(["a", "b"]))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.col("sha")) + F.size(F.col("shb")) - inter
+    return (cand.withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def simhash64(text):
+    """64-bit SimHash from md5-derived token bits: for each of the 64 bits of
+    md5(token)[:16], vote ±1 across tokens; bit set where the vote is > 0."""
+    toks = F.array_distinct(tokens(text))
+    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
+    # votes[i] = sum over tokens of (bit_i ? 1 : -1)
+    def bit(h, i):
+        # hex char index i//4, bit within nibble i%4 (big-endian nibble)
+        ch = F.substring(h, (i // 4) + 1, 1)
+        val = F.instr(F.lit("0123456789abcdef"), ch) - 1
+        return F.shiftright(val, 3 - (i % 4)) % 2
+    votes = [
+        F.aggregate(hexes, F.lit(0),
+                    lambda acc, h, i=i: acc + bit(h, i) * 2 - 1)
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("decimal(20,0)")
+    for i, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(2 ** (63 - i)).cast("decimal(20,0)")
+                           ).otherwise(F.lit(0).cast("decimal(20,0)"))
+    return out
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bands: int = 4) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit signature into
+    ``bands`` chunks; docs sharing a chunk are candidates, verified by
+    Hamming distance <= max_hamming."""
+    bits_per = 64 // bands
+    sig = df.select(F.col(id_col).alias("doc"),
+                    simhash64(F.col(text_col)).cast("string").alias("sig"))
+    # represent the signature as its decimal string; band key = md5 of a
+    # deterministic slice of the signature string plus band index
+    entries = sig.select("doc", "sig", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(F.lit(f"{b}|"),
+                                F.substring(F.lpad("sig", 20, "0"),
+                                            b * 5 + 1, 5))).alias("key"))
+        for b in range(bands)])).alias("bk"))
+    left = entries.select(F.col("doc").alias("a"), F.col("sig").alias("siga"),
+                          F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    right = entries.select(F.col("doc").alias("b"), F.col("sig").alias("sigb"),
+                           F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (left.join(right, ["band", "key"])
+            .where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"]))
+    # hamming via xor on two 32-bit halves (stay in long arithmetic)
+    ha = (F.conv(F.col("siga"), 10, 2))
+    hb = (F.conv(F.col("sigb"), 10, 2))
+    xor_bits = F.length(F.regexp_replace(
+        F.translate(
+            F.concat(ha, F.lit("|"), hb), "|", ""), "", ""))  # placeholder
+    # simpler: compare bit strings positionally
+    pa = F.lpad(ha, 64, "0")
+    pb = F.lpad(hb, 64, "0")
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)), F.lit(0),
+        lambda acc, i: acc + F.when(
+            F.substring(pa, i, 1) == F.substring(pb, i, 1), 0).otherwise(1))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions (whole-stage codegen,
+no Python in the hot path), deterministic, and expressible in ANSI SQL so the
+DuckDB oracle can verify them bit-for-bit.  Designed for 100 TB corpora: every
+operator is a narrow per-row map (no shuffle) unless it aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic.  Deliberately small + frozen: the SQL oracle mirrors them.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "que"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, lower-cased, empty tokens dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: words + punctuation marks counted
+    separately (a cheap, deterministic proxy for a BPE tokenizer)."""
+    words = F.size(F.filter(F.split(F.lower(text), r"[^a-z0-9']+"),
+                            lambda t: t != ""))
+    puncts = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return (words + puncts).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    non_word = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.round(non_word / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def stopword_ratio(text: Column, stopwords=("the", "a", "and", "of", "to")) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: penalises too-short docs, high
+    punctuation density and degenerate word lengths.  Deterministic."""
+    n_tok = token_count(text)
+    len_ok = F.least(n_tok / F.lit(32.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    wl = avg_word_len(text)
+    wl_ok = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok + punct_ok + wl_ok) / 3.0, 6)
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-marker language ID: the language with the most marker hits
+    wins; ties and zero-hit docs -> 'und'.  Mirrors to a SQL CASE chain."""
+    toks = tokens(text)
+    hits = {lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+            for lang, markers in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)  # deterministic priority on ties: first wins
+    best = F.greatest(*[hits[lg] for lg in langs])
+    out = F.lit("und")
+    # reversed so the FIRST language in sorted order wins ties
+    for lg in reversed(langs):
+        out = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalised, lower-cased
+    text (md5 exists verbatim in DuckDB, so the oracle matches exactly)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_fingerprints(text: Column, window: int = 4) -> Column:
+    """Winnowing-style rolling fingerprints: md5 over each ``window``-token
+    span; returns the 4 lexicographically smallest (document sketch)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))))
+    return F.slice(F.array_sort(spans), 1, 4)
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document analysis record: one narrow projection, no shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        avg_word_len(t).alias("avg_word_len"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_guess(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )
