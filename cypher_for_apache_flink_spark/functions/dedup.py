@@ -99,26 +99,34 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
 
     The candidate join is on (band_index, band_key) — at 100 TB this is the
     only shuffle and its width is the number of near-dup candidates, not n²."""
-    rows = bands  # num_hashes / bands hashes per band
     per_band = num_hashes // bands
     sig = df.select(F.col(id_col).alias("doc"),
-                    minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
-                    word_shingles(F.col(text_col), n).alias("sh"))
+                    minhash_signature(F.col(text_col), n, num_hashes).alias("sig"))
+    # Band entries carry ONLY (doc, band, key): at 100 TB the band-bucket
+    # shuffle must stay narrow — shingle arrays would multiply its width by
+    # bands × doc size.  Shingles are re-attached to the (much smaller)
+    # candidate-pair set afterwards.
     band_entries = sig.select(
-        "doc", "sh",
+        "doc",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws("|", *[
                          F.col("sig")[b * per_band + r]
                          for r in range(per_band)])).alias("key"))
-            for b in range(bands)])).alias("bk"))
-    left = band_entries.select(F.col("doc").alias("a"), F.col("sh").alias("sha"),
-                               F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    right = band_entries.select(F.col("doc").alias("b"), F.col("sh").alias("shb"),
-                                F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+            for b in range(bands)])).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = band_entries.select(F.col("doc").alias("a"), "band", "key")
+    right = band_entries.select(F.col("doc").alias("b"), "band", "key")
     cand = (left.join(right, ["band", "key"])
             .where(F.col("a") < F.col("b"))
-            .select("a", "b", "sha", "shb").dropDuplicates(["a", "b"]))
+            .select("a", "b").dropDuplicates(["a", "b"]))
+    shingles = df.select(F.col(id_col).alias("doc"),
+                         word_shingles(F.col(text_col), n).alias("sh"))
+    cand = (cand
+            .join(shingles.select(F.col("doc").alias("a"),
+                                  F.col("sh").alias("sha")), "a")
+            .join(shingles.select(F.col("doc").alias("b"),
+                                  F.col("sh").alias("shb")), "b"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.col("sha")) + F.size(F.col("shb")) - inter
     return (cand.withColumn("jaccard", F.round(inter / union, 6))
@@ -131,21 +139,26 @@ def simhash64(text):
     md5(token)[:16], vote ±1 across tokens; bit set where the vote is > 0."""
     toks = F.array_distinct(tokens(text))
     hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
+
     # votes[i] = sum over tokens of (bit_i ? 1 : -1)
     def bit(h, i):
         # hex char index i//4, bit within nibble i%4 (big-endian nibble)
         ch = F.substring(h, (i // 4) + 1, 1)
         val = F.instr(F.lit("0123456789abcdef"), ch) - 1
         return F.shiftright(val, 3 - (i % 4)) % 2
-    votes = [
-        F.aggregate(hexes, F.lit(0),
-                    lambda acc, h, i=i: acc + bit(h, i) * 2 - 1)
-        for i in range(64)
-    ]
+
+    def vote(i):
+        # two-parameter merge lambda: PySpark passes an extra index arg to
+        # 3-parameter lambdas, so a default-arg capture of i would be
+        # silently overwritten by a Column.
+        return lambda acc, h: acc + bit(h, i) * 2 - 1
+
+    votes = [F.aggregate(hexes, F.lit(0), vote(i)) for i in range(64)]
     out = F.lit(0).cast("decimal(20,0)")
     for i, v in enumerate(votes):
-        out = out + F.when(v > 0, F.lit(2 ** (63 - i)).cast("decimal(20,0)")
-                           ).otherwise(F.lit(0).cast("decimal(20,0)"))
+        # 2^63 overflows a long literal — go through a string literal.
+        weight = F.lit(str(2 ** (63 - i))).cast("decimal(20,0)")
+        out = out + F.when(v > 0, weight).otherwise(F.lit(0).cast("decimal(20,0)"))
     return out
 
 
@@ -158,13 +171,14 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
     bits_per = 64 // bands
     sig = df.select(F.col(id_col).alias("doc"),
                     simhash64(F.col(text_col)).cast("string").alias("sig"))
-    # represent the signature as its decimal string; band key = md5 of a
-    # deterministic slice of the signature string plus band index
+    # Band over BIT chunks of the signature (the pigeonhole guarantee:
+    # hamming <= bands-1 implies at least one identical band).  Banding over
+    # decimal-digit slices is wrong — one flipped high bit changes every
+    # decimal digit, so Hamming-close docs would land in disjoint buckets.
+    bits = F.lpad(F.conv(F.col("sig"), 10, 2), 64, "0")
     entries = sig.select("doc", "sig", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat(F.lit(f"{b}|"),
-                                F.substring(F.lpad("sig", 20, "0"),
-                                            b * 5 + 1, 5))).alias("key"))
+                 F.substring(bits, b * bits_per + 1, bits_per).alias("key"))
         for b in range(bands)])).alias("bk"))
     left = entries.select(F.col("doc").alias("a"), F.col("sig").alias("siga"),
                           F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -173,15 +187,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
     cand = (left.join(right, ["band", "key"])
             .where(F.col("a") < F.col("b"))
             .dropDuplicates(["a", "b"]))
-    # hamming via xor on two 32-bit halves (stay in long arithmetic)
-    ha = (F.conv(F.col("siga"), 10, 2))
-    hb = (F.conv(F.col("sigb"), 10, 2))
-    xor_bits = F.length(F.regexp_replace(
-        F.translate(
-            F.concat(ha, F.lit("|"), hb), "|", ""), "", ""))  # placeholder
-    # simpler: compare bit strings positionally
-    pa = F.lpad(ha, 64, "0")
-    pb = F.lpad(hb, 64, "0")
+    # Hamming distance: compare the padded bit strings positionally.
+    pa = F.lpad(F.conv(F.col("siga"), 10, 2), 64, "0")
+    pb = F.lpad(F.conv(F.col("sigb"), 10, 2), 64, "0")
     hamming = F.aggregate(
         F.sequence(F.lit(1), F.lit(64)), F.lit(0),
         lambda acc, i: acc + F.when(

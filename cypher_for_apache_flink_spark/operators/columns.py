@@ -574,5 +574,11 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
         # (the reference needed an O(group)-memory UDAF: PercentileUdafs.scala:41).
         return F.percentile(arg, to_column(expr.args[1], ctx))
     if n == "percentiledisc":
-        return F.percentile_approx(arg, to_column(expr.args[1], ctx), 10000)
+        # SQL-standard exact discrete percentile: smallest value whose
+        # cumulative distribution >= p, i.e. sorted[ceil(p*n)] (1-based).
+        # percentile_approx is NOT exact and hash-mismatches the oracle.
+        p = to_column(expr.args[1], ctx)
+        arr = F.array_sort(F.collect_list(arg))
+        return F.element_at(
+            arr, F.greatest(F.ceil(p * F.size(arr)), F.lit(1)).cast("int"))
     raise NotImplementedError(f"aggregator {n}")

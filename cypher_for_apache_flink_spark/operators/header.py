@@ -11,6 +11,7 @@ physical column (RecordHeader.scala:357-379).
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from ..ir.expr import (
@@ -30,7 +31,10 @@ def _san(s: str) -> str:
     if clean != s:
         # Keep deterministic & conflict-free (reference:
         # RecordHeader.newConflictFreeColumnName, RecordHeader.scala:299).
-        clean = f"{clean}_{abs(hash(s)) % 100000:05d}"
+        # Stable digest — Python's hash() is per-process randomized, which
+        # would break cross-run plan/schema comparison.
+        digest = int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100000
+        clean = f"{clean}_{digest:05d}"
     return clean
 
 

@@ -45,12 +45,18 @@ _KEYWORDS = {
 
 
 class Tok:
-    __slots__ = ("kind", "text", "pos")
+    __slots__ = ("kind", "text", "pos", "raw")
 
-    def __init__(self, kind, text, pos):
+    def __init__(self, kind, text, pos, raw=None):
         self.kind = kind       # 'INT','FLOAT','STRING','IDENT','KW','PARAM','PUNCT','EOF'
         self.text = text
         self.pos = pos
+        # Original source spelling.  For KW tokens ``text`` is the lowered
+        # keyword; when the token is consumed as an identifier (label, type,
+        # property key, variable) the ORIGINAL spelling must be used —
+        # otherwise `(:Order)` silently scans label 'order' and matches
+        # nothing (round-1 silent-wrong-answer bug).
+        self.raw = raw if raw is not None else text
 
     def __repr__(self):
         return f"Tok({self.kind},{self.text!r})"
@@ -74,7 +80,7 @@ def tokenize(src: str) -> list:
                 continue
             low = text.lower()
             if low in _KEYWORDS:
-                toks.append(Tok("KW", low, m.start()))
+                toks.append(Tok("KW", low, m.start(), raw=text))
                 continue
         toks.append(Tok(kind, text, m.start()))
     toks.append(Tok("EOF", "", len(src)))
@@ -185,8 +191,8 @@ class Parser:
         t = self.peek()
         if t.kind == "IDENT":
             return self.next().text
-        if t.kind == "KW":   # keywords usable as identifiers in most positions
-            return self.next().text
+        if t.kind == "KW":   # keywords usable as identifiers in most positions;
+            return self.next().raw  # original spelling, not the lowered keyword
         self.err("expected identifier")
 
     # -- clauses --------------------------------------------------------
@@ -275,6 +281,8 @@ class Parser:
         t = self.peek()
         if t.kind == "IDENT":
             var = self.next().text
+        elif t.kind == "KW":   # keyword-spelled variable, e.g. (order:Order)
+            var = self.next().raw
         while self.at_punct(":"):
             self.next()
             labels.append(self.ident())
@@ -299,6 +307,8 @@ class Parser:
             self.next()
             if self.peek().kind == "IDENT":
                 var = self.next().text
+            elif self.peek().kind == "KW":
+                var = self.next().raw
             while self.at_punct(":"):
                 self.next()
                 types.append(self.ident())
@@ -518,6 +528,11 @@ class Parser:
             # keyword used as function name (e.g. count) or bare identifier
             if self.peek(1).kind == "PUNCT" and self.peek(1).text == "(":
                 return self.parse_func_call()
+            # bare keyword-spelled variable reference (e.g. a var named
+            # `order`); safe because parse_atom only runs where an
+            # expression is mandatory.
+            self.next()
+            return E.Var(t.raw)
 
         if t.kind == "IDENT":
             nxt = self.peek(1)

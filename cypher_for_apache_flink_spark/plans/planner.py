@@ -136,7 +136,11 @@ class Planner:
     def plan_match(self, records, clause: A.MatchClause) -> Records:
         if clause.optional:
             if records is None:
-                raise PlanError("OPTIONAL MATCH as first clause is unsupported")
+                # OPTIONAL MATCH as first clause: left-join the pattern onto
+                # the unit table (one row, no columns) — yields the matches,
+                # or a single all-null row when nothing matches.
+                records = Records(self.session, Header({}),
+                                  self.session.spark.range(1).select())
             return self.plan_optional(records, clause)
 
         # ---- gather pattern info -------------------------------------
@@ -162,9 +166,17 @@ class Planner:
 
         bound = {v.name for v in records.header.vars()} if records is not None else set()
 
+        # Label constraints on already-bound variables cannot prune the scan
+        # (the var is not rescanned) — re-apply them as HasLabel predicates,
+        # like the reference does for bound entities.
+        where_conjuncts = []
+        for n, lbls in node_labels.items():
+            if n in bound and lbls:
+                for lbl in sorted(lbls):
+                    where_conjuncts.append(E.HasLabel(E.NodeVar(n), lbl))
+
         # pushLabelsIntoScans (OkapiLateRewriting.scala:44): WHERE n:L on a
         # var scanned in this clause becomes a scan constraint.
-        where_conjuncts = []
         if clause.where is not None:
             for c in E.split_conjunctions(clause.where):
                 if isinstance(c, E.HasLabel) and isinstance(c.node, E.Var) and \
@@ -323,9 +335,15 @@ class Planner:
     def _plan_var_length(self, current, s, rp: A.RelPattern, d, solved,
                          node_labels) -> Records:
         lo = rp.lo if rp.lo is not None else 1
-        hi = rp.hi if rp.hi is not None else 10
+        if rp.hi is None:
+            # Never silently truncate: an unbounded expand on a cyclic graph
+            # has unbounded results (the reference TCK also blacklists it —
+            # morpheus-tck failing_blacklist).
+            raise PlanError("unbounded var-length expand [*] is unsupported; "
+                            "give an explicit upper bound (cap is 12 hops)")
+        hi = rp.hi
         if hi > 12:
-            raise PlanError("unbounded/huge var-length expand (cap is 12 hops)")
+            raise PlanError("var-length upper bound too large (cap is 12 hops)")
         if s not in solved and d in solved:
             # plan from the bound side; flip orientation
             s, d = d, s
@@ -415,8 +433,8 @@ class Planner:
         rhs = inner.plan_match(None, dataclasses.replace(clause, optional=False))
         shared = [v.name for v in records.header.vars()
                   if rhs.header.var(v.name) is not None]
-        if not shared:
-            raise PlanError("OPTIONAL MATCH shares no variables with input")
+        # No shared variables → cartesian left join (all combinations, or one
+        # null-padded row when the rhs is empty).
         pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
         return join_records(records, rhs, pairs, how="left")
 
@@ -449,8 +467,8 @@ class Planner:
         rhs = inner.plan_match(None, A.MatchClause((pp.pattern,), None, False))
         shared = [v.name for v in records.header.vars()
                   if rhs.header.var(v.name) is not None]
-        if not shared:
-            raise PlanError("pattern predicate shares no variables with scope")
+        # No shared variables → the predicate holds iff the pattern matches
+        # anywhere; semi/anti join on a constant-true condition handles it.
         pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
         return join_records(records, rhs, pairs, how=how)
 
@@ -476,8 +494,12 @@ class Planner:
             pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
             marker = f"__pp_{self.fresh_name()}"
             rhs_cols = [rhs.header.col(r) for _, r in pairs]
-            rdf = rhs.df.select(*rhs_cols).dropDuplicates() \
-                .withColumn(marker, F.lit(True))
+            if rhs_cols:
+                rdf = rhs.df.select(*rhs_cols).dropDuplicates() \
+                    .withColumn(marker, F.lit(True))
+            else:
+                # No shared variables: flag is globally true iff any match.
+                rdf = rhs.df.limit(1).select(F.lit(True).alias(marker))
             rhs2 = Records(self.session,
                            Header({r: rhs.header.col(r) for _, r in pairs}),
                            rdf)
