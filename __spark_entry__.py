@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 plus the
+LLM-data-pipeline operators; ``oracle_sql()`` gives the DuckDB twin for each
+(FIXTURES.md §B oracle recipe: expand = FK join, OPTIONAL MATCH = LEFT JOIN,
+var-length = union of join chains).  Column names and types are aligned on
+both sides; floating-point aggregates are rounded identically.
 """
 
 from __future__ import annotations
@@ -12,27 +13,588 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tpch(spark: SparkSession, sf_dir: str):
+    from cypher_for_apache_flink_spark.sources.tpch import tpch_graph
+    return tpch_graph(spark, sf_dir)
+
+
+def _events(spark: SparkSession, sf_dir: str):
+    from cypher_for_apache_flink_spark.sources.tpch import events_graph
+    return events_graph(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic corpus is one small parquet file = one input split; the
+    # expression-heavy dedup/text operators need the cores (at real scale
+    # the input has thousands of splits and this repartition disappears).
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    g = _tpch(spark, "/root/testdata/sf0.001")
+    return g.cypher(
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.r_name AS region, count(*) AS customers, "
+        "round(avg(c.c_acctbal), 2) AS avg_acctbal "
+        "ORDER BY region").df
+
+
+# ---------------------------------------------------------------------------
+# Cypher queries (each returns the user-facing DataFrame)
+# ---------------------------------------------------------------------------
+
+def _cypher(q: str, graph="tpch"):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        g = _tpch(spark, sf_dir) if graph == "tpch" else _events(spark, sf_dir)
+        return g.cypher(q).df
+    return run
+
+
+_CYPHER_QUERIES = {
+    # --- scans / filter / projection ----------------------------------
+    "scan_nodes": _cypher(
+        "MATCH (r:Region) RETURN r.r_name AS r_name"),
+    "scan_filter": _cypher(
+        "MATCH (c:Customer) WHERE c.c_acctbal > 5000.0 "
+        "RETURN c.c_name AS c_name, c.c_acctbal AS c_acctbal"),
+    "scan_filter_and_or": _cypher(
+        "MATCH (o:Order) WHERE (o.o_orderstatus = 'O' OR o.o_orderstatus = 'F') "
+        "AND o.o_totalprice >= 150000.0 RETURN count(*) AS n"),
+    "keyword_label_scan": _cypher(   # round-1 regression: Order is a keyword
+        "MATCH (o:Order) RETURN count(*) AS n"),
+    "predicate_in": _cypher(
+        "MATCH (o:Order) WHERE o.o_orderstatus IN ['O', 'F'] "
+        "RETURN count(*) AS n"),
+    "predicate_string_match": _cypher(
+        "MATCH (p:Part) WHERE p.p_name STARTS WITH 'PART_1' "
+        "AND p.p_name ENDS WITH '0' RETURN count(*) AS n"),
+    "predicate_regex": _cypher(
+        "MATCH (p:Part) WHERE p.p_name =~ 'PART_1.*0' RETURN count(*) AS n"),
+    "predicate_contains": _cypher(
+        "MATCH (s:Supplier) WHERE s.s_name CONTAINS '_1' RETURN count(*) AS n"),
+
+    # --- expands -------------------------------------------------------
+    "expand_1hop": _cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN n.n_name AS n_name, r.r_name AS r_name"),
+    "expand_2hop": _cypher(
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.r_name AS r_name, count(*) AS n_cust"),
+    "expand_3hop_keyword_types": _cypher(   # CONTAINS is a keyword
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part) "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n_items, "
+        "round(sum(l.l_quantity), 2) AS sum_qty"),
+    "expand_incoming": _cypher(
+        "MATCH (r:Region)<-[:IN_REGION]-(n:Nation) "
+        "RETURN r.r_name AS r_name, count(*) AS n_nations"),
+    "expand_undirected": _cypher(
+        "MATCH (a)-[:IN_REGION]-(b) RETURN count(*) AS n"),
+    "expand_into": _cypher(
+        "MATCH (o:Order)-[:CONTAINS]->(p:Part), (o)-[l:CONTAINS]->(p) "
+        "RETURN count(*) AS n"),
+    "rel_properties": _cypher(
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) "
+        "WHERE l.l_returnflag = 'R' AND l.l_discount > 0.05 "
+        "RETURN count(*) AS n, round(sum(l.l_extendedprice), 2) AS rev"),
+    "type_function": _cypher(
+        "MATCH (c:Customer)-[r]->(x) RETURN type(r) AS t, count(*) AS n"),
+    "labels_function": _cypher(
+        "MATCH (r:Region) RETURN labels(r)[0] AS lbl, count(*) AS n"),
+
+    # --- optional match / exists --------------------------------------
+    "optional_match_count": _cypher(
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+        "RETURN c.c_name AS c_name, count(o) AS n_orders"),
+    "optional_match_null": _cypher(
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+        "WITH c, o WHERE o IS NULL RETURN count(*) AS n"),
+    "exists_pattern": _cypher(
+        "MATCH (c:Customer) WHERE exists((c)-[:PLACED]->(:Order)) "
+        "RETURN count(*) AS n"),
+    "not_exists_pattern": _cypher(
+        "MATCH (c:Customer) WHERE NOT exists((c)-[:PLACED]->(:Order)) "
+        "RETURN count(*) AS n"),
+
+    # --- var-length ----------------------------------------------------
+    "var_length_2_2": _cypher(
+        "MATCH (c:Customer)-[*2..2]->(x) RETURN count(*) AS n"),
+    "var_length_1_2": _cypher(
+        "MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n"),
+    "var_length_typed": _cypher(
+        "MATCH (c:Customer)-[:PLACED|CONTAINS*1..2]->(x) RETURN count(*) AS n"),
+
+    # --- unwind / union / distinct / slicing --------------------------
+    "unwind_literal": _cypher(
+        "UNWIND [3, 1, 2] AS x RETURN x"),
+    "unwind_range_filter": _cypher(
+        "UNWIND range(1, 20) AS x WITH x WHERE x % 2 = 0 "
+        "RETURN x, x * x AS sq"),
+    "union_all": _cypher(
+        "MATCH (r:Region) RETURN r.r_name AS name "
+        "UNION ALL MATCH (n:Nation) RETURN n.n_name AS name"),
+    "union_distinct": _cypher(
+        "MATCH (o:Order) RETURN o.o_orderstatus AS st "
+        "UNION MATCH (o:Order) RETURN o.o_orderstatus AS st"),
+    "distinct_projection": _cypher(
+        "MATCH (o:Order) RETURN DISTINCT o.o_orderstatus AS st"),
+    "order_skip_limit": _cypher(
+        "MATCH (c:Customer) RETURN c.c_name AS c_name "
+        "ORDER BY c_name SKIP 5 LIMIT 10"),
+    "orderby_expression": _cypher(
+        "MATCH (c:Customer) RETURN c.c_name AS c_name "
+        "ORDER BY c.c_acctbal DESC, c.c_name LIMIT 5"),
+
+    # --- aggregation ---------------------------------------------------
+    "agg_tpch_q1": _cypher(
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) "
+        "RETURN l.l_returnflag AS flag, l.l_linestatus AS status, "
+        "count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty, "
+        "round(avg(l.l_extendedprice), 2) AS avg_price, "
+        "round(min(l.l_discount), 2) AS min_disc, "
+        "round(max(l.l_tax), 2) AS max_tax"),
+    "agg_count_distinct": _cypher(
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) "
+        "RETURN count(DISTINCT p) AS n_parts"),
+    "agg_global": _cypher(
+        "MATCH (o:Order) RETURN count(*) AS n, "
+        "round(sum(o.o_totalprice), 2) AS total, "
+        "round(avg(o.o_totalprice), 2) AS mean"),
+    "agg_stats": _cypher(
+        "MATCH (o:Order) RETURN o.o_orderstatus AS st, "
+        "round(stDev(o.o_totalprice), 2) AS sd, "
+        "round(percentileCont(o.o_totalprice, 0.5), 2) AS p50c, "
+        "percentileDisc(o.o_totalprice, 0.5) AS p50d"),
+    "with_pipeline": _cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o) AS n_orders WHERE n_orders > 2 "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n_cust, "
+        "max(n_orders) AS max_orders"),
+
+    # --- expression surface -------------------------------------------
+    "case_expression": _cypher(
+        "MATCH (o:Order) RETURN "
+        "CASE WHEN o.o_totalprice > 200000.0 THEN 'big' "
+        "WHEN o.o_totalprice > 100000.0 THEN 'mid' ELSE 'small' END AS bucket, "
+        "count(*) AS n"),
+    "string_functions": _cypher(
+        "MATCH (c:Customer) RETURN toUpper(c.c_name) AS up, "
+        "substring(c.c_name, 0, 8) AS sub, size(c.c_name) AS len "
+        "ORDER BY up LIMIT 20"),
+    "math_functions": _cypher(
+        "MATCH (o:Order) RETURN round(sqrt(o.o_totalprice), 4) AS sq, "
+        "floor(o.o_totalprice / 1000.0) AS fl, "
+        "round(abs(o.o_totalprice - 150000.0), 2) AS dist "
+        "ORDER BY sq LIMIT 25"),
+    "list_functions": _cypher(
+        "RETURN head([1, 2, 3]) AS h, last([1, 2, 3]) AS l, "
+        "size([1, 2, 3]) AS n, "
+        "reduce(acc = 0, x IN [1, 2, 3, 4, 5] | acc + x) AS total"),
+    "coalesce_function": _cypher(
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+        "WITH c, o RETURN coalesce(o.o_orderstatus, 'NONE') AS st, "
+        "count(*) AS n"),
+
+    # --- events graph: temporal accessors -----------------------------
+    "events_temporal": _cypher(
+        "MATCH (u:User)-[:PERFORMED]->(e:Event) WHERE e.ts.day <= 7 "
+        "RETURN e.event_type AS et, count(*) AS n, "
+        "round(avg(e.value), 4) AS avg_val", graph="events"),
+    "events_hour_buckets": _cypher(
+        "MATCH (e:Event) RETURN e.ts.hour AS hour, count(*) AS n",
+        graph="events"),
+}
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def _q_text_profile(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.text import text_profile
+    return text_profile(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact_groups(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.dedup import exact_duplicates
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact_keep(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.dedup import dedup_exact
+    return dedup_exact(_docs(spark, sf_dir)).select("doc_id")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8,
+                             bands=4, threshold=0.3)
+
+
+def _q_simhash(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def _q_similarity_topk(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_bruteforce,
+    )
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_topk_bruteforce(emb.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+def _q_similarity_topk_lsh(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.similarity import ann_topk_lsh
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_topk_lsh(emb.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+def _q_cosine_near_dup(spark, sf_dir):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+    )
+    return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3,
+                                 block_col="label")
+
+
+_PIPELINE_QUERIES = {
+    "text_profile": _q_text_profile,
+    "dedup_exact_groups": _q_dedup_exact_groups,
+    "dedup_exact_keep": _q_dedup_exact_keep,
+    "ngram_jaccard_pairs": _q_ngram_jaccard,
+    "minhash_lsh_pairs": _q_minhash_lsh,
+    "simhash_pairs": _q_simhash,
+    "similarity_topk": _q_similarity_topk,
+    "similarity_topk_lsh": _q_similarity_topk_lsh,
+    "cosine_near_dup_pairs": _q_cosine_near_dup,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out = dict(_CYPHER_QUERIES)
+    out.update(_PIPELINE_QUERIES)
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (FIXTURES.md §B recipe).  Tables are pre-registered
+# views: region nation customer supplier part orders lineitem events
+# documents embeddings.
+# ---------------------------------------------------------------------------
+
+# Shared SQL fragments for the text/dedup oracles (mirror functions/text.py).
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+_SQL_FP = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+_SQL_SHINGLES = rf"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shl
+  FROM toks
+)"""
+
+_SQL_COSINE = """
+list_sum(list_transform(generate_series(1, 64),
+  i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(generate_series(1, 64),
+     i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+ * sqrt(list_sum(list_transform(generate_series(1, 64),
+     i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # --- scans / filter -------------------------------------------
+        "scan_nodes": "SELECT r_name FROM region",
+        "scan_filter": ("SELECT c_name, c_acctbal FROM customer "
+                        "WHERE c_acctbal > 5000.0"),
+        "scan_filter_and_or": (
+            "SELECT count(*) AS n FROM orders "
+            "WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F') "
+            "AND o_totalprice >= 150000.0"),
+        "keyword_label_scan": "SELECT count(*) AS n FROM orders",
+        "predicate_in": ("SELECT count(*) AS n FROM orders "
+                         "WHERE o_orderstatus IN ('O', 'F')"),
+        "predicate_string_match": (
+            "SELECT count(*) AS n FROM part "
+            "WHERE p_name LIKE 'PART_1%' AND p_name LIKE '%0'"),
+        "predicate_regex": ("SELECT count(*) AS n FROM part "
+                            "WHERE regexp_full_match(p_name, 'PART_1.*0')"),
+        "predicate_contains": ("SELECT count(*) AS n FROM supplier "
+                               "WHERE contains(s_name, '_1')"),
+
+        # --- expands ---------------------------------------------------
+        "expand_1hop": (
+            "SELECT n.n_name AS n_name, r.r_name AS r_name "
+            "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"),
+        "expand_2hop": (
+            "SELECT r.r_name AS r_name, count(*) AS n_cust "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"),
+        "expand_3hop_keyword_types": (
+            "SELECT c.c_mktsegment AS seg, count(*) AS n_items, "
+            "round(sum(l.l_quantity), 2) AS sum_qty "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY c.c_mktsegment"),
+        "expand_incoming": (
+            "SELECT r.r_name AS r_name, count(*) AS n_nations "
+            "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"),
+        "expand_undirected": (
+            "SELECT CAST(2 * count(*) AS BIGINT) AS n FROM nation"),
+        "expand_into": (
+            "SELECT count(*) AS n FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey = b.l_partkey "
+            "AND a.l_linenumber <> b.l_linenumber"),
+        "rel_properties": (
+            "SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS rev "
+            "FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05"),
+        "type_function": (
+            "SELECT t, n FROM (SELECT 'FROM_NATION' AS t, count(*) AS n "
+            "FROM customer UNION ALL "
+            "SELECT 'PLACED' AS t, count(*) AS n FROM orders)"),
+        "labels_function": (
+            "SELECT 'Region' AS lbl, count(*) AS n FROM region"),
+
+        # --- optional match / exists ----------------------------------
+        "optional_match_count": (
+            "SELECT c.c_name AS c_name, count(o.o_orderkey) AS n_orders "
+            "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_name"),
+        "optional_match_null": (
+            "SELECT count(*) AS n FROM customer c "
+            "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_orderkey IS NULL"),
+        "exists_pattern": (
+            "SELECT count(*) AS n FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+        "not_exists_pattern": (
+            "SELECT count(*) AS n FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+
+        # --- var-length: union of join chains --------------------------
+        # length-2 paths from Customer: PLACED→CONTAINS (one per lineitem,
+        # each order has exactly one customer) + FROM_NATION→IN_REGION
+        # (one per customer).
+        "var_length_2_2": (
+            "SELECT (SELECT count(*) FROM lineitem) "
+            "+ (SELECT count(*) FROM customer) AS n"),
+        # length-1: PLACED (one per order) + FROM_NATION (one per customer).
+        "var_length_1_2": (
+            "SELECT (SELECT count(*) FROM lineitem) "
+            "+ (SELECT count(*) FROM customer) "
+            "+ (SELECT count(*) FROM orders) "
+            "+ (SELECT count(*) FROM customer) AS n"),
+        "var_length_typed": (
+            "SELECT (SELECT count(*) FROM lineitem) "
+            "+ (SELECT count(*) FROM orders) AS n"),
+
+        # --- unwind / union / distinct / slicing ----------------------
+        "unwind_literal": (
+            "SELECT CAST(x AS BIGINT) AS x FROM (VALUES (3), (1), (2)) t(x)"),
+        "unwind_range_filter": (
+            "SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq "
+            "FROM generate_series(1, 20) t(x) WHERE x % 2 = 0"),
+        "union_all": (
+            "SELECT r_name AS name FROM region "
+            "UNION ALL SELECT n_name AS name FROM nation"),
+        "union_distinct": (
+            "SELECT DISTINCT o_orderstatus AS st FROM orders"),
+        "distinct_projection": (
+            "SELECT DISTINCT o_orderstatus AS st FROM orders"),
+        "order_skip_limit": (
+            "SELECT c_name FROM customer ORDER BY c_name LIMIT 10 OFFSET 5"),
+        "orderby_expression": (
+            "SELECT c_name FROM customer "
+            "ORDER BY c_acctbal DESC, c_name LIMIT 5"),
+
+        # --- aggregation ----------------------------------------------
+        "agg_tpch_q1": (
+            "SELECT l_returnflag AS flag, l_linestatus AS status, "
+            "count(*) AS n, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(avg(l_extendedprice), 2) AS avg_price, "
+            "round(min(l_discount), 2) AS min_disc, "
+            "round(max(l_tax), 2) AS max_tax "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+        "agg_count_distinct": (
+            "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem"),
+        "agg_global": (
+            "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, "
+            "round(avg(o_totalprice), 2) AS mean FROM orders"),
+        "agg_stats": (
+            "SELECT o_orderstatus AS st, "
+            "round(stddev_samp(o_totalprice), 2) AS sd, "
+            "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50c, "
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50d "
+            "FROM orders GROUP BY o_orderstatus"),
+        "with_pipeline": (
+            "SELECT c_mktsegment AS seg, count(*) AS n_cust, "
+            "max(n_orders) AS max_orders FROM ("
+            "SELECT c.c_custkey, any_value(c.c_mktsegment) AS c_mktsegment, "
+            "count(*) AS n_orders FROM customer c "
+            "JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey) WHERE n_orders > 2 GROUP BY c_mktsegment"),
+
+        # --- expression surface ---------------------------------------
+        "case_expression": (
+            "SELECT CASE WHEN o_totalprice > 200000.0 THEN 'big' "
+            "WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'small' END AS bucket, "
+            "count(*) AS n FROM orders GROUP BY 1"),
+        "string_functions": (
+            "SELECT upper(c_name) AS up, substr(c_name, 1, 8) AS sub, "
+            "CAST(length(c_name) AS BIGINT) AS len "
+            "FROM customer ORDER BY up LIMIT 20"),
+        "math_functions": (
+            "SELECT round(sqrt(o_totalprice), 4) AS sq, "
+            "CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS fl, "
+            "round(abs(o_totalprice - 150000.0), 2) AS dist "
+            "FROM orders ORDER BY sq LIMIT 25"),
+        "list_functions": (
+            "SELECT CAST(1 AS BIGINT) AS h, CAST(3 AS BIGINT) AS l, "
+            "CAST(3 AS BIGINT) AS n, CAST(15 AS BIGINT) AS total"),
+        "coalesce_function": (
+            "SELECT coalesce(o.o_orderstatus, 'NONE') AS st, count(*) AS n "
+            "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1"),
+
+        # --- events temporal ------------------------------------------
+        "events_temporal": (
+            "SELECT event_type AS et, count(*) AS n, "
+            "round(avg(value), 4) AS avg_val FROM events "
+            "WHERE EXTRACT(day FROM ts) <= 7 GROUP BY event_type"),
+        "events_hour_buckets": (
+            "SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "count(*) AS n FROM events GROUP BY 1"),
+
+        # --- LLM-pipeline: text analysis ------------------------------
+        "text_profile": rf"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents
+), m AS (
+  SELECT doc_id, text, tk,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             t2 -> t2 <> '')) AS BIGINT)
+      + CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+             AS BIGINT) AS n_bpe_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+          / greatest(len(tk), 1), 6) AS avg_word_len,
+    round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+    round(len(list_filter(tk, x -> x IN ('the','a','and','of','to')))
+          / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS stopword_ratio,
+    len(list_filter(tk, x -> x IN ('der','die','und'))) AS h_de,
+    len(list_filter(tk, x -> x IN ('the','and','of'))) AS h_en,
+    len(list_filter(tk, x -> x IN ('el','la','que'))) AS h_es,
+    len(list_filter(tk, x -> x IN ('le','la','et'))) AS h_fr,
+    {_SQL_FP} AS fingerprint
+  FROM t
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars, avg_word_len, punct_ratio,
+  stopword_ratio,
+  round((least(n_tokens / 32.0, 1.0)
+         + (1.0 - least(punct_ratio * 4, 1.0))
+         + (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10
+                 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess,
+  fingerprint
+FROM m""",
+
+        # --- LLM-pipeline: dedup --------------------------------------
+        "dedup_exact_groups": rf"""
+SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM (SELECT doc_id, {_SQL_FP} AS fp FROM documents)
+GROUP BY fp HAVING count(*) > 1""",
+        "dedup_exact_keep": rf"""
+SELECT min(doc_id) AS doc_id
+FROM (SELECT doc_id, {_SQL_FP} AS fp FROM documents) GROUP BY fp""",
+        "ngram_jaccard_pairs": rf"""
+{_SQL_SHINGLES}, ex AS (
+  SELECT doc_id, unnest(shl) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, len(shl) AS sz FROM sh
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a AS a, i.b AS b,
+       round(i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.3""",
+        "minhash_lsh_pairs": rf"""
+{_SQL_SHINGLES}, sig AS (
+  SELECT doc_id, [
+    list_min(list_transform(shl, s -> md5(concat('0|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('1|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('2|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('3|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('4|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('5|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('6|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('7|', s))))
+  ] AS sg FROM sh
+), bandkeys AS (
+  SELECT doc_id, b, md5(concat(sg[2*b+1], '|', sg[2*b+2])) AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) bands(b)
+  WHERE sg[1] IS NOT NULL
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.a AS a, c.b AS b,
+  round(len(list_intersect(sa.shl, sb.shl))
+        / CAST(len(sa.shl) + len(sb.shl)
+               - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+WHERE len(list_intersect(sa.shl, sb.shl))
+      / CAST(len(sa.shl) + len(sb.shl)
+             - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) >= 0.3""",
+        # simhash_pairs: 64-bit vote signature not practical in plain SQL —
+        # rows-only check (driver records the weaker form).
+
+        # --- LLM-pipeline: similarity search --------------------------
+        "similarity_topk": rf"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round({_SQL_COSINE.format(a='e.embedding', b='q.qe')}, 6) AS cosine
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+        # similarity_topk_lsh: approximate (bucket-pruned) — no SQL twin;
+        # rows-only check.
+        "cosine_near_dup_pairs": rf"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round({_SQL_COSINE.format(a='x.embedding', b='y.embedding')}, 6) AS cosine
+FROM embeddings x JOIN embeddings y
+  ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE {_SQL_COSINE.format(a='x.embedding', b='y.embedding')} >= 0.3""",
+    }

@@ -1,0 +1,72 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "scan_filter",
+    "expand_2hop",
+    "expand_3hop_keyword_types",
+    "agg_tpch_q1",
+    "agg_stats",
+    "var_length_1_2",
+    "optional_match_count",
+    "exists_pattern",
+    "with_pipeline",
+    "case_expression",
+    "events_temporal",
+    "text_profile",
+    "dedup_exact_keep",
+    "minhash_lsh_pairs",
+    "similarity_topk",
+    "cosine_near_dup_pairs",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.0
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+
+    # Warm the JVM / parquet footers with one cheap query.
+    qs["scan_nodes"](spark, sf_dir).collect()
+
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = len(qs[name](spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "headline_total", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,13 +82,23 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
             .select("a", "b", "jaccard"))
 
 
+def minhash_from_shingles(sh, num_hashes: int = 8):
+    """MinHash signature over an (already computed) shingle array column:
+    per seed i, min over shingles of md5(i || shingle).  Hex-string minima —
+    portable across engines."""
+    def seed_hash(i):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    return F.array(*[F.array_min(F.transform(sh, seed_hash(i)))
+                     for i in range(num_hashes)])
+
+
 def minhash_signature(text, n: int = 3, num_hashes: int = 8):
-    """MinHash signature: per seed i, min over shingles of md5(i || shingle).
-    Hex-string minima — portable across engines."""
-    sh = word_shingles(text, n)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-        for i in range(num_hashes)])
+    """MinHash signature straight from text.  Prefer computing the shingle
+    column once and calling :func:`minhash_from_shingles` — inlining the
+    shingle expression per seed multiplies the tokenize/shingle work by
+    ``num_hashes``."""
+    return minhash_from_shingles(word_shingles(text, n), num_hashes)
 
 
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
@@ -100,8 +110,14 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
     The candidate join is on (band_index, band_key) — at 100 TB this is the
     only shuffle and its width is the number of near-dup candidates, not n²."""
     per_band = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("doc"),
-                    minhash_signature(F.col(text_col), n, num_hashes).alias("sig"))
+    # Shingle once, then derive the signature from the stored array — the
+    # projection boundary survives (CollapseProject refuses to duplicate a
+    # non-cheap expression referenced num_hashes times), so the tokenize +
+    # shingle work happens once per row instead of once per seed.
+    shingled = df.select(F.col(id_col).alias("doc"),
+                         word_shingles(F.col(text_col), n).alias("sh0"))
+    sig = shingled.select("doc",
+                          minhash_from_shingles(F.col("sh0"), num_hashes).alias("sig"))
     # Band entries carry ONLY (doc, band, key): at 100 TB the band-bucket
     # shuffle must stay narrow — shingle arrays would multiply its width by
     # bands × doc size.  Shingles are re-attached to the (much smaller)

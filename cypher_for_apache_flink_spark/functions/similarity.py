@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Scale design (100 TB / billions of vectors):
+ - ``cosine_sim`` is a pure column expression (zip_with + aggregate, JVM-side
+   higher-order functions — no Python in the hot path);
+ - ``ann_topk_bruteforce`` is a single narrow scan + TakeOrderedAndProject
+   (Catalyst computes per-partition partial top-k, so the driver only merges
+   k rows per partition) — the exact baseline every ANN variant is verified
+   against;
+ - ``ann_topk_lsh`` buckets vectors by random-hyperplane signature (signed
+   projections onto fixed planes).  The probe touches only matching buckets:
+   at scale the bucketed table is written partitioned by signature and the
+   scan prunes to the probed partitions;
+ - ``cosine_near_dup_pairs`` is the embedding-space near-duplicate detector:
+   a *blocked* self-join (block key = LSH signature or any precomputed
+   cluster/label column) — never an all-pairs cross join.
+
+All dot products accumulate float32 inputs into float64 left-to-right, so an
+oracle computing CAST(x AS DOUBLE)*CAST(y AS DOUBLE) sums matches bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array columns (element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two vector columns, double precision."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_topk_bruteforce(df: DataFrame, query_vec, k: int = 10,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine: full scan + TakeOrderedAndProject.
+
+    ``query_vec`` is a Python list of floats (the probe vector is a plan
+    literal — broadcast for free).  Ties broken by id for determinism.
+    Returns (id, cosine) with cosine rounded to 6 places.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    out = df.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"))
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _plane_literals(dims: int, planes: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes (numpy RandomState on the
+    driver; planes ship as plan literals, not data)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((planes, dims))
+
+
+def lsh_signature(vec: Column, planes) -> Column:
+    """Random-hyperplane signature: one sign bit per plane, packed into a
+    long.  Vectors with small angles agree on most bits."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit * F.lit(1 << i).cast("long")
+    return sig
+
+
+def ann_topk_lsh(df: DataFrame, query_vec, k: int = 10, planes: int = 8,
+                 seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only the buckets within Hamming distance 1 of
+    the query's hyperplane signature (multi-probe LSH), exact re-rank inside.
+
+    At 100 TB the vectors are stored partitioned by ``__lsh_bucket`` and this
+    probe prunes the scan to ``planes + 1`` partitions out of 2^planes.
+    """
+    import numpy as np
+    pl = _plane_literals(len(query_vec), planes, seed)
+    qv = np.asarray(query_vec, dtype="float64")
+    qsig = 0
+    for i in range(planes):
+        if float(qv @ pl[i]) >= 0:
+            qsig |= 1 << i
+    probe = [qsig] + [qsig ^ (1 << i) for i in range(planes)]
+
+    bucketed = df.withColumn("__lsh_bucket", lsh_signature(F.col(vec_col), pl))
+    cand = bucketed.where(F.col("__lsh_bucket").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    out = cand.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"))
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                          block_col: str | None = None,
+                          planes: int = 8, seed: int = 42,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Blocked self-join: pairs are only compared within a block (an existing
+    cluster/label column if given, else the LSH signature).  The block join
+    is the only shuffle; its width is ids + vectors per block, never n².
+    """
+    if block_col is None:
+        dims = len(df.select(vec_col).head()[0])
+        df = df.withColumn("__block", lsh_signature(
+            F.col(vec_col), _plane_literals(dims, planes, seed)))
+        block_col = "__block"
+    left = df.select(F.col(block_col).alias("blk"),
+                     F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(block_col).alias("blk"),
+                      F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (left.join(right, "blk")
+            .where(F.col("a") < F.col("b"))
+            .withColumn("cosine", F.round(
+                cosine_sim(F.col("va"), F.col("vb")), 6))
+            .where(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine")
+            .dropDuplicates(["a", "b"]))

@@ -73,7 +73,14 @@ def lang_guess(text: Column) -> Column:
     """Stopword-marker language ID: the language with the most marker hits
     wins; ties and zero-hit docs -> 'und'.  Mirrors to a SQL CASE chain."""
     toks = tokens(text)
-    hits = {lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+
+    def marker_hits(markers):
+        # one-parameter lambda: PySpark passes the element index to any
+        # extra lambda parameter, so a default-arg capture would be
+        # clobbered by a Column.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hits = {lang: marker_hits(markers)
             for lang, markers in LANG_MARKERS.items()}
     langs = sorted(LANG_MARKERS)  # deterministic priority on ties: first wins
     best = F.greatest(*[hits[lg] for lg in langs])

@@ -570,15 +570,22 @@ class Planner:
         has_agg = any(E.is_aggregation(it.expr) for it in items)
         if has_agg:
             out, outputs = self._plan_aggregation(records, items)
+            sort_header = out.header
         else:
             out, outputs = self._plan_project(records, items,
                                               distinct=clause.distinct)
+            # ORDER BY may reference pre-projection variables (`RETURN
+            # c.c_name ORDER BY c.c_acctbal`) — the source columns are still
+            # physically present until the scope restriction below, so sort
+            # with a merged header (reference: projectFreshSortExpressions).
+            sort_header = out.header if clause.distinct else Header(
+                {**records.header.mapping, **out.header.mapping})
         if has_agg and clause.distinct:
             out = out.with_df(out.df.dropDuplicates(
                 [c for _, c in outputs]))
 
         # ORDER BY / SKIP / LIMIT on the projected scope
-        out = self._order_and_slice(out, clause, items, outputs)
+        out = self._order_and_slice(out, clause, items, outputs, sort_header)
 
         # WITH ... WHERE (filters the new scope)
         where = getattr(clause, "where", None)
@@ -677,19 +684,21 @@ class Planner:
             gdf = df.agg(*aggs)
         return Records(self.session, Header(new_header), gdf), outputs
 
-    def _order_and_slice(self, out: Records, clause, items, outputs):
+    def _order_and_slice(self, out: Records, clause, items, outputs,
+                         sort_header: Header | None = None):
         order_by = getattr(clause, "order_by", ())
         df = out.df
         if order_by:
+            header = sort_header if sort_header is not None else out.header
             item_to_col = {}
             for it, (nm, c) in zip(items, outputs):
                 item_to_col[it.expr] = c
                 item_to_col[E.Var(nm)] = c
             sort_cols = []
             tmp = []
-            ctx = ExprContext(out.header, df, self.params)
+            ctx = ExprContext(header, df, self.params)
             for i, s in enumerate(order_by):
-                se = resolve_vars(s.expr, out.header)
+                se = resolve_vars(s.expr, header)
                 if se in item_to_col:
                     col = F.col(item_to_col[se])
                 else:

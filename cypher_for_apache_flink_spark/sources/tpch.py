@@ -106,10 +106,23 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     return PropertyGraph(nodes, rels, name="tpch")
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read nanos as long and truncate to microseconds (integer DIV —
+    double division would lose sub-ms precision at epoch-nano magnitudes)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = _read(spark, sf_dir, "events")
+    from pyspark.sql import types as T
+    if isinstance(events.schema["ts"].dataType, T.LongType):
+        events = events.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events
+
+
 def events_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     """Events stream table as a (User)-[:PERFORMED]->(Event) graph
     (FIXTURES.md §C.2)."""
-    events = _read(spark, sf_dir, "events")
+    events = read_events(spark, sf_dir)
     nodes = {
         frozenset({"User"}): events.select(
             F.col("user_id")).distinct().select(
