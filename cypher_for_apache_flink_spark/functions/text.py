@@ -45,34 +45,36 @@ def punct_ratio(text: Column) -> Column:
     return F.round(non_word / F.greatest(F.length(text), F.lit(1)), 6)
 
 
-def stopword_ratio(text: Column, stopwords=("the", "a", "and", "of", "to")) -> Column:
-    toks = tokens(text)
+def stopword_ratio(text: Column, stopwords=("the", "a", "and", "of", "to"),
+                   toks: Column | None = None) -> Column:
+    toks = tokens(text) if toks is None else toks
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
-def avg_word_len(text: Column) -> Column:
-    toks = tokens(text)
+def avg_word_len(text: Column, toks: Column | None = None) -> Column:
+    toks = tokens(text) if toks is None else toks
     total = F.aggregate(toks, F.lit(0).cast("long"),
                         lambda acc, t: acc + F.length(t))
     return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite quality heuristic in [0,1]: penalises too-short docs, high
     punctuation density and degenerate word lengths.  Deterministic."""
-    n_tok = token_count(text)
+    toks = tokens(text) if toks is None else toks
+    n_tok = F.size(toks).cast("long")
     len_ok = F.least(n_tok / F.lit(32.0), F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
-    wl = avg_word_len(text)
+    wl = avg_word_len(text, toks=toks)
     wl_ok = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round((len_ok + punct_ok + wl_ok) / 3.0, 6)
 
 
-def lang_guess(text: Column) -> Column:
+def lang_guess(text: Column, toks: Column | None = None) -> Column:
     """Stopword-marker language ID: the language with the most marker hits
     wins; ties and zero-hit docs -> 'und'.  Mirrors to a SQL CASE chain."""
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
 
     def marker_hits(markers):
         # one-parameter lambda: PySpark passes the element index to any
@@ -111,17 +113,27 @@ def rolling_fingerprints(text: Column, window: int = 4) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """Per-document analysis record: one narrow projection, no shuffle."""
+    """Per-document analysis record: two narrow projections, no shuffle.
+
+    The token array is materialised in a first projection and every
+    token-derived metric reads the stored array (CollapseProject keeps the
+    boundary because the tokenizer expression is non-cheap and referenced
+    many times) — tokenization happens once per row, not once per metric.
+    """
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(F.col(id_col), t.alias("__text"),
+                       tokens(t).alias("__toks"))
+    tt = F.col("__text")
+    tk = F.col("__toks")
+    return staged.select(
         F.col(id_col),
-        token_count(t).alias("n_tokens"),
-        bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        F.length(t).cast("long").alias("n_chars"),
-        avg_word_len(t).alias("avg_word_len"),
-        punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        lang_guess(t).alias("lang_guess"),
-        fingerprint(t).alias("fingerprint"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(tt).alias("n_bpe_tokens"),
+        F.length(tt).cast("long").alias("n_chars"),
+        avg_word_len(tt, toks=tk).alias("avg_word_len"),
+        punct_ratio(tt).alias("punct_ratio"),
+        stopword_ratio(tt, toks=tk).alias("stopword_ratio"),
+        quality_score(tt, toks=tk).alias("quality"),
+        lang_guess(tt, toks=tk).alias("lang_guess"),
+        fingerprint(tt).alias("fingerprint"),
     )

@@ -133,7 +133,8 @@ class Planner:
     # ------------------------------------------------------------------
     # MATCH
     # ------------------------------------------------------------------
-    def plan_match(self, records, clause: A.MatchClause) -> Records:
+    def plan_match(self, records, clause: A.MatchClause,
+                   id_only: frozenset = frozenset()) -> Records:
         if clause.optional:
             if records is None:
                 # OPTIONAL MATCH as first clause: left-join the pattern onto
@@ -185,6 +186,29 @@ class Planner:
                 else:
                     where_conjuncts.append(c)
 
+        # ---- scan elision ---------------------------------------------
+        # A node var needs NO scan join when nothing but its id is ever
+        # read: unlabeled, no property/predicate reference, and either
+        # anonymous (can never be referenced later) or declared id-only by
+        # the caller (EXISTS / OPTIONAL-MATCH subplans join on ids and drop
+        # every other rhs column).  The relationship endpoint column IS the
+        # node id (element tables are FK-consistent, like the reference's
+        # ScanGraph validation), so the scan join is pure overhead — at
+        # sf0.1 it unions every node table just to re-derive known ids.
+        referenced = set()
+
+        def _collect_refs(e):
+            if isinstance(e, E.Var):
+                referenced.add(e.name)
+            if isinstance(e, E.Expr):
+                for ch in e.children():
+                    _collect_refs(ch)
+        for c in where_conjuncts + conjuncts:
+            _collect_refs(c)
+        elidable = {n for n, lbls in node_labels.items()
+                    if not lbls and n not in bound and n not in referenced
+                    and (n.startswith("_a") or n in id_only)}
+
         # ---- connected components (union-find over node vars) --------
         parent = {n: n for n in node_labels}
 
@@ -219,11 +243,11 @@ class Planner:
             touches_bound = bool(comp["nodes"] & bound)
             if touches_bound and current is not None:
                 current = self._plan_component(current, comp, node_labels,
-                                               bound, clause_rel_vars)
+                                               bound, clause_rel_vars, elidable)
             else:
                 standalone.append(
                     self._plan_component(None, comp, node_labels, set(),
-                                         clause_rel_vars))
+                                         clause_rel_vars, elidable))
         for r in standalone:
             if current is None:
                 current = r
@@ -254,24 +278,44 @@ class Planner:
         return A.PatternPart(tuple(elems))
 
     def _plan_component(self, current, comp, node_labels, bound,
-                        clause_rel_vars) -> Records:
+                        clause_rel_vars, elidable=frozenset()) -> Records:
         nodes = comp["nodes"]
         pending = list(comp["rels"])
         solved: set = set(nodes & bound) if current is not None else set()
 
         if current is None:
-            # start from the most constrained node (labels prune scans)
-            start = max(nodes, key=lambda n: (len(node_labels[n]),
-                                              -len(self.graph.schema.combos_with(
-                                                  node_labels[n])), n))
             if pending:
-                # prefer a node that participates in a relationship
+                # prefer a non-elided node that participates in a relationship
                 rel_nodes = {s for s, _, _ in pending} | {d for _, _, d in pending}
-                in_rels = [n for n in nodes if n in rel_nodes]
-                start = max(in_rels, key=lambda n: (len(node_labels[n]), n))
-            current = scan_nodes(self.session, self.graph, start,
-                                 frozenset(node_labels[start]))
-            solved = {start}
+                in_rels = [n for n in nodes
+                           if n in rel_nodes and n not in elidable]
+                if in_rels:
+                    start = max(in_rels, key=lambda n: (len(node_labels[n]), n))
+                else:
+                    # every endpoint is id-only: start straight from a rel
+                    # scan — `MATCH ()-[r:T]->() RETURN count(r)` touches no
+                    # node table at all.
+                    s0, rp0, d0 = next(
+                        (r for r in pending if not r[1].var_length),
+                        pending[0])
+                    if not rp0.var_length:
+                        pending.remove((s0, rp0, d0))
+                        current = self._rel_scan_start(s0, rp0, d0,
+                                                       clause_rel_vars)
+                        solved = {s0, d0}
+                        start = None
+                    else:
+                        start = max(in_rels or nodes,
+                                    key=lambda n: (len(node_labels[n]), n))
+            else:
+                # start from the most constrained node (labels prune scans)
+                start = max(nodes, key=lambda n: (len(node_labels[n]),
+                                                  -len(self.graph.schema.combos_with(
+                                                      node_labels[n])), n))
+            if current is None:
+                current = scan_nodes(self.session, self.graph, start,
+                                     frozenset(node_labels[start]))
+                solved = {start}
 
         progressed = True
         while pending and progressed:
@@ -279,7 +323,8 @@ class Planner:
             for i, (s, rp, d) in enumerate(pending):
                 if s in solved or d in solved:
                     current = self._plan_rel(current, s, rp, d, solved,
-                                             node_labels, clause_rel_vars)
+                                             node_labels, clause_rel_vars,
+                                             elidable)
                     solved.update((s, d))
                     pending.pop(i)
                     progressed = True
@@ -296,11 +341,33 @@ class Planner:
         return current
 
     # -- single relationship hop ---------------------------------------
+    def _rel_scan_start(self, s, rp: A.RelPattern, d, clause_rel_vars) -> Records:
+        """Component start when every endpoint is id-only: the rel scan alone
+        binds both node vars to its endpoint columns."""
+        clause_rel_vars.append((rp.var, False, rp.types))
+        rel = scan_rels(self.session, self.graph, rp.var, rp.types)
+        rv = E.RelVar(rp.var)
+        if rp.direction == "both":
+            rel = _bidirectional(rel, rv)
+        if rp.direction == "in":
+            src_expr, dst_expr = E.EndNode(rv), E.StartNode(rv)
+        else:
+            src_expr, dst_expr = E.StartNode(rv), E.EndNode(rv)
+        h = rel.header
+        if s == d:   # self-loop pattern (a)-[r]->(a)
+            df = rel.df.where(F.col(h.col(src_expr)) == F.col(h.col(dst_expr)))
+            return Records(self.session,
+                           h.added(E.NodeVar(s), h.col(src_expr)), df)
+        h = h.added(E.NodeVar(s), h.col(src_expr))
+        h = h.added(E.NodeVar(d), h.col(dst_expr))
+        return rel.with_header(h)
+
     def _plan_rel(self, current, s, rp: A.RelPattern, d, solved,
-                  node_labels, clause_rel_vars) -> Records:
+                  node_labels, clause_rel_vars, elidable=frozenset()) -> Records:
         if rp.var_length:
             clause_rel_vars.append((rp.var, True, rp.types))
-            return self._plan_var_length(current, s, rp, d, solved, node_labels)
+            return self._plan_var_length(current, s, rp, d, solved,
+                                         node_labels, elidable)
 
         clause_rel_vars.append((rp.var, False, rp.types))
         rel = scan_rels(self.session, self.graph, rp.var, rp.types)
@@ -322,18 +389,24 @@ class Planner:
             return join_records(current, rel, [(sv, src_expr), (dv, dst_expr)])
         if s in solved:
             out = join_records(current, rel, [(sv, src_expr)])
+            if d in elidable:
+                return out.with_header(out.header.added(
+                    dv, out.header.col(dst_expr)))
             dst_scan = scan_nodes(self.session, self.graph, d,
                                   frozenset(node_labels[d]))
             return join_records(out, dst_scan, [(dst_expr, dv)])
         # d solved, expand in reverse
         out = join_records(current, rel, [(dv, dst_expr)])
+        if s in elidable:
+            return out.with_header(out.header.added(
+                sv, out.header.col(src_expr)))
         src_scan = scan_nodes(self.session, self.graph, s,
                               frozenset(node_labels[s]))
         return join_records(out, src_scan, [(src_expr, sv)])
 
     # -- var-length expand (SURVEY §2.3; VarLengthExpandPlanner.scala) --
     def _plan_var_length(self, current, s, rp: A.RelPattern, d, solved,
-                         node_labels) -> Records:
+                         node_labels, elidable=frozenset()) -> Records:
         lo = rp.lo if rp.lo is not None else 1
         if rp.hi is None:
             # Never silently truncate: an unbounded expand on a cyclic graph
@@ -372,32 +445,24 @@ class Planner:
         list_col = column_name(list_var)
         end_col = f"__vl_end_{rp.var}"
 
-        dst_scan = scan_nodes(self.session, self.graph, d,
-                              frozenset(node_labels[d])).cache()
-
         sv_col = current.header.col(sv)
         frontier = current.df.withColumn(end_col, F.col(sv_col))
         edge_cols = []
-        results = []
+        staged = []
 
-        def finalize(fr_df, k):
-            """Join the frontier's end column to the destination scan."""
+        def stage(fr_df, k):
+            """Project a per-length frontier to the common shape
+            (input columns + end id + edge-id list)."""
             ids = [F.col(c) for c in edge_cols[:k]]
             arr = F.array(*ids) if ids else F.array().cast("array<bigint>")
-            out_df = fr_df.select(
+            return fr_df.select(
                 *[c for c in current.df.columns],
                 F.col(end_col),
                 arr.alias(list_col),
             )
-            out = Records(self.session, current.header, out_df)
-            joined = join_records(
-                out.with_header(current.header.added(
-                    E.Var(end_col), end_col).added(list_var, list_col)),
-                dst_scan, [(E.Var(end_col), dv)])
-            return joined
 
         if lo == 0:
-            results.append(finalize(frontier, 0))
+            staged.append(stage(frontier, 0))
 
         rel_src = rel.header.col(src_expr)
         rel_dst = rel.header.col(dst_expr)
@@ -419,18 +484,30 @@ class Planner:
                 .withColumnRenamed(f"dst{step_sfx}", end_col)
             edge_cols.append(f"e{step_sfx}")
             if k >= lo:
-                results.append(finalize(frontier, k))
+                staged.append(stage(frontier, k))
 
-        out = results[0]
-        for r in results[1:]:
-            out = union_records(out, r)
-        return out
+        # Union the per-length frontiers FIRST, then resolve the destination
+        # once — one join for the whole expand instead of one per length
+        # (cuts both shuffles and dst-scan reads at scale).
+        uni = staged[0]
+        for s_df in staged[1:]:
+            uni = uni.unionByName(s_df)
+        out = Records(self.session, current.header.added(
+            E.Var(end_col), end_col).added(list_var, list_col), uni)
+        if d in elidable:
+            return out.with_header(out.header.added(dv, end_col))
+        dst_scan = scan_nodes(self.session, self.graph, d,
+                              frozenset(node_labels[d]))
+        return join_records(out, dst_scan, [(E.Var(end_col), dv)])
 
     # -- OPTIONAL MATCH (planOptional — RelationalPlanner.scala:298-330)
     def plan_optional(self, records: Records, clause: A.MatchClause) -> Records:
         inner = Planner(self.session, self.graph, self.params)
         inner._anon = self._anon + 100
-        rhs = inner.plan_match(None, dataclasses.replace(clause, optional=False))
+        # Shared vars are joined by id and their rhs copies dropped — the
+        # rhs may bind them straight to rel endpoint columns (scan elision).
+        rhs = inner.plan_match(None, dataclasses.replace(clause, optional=False),
+                               id_only=self._shared_pattern_vars(records, clause))
         shared = [v.name for v in records.header.vars()
                   if rhs.header.var(v.name) is not None]
         # No shared variables → cartesian left join (all combinations, or one
@@ -460,11 +537,20 @@ class Planner:
             records = records.with_df(records.df.where(cond))
         return records
 
+    @staticmethod
+    def _shared_pattern_vars(records: Records, clause: A.MatchClause) -> frozenset:
+        """Pattern vars already bound in ``records`` — an id-only rhs role."""
+        pat = {el.var for part in clause.patterns
+               for el in part.elements if el.var}
+        return frozenset(v.name for v in records.header.vars() if v.name in pat)
+
     def _pattern_join(self, records: Records, pp: E.PatternPredicate,
                       how: str) -> Records:
         inner = Planner(self.session, self.graph, self.params)
         inner._anon = self._anon + 200
-        rhs = inner.plan_match(None, A.MatchClause((pp.pattern,), None, False))
+        clause = A.MatchClause((pp.pattern,), None, False)
+        rhs = inner.plan_match(None, clause,
+                               id_only=self._shared_pattern_vars(records, clause))
         shared = [v.name for v in records.header.vars()
                   if rhs.header.var(v.name) is not None]
         # No shared variables → the predicate holds iff the pattern matches
@@ -488,7 +574,10 @@ class Planner:
         for pos_pp in patterns:
             inner = Planner(self.session, self.graph, self.params)
             inner._anon = self._anon + 300
-            rhs = inner.plan_match(None, A.MatchClause((pos_pp.pattern,), None, False))
+            pclause = A.MatchClause((pos_pp.pattern,), None, False)
+            rhs = inner.plan_match(
+                None, pclause,
+                id_only=self._shared_pattern_vars(records, pclause))
             shared = [v.name for v in records.header.vars()
                       if rhs.header.var(v.name) is not None]
             pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
