@@ -783,10 +783,18 @@ class Planner:
             for it, (nm, c) in zip(items, outputs):
                 item_to_col[it.expr] = c
                 item_to_col[E.Var(nm)] = c
+            name_to_col = {nm: c for nm, c in outputs}
             sort_cols = []
             tmp = []
             ctx = ExprContext(header, df, self.params)
             for i, s in enumerate(order_by):
+                if isinstance(s.expr, E.Var) and s.expr.name in name_to_col:
+                    # A projection alias shadows any same-named pattern var
+                    # (`RETURN p.name AS p ORDER BY p` sorts by the name).
+                    col = F.col(name_to_col[s.expr.name])
+                    sort_cols.append(col.asc_nulls_last() if s.ascending
+                                     else col.desc_nulls_first())
+                    continue
                 se = resolve_vars(s.expr, header)
                 if se in item_to_col:
                     col = F.col(item_to_col[se])

@@ -1,0 +1,145 @@
+"""FS graph source round-trip + Graph DDL mapping tests.
+
+Reference analogues: PGDSAcceptanceTest (okapi-testing) for the fs source,
+GraphDdlTest (graph-ddl) for the DDL language.
+"""
+
+import shutil
+
+import pytest
+
+from cypher_for_apache_flink_spark import PropertyGraph
+from cypher_for_apache_flink_spark.sources.ddl import graph_from_ddl, parse_ddl
+from cypher_for_apache_flink_spark.sources.fs import read_graph, write_graph
+
+TMP = "/root/repo/.tmp_test_fs"
+
+
+@pytest.fixture(scope="module")
+def social(spark):
+    nodes = {
+        frozenset({"Person"}): spark.createDataFrame(
+            [(1, "Alice", 42), (2, "Bob", 23), (3, "Carol", 55)],
+            "id long, name string, age long"),
+        frozenset({"Person", "Admin"}): spark.createDataFrame(
+            [(6, "Zed", 60)], "id long, name string, age long"),
+    }
+    rels = {
+        "KNOWS": spark.createDataFrame(
+            [(100, 1, 2, 1999), (101, 2, 3, 2005), (102, 6, 1, 2018)],
+            "id long, source long, target long, since long"),
+    }
+    return PropertyGraph(nodes, rels, name="social")
+
+
+QUERY = ("MATCH (a:Person)-[k:KNOWS]->(b:Person) "
+         "RETURN a.name AS a, b.name AS b, k.since AS y ORDER BY a")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_fs_round_trip(spark, social, fmt):
+    path = f"{TMP}/{fmt}/social"
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_graph(social, path, fmt=fmt)
+        loaded = read_graph(spark, path)
+        assert loaded.schema.labels == {"Person", "Admin"}
+        assert loaded.schema.relationship_types == {"KNOWS"}
+        before = social.cypher(QUERY).collect()
+        after = loaded.cypher(QUERY).collect()
+        assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    finally:
+        shutil.rmtree(f"{TMP}/{fmt}", ignore_errors=True)
+
+
+DDL = """
+CREATE GRAPH TYPE bookShop (
+  Person ( name STRING, age INTEGER ),
+  Book   ( title STRING ),
+  READS  ( rating FLOAT ),
+  (Person),
+  (Book),
+  (Person)-[READS]->(Book)
+)
+CREATE GRAPH books OF bookShop (
+  (Person) FROM people ( person_name AS name ) KEY (person_id),
+  (Book)   FROM books_v ( book_title AS title ) KEY (book_id),
+  (Person)-[READS]->(Book)
+    FROM reads_v e ( stars AS rating )
+      START NODES (Person) FROM people p JOIN ON p.person_id = e.person
+      END NODES   (Book)   FROM books_v b JOIN ON e.book = b.book_id
+)
+"""
+
+
+def test_ddl_parse():
+    ddl = parse_ddl(DDL)
+    assert ddl.graph_name == "books"
+    assert ddl.element_types["Person"] == {"name": "string", "age": "bigint"}
+    assert ("Person", "READS", "Book") in ddl.patterns
+    assert len(ddl.nodes) == 2 and len(ddl.edges) == 1
+    assert ddl.nodes[0].key == ("person_id",)
+    assert ddl.edges[0].start.joins == (("person_id", "person"),)
+
+
+def test_ddl_graph_query(spark):
+    views = {
+        "people": spark.createDataFrame(
+            [(10, "Alice", 42), (11, "Bob", 23)],
+            "person_id long, person_name string, age long"),
+        "books_v": spark.createDataFrame(
+            [(20, "Dune"), (21, "Emma")], "book_id long, book_title string"),
+        "reads_v": spark.createDataFrame(
+            [(10, 20, 5.0), (10, 21, 3.0), (11, 20, 4.0)],
+            "person long, book long, stars double"),
+    }
+    g = graph_from_ddl(spark, DDL, views)
+    res = g.cypher(
+        "MATCH (p:Person)-[r:READS]->(b:Book) "
+        "RETURN p.name AS p, b.title AS t, r.rating AS stars "
+        "ORDER BY p, t")
+    assert [tuple(r) for r in res.collect()] == [
+        ("Alice", "Dune", 5.0), ("Alice", "Emma", 3.0), ("Bob", "Dune", 4.0)]
+    # aggregate over the DDL-mapped graph
+    res = g.cypher("MATCH (p:Person)-[r:READS]->() "
+                   "RETURN p.name AS p, count(*) AS n ORDER BY p")
+    assert [tuple(r) for r in res.collect()] == [("Alice", 2), ("Bob", 1)]
+
+
+def test_ddl_tpch_matches_handbuilt(spark):
+    """The TPC-H graph declared in DDL gives the same answers as the
+    hand-built mapping in sources/tpch.py (VERDICT round-2 item 8)."""
+    sf = "/root/testdata/sf0.001"
+    views = {t: spark.read.parquet(f"{sf}/{t}.parquet")
+             for t in ["customer", "nation", "region"]}
+    ddl = """
+    CREATE GRAPH TYPE tpch (
+      Customer ( c_name STRING, c_acctbal FLOAT ),
+      Nation   ( n_name STRING ),
+      Region   ( r_name STRING ),
+      FROM_NATION (), IN_REGION (),
+      (Customer)-[FROM_NATION]->(Nation),
+      (Nation)-[IN_REGION]->(Region)
+    )
+    CREATE GRAPH tpch_ddl (
+      (Customer) FROM customer KEY (c_custkey),
+      (Nation)   FROM nation KEY (n_nationkey),
+      (Region)   FROM region KEY (r_regionkey),
+      (Customer)-[FROM_NATION]->(Nation)
+        FROM customer e
+          START NODES (Customer) FROM customer c JOIN ON c.c_custkey = e.c_custkey
+          END NODES   (Nation)   FROM nation n JOIN ON e.c_nationkey = n.n_nationkey,
+      (Nation)-[IN_REGION]->(Region)
+        FROM nation e
+          START NODES (Nation) FROM nation n JOIN ON n.n_nationkey = e.n_nationkey
+          END NODES   (Region) FROM region r JOIN ON e.n_regionkey = r.r_regionkey
+    )
+    """
+    g = graph_from_ddl(spark, ddl, views)
+    q = ("MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+         "RETURN r.r_name AS region, count(*) AS n ORDER BY region")
+    got = [tuple(r) for r in g.cypher(q).collect()]
+
+    from cypher_for_apache_flink_spark.sources.tpch import tpch_graph
+    want = [tuple(r) for r in tpch_graph(spark, sf).cypher(q).collect()]
+    assert got == want
