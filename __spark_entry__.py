@@ -212,6 +212,15 @@ _CYPHER_QUERIES = {
     "events_hour_buckets": _cypher(
         "MATCH (e:Event) RETURN e.ts.hour AS hour, count(*) AS n",
         graph="events"),
+    "duration_shift": _cypher(
+        "MATCH (e:Event) WHERE e.ts.day <= 3 "
+        "RETURN e.event_type AS et, count(*) AS n, "
+        "max(e.ts + duration('P1DT2H')) AS shifted", graph="events"),
+    "duration_accessors": _cypher(
+        "RETURN duration('P1Y2M3DT4H5M6S').years AS y, "
+        "duration('P1Y2M3DT4H5M6S').monthsOfYear AS moy, "
+        "duration('P1Y2M3DT4H5M6S').days AS d, "
+        "duration('P1Y2M3DT4H5M6S').hours AS h"),
 }
 
 
@@ -487,6 +496,13 @@ def oracle_sql() -> dict[str, str]:
         "events_hour_buckets": (
             "SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
             "count(*) AS n FROM events GROUP BY 1"),
+        "duration_shift": (
+            "SELECT event_type AS et, count(*) AS n, "
+            "max(ts + INTERVAL 26 HOUR) AS shifted FROM events "
+            "WHERE EXTRACT(day FROM ts) <= 3 GROUP BY event_type"),
+        "duration_accessors": (
+            "SELECT CAST(1 AS BIGINT) AS y, CAST(2 AS BIGINT) AS moy, "
+            "CAST(3 AS BIGINT) AS d, CAST(4 AS BIGINT) AS h"),
 
         # --- LLM-pipeline: text analysis ------------------------------
         "text_profile": rf"""

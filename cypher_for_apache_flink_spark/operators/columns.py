@@ -89,10 +89,17 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             return T.DateType()
         if n in ("datetime", "localdatetime"):
             return T.TimestampType()
+        if n == "duration":
+            return DURATION_TYPE
         return None
     if isinstance(expr, E.BinOp) and expr.op in ("+", "-", "*", "/", "%", "^"):
         lt = spark_dtype(expr.lhs, ctx)
         rt = spark_dtype(expr.rhs, ctx)
+        # temporal ± duration keeps the temporal type
+        if is_duration_type(lt) and _is(rt, (T.DateType, T.TimestampType)):
+            return rt
+        if is_duration_type(rt) and _is(lt, (T.DateType, T.TimestampType)):
+            return lt
         for t in (lt, rt):
             if isinstance(t, (T.StringType, T.ArrayType, T.DoubleType)):
                 return t
@@ -110,6 +117,93 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
 
 def _is(t, cls) -> bool:
     return isinstance(t, cls)
+
+
+# ---------------------------------------------------------------------------
+# Durations (SURVEY §7.1.7): a struct<months, days, microseconds> column with
+# plain column arithmetic — replaces the reference's CalendarIntervalType +
+# four UDAFs (TemporalUdfs.scala:93-160, TemporalUdafs.scala:39-107).
+# ---------------------------------------------------------------------------
+
+DURATION_FIELDS = ("months", "days", "microseconds")
+DURATION_TYPE = T.StructType([T.StructField(f, T.LongType())
+                              for f in DURATION_FIELDS])
+_US_PER_SEC = 1_000_000
+_US_PER_DAY = 86_400 * _US_PER_SEC
+# Comparison estimate: one month = 30.436875 days (Julian year / 12), the
+# same convention Cypher uses for duration ordering.
+_US_PER_MONTH = 2_629_746 * _US_PER_SEC
+
+
+def is_duration_type(t) -> bool:
+    return isinstance(t, T.StructType) and \
+        tuple(f.name for f in t.fields) == DURATION_FIELDS
+
+
+def make_duration(months, days, micros) -> Column:
+    return F.struct(months.cast("long").alias("months"),
+                    days.cast("long").alias("days"),
+                    micros.cast("long").alias("microseconds"))
+
+
+def duration_estimate_us(d: Column) -> Column:
+    """Total-microsecond estimate used for MIN/MAX ordering."""
+    return (d.getField("months") * F.lit(_US_PER_MONTH)
+            + d.getField("days") * F.lit(_US_PER_DAY)
+            + d.getField("microseconds"))
+
+
+_ISO_DURATION = None
+
+
+def parse_iso_duration(text: str):
+    """ISO-8601 duration string -> (months, days, microseconds)."""
+    import re
+    global _ISO_DURATION
+    if _ISO_DURATION is None:
+        _ISO_DURATION = re.compile(
+            r"^(?P<sign>-)?P(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?"
+            r"(?:(?P<d>\d+)D)?(?:T(?:(?P<h>\d+)H)?(?:(?P<mi>\d+)M)?"
+            r"(?:(?P<s>\d+(?:\.\d+)?)S)?)?$")
+    m = _ISO_DURATION.match(text.strip())
+    if not m or text.strip() in ("P", "-P"):
+        raise ValueError(f"invalid ISO-8601 duration {text!r}")
+    g = {k: v for k, v in m.groupdict().items() if v}
+    sign = -1 if "sign" in g else 1
+    months = int(g.get("y", 0)) * 12 + int(g.get("mo", 0))
+    days = int(g.get("w", 0)) * 7 + int(g.get("d", 0))
+    micros = (int(g.get("h", 0)) * 3600 + int(g.get("mi", 0)) * 60) * _US_PER_SEC
+    micros += round(float(g.get("s", 0)) * _US_PER_SEC)
+    return sign * months, sign * days, sign * micros
+
+
+_DURATION_MAP_KEYS = {
+    "years": ("months", 12), "quarters": ("months", 3), "months": ("months", 1),
+    "weeks": ("days", 7), "days": ("days", 1),
+    "hours": ("microseconds", 3600 * _US_PER_SEC),
+    "minutes": ("microseconds", 60 * _US_PER_SEC),
+    "seconds": ("microseconds", _US_PER_SEC),
+    "milliseconds": ("microseconds", 1000), "microseconds": ("microseconds", 1),
+}
+
+
+def _shift_temporal(col: Column, ctype, dur: Column, sign: int) -> Column:
+    """date/timestamp ± duration (month shift first, then days+micros —
+    Cypher/ISO calendar-arithmetic order)."""
+    m = dur.getField("months") * sign
+    d = dur.getField("days") * sign
+    us = dur.getField("microseconds") * sign
+    if _is(ctype, T.DateType):
+        # Cypher: date ± duration stays a date; sub-day parts are dropped.
+        return F.date_add(F.add_months(col, m.cast("int")), d.cast("int"))
+    # timestamp: shift the calendar part, preserve time-of-day, then add the
+    # exact day/microsecond offsets (session-timezone arithmetic).
+    date_part = F.to_date(col)
+    tod_us = F.unix_micros(col) - F.unix_micros(
+        F.to_timestamp(date_part))
+    shifted = F.to_timestamp(F.add_months(date_part, m.cast("int")))
+    return F.timestamp_micros(
+        F.unix_micros(shifted) + tod_us + d * F.lit(_US_PER_DAY) + us)
 
 
 def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
@@ -243,6 +337,32 @@ def _property(expr: E.Property, ctx: ExprContext) -> Column:
         if k == "epochseconds":
             return F.unix_seconds(owner.cast("timestamp"))
         raise ValueError(f"unknown temporal accessor .{key}")
+    if is_duration_type(owner_t):
+        d = to_column(expr.owner, ctx)
+        k = key.lower()
+        mo, dd, us = (d.getField("months"), d.getField("days"),
+                      d.getField("microseconds"))
+        accessors = {
+            # calendar part (Neo4j semantics: months is the TOTAL months)
+            "years": F.floor(mo / 12).cast("long"),
+            "quarters": F.floor(mo / 3).cast("long"),
+            "months": mo,
+            "monthsofyear": mo % 12,
+            "weeks": F.floor(dd / 7).cast("long"),
+            "days": dd,
+            "daysofweek": dd % 7,
+            # time part (totals over the microsecond component)
+            "hours": F.floor(us / (3600 * _US_PER_SEC)).cast("long"),
+            "minutes": F.floor(us / (60 * _US_PER_SEC)).cast("long"),
+            "minutesofhour": F.floor(us / (60 * _US_PER_SEC)).cast("long") % 60,
+            "seconds": F.floor(us / _US_PER_SEC).cast("long"),
+            "secondsofminute": F.floor(us / _US_PER_SEC).cast("long") % 60,
+            "milliseconds": F.floor(us / 1000).cast("long"),
+            "microseconds": us,
+        }
+        if k in accessors:
+            return accessors[k]
+        raise ValueError(f"unknown duration accessor .{key}")
     if _is(owner_t, T.StructType):
         return to_column(expr.owner, ctx).getField(key)
     if _is(owner_t, T.MapType):
@@ -301,8 +421,17 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
 
     lt, rt = spark_dtype(expr.lhs, ctx), spark_dtype(expr.rhs, ctx)
     if op == "+":
-        # Overloads: string concat, list concat, list+element
-        # (SparkSQLExprMapper.scala:171-188).
+        # Overloads: string concat, list concat, list+element, temporal +
+        # duration (SparkSQLExprMapper.scala:171-188).
+        if is_duration_type(lt) and is_duration_type(rt):
+            return make_duration(
+                l.getField("months") + r.getField("months"),
+                l.getField("days") + r.getField("days"),
+                l.getField("microseconds") + r.getField("microseconds"))
+        if _is(lt, (T.DateType, T.TimestampType)) and is_duration_type(rt):
+            return _shift_temporal(l, lt, r, 1)
+        if is_duration_type(lt) and _is(rt, (T.DateType, T.TimestampType)):
+            return _shift_temporal(r, rt, l, 1)
         if _is(lt, T.StringType) or _is(rt, T.StringType):
             return F.concat(l, r)
         if _is(lt, T.ArrayType) and _is(rt, T.ArrayType):
@@ -313,10 +442,26 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             return F.concat(F.array(l), r)
         return l + r
     if op == "-":
+        if is_duration_type(lt) and is_duration_type(rt):
+            return make_duration(
+                l.getField("months") - r.getField("months"),
+                l.getField("days") - r.getField("days"),
+                l.getField("microseconds") - r.getField("microseconds"))
+        if _is(lt, (T.DateType, T.TimestampType)) and is_duration_type(rt):
+            return _shift_temporal(l, lt, r, -1)
         return l - r
     if op == "*":
+        if is_duration_type(lt) or is_duration_type(rt):
+            d, n_ = (l, r) if is_duration_type(lt) else (r, l)
+            return make_duration(d.getField("months") * n_,
+                                 d.getField("days") * n_,
+                                 d.getField("microseconds") * n_)
         return l * r
     if op == "/":
+        if is_duration_type(lt):
+            return make_duration(l.getField("months") / r,
+                                 l.getField("days") / r,
+                                 l.getField("microseconds") / r)
         # Cypher: integer / integer -> integer (truncating toward zero).
         if _is(lt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)) and \
            _is(rt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
@@ -533,6 +678,24 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         if isinstance(arg, E.Lit) and isinstance(arg.value, str):
             return F.to_timestamp(F.lit(arg.value.replace("T", " ")))
         return F.to_timestamp(F.translate(a(0), "T", " "))
+    if name == "duration":
+        arg = args[0]
+        if isinstance(arg, E.Lit) and isinstance(arg.value, str):
+            mo, dd, us = parse_iso_duration(arg.value)
+            return make_duration(F.lit(mo), F.lit(dd), F.lit(us))
+        if isinstance(arg, E.MapLit):
+            parts = {"months": F.lit(0), "days": F.lit(0),
+                     "microseconds": F.lit(0)}
+            for k, v in arg.items:
+                kl = k.lower()
+                if kl not in _DURATION_MAP_KEYS:
+                    raise ValueError(f"unknown duration component {k!r}")
+                field, factor = _DURATION_MAP_KEYS[kl]
+                parts[field] = parts[field] + to_column(v, ctx) * F.lit(factor)
+            return make_duration(parts["months"], parts["days"],
+                                 parts["microseconds"])
+        raise ValueError("duration() takes an ISO-8601 string literal or a "
+                         "map of components")
 
     if name in E.AGG_FUNCS:
         raise ValueError(f"aggregate {name}() used outside aggregation context")
@@ -552,6 +715,18 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
         raise ValueError(f"not an aggregator: {expr!r}")
     arg = to_column(expr.args[0], ctx)
     n = expr.name
+    # Duration aggregates = component-wise column aggregation, no UDAF
+    # (the reference needed TemporalUdafs.scala:39-107).
+    if n in ("sum", "avg", "min", "max") and \
+            is_duration_type(spark_dtype(expr.args[0], ctx)):
+        mo, dd, us = (arg.getField("months"), arg.getField("days"),
+                      arg.getField("microseconds"))
+        if n == "sum":
+            return make_duration(F.sum(mo), F.sum(dd), F.sum(us))
+        if n == "avg":
+            return make_duration(F.avg(mo), F.avg(dd), F.avg(us))
+        est = duration_estimate_us(arg)
+        return F.min_by(arg, est) if n == "min" else F.max_by(arg, est)
     if n == "count":
         return F.count_distinct(arg) if expr.distinct else F.count(arg)
     if n == "sum":
