@@ -283,6 +283,25 @@ def _q_cosine_near_dup(spark, sf_dir):
                                  block_col="label")
 
 
+def _q_media_decode(spark, sf_dir):
+    """Multimodal plumbing over synthetic blobs (utf-8 document bytes as
+    opaque media): typed media table -> Arrow-batched decode."""
+    from cypher_for_apache_flink_spark.functions.multimodal import decode_media
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.struct(
+            F.lit(4).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("png").alias("format")).alias("meta"))
+    return decode_media(media).select("media_id", "kind", "n_samples")
+
+
 _PIPELINE_QUERIES = {
     "text_profile": _q_text_profile,
     "dedup_exact_groups": _q_dedup_exact_groups,
@@ -293,6 +312,7 @@ _PIPELINE_QUERIES = {
     "similarity_topk": _q_similarity_topk,
     "similarity_topk_lsh": _q_similarity_topk_lsh,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
+    "media_decode": _q_media_decode,
 }
 
 
@@ -597,6 +617,14 @@ WHERE len(list_intersect(sa.shl, sb.shl))
              - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) >= 0.3""",
         # simhash_pairs: 64-bit vote signature not practical in plain SQL —
         # rows-only check (driver records the weaker form).
+
+        # --- LLM-pipeline: multimodal ---------------------------------
+        # decode is a deterministic stub; the oracle checks the pipeline's
+        # shape contract (4x4x3 samples per image).
+        "media_decode": (
+            "SELECT doc_id AS media_id, 'image' AS kind, "
+            "CAST(48 AS BIGINT) AS n_samples FROM documents "
+            "WHERE doc_id < 64"),
 
         # --- LLM-pipeline: similarity search --------------------------
         "similarity_topk": rf"""
