@@ -1,0 +1,101 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has NO streaming at all (both backends run batch table
+programs — SURVEY §2.3 negative space); this module is the Spark-first
+extension: ``readStream`` sources, watermarked windowed aggregation,
+session windows, and a custom stateful operator via
+``applyInPandasWithState``.  Every transformation also runs unchanged on a
+batch DataFrame (Spark's unified API), which is how the tests verify
+results: stream with ``trigger(availableNow=True)`` == batch twin.
+
+Scale notes: the windowed aggregates are standard watermark + hash-agg
+(partial aggregation map-side, state store per window×key); the stateful
+operator keeps O(users) state rows, Arrow-batched per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based event stream: new parquet files in ``path`` become
+    micro-batches (the standard landing-zone pattern)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event type with late-data watermark.
+    Works identically on a batch DataFrame (no watermark applied there)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.window("ts", window).alias("w"),
+                        F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            .select(F.col("w.start").alias("w_start"), "event_type",
+                    "n", "avg_value"))
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based), the canonical stream
+    sessionization."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.session_window("ts", gap).alias("s"),
+                        F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.col("s.start").alias("s_start"),
+                    F.col("s.end").alias("s_end"), "user_id",
+                    "n_events", "sum_value"))
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count and value sum,
+    emitted on every micro-batch update (applyInPandasWithState).
+
+    State = one (count, total) row per user — the pattern for any
+    accumulate-forever per-key statistic the built-in aggregations can't
+    express incrementally in update mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 6)]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete") -> None:
+    """Drain the stream into an in-memory table with availableNow (test /
+    backfill helper): processes everything currently in the source, then
+    stops."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
