@@ -94,8 +94,13 @@ class PropertyGraph:
     """
 
     def __init__(self, node_tables: dict, rel_tables: dict | None = None,
-                 name: str = "graph"):
+                 name: str = "graph", stats: dict | None = None):
         self.name = name
+        # Optional row-count hints {frozenset(labels) | rel_type: rows}.
+        # Scans of provably small element tables get an explicit broadcast
+        # hint: derived unions have no file statistics, so at cluster scale
+        # AQE may not see that a Region/Nation dimension is 5/25 rows.
+        self.stats: dict = dict(stats or {})
         self.node_tables: dict = {}
         self.rel_tables: dict = {}
         for labels, df in (node_tables or {}).items():

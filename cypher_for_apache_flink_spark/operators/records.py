@@ -22,6 +22,11 @@ from .header import Header, TypeOf, column_name, type_column_name
 # EncodeLong.scala:40, AddPrefix.scala — SURVEY §1.6).
 PREFIX_SHIFT = 48
 
+# Scans whose declared row count is below this get an explicit broadcast
+# hint (well under the default 10 MB autoBroadcastJoinThreshold for
+# dimension-shaped tables).
+BROADCAST_ROW_THRESHOLD = 100_000
+
 
 class Records:
     """A table of records with a header describing its columns."""
@@ -96,6 +101,10 @@ def scan_nodes(session, graph: PropertyGraph, var_name: str,
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
+    known = [graph.stats.get(c) for c in combos]
+    if known and all(n is not None for n in known) and \
+            sum(known) <= BROADCAST_ROW_THRESHOLD:
+        out = F.broadcast(out)
     return Records(session, header, out)
 
 
@@ -143,6 +152,10 @@ def scan_rels(session, graph: PropertyGraph, var_name: str,
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
+    known = [graph.stats.get(t) for t in rtypes]
+    if known and all(n is not None for n in known) and \
+            sum(known) <= BROADCAST_ROW_THRESHOLD:
+        out = F.broadcast(out)
     return Records(session, header, out)
 
 

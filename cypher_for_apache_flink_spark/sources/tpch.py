@@ -103,7 +103,10 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             tag("Part", F.col("l_partkey")).alias("source"),
             tag("Supplier", F.col("l_suppkey")).alias("target")),
     }
-    return PropertyGraph(nodes, rels, name="tpch")
+    # Scale-independent dimension sizes (TPC-H spec): always broadcastable.
+    stats = {frozenset({"Region"}): 5, frozenset({"Nation"}): 25,
+             "IN_REGION": 25}
+    return PropertyGraph(nodes, rels, name="tpch", stats=stats)
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
