@@ -288,6 +288,20 @@ class ListReduce(Expr):
 
 
 @dataclass(frozen=True)
+class MapProjection(Expr):
+    """``n {.name, alias: expr, .*}`` (Expr.scala:518; mapper
+    SparkSQLExprMapper.scala:406-424).  items = ((key, Expr), ...);
+    ``all_props`` adds every property of ``var`` from the header."""
+
+    var: Expr
+    items: tuple
+    all_props: bool = False
+
+    def children(self):
+        return (self.var, *(v for _, v in self.items))
+
+
+@dataclass(frozen=True)
 class PatternPredicate(Expr):
     """``WHERE (a)-[:T]->(b)`` pattern-as-predicate; planned as a semi/anti
     join (reference: extractSubqueryFromPatternExpression +

@@ -236,6 +236,22 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
     if isinstance(expr, E.MapLit):
         return F.struct(*[to_column(v, ctx).alias(k) for k, v in expr.items])
 
+    if isinstance(expr, E.MapProjection):
+        # n {.name, alias: expr, .*} — explicit items win over .* expansion
+        # (SparkSQLExprMapper.scala:406-424).
+        fields: dict = {}
+        if expr.all_props:
+            props = sorted(
+                (e.key, ctx.header.col(e)) for e in ctx.header.exprs()
+                if isinstance(e, E.Property) and e.owner == expr.var)
+            for k, c in props:
+                fields[k] = F.col(c)
+        for k, v in expr.items:
+            fields[k] = to_column(v, ctx)
+        if not fields:
+            return F.struct(F.lit(None).alias("__empty"))
+        return F.struct(*[c.alias(k) for k, c in fields.items()])
+
     if isinstance(expr, E.Property):
         return _property(expr, ctx)
 
@@ -586,7 +602,32 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name == "timestamp":
         return F.unix_millis(F.current_timestamp())
 
+    # --- bitwise (Expr.scala:916-948) -----------------------------------
+    if name == "shiftleft":
+        return F.shiftleft(a(0), int(args[1].value))
+    if name == "shiftrightunsigned":
+        return F.shiftrightunsigned(a(0), int(args[1].value))
+    if name == "bitwiseand":
+        return a(0).bitwiseAND(a(1))
+    if name == "bitwiseor":
+        return a(0).bitwiseOR(a(1))
+    if name == "bitwisexor":
+        return a(0).bitwiseXOR(a(1))
+
+    # --- id helpers (Expr.scala ToId :676, PrefixId :667) ---------------
+    if name == "toid":
+        return a(0).cast("long")
+    if name == "prefixid":
+        # prefix into the high bits of the long id (SURVEY §1.6 — replaces
+        # the reference's byte-prefixed binary AddPrefix expression)
+        from .records import PREFIX_SHIFT
+        return a(0).cast("long") + (a(1).cast("long") * F.lit(1 << PREFIX_SHIFT))
+
     # --- casts ----------------------------------------------------------
+    if name == "bigdecimal":
+        p = int(args[1].value)
+        s = int(args[2].value) if len(args) > 2 else 0
+        return a(0).cast(f"decimal({p},{s})")
     if name == "tointeger":
         src = a(0)
         if _is(spark_dtype(args[0], ctx), T.StringType):

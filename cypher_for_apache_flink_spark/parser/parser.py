@@ -477,6 +477,29 @@ class Parser:
                 else:
                     self.eat_punct("]")
                     e = E.Subscript(e, lo)
+            elif self.at_punct("{") and isinstance(e, E.Var):
+                # map projection: n {.name, alias: expr, .*}
+                self.next()
+                items = []
+                all_props = False
+                if not self.at_punct("}"):
+                    while True:
+                        if self.at_punct("."):
+                            self.next()
+                            if self.at_punct("*"):
+                                self.next()
+                                all_props = True
+                            else:
+                                key = self.ident()
+                                items.append((key, E.Property(e, key)))
+                        else:
+                            key = self.ident()
+                            self.eat_punct(":")
+                            items.append((key, self.parse_expr()))
+                        if not self.opt_punct(","):
+                            break
+                self.eat_punct("}")
+                e = E.MapProjection(e, tuple(items), all_props)
             elif self.at_punct(":") and isinstance(e, E.Var):
                 # n:Label[:Label2] predicate in expression position
                 node = E.NodeVar(e.name)

@@ -94,12 +94,14 @@ class Planner:
         return ExprContext(records.header, records.df, self.params)
 
     # ------------------------------------------------------------------
-    def plan(self, query: A.Query):
+    def plan(self, query: A.Query, initial: Records | None = None):
         """Plan a full (possibly UNION'ed) query.  Returns (Records, outputs)
-        where outputs = [(friendly_name, physical_col), ...]."""
-        recs, outs = self.plan_single(query.parts[0])
+        where outputs = [(friendly_name, physical_col), ...].  ``initial``
+        is an optional driving table already in scope."""
+        recs, outs = self.plan_single(query.parts[0], initial)
         for part, is_all in zip(query.parts[1:], query.union_alls):
-            r2, o2 = Planner(self.session, self.graph, self.params).plan_single(part)
+            r2, o2 = Planner(self.session, self.graph, self.params).plan_single(
+                part, initial)
             if [n for n, _ in o2] != [n for n, _ in outs]:
                 raise PlanError("UNION parts must have identical column names")
             # align physical columns by output position
@@ -112,8 +114,8 @@ class Planner:
                 recs = recs.with_df(recs.df.dropDuplicates())
         return recs, outs
 
-    def plan_single(self, q: A.SingleQuery):
-        records = None
+    def plan_single(self, q: A.SingleQuery, initial: Records | None = None):
+        records = initial
         outputs = None
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):

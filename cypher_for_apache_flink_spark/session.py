@@ -89,7 +89,12 @@ class CypherSession:
 
     # -- query ----------------------------------------------------------
     def cypher(self, query: str, params: dict | None = None,
-               graph: PropertyGraph | str | None = None) -> CypherResult:
+               graph: PropertyGraph | str | None = None,
+               driving_table: DataFrame | None = None) -> CypherResult:
+        """Run a Cypher query.  ``driving_table`` threads an input DataFrame
+        into the plan as the initial scope (reference: DrivingTable leaf —
+        LogicalOperator.scala:342, RelationalPlanner.scala:90): each of its
+        columns is a bound scalar variable in the first clause."""
         if isinstance(graph, str):
             graph = self.catalog[graph]
         if graph is None:
@@ -98,7 +103,15 @@ class CypherSession:
             graph = next(iter(self.catalog.values()))
         ast = parse(query)
         planner = Planner(self, graph, params)
-        records, outputs = planner.plan(ast)
+        initial = None
+        if driving_table is not None:
+            from .ir import expr as E
+            from .operators.header import Header
+            from .operators.records import Records
+            initial = Records(
+                self, Header({E.Var(c): c for c in driving_table.columns}),
+                driving_table)
+        records, outputs = planner.plan(ast, initial)
         return CypherResult(records, outputs)
 
     def sql(self, query: str) -> DataFrame:

@@ -1,0 +1,70 @@
+"""Expression-surface gap coverage: map projection, bitwise, toId/prefixId,
+BigDecimal (reference Expr.scala:518,667,676,788,916-948)."""
+
+import decimal
+
+import pytest
+
+from cypher_for_apache_flink_spark import PropertyGraph
+from cypher_for_apache_flink_spark.operators.records import PREFIX_SHIFT
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    nodes = {
+        frozenset({"Person"}): spark.createDataFrame(
+            [(1, "Alice", 42, 1500.5), (2, "Bob", 23, 99.99)],
+            "id long, name string, age long, balance double"),
+    }
+    return PropertyGraph(nodes, {}, name="people")
+
+
+def one(result):
+    rows = result.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_map_projection_explicit(people):
+    r = one(people.cypher(
+        "MATCH (p:Person) WHERE p.age = 42 "
+        "RETURN p {.name, doubled: p.age * 2} AS m"))
+    assert r["m"]["name"] == "Alice" and r["m"]["doubled"] == 84
+
+
+def test_map_projection_all_props(people):
+    r = one(people.cypher(
+        "MATCH (p:Person) WHERE p.age = 23 RETURN p {.*} AS m"))
+    assert r["m"].asDict() == {"age": 23, "balance": 99.99, "name": "Bob"}
+
+
+def test_map_projection_override(people):
+    # explicit item wins over .* expansion
+    r = one(people.cypher(
+        "MATCH (p:Person) WHERE p.age = 23 "
+        "RETURN p {.*, age: 99} AS m"))
+    assert r["m"]["age"] == 99 and r["m"]["name"] == "Bob"
+
+
+def test_bitwise_functions(people):
+    r = one(people.cypher(
+        "MATCH (p:Person) WHERE p.age = 42 "
+        "RETURN shiftLeft(p.age, 2) AS sl, shiftRightUnsigned(p.age, 1) AS sr, "
+        "bitwiseAnd(p.age, 15) AS ba, bitwiseOr(p.age, 1) AS bo, "
+        "bitwiseXor(p.age, 255) AS bx"))
+    assert tuple(r) == (42 << 2, 42 >> 1, 42 & 15, 42 | 1, 42 ^ 255)
+
+
+def test_toid_prefixid(people):
+    r = one(people.cypher(
+        "MATCH (p:Person) WHERE p.age = 42 "
+        "RETURN toId(p.age) AS t, prefixId(id(p), 3) AS pre"))
+    assert r["t"] == 42
+    assert r["pre"] == 1 + (3 << PREFIX_SHIFT)
+
+
+def test_bigdecimal(people):
+    r = one(people.cypher(
+        "MATCH (p:Person) WHERE p.age = 42 "
+        "RETURN bigDecimal(p.balance, 10, 2) AS d"))
+    assert r["d"] == decimal.Decimal("1500.50")
