@@ -92,6 +92,26 @@ class UnwindClause:
 
 
 @dataclass(frozen=True)
+class FromGraphClause:
+    """``FROM GRAPH name`` — switch the active graph (Cypher 10;
+    reference FromCatalogGraph, RelationalOperator.scala:410)."""
+    name: str
+
+
+@dataclass(frozen=True)
+class ConstructClause:
+    """``CONSTRUCT [CLONE v, ...] [NEW pattern, ...]`` (Cypher 10;
+    reference ConstructGraphPlanner.scala:54-85)."""
+    clones: tuple = ()       # (var_name, ...)
+    news: tuple = ()         # (PatternPart, ...)
+
+
+@dataclass(frozen=True)
+class ReturnGraphClause:
+    """``RETURN GRAPH`` — the query result is a graph, not a table."""
+
+
+@dataclass(frozen=True)
 class SingleQuery:
     clauses: tuple
 

@@ -41,6 +41,7 @@ _KEYWORDS = {
     "not", "in", "starts", "ends", "contains", "is", "null", "true", "false",
     "case", "when", "then", "else", "end", "asc", "ascending", "desc",
     "descending", "any", "none", "single", "reduce", "exists", "from",
+    "graph", "construct", "clone", "new",
 }
 
 
@@ -178,8 +179,20 @@ class Parser:
             elif self.at_kw("with"):
                 self.next()
                 clauses.append(self.parse_projection(is_with=True))
+            elif self.at_kw("from") and self.peek(1).kind == "KW" and \
+                    self.peek(1).text == "graph":
+                self.next()
+                self.next()
+                clauses.append(A.FromGraphClause(self.ident()))
+            elif self.at_kw("construct"):
+                self.next()
+                clauses.append(self.parse_construct())
             elif self.at_kw("return"):
                 self.next()
+                if self.at_kw("graph"):
+                    self.next()
+                    clauses.append(A.ReturnGraphClause())
+                    break
                 clauses.append(self.parse_projection(is_with=False))
             else:
                 break
@@ -250,6 +263,24 @@ class Parser:
             return A.WithClause(tuple(items), star, distinct, order_by, skip,
                                 limit, where)
         return A.ReturnClause(tuple(items), star, distinct, order_by, skip, limit)
+
+    def parse_construct(self) -> A.ConstructClause:
+        clones = []
+        news = []
+        while True:
+            if self.at_kw("clone"):
+                self.next()
+                clones.append(self.ident())
+                while self.opt_punct(","):
+                    clones.append(self.ident())
+            elif self.at_kw("new"):
+                self.next()
+                news.append(self.parse_pattern_part())
+                while self.opt_punct(","):
+                    news.append(self.parse_pattern_part())
+            else:
+                break
+        return A.ConstructClause(tuple(clones), tuple(news))
 
     def parse_projection_items(self):
         items = [self.parse_projection_item()]

@@ -84,6 +84,7 @@ class Planner:
         self.graph = graph
         self.params = params or {}
         self._anon = 0
+        self.result_graph = None   # set by RETURN GRAPH
 
     # ------------------------------------------------------------------
     def fresh_name(self) -> str:
@@ -117,17 +118,35 @@ class Planner:
     def plan_single(self, q: A.SingleQuery, initial: Records | None = None):
         records = initial
         outputs = None
+        pending_construct = None
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):
                 records = self.plan_match(records, clause)
             elif isinstance(clause, A.UnwindClause):
                 records = self.plan_unwind(records, clause)
+            elif isinstance(clause, A.FromGraphClause):
+                # FromCatalogGraph (RelationalOperator.scala:410): switch the
+                # active graph for subsequent clauses.
+                self.graph = self.session.graph(clause.name)
+            elif isinstance(clause, A.ConstructClause):
+                pending_construct = clause
+            elif isinstance(clause, A.ReturnGraphClause):
+                if pending_construct is not None:
+                    self.result_graph = self.plan_construct(records,
+                                                            pending_construct)
+                else:
+                    self.result_graph = self.graph
+                records = Records(self.session, Header({}),
+                                  self.session.spark.range(0).select())
+                outputs = []
             elif isinstance(clause, (A.WithClause, A.ReturnClause)):
                 records, outs = self.plan_projection(records, clause)
                 if isinstance(clause, A.ReturnClause):
                     outputs = outs
             else:
                 raise PlanError(f"unsupported clause {clause!r}")
+        if pending_construct is not None and self.result_graph is None:
+            raise PlanError("CONSTRUCT must be followed by RETURN GRAPH")
         if outputs is None:
             raise PlanError("query must end with RETURN")
         return records, outputs
@@ -501,6 +520,148 @@ class Planner:
         dst_scan = scan_nodes(self.session, self.graph, d,
                               frozenset(node_labels[d]))
         return join_records(out, dst_scan, [(E.Var(end_col), dv)])
+
+    # -- CONSTRUCT (Cypher 10; ConstructGraphPlanner.scala:54-85) -------
+    def plan_construct(self, records, clause: A.ConstructClause):
+        """Materialise a pattern-constructed graph from the match table.
+
+        Bound vars referenced in NEW/CLONE are cloned (dedup by id, label
+        combos recovered from the label-flag columns); NEW elements get
+        fresh NEGATIVE ids derived from monotonically_increasing_id — one
+        per input row, disjoint from any source id (sources use non-negative
+        ids), computed without shuffles (the reference's
+        partitioned-id-assignment idea, ConstructGraphPlanner.scala:273-289).
+        """
+        from ..graph import PropertyGraph
+
+        if records is None:
+            records = Records(self.session, Header({}),
+                              self.session.spark.range(1).select())
+        header = records.header
+        df = records.df
+        ctx = ExprContext(header, df, self.params)
+
+        node_slots: dict[str, dict] = {}
+        rel_slots = []
+
+        def reg_node(np: A.NodePattern) -> str:
+            info = node_slots.setdefault(np.var, {"labels": set(), "props": {}})
+            info["labels"] |= set(np.labels)
+            for k, v in np.props:
+                info["props"][k] = v
+            return np.var
+
+        for part in clause.news:
+            named = self._name_pattern(part)
+            for el in named.elements[0::2]:
+                reg_node(el)
+            elems = named.elements
+            for i in range(1, len(elems), 2):
+                rp = elems[i]
+                if rp.var_length:
+                    raise PlanError("var-length patterns are not allowed in "
+                                    "CONSTRUCT NEW")
+                if rp.direction == "both":
+                    raise PlanError("CONSTRUCT NEW relationships must be "
+                                    "directed")
+                if rp.direction == "in":
+                    rel_slots.append((elems[i + 1].var, rp, elems[i - 1].var))
+                else:
+                    rel_slots.append((elems[i - 1].var, rp, elems[i + 1].var))
+        for v in clause.clones:
+            if header.var(v) is None:
+                raise PlanError(f"CLONE of unbound variable {v!r}")
+            node_slots.setdefault(v, {"labels": set(), "props": {}})
+
+        new_vars = [v for v in node_slots if header.var(v) is None]
+        n_slots = len(new_vars) + len(rel_slots)
+        mono = F.monotonically_increasing_id()
+
+        def new_id(slot: int):
+            return (-(mono * F.lit(max(n_slots, 1)) + F.lit(slot)) - 1) \
+                .cast("long")
+
+        new_id_cols = {v: new_id(i) for i, v in enumerate(new_vars)}
+
+        # -- node tables -------------------------------------------------
+        node_tables: dict = {}
+
+        def add_node_table(combo, ndf):
+            node_tables[combo] = ndf if combo not in node_tables else \
+                node_tables[combo].unionByName(ndf, allowMissingColumns=True)
+
+        for v, info in node_slots.items():
+            hv = header.var(v)
+            prop_cols = []
+            for k, ve in info["props"].items():
+                prop_cols.append(
+                    to_column(resolve_vars(ve, header), ctx).alias(k))
+            if hv is None:
+                combo = frozenset(info["labels"])
+                add_node_table(combo, df.select(
+                    new_id_cols[v].alias("id"), *prop_cols))
+                continue
+            # clone: carry the element's properties; recover label combos
+            # from the flag columns (tiny distinct — at most 2^labels rows).
+            id_col = F.col(header.col(hv))
+            for e in header.exprs():
+                if isinstance(e, E.Property) and e.owner == hv and \
+                        e.key not in info["props"]:
+                    prop_cols.append(F.col(header.col(e)).alias(e.key))
+            label_cols = sorted(
+                (e.label, header.col(e)) for e in header.exprs()
+                if isinstance(e, E.HasLabel) and e.node == hv)
+            base = df.where(id_col.isNotNull())
+            if not label_cols:
+                add_node_table(frozenset(info["labels"]), base.select(
+                    id_col.alias("id"), *prop_cols).dropDuplicates(["id"]))
+            else:
+                flag_rows = base.select(
+                    *[F.col(c).alias(f"_l{i}")
+                      for i, (_, c) in enumerate(label_cols)]).distinct() \
+                    .collect()
+                for row in flag_rows:
+                    combo = frozenset(
+                        lbl for i, (lbl, _) in enumerate(label_cols)
+                        if row[f"_l{i}"]) | frozenset(info["labels"])
+                    cond = None
+                    for i, (_, c) in enumerate(label_cols):
+                        term = F.col(c) == F.lit(bool(row[f"_l{i}"]))
+                        cond = term if cond is None else (cond & term)
+                    add_node_table(combo, base.where(cond).select(
+                        id_col.alias("id"), *prop_cols).dropDuplicates(["id"]))
+
+        # -- relationship tables -----------------------------------------
+        rel_tables: dict = {}
+        for j, (s, rp, d) in enumerate(rel_slots):
+            if len(rp.types) != 1:
+                raise PlanError("CONSTRUCT NEW relationships need exactly "
+                                "one type")
+            rtype = rp.types[0]
+
+            def end_id(v):
+                hv = header.var(v)
+                if hv is not None:
+                    return F.col(header.col(hv))
+                return new_id_cols[v]
+
+            prop_cols = [to_column(resolve_vars(ve, header), ctx).alias(k)
+                         for k, ve in rp.props]
+            rdf = df.select(
+                new_id(len(new_vars) + j).alias("id"),
+                end_id(s).alias("source"),
+                end_id(d).alias("target"),
+                *prop_cols,
+            ).where(F.col("source").isNotNull() & F.col("target").isNotNull())
+            rel_tables[rtype] = rdf if rtype not in rel_tables else \
+                rel_tables[rtype].unionByName(rdf, allowMissingColumns=True)
+
+        # One element per id per combo: several cloned vars (a AND b of the
+        # same pattern) can contribute the same entity.
+        node_tables = {combo: ndf.dropDuplicates(["id"])
+                       for combo, ndf in node_tables.items()}
+        return PropertyGraph(node_tables, rel_tables,
+                             name=f"constructed_{self.graph.name}")
 
     # -- OPTIONAL MATCH (planOptional — RelationalPlanner.scala:298-330)
     def plan_optional(self, records: Records, clause: A.MatchClause) -> Records:

@@ -10,6 +10,8 @@ only cluster-side actions are the terminal collect/count/show/write
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,13 +19,20 @@ from .graph import PropertyGraph
 from .parser.parser import parse
 from .plans.planner import Planner
 
+_CATALOG_RE = re.compile(
+    r"^CATALOG\s+(CREATE|DELETE)\s+GRAPH\s+([A-Za-z_][A-Za-z0-9_.]*)"
+    r"\s*(?:\{(.*)\})?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 
 class CypherResult:
-    """Lazy query result; ``df`` has user-facing column names."""
+    """Lazy query result; ``df`` has user-facing column names.  Queries
+    ending in RETURN GRAPH set ``graph`` instead (empty table)."""
 
-    def __init__(self, records, outputs):
+    def __init__(self, records, outputs, graph: PropertyGraph | None = None):
         self.records = records
         self.outputs = outputs
+        self.graph = graph
 
     @property
     def df(self) -> DataFrame:
@@ -95,11 +104,16 @@ class CypherSession:
         into the plan as the initial scope (reference: DrivingTable leaf —
         LogicalOperator.scala:342, RelationalPlanner.scala:90): each of its
         columns is a bound scalar variable in the first clause."""
+        stmt = _CATALOG_RE.match(query.strip())
+        if stmt:
+            return self._catalog_statement(stmt, params)
         if isinstance(graph, str):
             graph = self.catalog[graph]
         if graph is None:
-            if len(self.catalog) != 1:
-                raise ValueError("specify graph= when catalog has != 1 graph")
+            if not self.catalog:
+                raise ValueError("no graph registered")
+            # Multi-graph catalogs: first registered graph is the default;
+            # the query can switch with FROM GRAPH, or pass graph=...
             graph = next(iter(self.catalog.values()))
         ast = parse(query)
         planner = Planner(self, graph, params)
@@ -112,7 +126,24 @@ class CypherSession:
                 self, Header({E.Var(c): c for c in driving_table.columns}),
                 driving_table)
         records, outputs = planner.plan(ast, initial)
-        return CypherResult(records, outputs)
+        return CypherResult(records, outputs, graph=planner.result_graph)
+
+    def _catalog_statement(self, stmt, params) -> "CypherResult":
+        """CATALOG CREATE GRAPH name { inner query } / CATALOG DELETE GRAPH
+        name (reference: RelationalCypherSession.scala:179-195)."""
+        action, name, inner = stmt.group(1).lower(), stmt.group(2), stmt.group(3)
+        if action == "create":
+            res = self.cypher(inner, params=params)
+            if res.graph is None:
+                raise ValueError("CATALOG CREATE GRAPH inner query must "
+                                 "RETURN GRAPH")
+            self.register(name, res.graph)
+            return res
+        self.deregister(name)
+        from .operators.header import Header
+        from .operators.records import Records
+        empty = Records(self, Header({}), self.spark.range(0).select())
+        return CypherResult(empty, [])
 
     def sql(self, query: str) -> DataFrame:
         """Escape hatch (MorpheusSession.sql — MorpheusSession.scala:84)."""

@@ -1,0 +1,82 @@
+"""CONSTRUCT / multiple-graph tests (MultipleGraphTests + CatalogDDLTests
+analogues): CLONE/NEW, RETURN GRAPH, FROM GRAPH, CATALOG CREATE/DELETE."""
+
+import pytest
+
+from cypher_for_apache_flink_spark import CypherSession, PropertyGraph
+
+
+@pytest.fixture()
+def session(spark):
+    nodes = {
+        frozenset({"Person"}): spark.createDataFrame(
+            [(1, "Alice", 42), (2, "Bob", 23), (3, "Carol", 55)],
+            "id long, name string, age long"),
+    }
+    rels = {
+        "KNOWS": spark.createDataFrame(
+            [(100, 1, 2), (101, 2, 3)], "id long, source long, target long"),
+    }
+    g = PropertyGraph(nodes, rels, name="social")
+    s = CypherSession.for_graph(g)
+    s.register("social", g)
+    return s
+
+
+def test_construct_clone_new_rel(session):
+    res = session.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "CONSTRUCT NEW (a)-[:FRIEND]->(b) RETURN GRAPH")
+    g = res.graph
+    assert g is not None
+    assert g.schema.relationship_types == {"FRIEND"}
+    # cloned Person nodes: the 3 participants, deduped
+    people = g.node_tables[frozenset({"Person"})]
+    assert sorted(r["id"] for r in people.select("id").collect()) == [1, 2, 3]
+    # new graph is queryable
+    out = g.cypher("MATCH (x:Person)-[:FRIEND]->(y:Person) "
+                   "RETURN x.name AS x, y.name AS y ORDER BY x")
+    assert [tuple(r) for r in out.collect()] == [("Alice", "Bob"),
+                                                 ("Bob", "Carol")]
+
+
+def test_construct_new_nodes_with_props(session):
+    res = session.cypher(
+        "MATCH (p:Person) "
+        "CONSTRUCT NEW (:Copy {name: p.name, age2: p.age * 2}) RETURN GRAPH")
+    g = res.graph
+    copies = g.node_tables[frozenset({"Copy"})]
+    got = sorted((r["name"], r["age2"]) for r in copies.collect())
+    assert got == [("Alice", 84), ("Bob", 46), ("Carol", 110)]
+    # fresh negative ids, one per input row
+    ids = [r["id"] for r in copies.select("id").collect()]
+    assert len(set(ids)) == 3 and all(i < 0 for i in ids)
+
+
+def test_construct_new_node_linked_to_clone(session):
+    res = session.cypher(
+        "MATCH (p:Person) WHERE p.age > 30 "
+        "CONSTRUCT NEW (p)-[:HAS_TAG]->(:Tag {label: 'senior'}) RETURN GRAPH")
+    g = res.graph
+    out = g.cypher("MATCH (p:Person)-[:HAS_TAG]->(t:Tag) "
+                   "RETURN p.name AS name, t.label AS tag ORDER BY name")
+    assert [tuple(r) for r in out.collect()] == [("Alice", "senior"),
+                                                 ("Carol", "senior")]
+
+
+def test_return_graph_without_construct(session):
+    res = session.cypher("FROM GRAPH social RETURN GRAPH")
+    assert res.graph is session.graph("social")
+
+
+def test_catalog_create_and_delete(session):
+    session.cypher(
+        "CATALOG CREATE GRAPH friends { "
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "CONSTRUCT NEW (a)-[:FRIEND]->(b) RETURN GRAPH }")
+    assert "friends" in session.catalog
+    out = session.cypher(
+        "FROM GRAPH friends MATCH (x)-[:FRIEND]->() RETURN count(*) AS n")
+    assert out.collect()[0]["n"] == 2
+    session.cypher("CATALOG DELETE GRAPH friends")
+    assert "friends" not in session.catalog
