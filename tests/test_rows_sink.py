@@ -1,0 +1,65 @@
+"""Typed-row ingestion + Neo4j bulk CSV sink tests."""
+
+import dataclasses
+import glob
+import shutil
+
+from cypher_for_apache_flink_spark.sources.rows import (
+    graph_from_rows,
+    write_neo4j_bulk_csv,
+)
+
+TMP = "/root/repo/.tmp_test_rows"
+
+
+@dataclasses.dataclass
+class Person:
+    id: int
+    name: str
+    age: int
+
+
+@dataclasses.dataclass
+class Knows:
+    id: int
+    source: int
+    target: int
+    since: int
+
+
+def test_graph_from_dataclass_rows(spark):
+    g = graph_from_rows(
+        spark,
+        nodes={"Person": [Person(1, "Alice", 42), Person(2, "Bob", 23)]},
+        rels={"KNOWS": [Knows(100, 1, 2, 1999)]})
+    res = g.cypher("MATCH (a:Person)-[k:KNOWS]->(b:Person) "
+                   "RETURN a.name AS a, b.name AS b, k.since AS y")
+    assert [tuple(r) for r in res.collect()] == [("Alice", "Bob", 1999)]
+
+
+def test_graph_from_dict_rows(spark):
+    g = graph_from_rows(
+        spark,
+        nodes={("Person", "Admin"): [
+            {"id": 1, "name": "Zed"}, {"id": 2, "name": "Yara"}]})
+    res = g.cypher("MATCH (p:Admin) RETURN count(*) AS n")
+    assert res.collect()[0]["n"] == 2
+
+
+def test_neo4j_bulk_csv_sink(spark):
+    shutil.rmtree(TMP, ignore_errors=True)
+    try:
+        g = graph_from_rows(
+            spark,
+            nodes={"Person": [Person(1, "Alice", 42)]},
+            rels={"KNOWS": [Knows(100, 1, 1, 2000)]})
+        write_neo4j_bulk_csv(g, TMP)
+        node_csv = glob.glob(f"{TMP}/nodes_Person/part-*.csv")
+        rel_csv = glob.glob(f"{TMP}/rels_KNOWS/part-*.csv")
+        assert node_csv and rel_csv
+        nheader = open(node_csv[0]).readline().strip()
+        rheader = open(rel_csv[0]).readline().strip()
+        assert nheader == "id:ID,name,age,:LABEL"
+        assert rheader == ":START_ID,:END_ID,since,:TYPE"
+    finally:
+        shutil.rmtree(TMP, ignore_errors=True)
