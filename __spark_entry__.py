@@ -221,6 +221,14 @@ _CYPHER_QUERIES = {
         "duration('P1Y2M3DT4H5M6S').monthsOfYear AS moy, "
         "duration('P1Y2M3DT4H5M6S').days AS d, "
         "duration('P1Y2M3DT4H5M6S').hours AS h"),
+    "optional_first_clause": _cypher(
+        "OPTIONAL MATCH (r:Region) RETURN count(r) AS n"),
+    "edge_uniqueness_pairs": _cypher(
+        "MATCH (o:Order)-[l1:CONTAINS]->(p1:Part), "
+        "(o)-[l2:CONTAINS]->(p2:Part) RETURN count(*) AS n"),
+    "bitwise_functions": _cypher(
+        "RETURN shiftLeft(5, 2) AS sl, bitwiseAnd(12, 10) AS ba, "
+        "bitwiseOr(12, 10) AS bo, bitwiseXor(12, 10) AS bx, toId(7) AS t"),
 }
 
 
@@ -283,6 +291,67 @@ def _q_cosine_near_dup(spark, sf_dir):
                                  block_col="label")
 
 
+def _q_driving_table(spark, sf_dir):
+    """DrivingTable embedding: input DataFrame columns become bound scalar
+    vars in the first clause."""
+    from cypher_for_apache_flink_spark.session import CypherSession
+    g = _tpch(spark, sf_dir)
+    session = CypherSession.for_graph(g)
+    driving = spark.createDataFrame([("AFRICA",), ("EUROPE",)], "rname string")
+    return session.cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) WHERE r.r_name = rname "
+        "RETURN rname, count(*) AS n",
+        graph=g, driving_table=driving).df
+
+
+def _q_construct_requery(spark, sf_dir):
+    """CONSTRUCT a derived graph, then query it."""
+    g = _tpch(spark, sf_dir)
+    res = g.cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WHERE o.o_totalprice > 200000.0 "
+        "CONSTRUCT NEW (c)-[:BIG]->(o) RETURN GRAPH")
+    return res.graph.cypher(
+        "MATCH (c:Customer)-[:BIG]->(o:Order) RETURN count(*) AS n").df
+
+
+def _q_ddl_graph(spark, sf_dir):
+    """Graph DDL over raw warehouse views answers like the hand-built map."""
+    from cypher_for_apache_flink_spark.sources.ddl import graph_from_ddl
+    views = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+             for t in ["customer", "nation", "region"]}
+    ddl = """
+    CREATE GRAPH TYPE t (
+      Customer ( c_name STRING ), Nation ( n_name STRING ),
+      Region ( r_name STRING ), FROM_NATION (), IN_REGION (),
+      (Customer)-[FROM_NATION]->(Nation), (Nation)-[IN_REGION]->(Region)
+    )
+    CREATE GRAPH tddl (
+      (Customer) FROM customer KEY (c_custkey),
+      (Nation) FROM nation KEY (n_nationkey),
+      (Region) FROM region KEY (r_regionkey),
+      (Customer)-[FROM_NATION]->(Nation)
+        FROM customer e
+          START NODES (Customer) FROM customer c JOIN ON c.c_custkey = e.c_custkey
+          END NODES (Nation) FROM nation n JOIN ON e.c_nationkey = n.n_nationkey,
+      (Nation)-[IN_REGION]->(Region)
+        FROM nation e
+          START NODES (Nation) FROM nation n JOIN ON n.n_nationkey = e.n_nationkey
+          END NODES (Region) FROM region r JOIN ON e.n_regionkey = r.r_regionkey
+    )
+    """
+    g = graph_from_ddl(spark, ddl, views)
+    return g.cypher(
+        "MATCH (c:Customer)-[:FROM_NATION]->(:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.r_name AS region, count(*) AS n").df
+
+
+def _q_graph_union(spark, sf_dir):
+    """Graph union with id-prefixing: disjoint graphs sum their elements."""
+    u = _tpch(spark, sf_dir).union_all(_events(spark, sf_dir))
+    return u.cypher("MATCH (n) RETURN count(*) AS n").df
+
+
 def _q_media_decode(spark, sf_dir):
     """Multimodal plumbing over synthetic blobs (utf-8 document bytes as
     opaque media): typed media table -> Arrow-batched decode."""
@@ -313,6 +382,10 @@ _PIPELINE_QUERIES = {
     "similarity_topk_lsh": _q_similarity_topk_lsh,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
+    "driving_table": _q_driving_table,
+    "construct_requery": _q_construct_requery,
+    "ddl_graph": _q_ddl_graph,
+    "graph_union": _q_graph_union,
 }
 
 
@@ -523,6 +596,37 @@ def oracle_sql() -> dict[str, str]:
         "duration_accessors": (
             "SELECT CAST(1 AS BIGINT) AS y, CAST(2 AS BIGINT) AS moy, "
             "CAST(3 AS BIGINT) AS d, CAST(4 AS BIGINT) AS h"),
+        "optional_first_clause": "SELECT count(*) AS n FROM region",
+        "edge_uniqueness_pairs": (
+            "SELECT count(*) AS n FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_linenumber <> b.l_linenumber"),
+        "bitwise_functions": (
+            "SELECT CAST(20 AS BIGINT) AS sl, CAST(8 AS BIGINT) AS ba, "
+            "CAST(14 AS BIGINT) AS bo, CAST(6 AS BIGINT) AS bx, "
+            "CAST(7 AS BIGINT) AS t"),
+        "driving_table": (
+            "SELECT t.rname AS rname, count(*) AS n "
+            "FROM (VALUES ('AFRICA'), ('EUROPE')) t(rname) "
+            "JOIN region r ON r.r_name = t.rname "
+            "JOIN nation nt ON nt.n_regionkey = r.r_regionkey "
+            "GROUP BY t.rname"),
+        "construct_requery": (
+            "SELECT count(*) AS n FROM orders WHERE o_totalprice > 200000.0"),
+        "ddl_graph": (
+            "SELECT r.r_name AS region, count(*) AS n "
+            "FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey "
+            "JOIN region r ON nt.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"),
+        "graph_union": (
+            "SELECT (SELECT count(*) FROM region) "
+            "+ (SELECT count(*) FROM nation) "
+            "+ (SELECT count(*) FROM customer) "
+            "+ (SELECT count(*) FROM supplier) "
+            "+ (SELECT count(*) FROM part) "
+            "+ (SELECT count(*) FROM orders) "
+            "+ (SELECT count(DISTINCT user_id) FROM events) "
+            "+ (SELECT count(*) FROM events) AS n"),
 
         # --- LLM-pipeline: text analysis ------------------------------
         "text_profile": rf"""
