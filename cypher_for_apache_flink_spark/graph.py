@@ -101,6 +101,13 @@ class PropertyGraph:
         # hint: derived unions have no file statistics, so at cluster scale
         # AQE may not see that a Region/Nation dimension is 5/25 rows.
         self.stats: dict = dict(stats or {})
+        # Materialized triplet tables {rel_type: (df, dst_combo)}: the rel
+        # table pre-joined with its destination node table (dst property
+        # columns prefixed ``t_``).  The planner substitutes them for
+        # rel-scan ⋈ dst-scan expands — the reference's
+        # replaceScansWithRecognizedPatterns rewrite
+        # (LogicalOptimizer.scala:67-134) as a materialized view.
+        self.pattern_tables: dict = {}
         self.node_tables: dict = {}
         self.rel_tables: dict = {}
         for labels, df in (node_tables or {}).items():
@@ -168,6 +175,27 @@ class PropertyGraph:
                 rels[rtype] = rels[rtype].unionByName(df, allowMissingColumns=True) \
                     if rtype in rels else df
         return PropertyGraph(nodes, rels, name=f"union_{self.name}")
+
+    def with_pattern_table(self, rel_type: str, dst_labels,
+                           cache: bool = True) -> "PropertyGraph":
+        """Materialise the (rel ⋈ destination-node) triplet for ``rel_type``
+        so expands over it skip the destination join.  At warehouse scale
+        this is a persisted/bucketed view; locally it is cached."""
+        from pyspark.sql import functions as F
+        combo = frozenset([dst_labels] if isinstance(dst_labels, str)
+                          else dst_labels)
+        if combo not in self.node_tables:
+            raise ValueError(f"no node table for labels {sorted(combo)}")
+        rel = self.rel_tables[rel_type]
+        dst = self.node_tables[combo]
+        prefixed = dst.select(
+            F.col(NODE_ID).alias("__t_id"),
+            *[F.col(c).alias(f"t_{c}") for c in dst.columns if c != NODE_ID])
+        joined = rel.join(prefixed, rel[REL_TARGET] == prefixed["__t_id"],
+                          "inner").drop("__t_id")
+        self.pattern_tables[rel_type] = (joined.cache() if cache else joined,
+                                         combo)
+        return self
 
     def cache(self) -> "PropertyGraph":
         for df in self.node_tables.values():

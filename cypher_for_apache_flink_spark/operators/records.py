@@ -159,6 +159,45 @@ def scan_rels(session, graph: PropertyGraph, var_name: str,
     return Records(session, header, out)
 
 
+def scan_pattern(session, graph: PropertyGraph, rel_var_name: str,
+                 rel_type: str, dst_var_name: str) -> Records:
+    """Scan a materialized triplet table: relationship + destination node in
+    one read, no join (reference: replaceScansWithRecognizedPatterns /
+    TripletPattern — Pattern.scala:182, LogicalOptimizer.scala:67-134)."""
+    df, dst_combo = graph.pattern_tables[rel_type]
+    rvar = E.RelVar(rel_var_name)
+    dvar = E.NodeVar(dst_var_name)
+
+    rel_props = graph.schema.rel_props[rel_type]
+    dst_props = graph.schema.union_props([dst_combo])
+
+    header = Header({rvar: column_name(rvar)})
+    header = header.added(E.StartNode(rvar))
+    header = header.added(E.EndNode(rvar))
+    header = header.added(TypeOf(rvar), type_column_name(rvar))
+    cols = [
+        F.col(REL_ID).cast("long").alias(column_name(rvar)),
+        F.col(REL_SOURCE).cast("long").alias(column_name(E.StartNode(rvar))),
+        F.col(REL_TARGET).cast("long").alias(column_name(E.EndNode(rvar))),
+        F.lit(rel_type).alias(type_column_name(rvar)),
+    ]
+    for key in sorted(rel_props):
+        e = E.Property(rvar, key)
+        header = header.added(e)
+        cols.append(F.col(key).alias(column_name(e)))
+    # destination node rides along: id = target, labels literal, props t_*
+    header = header.added(dvar, column_name(E.EndNode(rvar)))
+    for lbl in sorted(dst_combo):
+        e = E.HasLabel(dvar, lbl)
+        header = header.added(e)
+        cols.append(F.lit(True).alias(column_name(e)))
+    for key in sorted(dst_props):
+        e = E.Property(dvar, key)
+        header = header.added(e)
+        cols.append(F.col(f"t_{key}").alias(column_name(e)))
+    return Records(session, header, df.select(*cols))
+
+
 def empty_records(session, header: Header) -> Records:
     fields = [T.StructField(c, T.LongType()) for c in header.columns()]
     df = session.spark.createDataFrame([], T.StructType(fields))

@@ -310,8 +310,18 @@ class Planner:
                 rel_nodes = {s for s, _, _ in pending} | {d for _, _, d in pending}
                 in_rels = [n for n in nodes
                            if n in rel_nodes and n not in elidable]
+                # starting at the SOURCE of a pattern-table-covered expand
+                # lets the materialized-triplet rewrite fire
+                pattern_sources = {
+                    s for s, rp, d in pending
+                    if not rp.var_length and rp.direction == "out"
+                    and len(rp.types) == 1
+                    and rp.types[0] in self.graph.pattern_tables
+                    and frozenset(node_labels[d])
+                    <= self.graph.pattern_tables[rp.types[0]][1]}
                 if in_rels:
-                    start = max(in_rels, key=lambda n: (len(node_labels[n]), n))
+                    start = max(in_rels, key=lambda n: (
+                        n in pattern_sources, len(node_labels[n]), n))
                 else:
                     # every endpoint is id-only: start straight from a rel
                     # scan — `MATCH ()-[r:T]->() RETURN count(r)` touches no
@@ -391,8 +401,25 @@ class Planner:
                                          node_labels, elidable)
 
         clause_rel_vars.append((rp.var, False, rp.types))
-        rel = scan_rels(self.session, self.graph, rp.var, rp.types)
         rv = E.RelVar(rp.var)
+        sv = E.NodeVar(s)
+        dv = E.NodeVar(d)
+
+        # Materialized-triplet rewrite (replaceScansWithRecognizedPatterns):
+        # an outgoing typed expand whose destination labels are covered by a
+        # registered pattern table becomes ONE join against the pre-joined
+        # triplet — the rel⋈dst join disappears.
+        if (rp.direction == "out" and len(rp.types) == 1
+                and rp.types[0] in self.graph.pattern_tables
+                and s in solved and d not in solved):
+            _, dst_combo = self.graph.pattern_tables[rp.types[0]]
+            if frozenset(node_labels[d]) <= dst_combo:
+                from ..operators.records import scan_pattern
+                trip = scan_pattern(self.session, self.graph, rp.var,
+                                    rp.types[0], d)
+                return join_records(current, trip, [(sv, E.StartNode(rv))])
+
+        rel = scan_rels(self.session, self.graph, rp.var, rp.types)
         if rp.direction == "both":
             rel = _bidirectional(rel, rv)
 
@@ -401,9 +428,6 @@ class Planner:
             src_expr, dst_expr = E.EndNode(rv), E.StartNode(rv)
         else:
             src_expr, dst_expr = E.StartNode(rv), E.EndNode(rv)
-
-        sv = E.NodeVar(s)
-        dv = E.NodeVar(d)
         if s in solved and d in solved:
             # ExpandInto (RelationalPlanner.scala:167-189): single join on the
             # composite (source, target) key.
