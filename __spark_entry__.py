@@ -291,6 +291,18 @@ def _q_cosine_near_dup(spark, sf_dir):
                                  block_col="label")
 
 
+def _q_rolling_fingerprints(spark, sf_dir):
+    """Winnowing sketch: 4 smallest rolling md5 fingerprints per doc,
+    exploded to rows so the oracle compares scalar values."""
+    from cypher_for_apache_flink_spark.functions.text import (
+        rolling_fingerprints,
+    )
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return docs.select(
+        F.col("doc_id"),
+        F.explode(rolling_fingerprints(F.col("text"), window=4)).alias("fp"))
+
+
 def _q_driving_table(spark, sf_dir):
     """DrivingTable embedding: input DataFrame columns become bound scalar
     vars in the first clause."""
@@ -382,6 +394,7 @@ _PIPELINE_QUERIES = {
     "similarity_topk_lsh": _q_similarity_topk_lsh,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
+    "rolling_fingerprints": _q_rolling_fingerprints,
     "driving_table": _q_driving_table,
     "construct_requery": _q_construct_requery,
     "ddl_graph": _q_ddl_graph,
@@ -668,6 +681,17 @@ SELECT doc_id, n_tokens, n_bpe_tokens, n_chars, avg_word_len, punct_ratio,
 FROM m""",
 
         # --- LLM-pipeline: dedup --------------------------------------
+        "rolling_fingerprints": rf"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents WHERE doc_id < 100
+), spans AS (
+  SELECT doc_id,
+    list_sort(list_transform(
+      generate_series(1, greatest(len(tk) - 3, 1)),
+      i -> md5(array_to_string(list_slice(tk, i, i + 3), ' ')))) AS fps
+  FROM t
+)
+SELECT doc_id, unnest(list_slice(fps, 1, 4)) AS fp FROM spans""",
         "dedup_exact_groups": rf"""
 SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
 FROM (SELECT doc_id, {_SQL_FP} AS fp FROM documents)

@@ -309,6 +309,18 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
     if isinstance(expr, E.ListReduce):
         lst = to_column(expr.list_expr, ctx)
         init = to_column(expr.init, ctx)
+        # Spark requires the zero value's type to equal the merge lambda's
+        # result type; a numeric init literal widens to the list's element
+        # type (reduce(acc = 0, x IN bigint_list | acc + x)).
+        lst_t = spark_dtype(expr.list_expr, ctx)
+        if isinstance(expr.init, E.Lit) and \
+                isinstance(expr.init.value, (int, float)) and \
+                not isinstance(expr.init.value, bool) and \
+                isinstance(lst_t, T.ArrayType) and \
+                isinstance(lst_t.elementType,
+                           (T.LongType, T.IntegerType, T.DoubleType,
+                            T.FloatType, T.ShortType)):
+            init = init.cast(lst_t.elementType)
         return F.aggregate(
             lst, init,
             lambda acc, x: to_column(
@@ -631,12 +643,14 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name == "tointeger":
         src = a(0)
         if _is(spark_dtype(args[0], ctx), T.StringType):
-            return F.try_cast(src, "double").cast("long")
+            # Cypher: unparseable strings -> null (try_cast is a Column
+            # method, not an F function)
+            return src.try_cast("double").cast("long")
         return src.cast("long")
     if name == "tofloat":
         src = a(0)
         if _is(spark_dtype(args[0], ctx), T.StringType):
-            return F.try_cast(src, "double")
+            return src.try_cast("double")
         return src.cast("double")
     if name == "tostring":
         return a(0).cast("string")
