@@ -252,8 +252,12 @@ def _q_dedup_exact_keep(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
+    # max_shingle_freq is the scale path: boilerplate shingles shared by
+    # more than 100 docs are dropped before the self-join (kills the
+    # quadratic hot-shingle bucket at 100 TB); the oracle mirrors the cap.
     from cypher_for_apache_flink_spark.functions.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3,
+                               max_shingle_freq=100)
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -700,8 +704,12 @@ GROUP BY fp HAVING count(*) > 1""",
 SELECT min(doc_id) AS doc_id
 FROM (SELECT doc_id, {_SQL_FP} AS fp FROM documents) GROUP BY fp""",
         "ngram_jaccard_pairs": rf"""
-{_SQL_SHINGLES}, ex AS (
+{_SQL_SHINGLES}, ex0 AS (
   SELECT doc_id, unnest(shl) AS s FROM sh
+), freq AS (
+  SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 100
+), ex AS (
+  SELECT ex0.* FROM ex0 JOIN freq USING (s)
 ), sizes AS (
   SELECT doc_id, len(shl) AS sz FROM sh
 ), inter AS (
