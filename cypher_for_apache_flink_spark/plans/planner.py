@@ -479,10 +479,6 @@ class Planner:
             src_expr, dst_expr = E.EndNode(rv), E.StartNode(rv)
         else:
             src_expr, dst_expr = E.StartNode(rv), E.EndNode(rv)
-        # The edge table is reused once per hop — cache it (the reference's
-        # InsertCachingOperators heuristic, RelationalOptimizer.scala:41-92).
-        if hi - lo > 0 or hi > 1:
-            rel = rel.cache()
 
         sv = E.NodeVar(s)
         dv = E.NodeVar(d)
@@ -512,12 +508,21 @@ class Planner:
         rel_src = rel.header.col(src_expr)
         rel_dst = rel.header.col(dst_expr)
         rel_id = rel.header.col(rv)
+        # The hop loop only reads (id, src, dst) — prune BEFORE caching so
+        # the reused edge table is 3 columns wide, not every rel property
+        # (the reference's InsertCachingOperators heuristic,
+        # RelationalOptimizer.scala:41-92, on the pruned scan).
+        slim = rel.df.select(F.col(rel_id).alias("__vl_e"),
+                             F.col(rel_src).alias("__vl_s"),
+                             F.col(rel_dst).alias("__vl_d"))
+        if hi > 1:
+            slim = slim.cache()
         for k in range(1, hi + 1):
             step_sfx = f"__s{k}_{rp.var}"
-            step_df = rel.df.select(
-                F.col(rel_id).alias(f"e{step_sfx}"),
-                F.col(rel_src).alias(f"src{step_sfx}"),
-                F.col(rel_dst).alias(f"dst{step_sfx}"),
+            step_df = slim.select(
+                F.col("__vl_e").alias(f"e{step_sfx}"),
+                F.col("__vl_s").alias(f"src{step_sfx}"),
+                F.col("__vl_d").alias(f"dst{step_sfx}"),
             )
             joined = frontier.join(
                 step_df, F.col(end_col) == F.col(f"src{step_sfx}"), "inner")

@@ -330,6 +330,21 @@ def _node_id_expr(nm: NodeMapping, df: DataFrame):
                       *[F.col(c) for c in df.columns])
 
 
+def graph_from_jdbc(spark: SparkSession, ddl: str | GraphDdl, url: str,
+                    properties: dict | None = None) -> PropertyGraph:
+    """Graph DDL over JDBC tables (reference: SqlPropertyGraphDataSource):
+    every view name referenced by the DDL loads via ``spark.read.jdbc``.
+    Thin adapter over :func:`graph_from_ddl` — semantics identical to the
+    in-memory-views path, which is what the tests cover."""
+    parsed = parse_ddl(ddl) if isinstance(ddl, str) else ddl
+    names = {nm.view for nm in parsed.nodes} | {em.view for em in parsed.edges}
+    for em in parsed.edges:
+        names |= {em.start.view, em.end.view}
+    views = {n: spark.read.jdbc(url, n, properties=properties or {})
+             for n in names}
+    return graph_from_ddl(spark, parsed, views)
+
+
 def graph_from_ddl(spark: SparkSession, ddl: str | GraphDdl,
                    views: dict | None = None) -> PropertyGraph:
     """Materialise the DDL's graph over DataFrame views.
