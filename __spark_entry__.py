@@ -287,6 +287,16 @@ def _q_similarity_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(emb.where(F.col("vec_id") != 0), qvec, k=10)
 
 
+def _q_similarity_topk_ivf(spark, sf_dir):
+    """IVF with a FULL probe equals the exact brute-force top-k, so the
+    brute-force SQL oracle verifies the whole IVF path."""
+    from cypher_for_apache_flink_spark.functions.similarity import ann_topk_ivf
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_topk_ivf(emb.where(F.col("vec_id") != 0), qvec, k=10,
+                        n_lists=8, n_probe=8)
+
+
 def _q_cosine_near_dup(spark, sf_dir):
     from cypher_for_apache_flink_spark.functions.similarity import (
         cosine_near_dup_pairs,
@@ -396,6 +406,7 @@ _PIPELINE_QUERIES = {
     "simhash_pairs": _q_simhash,
     "similarity_topk": _q_similarity_topk,
     "similarity_topk_lsh": _q_similarity_topk_lsh,
+    "similarity_topk_ivf": _q_similarity_topk_ivf,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
     "rolling_fingerprints": _q_rolling_fingerprints,
@@ -771,6 +782,14 @@ FROM embeddings e, q WHERE e.vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 10""",
         # similarity_topk_lsh: approximate (bucket-pruned) — no SQL twin;
         # rows-only check.
+        # similarity_topk_ivf with n_probe == n_lists is exact: same oracle
+        # as the brute-force query.
+        "similarity_topk_ivf": rf"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round({_SQL_COSINE.format(a='e.embedding', b='q.qe')}, 6) AS cosine
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10""",
         "cosine_near_dup_pairs": rf"""
 SELECT x.vec_id AS a, y.vec_id AS b,
        round({_SQL_COSINE.format(a='x.embedding', b='y.embedding')}, 6) AS cosine

@@ -103,6 +103,63 @@ def ann_topk_lsh(df: DataFrame, query_vec, k: int = 10, planes: int = 8,
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_index(df: DataFrame, n_lists: int = 16, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF (inverted-file) index: deterministic pseudo-centroids (hash-seeded
+    sample of the data, one driver-side collect of n_lists rows), every
+    vector assigned to its nearest centroid.
+
+    Returns (assigned_df with ``__ivf_list`` column, centroids list).  At
+    warehouse scale the assigned table is written partitioned by
+    ``__ivf_list`` so probes prune to n_probe partitions.
+    """
+    import numpy as np
+    # deterministic sample: smallest xxhash64(id, seed) rows seed the lists
+    seeded = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"))
+    rows = seeded.orderBy("__h").limit(n_lists).collect()
+    centroids = [np.asarray(r[vec_col], dtype="float64") for r in rows]
+    centroids = [c / (np.linalg.norm(c) or 1.0) for c in centroids]
+
+    # nearest centroid by dot product (vectors scored against plan-literal
+    # centroids; greatest() picks the argmax without any shuffle)
+    scores = [
+        _dot(F.col(vec_col),
+             F.array(*[F.lit(float(v)) for v in c])) / _norm(F.col(vec_col))
+        for c in centroids
+    ]
+    best = scores[0]
+    best_idx = F.lit(0)
+    for i in range(1, len(scores)):
+        cond = scores[i] > best
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best = F.when(cond, scores[i]).otherwise(best)
+    assigned = df.withColumn("__ivf_list", best_idx)
+    return assigned, centroids
+
+
+def ann_topk_ivf(df: DataFrame, query_vec, k: int = 10, n_lists: int = 16,
+                 n_probe: int = 4, seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF: score the query against the centroids on
+    the driver, scan only the ``n_probe`` nearest lists, exact re-rank
+    inside.  Recall grows with n_probe; n_probe = n_lists is exact."""
+    import numpy as np
+    assigned, centroids = ivf_index(df, n_lists, seed, id_col, vec_col)
+    q = np.asarray(query_vec, dtype="float64")
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = sorted(range(len(centroids)),
+                   key=lambda i: -float(qn @ centroids[i]))
+    probe = order[:n_probe]
+    cand = assigned.where(F.col("__ivf_list").isin(probe))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    out = cand.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), qcol), 6).alias("cosine"))
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           block_col: str | None = None,
                           planes: int = 8, seed: int = 42,

@@ -1,0 +1,73 @@
+"""Similarity-search operators: brute force as ground truth, LSH and IVF
+approximate variants measured for recall against it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_flink_spark.functions.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_lsh,
+    cosine_near_dup_pairs,
+    ivf_index,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .repartition(8)
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+
+
+def test_bruteforce_exact_and_deterministic(emb, query):
+    a = ann_topk_bruteforce(emb.where("vec_id <> 0"), query, k=10).collect()
+    b = ann_topk_bruteforce(emb.where("vec_id <> 0"), query, k=10).collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+    assert len(a) == 10
+    # descending cosine
+    cosines = [r["cosine"] for r in a]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_assignment_covers_all(emb):
+    assigned, centroids = ivf_index(emb, n_lists=8)
+    assert len(centroids) == 8
+    assert assigned.where(F.col("__ivf_list").isNull()).count() == 0
+    n_lists_used = assigned.select("__ivf_list").distinct().count()
+    assert n_lists_used > 1    # not everything in one list
+
+
+def test_ivf_full_probe_is_exact(emb, query):
+    rest = emb.where("vec_id <> 0")
+    exact = {r["vec_id"] for r in
+             ann_topk_bruteforce(rest, query, k=10).collect()}
+    full = {r["vec_id"] for r in
+            ann_topk_ivf(rest, query, k=10, n_lists=8, n_probe=8).collect()}
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(emb, query):
+    rest = emb.where("vec_id <> 0")
+    exact = {r["vec_id"] for r in
+             ann_topk_bruteforce(rest, query, k=10).collect()}
+    part = {r["vec_id"] for r in
+            ann_topk_ivf(rest, query, k=10, n_lists=8, n_probe=4).collect()}
+    # half the lists probed: at least some of the true top-k must surface
+    assert len(part & exact) >= 3
+
+
+def test_lsh_returns_k(emb, query):
+    got = ann_topk_lsh(emb.where("vec_id <> 0"), query, k=10).collect()
+    assert len(got) == 10
+
+
+def test_near_dup_blocked_on_label(emb):
+    pairs = cosine_near_dup_pairs(emb, threshold=0.3, block_col="label")
+    rows = pairs.collect()
+    assert all(r["cosine"] >= 0.3 for r in rows)
+    assert all(r["a"] < r["b"] for r in rows)
