@@ -305,6 +305,13 @@ def _q_cosine_near_dup(spark, sf_dir):
                                  block_col="label")
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """Full curation pipeline: quality filter -> exact dedup -> near-dup
+    removal; the oracle recomputes every stage in SQL."""
+    from cypher_for_apache_flink_spark.functions.pipeline import curate_corpus
+    return curate_corpus(_docs(spark, sf_dir)).select("doc_id")
+
+
 def _q_rolling_fingerprints(spark, sf_dir):
     """Winnowing sketch: 4 smallest rolling md5 fingerprints per doc,
     exploded to rows so the oracle compares scalar values."""
@@ -409,6 +416,7 @@ _PIPELINE_QUERIES = {
     "similarity_topk_ivf": _q_similarity_topk_ivf,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
+    "curate_corpus": _q_curate_corpus,
     "rolling_fingerprints": _q_rolling_fingerprints,
     "driving_table": _q_driving_table,
     "construct_requery": _q_construct_requery,
@@ -696,6 +704,60 @@ SELECT doc_id, n_tokens, n_bpe_tokens, n_chars, avg_word_len, punct_ratio,
 FROM m""",
 
         # --- LLM-pipeline: dedup --------------------------------------
+        "curate_corpus": rf"""
+WITH t0 AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents
+), scored AS (
+  SELECT doc_id, text, tk,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+    round(CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+               AS DOUBLE) / greatest(len(tk), 1), 6) AS awl
+  FROM t0
+), q AS (
+  SELECT doc_id, text, tk FROM scored
+  WHERE round((least(n_tokens / 32.0, 1.0)
+         + (1.0 - least(punct_ratio * 4, 1.0))
+         + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.5 END))
+        / 3.0, 6) >= 0.4
+), keep1 AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {_SQL_FP} AS fp FROM q) GROUP BY fp
+), sh AS (
+  SELECT q.doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(q.tk) - 2, 0)),
+      i -> array_to_string(list_slice(q.tk, i, i + 2), ' '))) AS shl
+  FROM q JOIN keep1 USING (doc_id)
+), sig AS (
+  SELECT doc_id, [
+    list_min(list_transform(shl, s -> md5(concat('0|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('1|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('2|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('3|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('4|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('5|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('6|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('7|', s))))
+  ] AS sg FROM sh
+), bandkeys AS (
+  SELECT doc_id, b, md5(concat(sg[2*b+1], '|', sg[2*b+2])) AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) bands(b)
+  WHERE sg[1] IS NOT NULL
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+), losers AS (
+  SELECT DISTINCT c.b AS doc_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.shl, sb.shl))
+        / CAST(len(sa.shl) + len(sb.shl)
+               - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) >= 0.3
+)
+SELECT k.doc_id FROM keep1 k
+LEFT JOIN losers l ON l.doc_id = k.doc_id WHERE l.doc_id IS NULL""",
         "rolling_fingerprints": rf"""
 WITH t AS (
   SELECT doc_id, {_SQL_TOKS} AS tk FROM documents WHERE doc_id < 100
