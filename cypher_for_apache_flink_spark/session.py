@@ -55,6 +55,12 @@ class CypherResult:
         return Counter(tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
                        for r in self.collect())
 
+    def cache(self) -> "CypherResult":
+        """Persist the underlying table (reference: Cache operator /
+        CacheTests) — reuse across several terminal actions."""
+        self.records = self.records.cache()
+        return self
+
     def show(self, n: int = 20):
         self.df.show(n)
 

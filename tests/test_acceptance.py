@@ -251,3 +251,32 @@ def test_predicate_label_disjunction_via_union(g):
 def test_exists_property_predicate(g):
     res = g.cypher("MATCH (n:Person) WHERE exists(n.age) RETURN count(*) AS c")
     assert bag(res) == rows((4,))
+
+
+# --- parameters (auto-parameterized literals in the reference) --------------
+
+def test_parameter_in_predicate(g):
+    res = g.cypher("MATCH (n:Person) WHERE n.age > $min "
+                   "RETURN n.name AS name ORDER BY name",
+                   params={"min": 15})
+    assert [r["name"] for r in res.collect()] == ["b", "c", "f"]
+
+
+def test_parameter_in_projection_and_limit(g):
+    res = g.cypher("MATCH (n:Person) RETURN n.age + $bump AS a "
+                   "ORDER BY a LIMIT $k", params={"bump": 100, "k": 2})
+    assert [r["a"] for r in res.collect()] == [110, 120]
+
+
+def test_parameter_list_unwind(g):
+    res = g.cypher("UNWIND $xs AS x RETURN x * 2 AS d ORDER BY d",
+                   params={"xs": [3, 1, 2]})
+    assert [r["d"] for r in res.collect()] == [2, 4, 6]
+
+
+# --- result caching (CacheTests analogue) -----------------------------------
+
+def test_result_cache_reuse(g):
+    res = g.cypher("MATCH (n:Person) RETURN n.name AS name").cache()
+    assert res.df.count() == 4
+    assert len(res.collect()) == 4
