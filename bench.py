@@ -30,7 +30,11 @@ HEADLINE = [
     "dedup_exact_keep",
     "minhash_lsh_pairs",
     "similarity_topk",
+    "similarity_topk_ivf",
     "cosine_near_dup_pairs",
+    "curate_corpus",
+    "construct_requery",
+    "ddl_graph",
 ]
 
 
