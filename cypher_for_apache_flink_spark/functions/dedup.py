@@ -113,9 +113,12 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
     # Shingle once, then derive the signature from the stored array — the
     # projection boundary survives (CollapseProject refuses to duplicate a
     # non-cheap expression referenced num_hashes times), so the tokenize +
-    # shingle work happens once per row instead of once per seed.
+    # shingle work happens once per row instead of once per seed.  The
+    # (doc, shingles) table is reused by the signature pass AND the two
+    # candidate re-attach joins — cache it rather than re-shingling the
+    # corpus three times.
     shingled = df.select(F.col(id_col).alias("doc"),
-                         word_shingles(F.col(text_col), n).alias("sh0"))
+                         word_shingles(F.col(text_col), n).alias("sh0")).cache()
     sig = shingled.select("doc",
                           minhash_from_shingles(F.col("sh0"), num_hashes).alias("sig"))
     # Band entries carry ONLY (doc, band, key): at 100 TB the band-bucket
@@ -136,13 +139,11 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
     cand = (left.join(right, ["band", "key"])
             .where(F.col("a") < F.col("b"))
             .select("a", "b").dropDuplicates(["a", "b"]))
-    shingles = df.select(F.col(id_col).alias("doc"),
-                         word_shingles(F.col(text_col), n).alias("sh"))
     cand = (cand
-            .join(shingles.select(F.col("doc").alias("a"),
-                                  F.col("sh").alias("sha")), "a")
-            .join(shingles.select(F.col("doc").alias("b"),
-                                  F.col("sh").alias("shb")), "b"))
+            .join(shingled.select(F.col("doc").alias("a"),
+                                  F.col("sh0").alias("sha")), "a")
+            .join(shingled.select(F.col("doc").alias("b"),
+                                  F.col("sh0").alias("shb")), "b"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.col("sha")) + F.size(F.col("shb")) - inter
     return (cand.withColumn("jaccard", F.round(inter / union, 6))
