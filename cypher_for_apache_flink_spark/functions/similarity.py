@@ -122,11 +122,12 @@ def ivf_index(df: DataFrame, n_lists: int = 16, seed: int = 42,
     centroids = [np.asarray(r[vec_col], dtype="float64") for r in rows]
     centroids = [c / (np.linalg.norm(c) or 1.0) for c in centroids]
 
-    # nearest centroid by dot product (vectors scored against plan-literal
-    # centroids; greatest() picks the argmax without any shuffle)
+    # nearest centroid by dot product against unit centroids (plan-literal
+    # arrays; chained comparisons pick the argmax without any shuffle).
+    # The row's own norm is a positive constant across centroids, so it
+    # cannot change the argmax — skip it.
     scores = [
-        _dot(F.col(vec_col),
-             F.array(*[F.lit(float(v)) for v in c])) / _norm(F.col(vec_col))
+        _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c]))
         for c in centroids
     ]
     best = scores[0]
