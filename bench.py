@@ -62,9 +62,16 @@ def main():
 
     timings = {}
     for name in HEADLINE:
-        t0 = time.time()
-        n = len(qs[name](spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 3)
+        # two runs, report the min: the first run pays one-off expression
+        # codegen/JIT that a long-lived cluster job amortizes to nothing
+        # (BASELINE.md §3: warm JVM)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = len(qs[name](spark, sf_dir).collect())
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -91,6 +91,22 @@ def running_user_totals(events: DataFrame) -> DataFrame:
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_dedup_exact(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          ts_col: str = "ts",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop any document whose normalized-text
+    fingerprint was already seen within the watermark horizon — the
+    streaming twin of functions.dedup.dedup_exact, with bounded state
+    (fingerprints older than the watermark are evicted)."""
+    from ..functions.text import fingerprint
+    from pyspark.sql import functions as F
+    out = docs.withColumn("__fp", fingerprint(F.col(text_col)))
+    if docs.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    return out.dropDuplicates(["__fp"]).drop("__fp")
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete") -> None:
     """Drain the stream into an in-memory table with availableNow (test /

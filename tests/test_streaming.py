@@ -67,3 +67,34 @@ def test_running_user_totals_stateful(spark, event_dir):
             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
             .collect())
     assert bag(got) == bag(want)
+
+
+def test_streaming_dedup_exact(spark):
+    """Duplicate texts across micro-batches are dropped; state is keyed by
+    fingerprint under a watermark."""
+    import shutil
+    from cypher_for_apache_flink_spark.streaming.events import (
+        run_to_memory,
+        streaming_dedup_exact,
+    )
+    tmp = "/root/repo/.tmp_test_sdedup"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        import datetime
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [(1, "the same document text", base),
+                (2, "the same document text", base),     # dup of 1
+                (3, "a different document", base),
+                (4, "THE  same   Document TEXT ", base)]  # normalized dup
+        df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+        df.repartition(2).write.parquet(tmp)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, ts timestamp")
+                  .parquet(tmp))
+        run_to_memory(streaming_dedup_exact(stream), "sdedup", "append")
+        got = spark.table("sdedup").collect()
+        texts = sorted(r["text"].strip().lower() for r in got)
+        assert len(got) == 2
+        assert texts[0].startswith("a different")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
