@@ -119,9 +119,14 @@ class Planner:
         records = initial
         outputs = None
         pending_construct = None
+        # Whole-query variable usage: a node var never referenced by any
+        # expression, label, property map, or CONSTRUCT in the query needs
+        # only its id — its scan join can be elided even though it is named.
+        query_refs = _query_var_refs(q)
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):
-                records = self.plan_match(records, clause)
+                records = self.plan_match(records, clause,
+                                          query_refs=query_refs)
             elif isinstance(clause, A.UnwindClause):
                 records = self.plan_unwind(records, clause)
             elif isinstance(clause, A.FromGraphClause):
@@ -155,7 +160,8 @@ class Planner:
     # MATCH
     # ------------------------------------------------------------------
     def plan_match(self, records, clause: A.MatchClause,
-                   id_only: frozenset = frozenset()) -> Records:
+                   id_only: frozenset = frozenset(),
+                   query_refs=None) -> Records:
         if clause.optional:
             if records is None:
                 # OPTIONAL MATCH as first clause: left-join the pattern onto
@@ -228,7 +234,8 @@ class Planner:
             _collect_refs(c)
         elidable = {n for n, lbls in node_labels.items()
                     if not lbls and n not in bound and n not in referenced
-                    and (n.startswith("_a") or n in id_only)}
+                    and (n.startswith("_a") or n in id_only
+                         or (query_refs is not None and n not in query_refs))}
 
         # ---- connected components (union-find over node vars) --------
         parent = {n: n for n in node_labels}
@@ -1012,6 +1019,61 @@ class Planner:
 
 
 # ---------------------------------------------------------------------------
+
+def _expr_var_names(e, out: set):
+    """Collect every Var name mentioned in an expression (including the
+    pattern variables inside pattern predicates)."""
+    if isinstance(e, E.Var):
+        out.add(e.name)
+    if isinstance(e, E.PatternPredicate):
+        for el in e.pattern.elements:
+            if el.var:
+                out.add(el.var)
+            for _, v in el.props:
+                _expr_var_names(v, out)
+    if isinstance(e, E.Expr):
+        for ch in e.children():
+            _expr_var_names(ch, out)
+
+
+def _query_var_refs(q: A.SingleQuery):
+    """Names whose value (beyond the bare id) the query could observe.
+    Returns None for 'everything' (RETURN * / WITH *)."""
+    refs: set = set()
+    for clause in q.clauses:
+        if isinstance(clause, (A.WithClause, A.ReturnClause)):
+            if clause.star:
+                return None
+            for it in clause.items:
+                _expr_var_names(it.expr, refs)
+            for s in getattr(clause, "order_by", ()):
+                _expr_var_names(s.expr, refs)
+            w = getattr(clause, "where", None)
+            if w is not None:
+                _expr_var_names(w, refs)
+        elif isinstance(clause, A.UnwindClause):
+            _expr_var_names(clause.expr, refs)
+        elif isinstance(clause, A.MatchClause):
+            if clause.where is not None:
+                _expr_var_names(clause.where, refs)
+            for part in clause.patterns:
+                for el in part.elements:
+                    # labels (possibly added in a LATER clause) need the
+                    # var's label-flag columns; property maps constrain it
+                    if el.var and (getattr(el, "labels", ()) or el.props):
+                        refs.add(el.var)
+                    for _, v in el.props:
+                        _expr_var_names(v, refs)
+        elif isinstance(clause, A.ConstructClause):
+            refs.update(clause.clones)
+            for part in clause.news:
+                for el in part.elements:
+                    if el.var:
+                        refs.add(el.var)
+                    for _, v in el.props:
+                        _expr_var_names(v, refs)
+    return refs
+
 
 def _const(expr, params):
     if isinstance(expr, E.Lit):
