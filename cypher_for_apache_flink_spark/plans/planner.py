@@ -701,14 +701,17 @@ class Planner:
 
     # -- OPTIONAL MATCH (planOptional — RelationalPlanner.scala:298-330)
     def plan_optional(self, records: Records, clause: A.MatchClause) -> Records:
-        inner = Planner(self.session, self.graph, self.params)
-        inner._anon = self._anon + 100
+        inner = self._subplanner()
         # Shared vars are joined by id and their rhs copies dropped — the
         # rhs may bind them straight to rel endpoint columns (scan elision).
         rhs = inner.plan_match(None, dataclasses.replace(clause, optional=False),
                                id_only=self._shared_pattern_vars(records, clause))
+        self._anon = inner._anon
+        # Anonymous vars are clause-local: a name collision between two
+        # subplans' fresh vars must never become a join key.
         shared = [v.name for v in records.header.vars()
-                  if rhs.header.var(v.name) is not None]
+                  if rhs.header.var(v.name) is not None
+                  and not v.name.startswith("_a")]
         # No shared variables → cartesian left join (all combinations, or one
         # null-padded row when the rhs is empty).
         pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
@@ -736,22 +739,32 @@ class Planner:
             records = records.with_df(records.df.where(cond))
         return records
 
+    def _subplanner(self) -> "Planner":
+        """Child planner whose fresh-name counter continues from (and is
+        adopted back into) this one — anonymous names stay globally unique
+        across sibling subplans."""
+        inner = Planner(self.session, self.graph, self.params)
+        inner._anon = self._anon + 100
+        return inner
+
     @staticmethod
     def _shared_pattern_vars(records: Records, clause: A.MatchClause) -> frozenset:
         """Pattern vars already bound in ``records`` — an id-only rhs role."""
         pat = {el.var for part in clause.patterns
                for el in part.elements if el.var}
-        return frozenset(v.name for v in records.header.vars() if v.name in pat)
+        return frozenset(v.name for v in records.header.vars()
+                         if v.name in pat and not v.name.startswith("_a"))
 
     def _pattern_join(self, records: Records, pp: E.PatternPredicate,
                       how: str) -> Records:
-        inner = Planner(self.session, self.graph, self.params)
-        inner._anon = self._anon + 200
+        inner = self._subplanner()
         clause = A.MatchClause((pp.pattern,), None, False)
         rhs = inner.plan_match(None, clause,
                                id_only=self._shared_pattern_vars(records, clause))
+        self._anon = inner._anon
         shared = [v.name for v in records.header.vars()
-                  if rhs.header.var(v.name) is not None]
+                  if rhs.header.var(v.name) is not None
+                  and not v.name.startswith("_a")]
         # No shared variables → the predicate holds iff the pattern matches
         # anywhere; semi/anti join on a constant-true condition handles it.
         pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
@@ -771,14 +784,15 @@ class Planner:
         collect(expr)
 
         for pos_pp in patterns:
-            inner = Planner(self.session, self.graph, self.params)
-            inner._anon = self._anon + 300
+            inner = self._subplanner()
             pclause = A.MatchClause((pos_pp.pattern,), None, False)
             rhs = inner.plan_match(
                 None, pclause,
                 id_only=self._shared_pattern_vars(records, pclause))
+            self._anon = inner._anon
             shared = [v.name for v in records.header.vars()
-                      if rhs.header.var(v.name) is not None]
+                      if rhs.header.var(v.name) is not None
+                      and not v.name.startswith("_a")]
             pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
             marker = f"__pp_{self.fresh_name()}"
             rhs_cols = [rhs.header.col(r) for _, r in pairs]

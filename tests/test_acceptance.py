@@ -280,3 +280,51 @@ def test_result_cache_reuse(g):
     res = g.cypher("MATCH (n:Person) RETURN n.name AS name").cache()
     assert res.df.count() == 4
     assert len(res.collect()) == 4
+
+
+# --- OptionalMatchTests ------------------------------------------------------
+
+def test_optional_match_basic_null_row(g):
+    res = g.cypher("MATCH (f:Person) WHERE f.name = 'f' "
+                   "OPTIONAL MATCH (f)-[:KNOWS]->(x) "
+                   "RETURN f.name AS f, x.name AS x")
+    assert bag(res) == rows(("f", None))
+
+
+def test_chained_optional_matches(g):
+    res = g.cypher(
+        "MATCH (a:Person) WHERE a.name IN ['a', 'f'] "
+        "OPTIONAL MATCH (a)-[:KNOWS]->(b) "
+        "OPTIONAL MATCH (b)-[:KNOWS]->(c) "
+        "RETURN a.name AS a, b.name AS b, c.name AS c")
+    assert bag(res) == rows(("a", "b", "c"), ("f", None, None))
+
+
+def test_optional_match_with_predicate(g):
+    res = g.cypher(
+        "MATCH (a:Person) WHERE a.name = 'a' "
+        "OPTIONAL MATCH (a)-[k:KNOWS]->(b) WHERE k.k > 5 "
+        "RETURN a.name AS a, b.name AS b")
+    # the only KNOWS edge from a has k=1 -> predicate fails -> null row
+    assert bag(res) == rows(("a", None))
+
+
+def test_aggregation_after_optional(g):
+    res = g.cypher(
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[:KNOWS]->(q) "
+        "RETURN p.name AS p, count(q) AS n")
+    assert bag(res) == rows(("a", 1), ("b", 1), ("c", 1), ("f", 0))
+
+
+# --- WITH * / RETURN * -------------------------------------------------------
+
+def test_with_star_keeps_all_vars(g):
+    res = g.cypher("MATCH (a:Person)-[k:KNOWS]->(b) WITH * "
+                   "WHERE k.k >= 2 RETURN a.name AS a, b.name AS b")
+    assert bag(res) == rows(("b", "c"), ("c", "a"))
+
+
+def test_return_star(g):
+    res = g.cypher("MATCH (a:Person) WHERE a.name = 'a' RETURN *")
+    out = res.collect()
+    assert len(out) == 1 and "a" in res.df.columns
