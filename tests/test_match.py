@@ -1,0 +1,221 @@
+"""Port of the reference MatchTests acceptance suite.
+
+(morpheus-testing/.../impl/acceptance/MatchTests.scala: empty-graph matches,
+multiple MATCH clauses, cyphermorphism scoping, disconnected components,
+undirected patterns, relationship-type disjunctions.)  Bag (multiset)
+comparison like the reference's ``Bag`` matcher — several scenarios expect
+duplicate rows.
+"""
+from collections import Counter
+
+import pytest
+
+from cypher_for_apache_flink_spark import PropertyGraph
+
+
+def bag(result):
+    return Counter(tuple(r) for r in result.collect())
+
+
+def rows(*tups):
+    return Counter(tups)
+
+
+@pytest.fixture(scope="module")
+def alice_bob(spark):
+    """Alice<->Bob mutual KNOWS (MatchTests.scala:142-151)."""
+    return PropertyGraph(
+        {frozenset({"Person"}): spark.createDataFrame(
+            [(1, "Alice"), (2, "Bob")], "id long, name string")},
+        {"KNOWS": spark.createDataFrame(
+            [(101, 1, 2), (102, 2, 1)], "id long, source long, target long")})
+
+
+@pytest.fixture(scope="module")
+def narcissists(spark):
+    """Two self-loving nodes (MatchTests.scala:181-189)."""
+    return PropertyGraph(
+        {frozenset({"Narcissist"}): spark.createDataFrame(
+            [(1, "Alice"), (2, "Bob")], "id long, name string")},
+        {"LOVES": spark.createDataFrame(
+            [(101, 1, 1), (102, 2, 2)], "id long, source long, target long")})
+
+
+@pytest.fixture(scope="module")
+def sprawl(spark):
+    """Philip/Stefan/City sprawl graph (MatchTests.scala:433-441)."""
+    return PropertyGraph(
+        {frozenset({"Person"}): spark.createDataFrame(
+            [(1, "Philip"), (2, "Stefan")], "id long, name string"),
+         frozenset({"City"}): spark.createDataFrame(
+            [(3, "The Pan-European Sprawl")], "id long, name string")},
+        {"KNOWS": spark.createDataFrame(
+            [(101, 1, 2)], "id long, source long, target long"),
+         "LIVES_IN": spark.createDataFrame(
+            [(102, 1, 3), (103, 2, 3)], "id long, source long, target long")})
+
+
+# --- match single node -------------------------------------------------------
+
+def test_unknown_label_is_empty(alice_bob):
+    res = alice_bob.cypher("MATCH (n:Animal) RETURN n.name AS name")
+    assert bag(res) == rows()
+
+
+def test_matches_a_label(alice_bob):
+    res = alice_bob.cypher("MATCH (n:Person) RETURN n.name AS name")
+    assert bag(res) == rows(("Alice",), ("Bob",))
+
+
+# --- multiple match clauses --------------------------------------------------
+
+def test_multiple_match_clauses(alice_bob):
+    res = alice_bob.cypher(
+        "MATCH (p1:Person) MATCH (p1:Person)-[e1:KNOWS]->(p2:Person) "
+        "RETURN p1.name AS a, p2.name AS b")
+    assert bag(res) == rows(("Alice", "Bob"), ("Bob", "Alice"))
+
+
+def test_cyphermorphism_is_per_clause(alice_bob):
+    # rel-uniqueness holds within one MATCH, not across clauses: e3 may
+    # equal e1/e2 (MatchTests.scala:142-176)
+    res = alice_bob.cypher(
+        "MATCH (p1:Person)-[e1:KNOWS]->(p2:Person)-[e2:KNOWS]->(p3:Person) "
+        "MATCH (p3)-[e3:KNOWS]->(p4:Person) "
+        "RETURN p1.name AS a, p2.name AS b, p3.name AS c, p4.name AS d")
+    assert bag(res) == rows(("Alice", "Bob", "Alice", "Bob"),
+                            ("Bob", "Alice", "Bob", "Alice"))
+
+
+# --- disconnected match clauses ----------------------------------------------
+
+def test_disconnected_components(narcissists):
+    res = narcissists.cypher(
+        "MATCH (a:Narcissist), (b:Narcissist) RETURN a.name AS one, b.name AS two")
+    assert bag(res) == rows(("Alice", "Alice"), ("Alice", "Bob"),
+                            ("Bob", "Alice"), ("Bob", "Bob"))
+
+
+def test_joined_components_value_join(narcissists):
+    res = narcissists.cypher(
+        "MATCH (a:Narcissist), (b:Narcissist) WHERE a.name = b.name "
+        "RETURN a.name AS one, b.name AS two")
+    assert bag(res) == rows(("Alice", "Alice"), ("Bob", "Bob"))
+
+
+def test_cross_product_between_match_clauses(spark):
+    g = PropertyGraph(
+        {frozenset({"A"}): spark.createDataFrame([(1, 0)], "id long, val long"),
+         frozenset({"B"}): spark.createDataFrame([(2, 1)], "id long, val long"),
+         frozenset({"C"}): spark.createDataFrame([(3, 2)], "id long, val long")},
+        {"REL": spark.createDataFrame([(101, 2, 3)],
+                                      "id long, source long, target long")})
+    res = g.cypher("MATCH (a:A) MATCH (b:B)-->(c:C) "
+                   "RETURN a.val AS av, c.val AS cv")
+    assert bag(res) == rows((0, 2))
+
+
+def test_self_loop_expand_into(narcissists):
+    res = narcissists.cypher(
+        "MATCH (a:Narcissist)-[:LOVES]->(a) RETURN a.name AS n")
+    assert bag(res) == rows(("Alice",), ("Bob",))
+
+
+# --- undirected patterns -----------------------------------------------------
+
+def test_undirected_relationship(spark):
+    g = PropertyGraph(
+        {frozenset({"A"}): spark.createDataFrame([(1, "isA")], "id long, prop string"),
+         frozenset({"B"}): spark.createDataFrame(
+            [(2, "fromA"), (3, "toA")], "id long, prop string")},
+        {"T": spark.createDataFrame([(101, 1, 2), (102, 3, 1)],
+                                    "id long, source long, target long")})
+    res = g.cypher("MATCH (a:A)--(other) RETURN a.prop AS a, other.prop AS o")
+    assert bag(res) == rows(("isA", "fromA"), ("isA", "toA"))
+
+
+def test_undirected_two_hops(spark):
+    # a->b, b->c, c->a, c->d (MatchTests.scala:273-295)
+    g = PropertyGraph(
+        {frozenset({lbl}): spark.createDataFrame([(i, p)], "id long, prop string")
+         for i, (lbl, p) in enumerate([("A", "a"), ("B", "b"), ("C", "c"), ("D", "d")], 1)},
+        {"T": spark.createDataFrame(
+            [(101, 1, 2), (102, 2, 3), (103, 3, 1), (104, 3, 4)],
+            "id long, source long, target long")})
+    res = g.cypher("MATCH (a:A)--()--(other) RETURN a.prop AS a, other.prop AS o")
+    assert bag(res) == rows(("a", "c"), ("a", "b"), ("a", "d"))
+
+
+def test_undirected_with_prebound_nodes(spark):
+    # parallel opposite edges: both match the undirected pattern
+    g = PropertyGraph(
+        {frozenset({"A"}): spark.createDataFrame([(1, "a")], "id long, prop string"),
+         frozenset({"B"}): spark.createDataFrame([(2, "b")], "id long, prop string")},
+        {"T": spark.createDataFrame([(101, 2, 1), (102, 1, 2)],
+                                    "id long, source long, target long")})
+    res = g.cypher("MATCH (a:A) MATCH (b:B) MATCH (a)--(b) "
+                   "RETURN a.prop AS a, b.prop AS b")
+    assert bag(res) == rows(("a", "b"), ("a", "b"))
+
+
+def test_mixed_directed_undirected(spark):
+    # two self-loops on a, b->a, a->c (MatchTests.scala:320-342)
+    g = PropertyGraph(
+        {frozenset({"A"}): spark.createDataFrame([(1, "a")], "id long, prop string"),
+         frozenset({"B"}): spark.createDataFrame([(2, "b")], "id long, prop string"),
+         frozenset({"C"}): spark.createDataFrame([(3, "c")], "id long, prop string")},
+        {"T": spark.createDataFrame(
+            [(101, 1, 1), (102, 1, 1), (103, 2, 1), (104, 1, 3)],
+            "id long, source long, target long")})
+    res = g.cypher("MATCH (a:A)--(a)<--(other) RETURN a.prop AS a, other.prop AS o")
+    assert bag(res) == rows(("a", "a"), ("a", "a"), ("a", "b"), ("a", "b"))
+
+
+def test_undirected_cyclic(spark):
+    g = PropertyGraph(
+        {frozenset({"A"}): spark.createDataFrame([(1, "a")], "id long, prop string")},
+        {"T": spark.createDataFrame([(101, 1, 1)],
+                                    "id long, source long, target long")})
+    res = g.cypher("MATCH (a:A)--(a) RETURN a.prop AS p")
+    assert bag(res) == rows(("a",))
+
+
+def test_undirected_var_length(spark):
+    # a->b, c->b: 2 undirected hops a..c (MatchTests.scala:360-377)
+    g = PropertyGraph(
+        {frozenset({"A"}): spark.createDataFrame([(1, "a")], "id long, prop string"),
+         frozenset({"B"}): spark.createDataFrame([(2, "b")], "id long, prop string"),
+         frozenset({"C"}): spark.createDataFrame([(3, "c")], "id long, prop string")},
+        {"T": spark.createDataFrame([(101, 1, 2), (102, 3, 2)],
+                                    "id long, source long, target long")})
+    res = g.cypher("MATCH (a:A)-[*2..2]-(other) RETURN a.prop AS a, other.prop AS o")
+    assert bag(res) == rows(("a", "c"))
+
+
+# --- complex / disjunctions --------------------------------------------------
+
+def test_expand_into_with_var_length(sprawl):
+    res = sprawl.cypher(
+        "MATCH (a:Person)-[:LIVES_IN]->(c:City)<-[:LIVES_IN]-(b:Person), "
+        "(a)-[:KNOWS*1..2]->(b) RETURN a.name AS a, b.name AS b, c.name AS c")
+    assert bag(res) == rows(("Philip", "Stefan", "The Pan-European Sprawl"))
+
+
+def test_disjunction_of_two_types(sprawl):
+    res = sprawl.cypher("MATCH ()-[r:LIVES_IN|KNOWS]->() RETURN type(r) AS t")
+    assert bag(res) == rows(("LIVES_IN",), ("LIVES_IN",), ("KNOWS",))
+
+
+def test_disjunction_four_types_var_length(spark):
+    g = PropertyGraph(
+        {frozenset({"N"}): spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, val string")},
+        {"A": spark.createDataFrame([(101, 1, 1)], "id long, source long, target long"),
+         "B": spark.createDataFrame([(102, 1, 2)], "id long, source long, target long"),
+         "C": spark.createDataFrame([(103, 2, 3)], "id long, source long, target long"),
+         "D": spark.createDataFrame([(104, 3, 4)], "id long, source long, target long")})
+    res = g.cypher("MATCH (f)-[:A|B|C|D*1..3]->(t) "
+                   "RETURN f.val AS f, t.val AS t")
+    assert bag(res) == rows(("a", "a"), ("a", "b"), ("a", "b"), ("a", "c"),
+                            ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+                            ("c", "d"))
