@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..ir import expr as E
 from ..operators.columns import ExprContext, compile_aggregator, to_column
@@ -849,6 +850,11 @@ class Planner:
             records = Records(self.session, Header({}), df)
         ctx = self.ctx(records)
         lst = to_column(resolve_vars(clause.expr, records.header), ctx)
+        # UNWIND null produces no rows (openCypher); Spark's explode rejects
+        # the untyped NULL literal, so give it a concrete array type first.
+        if isinstance(records.df.select(lst.alias("_u")).schema[0].dataType,
+                      T.NullType):
+            lst = lst.cast("array<string>")
         df = records.df.select("*", F.explode(lst).alias(col))
         return Records(self.session, records.header.added(var, col), df)
 

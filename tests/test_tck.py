@@ -1,0 +1,255 @@
+"""TCK-style data-driven scenario harness (SURVEY §5 layer 1).
+
+Mirrors the reference's openCypher TCK runner
+(morpheus-tck/.../TckSparkCypherTest.scala:39): each scenario is a
+(setup CREATE statement, query, expected bag of rows) triple; the graph is
+built from the CREATE string exactly as the TCK does, the query runs through
+the full parser → planner → DataFrame stack, and results compare with
+multiset semantics.  Scenarios below are re-derived from openCypher TCK
+feature themes (Match, Return, Where, Aggregation, Unwind, Null, List,
+Case) — hand-written expectations, not copied feature files.
+"""
+from collections import Counter
+
+import pytest
+
+from cypher_for_apache_flink_spark.sources.create import graph_from_create
+
+# (name, setup CREATE (None = empty graph), query, expected rows)
+ABC = ('CREATE (a:A {name: "a", num: 1}), (b:B {name: "b", num: 2}), '
+       '(c:C {name: "c", num: 3}), (a)-[:KNOWS {w: 1}]->(b), '
+       '(b)-[:KNOWS {w: 2}]->(c)')
+NUMS = "CREATE (:N {x: 1}), (:N {x: 2}), (:N {x: 3}), (:N {x: 4}), (:N)"
+
+SCENARIOS = [
+    # --- Match ---------------------------------------------------------------
+    ("match all nodes", ABC,
+     "MATCH (n) RETURN n.name AS name",
+     [("a",), ("b",), ("c",)]),
+    ("match by label", ABC,
+     "MATCH (n:B) RETURN n.name AS name",
+     [("b",)]),
+    ("match nothing on unknown label", ABC,
+     "MATCH (n:Zzz) RETURN n.name AS name",
+     []),
+    ("match with inline property map", ABC,
+     "MATCH (n {num: 2}) RETURN n.name AS name",
+     [("b",)]),
+    ("match rel with inline property map", ABC,
+     "MATCH ()-[r {w: 2}]->(m) RETURN m.name AS name",
+     [("c",)]),
+    ("match directed expand", ABC,
+     "MATCH (x)-[:KNOWS]->(y) RETURN x.name AS x, y.name AS y",
+     [("a", "b"), ("b", "c")]),
+    ("match reversed arrow", ABC,
+     "MATCH (x)<-[:KNOWS]-(y) RETURN x.name AS x, y.name AS y",
+     [("b", "a"), ("c", "b")]),
+    ("match two hop chain", ABC,
+     "MATCH (x)-[:KNOWS]->()-[:KNOWS]->(z) RETURN x.name AS x, z.name AS z",
+     [("a", "c")]),
+    ("match undirected counts both orientations", ABC,
+     "MATCH (b:B)--(o) RETURN o.name AS o",
+     [("a",), ("c",)]),
+    ("match var length 1..2", ABC,
+     "MATCH (a:A)-[:KNOWS*1..2]->(t) RETURN t.name AS t",
+     [("b",), ("c",)]),
+
+    # --- Where / 3-valued logic ----------------------------------------------
+    ("where comparison", NUMS,
+     "MATCH (n:N) WHERE n.x > 2 RETURN n.x AS x",
+     [(3,), (4,)]),
+    ("where null comparison filters row", NUMS,
+     "MATCH (n:N) WHERE n.x > 0 RETURN n.x AS x",
+     [(1,), (2,), (3,), (4,)]),
+    ("where is null", NUMS,
+     "MATCH (n:N) WHERE n.x IS NULL RETURN count(*) AS c",
+     [(1,)]),
+    ("where is not null", NUMS,
+     "MATCH (n:N) WHERE n.x IS NOT NULL RETURN count(*) AS c",
+     [(4,)]),
+    ("where in list", NUMS,
+     "MATCH (n:N) WHERE n.x IN [2, 4, 6] RETURN n.x AS x",
+     [(2,), (4,)]),
+    ("where in list with null member keeps matches", NUMS,
+     "MATCH (n:N) WHERE n.x IN [1, null] RETURN n.x AS x",
+     [(1,)]),
+    ("where not in", NUMS,
+     "MATCH (n:N) WHERE NOT n.x IN [1, 2] RETURN n.x AS x",
+     [(3,), (4,)]),
+    ("where and or precedence", NUMS,
+     "MATCH (n:N) WHERE n.x = 1 OR n.x = 2 AND n.x < 2 RETURN n.x AS x",
+     [(1,)]),
+    ("where xor", NUMS,
+     "MATCH (n:N) WHERE n.x > 1 XOR n.x < 3 RETURN n.x AS x",
+     [(1,), (3,), (4,)]),
+    ("where string predicates", ABC,
+     'MATCH (n) WHERE n.name STARTS WITH "a" OR n.name CONTAINS "c" '
+     "RETURN n.name AS name",
+     [("a",), ("c",)]),
+
+    # --- Optional match ------------------------------------------------------
+    ("optional match null padded", ABC,
+     "MATCH (c:C) OPTIONAL MATCH (c)-[:KNOWS]->(x) "
+     "RETURN c.name AS c, x.name AS x",
+     [("c", None)]),
+    ("optional match property of null is null", ABC,
+     "MATCH (n) OPTIONAL MATCH (n)-[:KNOWS]->(m) "
+     "RETURN n.name AS n, m.name AS m",
+     [("a", "b"), ("b", "c"), ("c", None)]),
+
+    # --- Return --------------------------------------------------------------
+    ("return literal without match", None,
+     "RETURN 1 + 2 AS x",
+     [(3,)]),
+    ("return string concat", None,
+     'RETURN "a" + "b" AS s',
+     [("ab",)]),
+    ("return distinct", NUMS,
+     "MATCH (a:N), (b:N) WHERE a.x = b.x RETURN DISTINCT a.x AS x",
+     [(1,), (2,), (3,), (4,)]),
+    ("order by desc limit", NUMS,
+     "MATCH (n:N) WHERE n.x IS NOT NULL RETURN n.x AS x ORDER BY n.x DESC LIMIT 2",
+     [(4,), (3,)]),
+    ("skip and limit", NUMS,
+     "MATCH (n:N) WHERE n.x IS NOT NULL RETURN n.x AS x ORDER BY n.x SKIP 1 LIMIT 2",
+     [(2,), (3,)]),
+    ("arithmetic in return", NUMS,
+     "MATCH (n:N) WHERE n.x = 3 RETURN n.x * 2 + 1 AS y, n.x % 2 AS m, n.x ^ 2 AS p",
+     [(7, 1, 9.0)]),
+
+    # --- Aggregation ---------------------------------------------------------
+    ("count star vs count property", NUMS,
+     "MATCH (n:N) RETURN count(*) AS all_rows, count(n.x) AS non_null",
+     [(5, 4)]),
+    ("sum min max avg", NUMS,
+     "MATCH (n:N) RETURN sum(n.x) AS s, min(n.x) AS lo, max(n.x) AS hi, "
+     "avg(n.x) AS a",
+     [(10, 1, 4, 2.5)]),
+    ("grouped count", ABC,
+     "MATCH (x)-[:KNOWS]->() RETURN x.name AS x, count(*) AS c",
+     [("a", 1), ("b", 1)]),
+    ("count distinct", ABC,
+     "MATCH ()-[r:KNOWS]->() RETURN count(DISTINCT type(r)) AS t",
+     [(1,)]),
+    ("collect skips nulls", NUMS,
+     "MATCH (n:N) RETURN size(collect(n.x)) AS c",
+     [(4,)]),
+    ("aggregation on empty match is zero", ABC,
+     "MATCH (n:Zzz) RETURN count(n) AS c",
+     [(0,)]),
+
+    # --- Unwind --------------------------------------------------------------
+    ("unwind list literal", None,
+     "UNWIND [1, 2, 3] AS i RETURN i",
+     [(1,), (2,), (3,)]),
+    ("unwind null is empty", None,
+     "UNWIND null AS i RETURN i",
+     []),
+    ("unwind empty list is empty", None,
+     "UNWIND [] AS i RETURN i",
+     []),
+    ("unwind range with step", None,
+     "UNWIND range(1, 10, 3) AS i RETURN i",
+     [(1,), (4,), (7,), (10,)]),
+    ("unwind nested via two unwinds", None,
+     "UNWIND [[1, 2], [3]] AS xs UNWIND xs AS x RETURN x",
+     [(1,), (2,), (3,)]),
+    ("unwind preserves duplicates for distinct", None,
+     "UNWIND [1, 1, 2] AS i RETURN DISTINCT i",
+     [(1,), (2,)]),
+
+    # --- Union ---------------------------------------------------------------
+    ("union distinct dedupes", ABC,
+     "MATCH (n:A) RETURN n.name AS name UNION MATCH (n:A) RETURN n.name AS name",
+     [("a",)]),
+    ("union all keeps duplicates", ABC,
+     "MATCH (n:A) RETURN n.name AS name UNION ALL "
+     "MATCH (n:A) RETURN n.name AS name",
+     [("a",), ("a",)]),
+
+    # --- Functions / expressions ---------------------------------------------
+    ("coalesce", NUMS,
+     "MATCH (n:N) RETURN coalesce(n.x, -1) AS x",
+     [(1,), (2,), (3,), (4,), (-1,)]),
+    ("case searched with else", NUMS,
+     "MATCH (n:N) RETURN CASE WHEN n.x <= 2 THEN 'lo' WHEN n.x > 2 THEN 'hi' "
+     "ELSE 'none' END AS bucket",
+     [("lo",), ("lo",), ("hi",), ("hi",), ("none",)]),
+    ("case simple form", NUMS,
+     "MATCH (n:N) WHERE n.x IS NOT NULL "
+     "RETURN CASE n.x WHEN 1 THEN 'one' ELSE 'many' END AS w",
+     [("one",), ("many",), ("many",), ("many",)]),
+    ("string functions", None,
+     'RETURN toUpper("ab") AS u, substring("hello", 1, 3) AS s, '
+     'size("hello") AS n, reverse("ab") AS r',
+     [("AB", "ell", 5, "ba")]),
+    ("list indexing and slicing", None,
+     "RETURN [1, 2, 3][0] AS hd, [1, 2, 3][-1] AS lst, [1, 2, 3][1..3] AS sl",
+     [(1, 3, (2, 3))]),
+    ("list head last tail size", None,
+     "RETURN head([1, 2, 3]) AS h, last([1, 2, 3]) AS l, "
+     "tail([1, 2, 3]) AS t, size([1, 2, 3]) AS s",
+     [(1, 3, (2, 3), 3)]),
+    ("list comprehension with filter", None,
+     "RETURN [x IN range(1, 5) WHERE x % 2 = 0 | x * 10] AS xs",
+     [((20, 40),)]),
+    ("reduce", None,
+     "RETURN reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS total",
+     [(6,)]),
+    ("list predicates", None,
+     "RETURN any(x IN [1, 2] WHERE x > 1) AS a, all(x IN [1, 2] WHERE x > 1) AS b, "
+     "none(x IN [1, 2] WHERE x > 2) AS c, single(x IN [1, 2] WHERE x = 2) AS d",
+     [(True, False, True, True)]),
+    ("type and labels", ABC,
+     "MATCH (a:A)-[r]->() RETURN labels(a) AS l, type(r) AS t",
+     [(("A",), "KNOWS")]),
+    ("toInteger toFloat toString", None,
+     'RETURN toInteger("42") AS i, toFloat("2.5") AS f, toString(7) AS s',
+     [(42, 2.5, "7")]),
+    ("abs sign round", None,
+     "RETURN abs(-3) AS a, sign(-3) AS s, round(2.5) AS r, floor(2.9) AS f",
+     [(3, -1, 3.0, 2.0)]),
+
+    # --- Exists pattern predicate -------------------------------------------
+    ("exists pattern", ABC,
+     "MATCH (n) WHERE exists((n)-[:KNOWS]->()) RETURN n.name AS name",
+     [("a",), ("b",)]),
+    ("not exists pattern", ABC,
+     "MATCH (n) WHERE NOT exists((n)-[:KNOWS]->()) RETURN n.name AS name",
+     [("c",)]),
+
+    # --- With pipeline -------------------------------------------------------
+    ("with filters aggregate", ABC,
+     "MATCH (x)-[:KNOWS]->(y) WITH x, count(y) AS degree WHERE degree >= 1 "
+     "RETURN x.name AS name, degree",
+     [("a", 1), ("b", 1)]),
+    ("with alias then reuse", NUMS,
+     "MATCH (n:N) WITH n.x AS v WHERE v > 2 RETURN sum(v) AS s",
+     [(7,)]),
+]
+
+
+_cache: dict = {}
+
+
+def _graph(spark, setup):
+    key = setup or "CREATE (:Empty)"
+    if key not in _cache:
+        _cache[key] = graph_from_create(spark, key)
+    return _cache[key]
+
+
+def _norm(v):
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+@pytest.mark.parametrize(
+    "setup,query,expected",
+    [(s, q, e) for _, s, q, e in SCENARIOS],
+    ids=[n for n, _, _, _ in SCENARIOS])
+def test_tck_scenario(spark, setup, query, expected):
+    g = _graph(spark, setup)
+    got = Counter(tuple(_norm(v) for v in row) for row in g.cypher(query).collect())
+    assert got == Counter(expected)
