@@ -122,21 +122,22 @@ def ivf_index(df: DataFrame, n_lists: int = 16, seed: int = 42,
     centroids = [np.asarray(r[vec_col], dtype="float64") for r in rows]
     centroids = [c / (np.linalg.norm(c) or 1.0) for c in centroids]
 
-    # nearest centroid by dot product against unit centroids (plan-literal
-    # arrays; chained comparisons pick the argmax without any shuffle).
-    # The row's own norm is a positive constant across centroids, so it
-    # cannot change the argmax — skip it.
-    scores = [
-        _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c]))
-        for c in centroids
-    ]
-    best = scores[0]
-    best_idx = F.lit(0)
-    for i in range(1, len(scores)):
-        cond = scores[i] > best
-        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-        best = F.when(cond, scores[i]).otherwise(best)
-    assigned = df.withColumn("__ivf_list", best_idx)
+    # nearest centroid by dot product against unit centroids, computed as ONE
+    # transform over an array-of-centroids plan literal — the expression stays
+    # O(n_lists * dims).  (A chained when()-argmax embeds every score twice
+    # per comparison, which grows the tree exponentially in n_lists.)  The
+    # row's own norm is a positive constant across centroids, so it cannot
+    # change the argmax — skip it.  array_position takes the first maximum:
+    # ties break toward the lower list id, matching a sequential argmax.
+    vec = F.col(vec_col)
+    cents = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    assigned = (
+        df.withColumn("__scores", F.transform(cents, lambda c: _dot(vec, c)))
+        .withColumn("__ivf_list",
+                    (F.array_position(F.col("__scores"),
+                                      F.array_max(F.col("__scores"))) - 1
+                     ).cast("int"))
+        .drop("__scores"))
     return assigned, centroids
 
 
