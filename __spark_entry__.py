@@ -460,6 +460,34 @@ list_sum(list_transform(generate_series(1, 64),
      i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"""
 
 
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of ann_topk_lsh: same numpy-seeded hyperplanes as plan
+    literals, same left-to-right double dot product (bitwise-equal signs),
+    probe = all buckets within Hamming distance 1 of the query signature."""
+    import numpy as np
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((8, 64))
+
+    def dot(vec_expr, plane):
+        lits = ", ".join(f"{float(v)!r}::DOUBLE" for v in plane)
+        return (f"list_sum(list_transform(generate_series(1, 64), "
+                f"j -> CAST({vec_expr}[j] AS DOUBLE) * ([{lits}])[j]))")
+
+    mism = " + ".join(
+        f"(CASE WHEN ({dot('e.embedding', p)} >= 0) <> "
+        f"({dot('q.qe', p)} >= 0) THEN 1 ELSE 0 END)"
+        for p in planes)
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+flt AS (
+  SELECT e.vec_id AS vec_id,
+         round({_SQL_COSINE.format(a='e.embedding', b='q.qe')}, 6) AS cosine,
+         {mism} AS mm
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, cosine FROM flt WHERE mm <= 1 ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # --- scans / filter -------------------------------------------
@@ -824,8 +852,37 @@ FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
 WHERE len(list_intersect(sa.shl, sb.shl))
       / CAST(len(sa.shl) + len(sb.shl)
              - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) >= 0.3""",
-        # simhash_pairs: 64-bit vote signature not practical in plain SQL —
-        # rows-only check (driver records the weaker form).
+        # simhash_pairs: full mirror of the md5 bit-vote signature — the
+        # 64-char bit string is built positionally (same hex-nibble bit
+        # extraction as functions/dedup.py:simhash64), banded into 4 chunks
+        # of 16 bits, candidates verified by positional Hamming distance.
+        "simhash_pairs": r"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS ts
+  FROM documents
+), hx AS (
+  SELECT doc, list_transform(ts, t -> substr(md5(t), 1, 16)) AS hs FROM toks
+), bits AS (
+  SELECT doc, array_to_string(list_transform(generate_series(0, 63), i ->
+    CASE WHEN list_sum(list_transform(hs, h ->
+      (((strpos('0123456789abcdef', substr(h, (i // 4) + 1, 1)) - 1)
+        >> (3 - (i % 4))) & 1) * 2 - 1)) > 0 THEN '1' ELSE '0' END), '') AS bs
+  FROM hx
+), bands AS (
+  SELECT doc, bs, b, substr(bs, b * 16 + 1, 16) AS key
+  FROM bits, (VALUES (0), (1), (2), (3)) bands(b)
+), cand AS (
+  SELECT DISTINCT l.doc AS a, r.doc AS b, l.bs AS pa, r.bs AS pb
+  FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key AND l.doc < r.doc
+)
+SELECT a, b, hamming FROM (
+  SELECT a, b, CAST(list_sum(list_transform(generate_series(1, 64), i ->
+    CASE WHEN substr(pa, i, 1) = substr(pb, i, 1) THEN 0 ELSE 1 END))
+    AS BIGINT) AS hamming
+  FROM cand
+) WHERE hamming <= 8""",
 
         # --- LLM-pipeline: multimodal ---------------------------------
         # decode is a deterministic stub; the oracle checks the pipeline's
@@ -842,8 +899,11 @@ SELECT e.vec_id AS vec_id,
        round({_SQL_COSINE.format(a='e.embedding', b='q.qe')}, 6) AS cosine
 FROM embeddings e, q WHERE e.vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 10""",
-        # similarity_topk_lsh: approximate (bucket-pruned) — no SQL twin;
-        # rows-only check.
+        # similarity_topk_lsh: the probe set (Hamming<=1 in hyperplane-sign
+        # space) is mirrored exactly — the oracle recomputes each row's 8
+        # sign bits against the SAME plane literals (seed 42) and keeps rows
+        # whose signature differs from the query's in at most one plane.
+        "similarity_topk_lsh": _lsh_oracle_sql(),
         # similarity_topk_ivf with n_probe == n_lists is exact: same oracle
         # as the brute-force query.
         "similarity_topk_ivf": rf"""
