@@ -132,6 +132,11 @@ _CYPHER_QUERIES = {
         "MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n"),
     "var_length_typed": _cypher(
         "MATCH (c:Customer)-[:PLACED|CONTAINS*1..2]->(x) RETURN count(*) AS n"),
+    # unbounded [*]: fixpoint iteration — customer->nation (hop 1),
+    # nation->region (hop 2), frontier empties at hop 3.
+    "var_length_unbounded": _cypher(
+        "MATCH (c:Customer)-[:FROM_NATION|IN_REGION*]->(t) "
+        "RETURN t.n_name AS name, count(*) AS n"),
 
     # --- unwind / union / distinct / slicing --------------------------
     "unwind_literal": _cypher(
@@ -576,6 +581,17 @@ def oracle_sql() -> dict[str, str]:
         "var_length_typed": (
             "SELECT (SELECT count(*) FROM lineitem) "
             "+ (SELECT count(*) FROM orders) AS n"),
+        # unbounded fixpoint: hop-1 ends at nations (name = n_name), hop-2
+        # ends at regions (no n_name property -> NULL group).
+        "var_length_unbounded": (
+            "SELECT name, CAST(count(*) AS BIGINT) AS n FROM ("
+            "  SELECT n.n_name AS name FROM customer c"
+            "  JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            "  UNION ALL"
+            "  SELECT NULL FROM customer c"
+            "  JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            "  JOIN region r ON n.n_regionkey = r.r_regionkey"
+            ") GROUP BY name"),
 
         # --- unwind / union / distinct / slicing ----------------------
         "unwind_literal": (

@@ -35,6 +35,11 @@ from ..operators.records import (
 from ..parser import ast as A
 
 
+# Hard guard for unbounded [*] fixpoint iteration: paths longer than this
+# raise instead of being silently dropped.
+_VLEN_FIXPOINT_CAP = 64
+
+
 class PlanError(Exception):
     pass
 
@@ -461,14 +466,15 @@ class Planner:
     def _plan_var_length(self, current, s, rp: A.RelPattern, d, solved,
                          node_labels, elidable=frozenset()) -> Records:
         lo = rp.lo if rp.lo is not None else 1
-        if rp.hi is None:
-            # Never silently truncate: an unbounded expand on a cyclic graph
-            # has unbounded results (the reference TCK also blacklists it —
-            # morpheus-tck failing_blacklist).
-            raise PlanError("unbounded var-length expand [*] is unsupported; "
-                            "give an explicit upper bound (cap is 12 hops)")
-        hi = rp.hi
-        if hi > 12:
+        # Unbounded expands iterate to a FIXPOINT: per-path relationship
+        # isomorphism bounds every path by |E| edges, so the frontier empties
+        # in finitely many hops (each hop is checked with a cheap isEmpty on
+        # the cached frontier).  We still refuse to run past a hard guard
+        # instead of silently truncating (the reference TCK blacklists
+        # unbounded-on-cyclic for the same reason).
+        unbounded = rp.hi is None
+        hi = _VLEN_FIXPOINT_CAP if unbounded else rp.hi
+        if not unbounded and hi > 12:
             raise PlanError("var-length upper bound too large (cap is 12 hops)")
         if s not in solved and d in solved:
             # plan from the bound side; flip orientation
@@ -541,6 +547,18 @@ class Planner:
             frontier = joined.drop(end_col, f"src{step_sfx}") \
                 .withColumnRenamed(f"dst{step_sfx}", end_col)
             edge_cols.append(f"e{step_sfx}")
+            if unbounded:
+                # Materialize each hop once (cache + isEmpty) so the
+                # fixpoint test doesn't recompute the whole join chain.
+                frontier = frontier.persist()
+                if frontier.isEmpty():
+                    if not staged:
+                        staged.append(stage(frontier, k))
+                    break
+                if k == hi:
+                    raise PlanError(
+                        f"unbounded var-length expand exceeded {hi} hops "
+                        "without converging; give an explicit upper bound")
             if k >= lo:
                 staged.append(stage(frontier, k))
 

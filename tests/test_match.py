@@ -206,6 +206,50 @@ def test_disjunction_of_two_types(sprawl):
     assert bag(res) == rows(("LIVES_IN",), ("LIVES_IN",), ("KNOWS",))
 
 
+# --- unbounded var-length (fixpoint) -----------------------------------------
+
+@pytest.fixture(scope="module")
+def triangle_chain(spark):
+    """Triangle a->b->c->a (:K) plus chain c->d->e (:R)."""
+    return PropertyGraph(
+        {frozenset({"P"}): spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, n string"),
+         frozenset({"O"}): spark.createDataFrame(
+            [(4, "d"), (5, "e")], "id long, n string")},
+        {"K": spark.createDataFrame(
+            [(101, 1, 2), (102, 2, 3), (103, 3, 1)],
+            "id long, source long, target long"),
+         "R": spark.createDataFrame(
+            [(104, 3, 4), (105, 4, 5)],
+            "id long, source long, target long")})
+
+
+def test_unbounded_var_length_on_cycle_terminates(triangle_chain):
+    # edge-uniqueness bounds every path at 3 hops: b (1), c (2), a (3)
+    res = triangle_chain.cypher(
+        'MATCH (a:P) WHERE a.n = "a" MATCH (a)-[:K*]->(t) RETURN t.n AS t')
+    assert bag(res) == rows(("a",), ("b",), ("c",))
+
+
+def test_unbounded_var_length_with_lower_bound(triangle_chain):
+    res = triangle_chain.cypher(
+        'MATCH (a:P) WHERE a.n = "a" MATCH (a)-[:K*2..]->(t) RETURN t.n AS t')
+    assert bag(res) == rows(("a",), ("c",))
+
+
+def test_unbounded_var_length_empty_result(triangle_chain):
+    # lower bound beyond the longest path -> empty, not an error
+    res = triangle_chain.cypher(
+        'MATCH (a:P) WHERE a.n = "a" MATCH (a)-[:K*4..]->(t) RETURN t.n AS t')
+    assert bag(res) == rows()
+
+
+def test_unbounded_var_length_chain(triangle_chain):
+    res = triangle_chain.cypher(
+        'MATCH (c:P) WHERE c.n = "c" MATCH (c)-[:R*]->(t) RETURN t.n AS t')
+    assert bag(res) == rows(("d",), ("e",))
+
+
 def test_disjunction_four_types_var_length(spark):
     g = PropertyGraph(
         {frozenset({"N"}): spark.createDataFrame(
