@@ -30,6 +30,22 @@ REL_TARGET = "target"
 _RESERVED_NODE = {NODE_ID}
 _RESERVED_REL = {REL_ID, REL_SOURCE, REL_TARGET}
 
+# A *property* spelled like a reserved column ("id", "source", "target" —
+# common in user data and throughout the openCypher TCK fixtures) is stored
+# in element tables under this escape prefix; the schema and the scans map
+# between the property name and its physical column in both directions.
+PROP_ESCAPE = "prop__"
+
+
+def prop_phys(key: str, reserved: set) -> str:
+    """Physical column name for property ``key`` in an element table."""
+    return PROP_ESCAPE + key if key in reserved else key
+
+
+def prop_name(col: str, reserved: set) -> str:
+    """Property name for a physical element-table column."""
+    return col[len(PROP_ESCAPE):] if col.startswith(PROP_ESCAPE) else col
+
 
 @dataclass
 class GraphSchema:
@@ -127,12 +143,12 @@ class PropertyGraph:
         s = GraphSchema()
         for combo, df in self.node_tables.items():
             s.node_props[combo] = {
-                f.name: f.dataType.simpleString()
+                prop_name(f.name, _RESERVED_NODE): f.dataType.simpleString()
                 for f in df.schema.fields if f.name not in _RESERVED_NODE
             }
         for rtype, df in self.rel_tables.items():
             s.rel_props[rtype] = {
-                f.name: f.dataType.simpleString()
+                prop_name(f.name, _RESERVED_REL): f.dataType.simpleString()
                 for f in df.schema.fields if f.name not in _RESERVED_REL
             }
         return s

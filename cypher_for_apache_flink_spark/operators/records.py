@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..graph import NODE_ID, PropertyGraph, REL_ID, REL_SOURCE, REL_TARGET
+from ..graph import (NODE_ID, PropertyGraph, REL_ID, REL_SOURCE, REL_TARGET,
+                     _RESERVED_NODE, _RESERVED_REL, prop_phys)
 from ..ir import expr as E
 from .header import Header, TypeOf, column_name, type_column_name
 
@@ -93,7 +94,8 @@ def scan_nodes(session, graph: PropertyGraph, var_name: str,
         for key in sorted(props):
             cname = column_name(E.Property(var, key))
             if key in combo_props:
-                cols.append(F.col(key).cast(_parse_dtype(props[key])).alias(cname))
+                cols.append(F.col(prop_phys(key, _RESERVED_NODE))
+                            .cast(_parse_dtype(props[key])).alias(cname))
             else:
                 cols.append(F.lit(None).cast(_parse_dtype(props[key])).alias(cname))
         branches.append(df.select(*cols))
@@ -144,7 +146,8 @@ def scan_rels(session, graph: PropertyGraph, var_name: str,
         for key in sorted(props):
             cname = column_name(E.Property(var, key))
             if key in t_props:
-                cols.append(F.col(key).cast(_parse_dtype(props[key])).alias(cname))
+                cols.append(F.col(prop_phys(key, _RESERVED_REL))
+                            .cast(_parse_dtype(props[key])).alias(cname))
             else:
                 cols.append(F.lit(None).cast(_parse_dtype(props[key])).alias(cname))
         branches.append(df.select(*cols))
@@ -184,7 +187,7 @@ def scan_pattern(session, graph: PropertyGraph, rel_var_name: str,
     for key in sorted(rel_props):
         e = E.Property(rvar, key)
         header = header.added(e)
-        cols.append(F.col(key).alias(column_name(e)))
+        cols.append(F.col(prop_phys(key, _RESERVED_REL)).alias(column_name(e)))
     # destination node rides along: id = target, labels literal, props t_*
     header = header.added(dvar, column_name(E.EndNode(rvar)))
     for lbl in sorted(dst_combo):
@@ -194,7 +197,8 @@ def scan_pattern(session, graph: PropertyGraph, rel_var_name: str,
     for key in sorted(dst_props):
         e = E.Property(dvar, key)
         header = header.added(e)
-        cols.append(F.col(f"t_{key}").alias(column_name(e)))
+        cols.append(F.col("t_" + prop_phys(key, _RESERVED_NODE))
+                    .alias(column_name(e)))
     return Records(session, header, df.select(*cols))
 
 

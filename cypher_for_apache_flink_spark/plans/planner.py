@@ -821,15 +821,18 @@ class Planner:
             else:
                 # No shared variables: flag is globally true iff any match.
                 rdf = rhs.df.limit(1).select(F.lit(True).alias(marker))
-            rhs2 = Records(self.session,
-                           Header({r: rhs.header.col(r) for _, r in pairs}),
-                           rdf)
+            # The marker must ride through join_records as a header entry —
+            # physical rhs columns with no header expr are dropped as orphans.
+            rmap = {r: rhs.header.col(r) for _, r in pairs}
+            rmap[E.Var(marker)] = marker
+            rhs2 = Records(self.session, Header(rmap), rdf)
             joined = join_records(records, rhs2, pairs, how="left")
             flag = f"{marker}_flag"
             df = joined.df.withColumn(flag, F.col(marker).isNotNull()) \
                 .drop(marker)
-            records = Records(self.session,
-                              records.header.added(pos_pp, flag), df)
+            h = Header({e: c for e, c in joined.header.mapping.items()
+                        if c != marker})
+            records = Records(self.session, h.added(pos_pp, flag), df)
         return records, expr
 
     def _rel_uniqueness(self, records: Records, rel_vars) -> Records:
@@ -892,6 +895,16 @@ class Planner:
         for it in clause.items:
             items.append(A.ProjectionItem(
                 resolve_vars(it.expr, records.header), it.alias))
+
+        # exists((a)-->(b)) in a projection compiles via the same flag-column
+        # materialization as nested WHERE pattern predicates.
+        if any(_contains_pattern(it.expr) for it in items):
+            new_items = []
+            for it in items:
+                records, e = self._materialize_pattern_flags(records, it.expr)
+                new_items.append(A.ProjectionItem(
+                    resolve_vars(e, records.header), it.alias))
+            items = new_items
 
         has_agg = any(E.is_aggregation(it.expr) for it in items)
         if has_agg:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
-from ..graph import PropertyGraph
+from ..graph import PropertyGraph, prop_phys
 from ..ir import expr as E
 from ..parser import ast as A
 from ..parser.parser import Parser
@@ -64,13 +64,16 @@ def _merge_type(current, value, key):
 
 def _build_df(spark, rows, key_cols):
     """rows: list of (fixed-cols dict, props dict).  Infers a schema over the
-    union of property keys and pads missing values with null."""
+    union of property keys and pads missing values with null.  Property names
+    colliding with the reserved id/source/target columns (ubiquitous in TCK
+    fixtures, e.g. ``{id: 1}``) are stored escaped per the table contract."""
+    reserved = set(key_cols)
     prop_types: dict = {}
     for _, props in rows:
         for k, v in props.items():
             prop_types[k] = _merge_type(prop_types.get(k), v, k)
     fields = [T.StructField(c, T.LongType(), False) for c in key_cols]
-    fields += [T.StructField(k, t or T.StringType(), True)
+    fields += [T.StructField(prop_phys(k, reserved), t or T.StringType(), True)
                for k, t in prop_types.items()]
     schema = T.StructType(fields)
     data = []

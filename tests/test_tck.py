@@ -218,6 +218,43 @@ SCENARIOS = [
      "MATCH (n) WHERE NOT exists((n)-[:KNOWS]->()) RETURN n.name AS name",
      [("c",)]),
 
+    # --- Predicates on labels / patterns (PredicateTests.scala) --------------
+    ("or on labels", "CREATE (:A {val: 1}), (:B {val: 2}), (:C {val: 3})",
+     "MATCH (a) WHERE a:A OR a:B RETURN a.val AS v",
+     [(1,), (2,)]),
+    ("or on labels and properties",
+     "CREATE (:A {val: 1}), (:B {val: 2}), (:A:B {val: 3})",
+     "MATCH (a) WHERE (a:A AND a.val = 1) OR (a:B) RETURN a.val AS v",
+     [(1,), (2,), (3,)]),
+    ("bare pattern predicate with var length",
+     "CREATE (v {id: 1})-[:REL]->({id: 2})-[:REL]->({id: 3})<-[:REL]-(v)",
+     "MATCH (a)-->(b) WHERE (a)-[*1..3]->()-->(b) RETURN a.id AS a, b.id AS b",
+     [(1, 3)]),
+    ("nested pattern predicate under or",
+     "CREATE ({id: 1, age: 21}) CREATE ({id: 2, age: 18, foo: true}) "
+     "CREATE ({id: 3, age: 18, foo: true})-[:KNOWS]->(:Foo) "
+     "CREATE ({id: 4, age: 18, foo: false})-[:KNOWS]->(:Foo)",
+     "MATCH (a) WHERE a.age > 20 OR ( (a)-[:KNOWS]->(:Foo) AND a.foo = true ) "
+     "RETURN a.id AS i",
+     [(1,), (3,)]),
+    ("pattern predicate with derived node property",
+     "CREATE ({id: 1, val: 0})-[:REL]->({id: 3, val: 2}) "
+     "CREATE ({id: 2, val: 0})-[:REL]->({id: 3, val: 1})",
+     "MATCH (a) WHERE (a)-->({val: a.val + 2}) RETURN a.id AS i",
+     [(1,)]),
+    ("pattern predicate with property map",
+     "CREATE ({id: 1})-[:REL]->({id: 2, foo: true})",
+     "MATCH (a) WHERE (a)-->({id: 2, foo: true}) RETURN a.id AS i",
+     [(1,)]),
+    ("exists in projection",
+     "CREATE (:P {id: 1})-[:KNOWS]->(:P {id: 2})",
+     "MATCH (a:P) RETURN a.id AS i, exists((a)-[:KNOWS]->(:P)) AS f",
+     [(1, True), (2, False)]),
+    ("reserved property names on relationships",
+     'CREATE (x {n: "x"})-[:R {id: 7, source: 8, target: 9}]->(y {n: "y"})',
+     "MATCH ()-[r:R]->() RETURN r.id AS i, r.source AS s, r.target AS t",
+     [(7, 8, 9)]),
+
     # --- With pipeline -------------------------------------------------------
     ("with filters aggregate", ABC,
      "MATCH (x)-[:KNOWS]->(y) WITH x, count(y) AS degree WHERE degree >= 1 "
