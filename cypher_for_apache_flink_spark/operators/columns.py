@@ -71,7 +71,12 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             return T.DoubleType()
         if isinstance(v, str):
             return T.StringType()
+        if v is None:
+            return T.NullType()
         return None
+    if isinstance(expr, E.MapLit):
+        return T.StructType([T.StructField(k, T.NullType())
+                             for k, _ in expr.items])
     if isinstance(expr, (E.ListLit, E.ListComprehension, E.ListSlice)):
         return T.ArrayType(T.LongType())
     if isinstance(expr, E.FuncCall):
@@ -290,12 +295,18 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         ot = spark_dtype(expr.owner, ctx)
         idx = to_column(expr.index, ctx)
         if _is(ot, T.MapType):
-            return F.element_at(owner, idx)
+            return F.try_element_at(owner, idx)
         if _is(ot, T.StructType) and isinstance(expr.index, E.Lit):
+            # missing key on a map/struct yields null (Cypher), not an error
+            if expr.index.value not in ot.fieldNames():
+                return F.lit(None)
             return owner.getField(expr.index.value)
         # Cypher list index is 0-based, element_at is 1-based; negative
         # indices count from the end in both (MorpheusFunctions.scala:62-74).
-        return F.element_at(owner, F.when(idx >= 0, idx + 1).otherwise(idx).cast("int"))
+        # try_element_at: out-of-range yields null (Cypher) instead of the
+        # ANSI error.
+        return F.try_element_at(
+            owner, F.when(idx >= 0, idx + 1).otherwise(idx).cast("int"))
 
     if isinstance(expr, E.ListSlice):
         return _slice(expr, ctx)
@@ -701,14 +712,22 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     # --- lists ----------------------------------------------------------
     if name in ("size", "length"):
         t = spark_dtype(args[0], ctx)
+        if _is(t, T.NullType):
+            return F.lit(None).cast("long")
         if _is(t, T.StringType):
             return F.length(a(0)).cast("long")
         return F.size(a(0)).cast("long")
     if name == "head":
-        return F.element_at(a(0), 1)
+        if _is(spark_dtype(args[0], ctx), T.NullType):
+            return F.lit(None)
+        return F.try_element_at(a(0), F.lit(1))
     if name == "last":
-        return F.element_at(a(0), -1)
+        if _is(spark_dtype(args[0], ctx), T.NullType):
+            return F.lit(None)
+        return F.try_element_at(a(0), F.lit(-1))
     if name == "tail":
+        if _is(spark_dtype(args[0], ctx), T.NullType):
+            return F.lit(None).cast("array<string>")
         c = a(0)
         return F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
     if name == "range":

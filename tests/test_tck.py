@@ -186,6 +186,16 @@ SCENARIOS = [
     ("list indexing and slicing", None,
      "RETURN [1, 2, 3][0] AS hd, [1, 2, 3][-1] AS lst, [1, 2, 3][1..3] AS sl",
      [(1, 3, (2, 3))]),
+    ("list index out of range is null", None,
+     "RETURN [1, 2, 3][3] AS a, [1, 2, 3][-4] AS b, [1, 2, 3][-1] AS c",
+     [(None, None, 3)]),
+    ("list functions on null are null", None,
+     "RETURN size(null) AS s, head(null) AS h, head([]) AS he, "
+     "last([]) AS le, tail(null) AS t",
+     [(None, None, None, None, None)]),
+    ("map literal missing key is null", None,
+     "RETURN {a: 1}['b'] AS miss, {a: 1}['a'] AS hit",
+     [(None, 1)]),
     ("list head last tail size", None,
      "RETURN head([1, 2, 3]) AS h, last([1, 2, 3]) AS l, "
      "tail([1, 2, 3]) AS t, size([1, 2, 3]) AS s",
