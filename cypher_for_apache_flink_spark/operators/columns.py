@@ -124,6 +124,36 @@ def _is(t, cls) -> bool:
     return isinstance(t, cls)
 
 
+_NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                  T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _type_class(dt):
+    """Coarse Cypher comparability class; None = unknown (assume comparable)."""
+    if dt is None or isinstance(dt, T.NullType):
+        return None
+    if isinstance(dt, _NUMERIC_TYPES):
+        return "num"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "temporal"
+    if is_duration_type(dt):
+        return "duration"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "map"
+    return None
+
+
+def _comparable(lt, rt) -> bool:
+    a, b = _type_class(lt), _type_class(rt)
+    return a is None or b is None or a == b
+
+
 # ---------------------------------------------------------------------------
 # Durations (SURVEY §7.1.7): a struct<months, days, microseconds> column with
 # plain column arithmetic — replaces the reference's CalendarIntervalType +
@@ -445,6 +475,14 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
         return F.regexp_like(l, F.concat(F.lit("^(?:"), r, F.lit(")$")))
 
     l, r = to_column(expr.lhs, ctx), to_column(expr.rhs, ctx)
+    if op in ("=", "<>", "<", "<=", ">", ">="):
+        # Cypher 3VL: comparing values of incomparable types yields null
+        # (PredicateTests.scala "fails when comparing ... incompatible
+        # types" expects empty results).  Without the static guard Spark's
+        # ANSI cast turns `4 < 'string'` into a runtime crash.
+        if not _comparable(spark_dtype(expr.lhs, ctx),
+                           spark_dtype(expr.rhs, ctx)):
+            return F.lit(None).cast("boolean")
     if op == "=":
         return l == r
     if op == "<>":

@@ -82,6 +82,15 @@ SCENARIOS = [
     ("where xor", NUMS,
      "MATCH (n:N) WHERE n.x > 1 XOR n.x < 3 RETURN n.x AS x",
      [(1,), (3,), (4,)]),
+    ("incomparable types compare to null",
+     "CREATE (:A {val: 4})-[:REL]->(:B {val2: 'string'})",
+     "MATCH (a:A)-->(b:B) WHERE a.val < b.val2 RETURN a.val AS v",
+     []),
+    ("numeric comparison across int and float",
+     "CREATE (:A {val: 4})-[:REL]->(:B {val2: 1.0}), "
+     "(:A {val: 1})-[:REL]->(:B {val2: 4.0})",
+     "MATCH (a:A)-->(b:B) WHERE a.val < b.val2 RETURN a.val AS v",
+     [(1,)]),
     ("where string predicates", ABC,
      'MATCH (n) WHERE n.name STARTS WITH "a" OR n.name CONTAINS "c" '
      "RETURN n.name AS name",
