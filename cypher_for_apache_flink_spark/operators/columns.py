@@ -782,11 +782,27 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name == "date":
         if not args:
             return F.current_date()
+        if isinstance(args[0], E.MapLit):
+            # date({year, month, day}) component constructor
+            # (TemporalTests.scala map-form scenarios)
+            m = {k: to_column(v, ctx) for k, v in args[0].items}
+            return F.make_date(m.get("year", F.lit(1)),
+                               m.get("month", F.lit(1)),
+                               m.get("day", F.lit(1)))
         return F.to_date(a(0))
     if name in ("datetime", "localdatetime"):
         if not args:
             return F.current_timestamp()
         arg = args[0]
+        if isinstance(arg, E.MapLit):
+            m = {k: to_column(v, ctx) for k, v in arg.items}
+            sec = m.get("second", F.lit(0)).cast("double") + \
+                m.get("microsecond", F.lit(0)).cast("double") / 1e6 + \
+                m.get("millisecond", F.lit(0)).cast("double") / 1e3
+            return F.make_timestamp(
+                m.get("year", F.lit(1)), m.get("month", F.lit(1)),
+                m.get("day", F.lit(1)), m.get("hour", F.lit(0)),
+                m.get("minute", F.lit(0)), sec)
         if isinstance(arg, E.Lit) and isinstance(arg.value, str):
             return F.to_timestamp(F.lit(arg.value.replace("T", " ")))
         return F.to_timestamp(F.translate(a(0), "T", " "))

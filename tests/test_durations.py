@@ -105,3 +105,20 @@ def test_duration_aggregates(tgraph):
     assert r["a"]["days"] == 2
     assert r["mn"]["days"] == 1
     assert r["mx"]["days"] == 3
+
+
+def test_date_map_constructor(tgraph):
+    import datetime
+    r = one(tgraph.cypher(
+        "RETURN date({year: 2020, month: 1, day: 15}) AS d, "
+        "date({year: 2020}) AS dflt"))
+    assert r["d"] == datetime.date(2020, 1, 15)
+    assert r["dflt"] == datetime.date(2020, 1, 1)
+
+
+def test_datetime_map_constructor(tgraph):
+    import datetime
+    r = one(tgraph.cypher(
+        "RETURN datetime({year: 2020, month: 2, day: 3, hour: 4, "
+        "minute: 5, second: 6, millisecond: 7}) AS dt"))
+    assert r["dt"] == datetime.datetime(2020, 2, 3, 4, 5, 6, 7000)
