@@ -1,0 +1,78 @@
+"""Physical-plan quality gates — the properties that make queries survive a
+100 TB scale-up (SURVEY §6, VERDICT r1 'plan audit for scale').
+
+These assert on the *optimized/executed* plan of real parquet-backed queries:
+ - small dimension scans broadcast (no shuffle join against Region/Nation);
+ - predicates reach the parquet reader (PushedFilters);
+ - column pruning reaches the reader (ReadSchema is minimal);
+ - equi-pattern queries never degrade to CartesianProduct.
+"""
+import re
+
+import pytest
+
+from cypher_for_apache_flink_spark.sources.tpch import tpch_graph
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return tpch_graph(spark, SF_DIR)
+
+
+def _executed(res) -> str:
+    return res.df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full(res) -> str:
+    return res.df._jdf.queryExecution().toString()
+
+
+def test_dimension_joins_broadcast(g):
+    res = g.cypher(
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "RETURN n.n_name AS nation, count(*) AS cnt")
+    plan = _executed(res)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushed_to_parquet(g):
+    res = g.cypher(
+        "MATCH (c:Customer) WHERE c.c_acctbal > 5000.0 "
+        "RETURN c.c_name AS name")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", _full(res))
+    assert any("GreaterThan(c_acctbal,5000.0)" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_reader(g):
+    res = g.cypher("MATCH (c:Customer) RETURN c.c_name AS name")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", _full(res))
+    cust = [s for s in schemas if "c_name" in s]
+    assert cust, schemas
+    # at most the id and the projected property are read — no c_comment,
+    # c_acctbal, c_address riding along (the id itself is elided when the
+    # query never observes it)
+    for s in cust:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"c_custkey", "c_name"}, cols
+
+
+def test_two_hop_expand_is_all_equi_joins(g):
+    res = g.cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "RETURN count(*) AS n")
+    plan = _executed(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_join_not_cartesian(g):
+    # disconnected patterns joined by a WHERE equality must become a join
+    # (Catalyst PushPredicateThroughJoin), not a filtered cross product
+    res = g.cypher(
+        "MATCH (n:Nation), (s:Supplier) WHERE s.s_nationkey = n.n_nationkey "
+        "RETURN n.n_name AS nation, count(*) AS suppliers")
+    plan = _executed(res)
+    assert "CartesianProduct" not in plan
