@@ -704,7 +704,7 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name == "tostring":
         return a(0).cast("string")
     if name == "toboolean":
-        return a(0).cast("boolean")
+        return a(0).try_cast("boolean")
 
     # --- strings --------------------------------------------------------
     simple = {

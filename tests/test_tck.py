@@ -225,6 +225,17 @@ SCENARIOS = [
     ("toInteger toFloat toString", None,
      'RETURN toInteger("42") AS i, toFloat("2.5") AS f, toString(7) AS s',
      [(42, 2.5, "7")]),
+    ("casts of unparseable strings are null", None,
+     'RETURN toBoolean("x") AS b, toInteger("abc") AS i, toFloat("z") AS f, '
+     'toBoolean("true") AS t',
+     [(None, None, None, True)]),
+    # bag comparison can't see order — LIMIT makes null placement observable
+    ("order by puts nulls last ascending", "CREATE (:N {x: 2}), (:N {x: 1}), (:N)",
+     "MATCH (n:N) RETURN n.x AS x ORDER BY n.x LIMIT 2",
+     [(1,), (2,)]),
+    ("order by desc puts nulls first", "CREATE (:N {x: 2}), (:N {x: 1}), (:N)",
+     "MATCH (n:N) RETURN n.x AS x ORDER BY n.x DESC LIMIT 1",
+     [(None,)]),
     ("abs sign round", None,
      "RETURN abs(-3) AS a, sign(-3) AS s, round(2.5) AS r, floor(2.9) AS f",
      [(3, -1, 3.0, 2.0)]),
