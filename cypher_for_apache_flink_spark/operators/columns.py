@@ -61,6 +61,8 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
     c = ctx.header.get(expr)
     if c is not None:
         return ctx.dtype(c)
+    if isinstance(expr, E.CountStar):
+        return T.LongType()
     if isinstance(expr, E.Lit):
         v = expr.value
         if isinstance(v, bool):
@@ -84,8 +86,11 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         if n in ("tostring", "toupper", "tolower", "trim", "ltrim", "rtrim",
                  "reverse", "replace", "substring", "left", "right"):
             return T.StringType()
-        if n in ("tointeger", "size", "length", "id", "timestamp", "sign"):
+        if n in ("tointeger", "size", "length", "id", "timestamp", "sign",
+                 "count"):
             return T.LongType()
+        if n in ("sum", "min", "max") and expr.args:
+            return spark_dtype(expr.args[0], ctx)
         if n in ("tofloat", "sqrt", "exp", "log", "log10", "avg", "round"):
             return T.DoubleType()
         if n in ("split", "labels", "keys", "range", "collect", "tail"):
