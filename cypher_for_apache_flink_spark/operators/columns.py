@@ -462,7 +462,11 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
     if op == "IN":
         l = to_column(expr.lhs, ctx)
         r = to_column(expr.rhs, ctx)
-        return F.array_contains(r, l)
+        # x IN [] is false even for null x (openCypher); array_contains
+        # otherwise matches Cypher's 3VL exactly (null value or unmatched
+        # null member -> null).
+        return F.when(F.size(r) == 0, F.lit(False)) \
+            .otherwise(F.array_contains(r, l))
 
     if op in ("STARTS WITH", "ENDS WITH", "CONTAINS"):
         l, r = to_column(expr.lhs, ctx), to_column(expr.rhs, ctx)

@@ -73,6 +73,9 @@ SCENARIOS = [
     ("where in list with null member keeps matches", NUMS,
      "MATCH (n:N) WHERE n.x IN [1, null] RETURN n.x AS x",
      [(1,)]),
+    ("in empty list is false even for null", NUMS,
+     "MATCH (n:N) WHERE NOT (n.x IN []) RETURN count(*) AS c",
+     [(5,)]),
     ("where not in", NUMS,
      "MATCH (n:N) WHERE NOT n.x IN [1, 2] RETURN n.x AS x",
      [(3,), (4,)]),
