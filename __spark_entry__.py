@@ -302,6 +302,14 @@ def _q_similarity_topk_ivf(spark, sf_dir):
                         n_lists=8, n_probe=8)
 
 
+def _q_similarity_topk_join(spark, sf_dir):
+    """Batch exact top-k join: 5 query vectors, k=5 nearest each."""
+    from cypher_for_apache_flink_spark.functions.similarity import ann_topk_join
+    emb = _emb(spark, sf_dir)
+    return ann_topk_join(emb.where(F.col("vec_id") < 5),
+                         emb.where(F.col("vec_id") >= 5), k=5)
+
+
 def _q_cosine_near_dup(spark, sf_dir):
     from cypher_for_apache_flink_spark.functions.similarity import (
         cosine_near_dup_pairs,
@@ -419,6 +427,7 @@ _PIPELINE_QUERIES = {
     "similarity_topk": _q_similarity_topk,
     "similarity_topk_lsh": _q_similarity_topk_lsh,
     "similarity_topk_ivf": _q_similarity_topk_ivf,
+    "similarity_topk_join": _q_similarity_topk_join,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
     "curate_corpus": _q_curate_corpus,
@@ -928,6 +937,19 @@ SELECT e.vec_id AS vec_id,
        round({_SQL_COSINE.format(a='e.embedding', b='q.qe')}, 6) AS cosine
 FROM embeddings e, q WHERE e.vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 10""",
+        "similarity_topk_join": rf"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         round({_SQL_COSINE.format(a='e.embedding', b='q.embedding')}, 6) AS cosine
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < 5 AND e.vec_id >= 5
+), ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine FROM ranked WHERE rk <= 5""",
         "cosine_near_dup_pairs": rf"""
 SELECT x.vec_id AS a, y.vec_id AS b,
        round({_SQL_COSINE.format(a='x.embedding', b='y.embedding')}, 6) AS cosine

@@ -162,6 +162,39 @@ def ann_topk_ivf(df: DataFrame, query_vec, k: int = 10, n_lists: int = 16,
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ann_topk_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Batch exact top-k: every query vector gets its ``k`` nearest corpus
+    vectors by cosine.  Returns (qid, vec_id, cosine), ties broken by id.
+
+    Scale shape: the (small) query set is broadcast and scoring is a narrow
+    map over the corpus — no shuffle to score.  The per-query top-k runs in
+    TWO ranking phases: first within (query, input-partition) groups, then
+    a final rank over the k * partitions survivors per query.  A single
+    window over qid would funnel every scored corpus row for one query into
+    ONE task (|Q| hot partitions); the two-phase shape spreads the heavy
+    ranking across |Q| * partitions groups and leaves only a tiny second
+    window.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(queries.select(F.col(id_col).alias("qid"),
+                                   F.col(vec_col).alias("__qv")))
+    scored = (corpus.join(q)
+              .select(F.col("qid"), F.col(id_col),
+                      F.round(cosine_sim(F.col(vec_col), F.col("__qv")),
+                              6).alias("cosine"),
+                      F.spark_partition_id().alias("__pid")))
+    by_part = Window.partitionBy("qid", "__pid") \
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+    partial = (scored.withColumn("__rk", F.row_number().over(by_part))
+               .where(F.col("__rk") <= k).drop("__rk", "__pid"))
+    final = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                              F.col(id_col))
+    return (partial.withColumn("__rk", F.row_number().over(final))
+            .where(F.col("__rk") <= k).drop("__rk"))
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           block_col: str | None = None,
                           planes: int = 8, seed: int = 42,

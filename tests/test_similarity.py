@@ -71,3 +71,17 @@ def test_near_dup_blocked_on_label(emb):
     rows = pairs.collect()
     assert all(r["cosine"] >= 0.3 for r in rows)
     assert all(r["a"] < r["b"] for r in rows)
+
+
+def test_ann_topk_join_matches_per_query_bruteforce(spark, emb):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_bruteforce, ann_topk_join)
+    queries = emb.where("vec_id < 3")
+    corpus = emb.where("vec_id >= 3")
+    joined = ann_topk_join(queries, corpus, k=4)
+    got = {(r["qid"], r["vec_id"], r["cosine"]) for r in joined.collect()}
+    want = set()
+    for q in queries.collect():
+        for r in ann_topk_bruteforce(corpus, list(q["embedding"]), k=4).collect():
+            want.add((q["vec_id"], r["vec_id"], r["cosine"]))
+    assert got == want
