@@ -296,6 +296,33 @@ SCENARIOS = [
     ("with alias then reuse", NUMS,
      "MATCH (n:N) WITH n.x AS v WHERE v > 2 RETURN sum(v) AS s",
      [(7,)]),
+    ("with collect then unwind",
+     'CREATE (:M {x: 1, y: "a"}), (:M {x: 2, y: "b"}), (:M {x: 3, y: "a"})',
+     "MATCH (n:M) WITH n.y AS y, collect(n.x) AS xs UNWIND xs AS x "
+     "RETURN y, x",
+     [("a", 1), ("a", 3), ("b", 2)]),
+    ("with order limit on node then project",
+     'CREATE (:M {x: 1, y: "a"}), (:M {x: 2, y: "b"}), (:M {x: 3, y: "a"})',
+     "MATCH (n:M) WITH n ORDER BY n.x DESC LIMIT 2 RETURN n.x AS x",
+     [(2,), (3,)]),
+    ("with aggregate feeds second match",
+     'CREATE (:M {x: 1, y: "a"}), (:M {x: 2, y: "b"}), (:M {x: 3, y: "a"})',
+     "MATCH (n:M) WITH max(n.x) AS mx MATCH (m:M) WHERE m.x = mx "
+     "RETURN m.y AS y",
+     [("a",)]),
+    ("with limit then rematch",
+     'CREATE (:M {x: 1, y: "a"}), (:M {x: 2, y: "b"}), (:M {x: 3, y: "a"})',
+     "MATCH (n:M) WITH n LIMIT 2 MATCH (m:M) WHERE m.x = n.x "
+     "RETURN count(*) AS c",
+     [(2,)]),
+    ("unwind list of maps and project",
+     None,
+     "UNWIND [{a: 1}, {a: 2}] AS m RETURN m.a AS a",
+     [(1,), (2,)]),
+    ("aggregate inside larger expression",
+     'CREATE (:M {x: 1}), (:M {x: 2}), (:M {x: 3})',
+     "MATCH (n:M) RETURN sum(n.x) / count(*) AS avg_int, count(*) + 1 AS c1",
+     [(2, 4)]),
 ]
 
 
