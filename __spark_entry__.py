@@ -184,6 +184,12 @@ _CYPHER_QUERIES = {
         "WITH c, count(o) AS n_orders WHERE n_orders > 2 "
         "RETURN c.c_mktsegment AS seg, count(*) AS n_cust, "
         "max(n_orders) AS max_orders"),
+    # collect -> unwind roundtrip (collect aggregator with a value-level
+    # oracle: flattening restores scalar rows the driver can hash)
+    "collect_unwind": _cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "WITH r.r_name AS region, collect(n.n_name) AS ns "
+        "UNWIND ns AS nation RETURN region, nation"),
 
     # --- expression surface -------------------------------------------
     "case_expression": _cypher(
@@ -640,6 +646,9 @@ def oracle_sql() -> dict[str, str]:
             "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50c, "
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50d "
             "FROM orders GROUP BY o_orderstatus"),
+        "collect_unwind": (
+            "SELECT r.r_name AS region, n.n_name AS nation "
+            "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"),
         "with_pipeline": (
             "SELECT c_mktsegment AS seg, count(*) AS n_cust, "
             "max(n_orders) AS max_orders FROM ("
