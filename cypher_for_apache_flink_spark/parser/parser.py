@@ -26,8 +26,10 @@ class CypherSyntaxError(Exception):
 # ---------------------------------------------------------------------------
 
 _TOKEN_RE = re.compile(r"""
-    (?P<WS>\s+|//[^\n]*)
-  | (?P<FLOAT>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+    (?P<WS>\s+|//[^\n]*|/\*(?s:.*?)\*/)
+  | (?P<FLOAT>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+([eE][+-]?\d+)?)
+  | (?P<HEX>0[xX][0-9A-Fa-f]+)
+  | (?P<OCT>0[oO][0-7]+)
   | (?P<INT>\d+)
   | (?P<STRING>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
@@ -74,6 +76,10 @@ def tokenize(src: str) -> list:
         kind = m.lastgroup
         text = m.group()
         if kind == "WS":
+            continue
+        if kind in ("HEX", "OCT"):
+            base = 16 if kind == "HEX" else 8
+            toks.append(Tok("INT", str(int(text, base)), m.start()))
             continue
         if kind == "IDENT":
             if text.startswith("`"):

@@ -170,6 +170,12 @@ SCENARIOS = [
      "UNWIND [1, 1, 2] AS i RETURN DISTINCT i",
      [(1,), (2,)]),
 
+    # --- Lexical -------------------------------------------------------------
+    ("comments and numeric literal forms", None,
+     "RETURN /* block\ncomment */ 0x1F AS h, // line comment\n"
+     " 0o17 AS o, 1e3 AS e, .5 AS d",
+     [(31, 15, 1000.0, 0.5)]),
+
     # --- Union ---------------------------------------------------------------
     ("union distinct dedupes", ABC,
      "MATCH (n:A) RETURN n.name AS name UNION MATCH (n:A) RETURN n.name AS name",
