@@ -63,6 +63,10 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         return ctx.dtype(c)
     if isinstance(expr, E.CountStar):
         return T.LongType()
+    if isinstance(expr, E.Param) and isinstance(
+            ctx.params.get(expr.name), dict):
+        return T.StructType([T.StructField(k, T.NullType())
+                             for k in ctx.params[expr.name]])
     if isinstance(expr, E.Lit):
         v = expr.value
         if isinstance(v, bool):
@@ -127,6 +131,16 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
 
 def _is(t, cls) -> bool:
     return isinstance(t, cls)
+
+
+def _param_lit(v) -> Column:
+    """Parameter value -> Column: dict params become struct literals (map
+    access `$m.key` then compiles to getField), lists of dicts recurse."""
+    if isinstance(v, dict):
+        return F.struct(*[_param_lit(x).alias(k) for k, x in v.items()])
+    if isinstance(v, (list, tuple)) and any(isinstance(x, dict) for x in v):
+        return F.array(*[_param_lit(x) for x in v])
+    return F.lit(v)
 
 
 _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -265,7 +279,7 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
     if isinstance(expr, E.Param):
         if expr.name not in ctx.params:
             raise KeyError(f"missing query parameter ${expr.name}")
-        return F.lit(ctx.params[expr.name])
+        return _param_lit(ctx.params[expr.name])
 
     if isinstance(expr, E.Lit):
         return F.lit(expr.value)

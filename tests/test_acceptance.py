@@ -328,3 +328,15 @@ def test_return_star(g):
     res = g.cypher("MATCH (a:Person) WHERE a.name = 'a' RETURN *")
     out = res.collect()
     assert len(out) == 1 and "a" in res.df.columns
+
+
+def test_map_parameters(g):
+    res = g.cypher("RETURN $m.a AS a, $m['b'] AS b",
+                   params={"m": {"a": 7, "b": "x"}})
+    assert bag(res) == rows((7, "x"))
+
+
+def test_unwind_param_list_of_maps(g):
+    res = g.cypher("UNWIND $rows AS r RETURN r.id AS i, r.v AS v",
+                   params={"rows": [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]})
+    assert bag(res) == rows((1, "x"), (2, "y"))
