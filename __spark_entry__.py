@@ -316,6 +316,16 @@ def _q_similarity_topk_join(spark, sf_dir):
                          emb.where(F.col("vec_id") >= 5), k=5)
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: n-gram Jaccard pairs -> connected
+    components -> (component, keep_id, size) per cluster."""
+    from cypher_for_apache_flink_spark.functions.components import dedup_clusters
+    from cypher_for_apache_flink_spark.functions.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3,
+                                max_shingle_freq=100)
+    return dedup_clusters(pairs)
+
+
 def _q_cosine_near_dup(spark, sf_dir):
     from cypher_for_apache_flink_spark.functions.similarity import (
         cosine_near_dup_pairs,
@@ -434,6 +444,7 @@ _PIPELINE_QUERIES = {
     "similarity_topk_lsh": _q_similarity_topk_lsh,
     "similarity_topk_ivf": _q_similarity_topk_ivf,
     "similarity_topk_join": _q_similarity_topk_join,
+    "near_dup_clusters": _q_near_dup_clusters,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
     "curate_corpus": _q_curate_corpus,
@@ -886,6 +897,40 @@ FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
 WHERE len(list_intersect(sa.shl, sb.shl))
       / CAST(len(sa.shl) + len(sb.shl)
              - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) >= 0.3""",
+        # near_dup_clusters: the jaccard pair set feeds a recursive-CTE
+        # min-label reachability closure — the SQL twin of the DataFrame
+        # connected-components iteration.
+        "near_dup_clusters": rf"""
+{_SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)}, ex0 AS (
+  SELECT doc_id, unnest(shl) AS s FROM sh
+), freq AS (
+  SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 100
+), ex AS (
+  SELECT ex0.* FROM ex0 JOIN freq USING (s)
+), sizes AS (
+  SELECT doc_id, len(shl) AS sz FROM sh
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT i.a AS a, i.b AS b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.3
+), nodes AS (
+  SELECT DISTINCT a AS node FROM pairs
+  UNION SELECT DISTINCT b FROM pairs
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+), cc AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+)
+SELECT component, min(node) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM cc GROUP BY component""",
         # simhash_pairs: full mirror of the md5 bit-vote signature — the
         # 64-char bit string is built positionally (same hex-nibble bit
         # extraction as functions/dedup.py:simhash64), banded into 4 chunks

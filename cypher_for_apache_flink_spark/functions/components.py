@@ -1,0 +1,69 @@
+"""Connected components over pair edges — the transitive-closure step that
+turns pairwise near-duplicate matches into duplicate CLUSTERS.
+
+Without it, chains break: A~B and B~C (but not A~C) would keep both A and C
+if deduplication only looks at pairs.  Components give each chain one
+representative.
+
+Scale design: iterative min-label propagation entirely in DataFrame ops —
+per round one join edges⋈labels + one groupBy-min, both shuffling on node
+ids.  Rounds needed = component diameter, which for near-duplicate clusters
+is tiny (dups of a doc are dups of each other, so diameters of 2-4 dominate
+even at corpus scale).  Each round's labels are cached and convergence is
+checked with a cheap anti-equality probe, mirroring the standard
+MapReduce-CC formulation (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — the small-star contraction specialises to
+min-label propagation on small-diameter graphs).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in ``pairs``; the component id is
+    the minimum node id in the component."""
+    nodes = (pairs.select(F.col(a).alias("node"))
+             .unionByName(pairs.select(F.col(b).alias("node")))
+             .distinct())
+    # localCheckpoint (not cache): each round's plan must TRUNCATE, or the
+    # labels⋈labels convergence probe doubles the logical plan every
+    # iteration and planning itself blows up long before the data does.
+    labels = nodes.select("node", F.col("node").alias("cc")) \
+        .localCheckpoint(eager=True)
+    bi = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+          .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))))
+    bi = bi.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (bi.join(labels.withColumnRenamed("node", "u")
+                                .withColumnRenamed("cc", "ucc"), "u")
+                        .groupBy(F.col("v").alias("node"))
+                        .agg(F.min("ucc").alias("ncc")))
+        new_labels = (labels.join(neighbor_min, "node", "left")
+                      .select("node",
+                              F.least(F.col("cc"),
+                                      F.coalesce("ncc", "cc")).alias("cc"))
+                      ).localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.cc") != F.col("o.cc"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds the bound — raise max_iter)")
+
+
+def dedup_clusters(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (component, keep_id, n_docs)
+    per cluster — ``keep_id`` is the minimum member, everything else in the
+    component is a removable duplicate."""
+    cc = connected_components(pairs, a, b)
+    return (cc.groupBy(F.col("cc").alias("component"))
+            .agg(F.min("node").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_docs")))
