@@ -20,16 +20,29 @@ from .text import quality_score
 
 def curate_corpus(docs: DataFrame, quality_min: float = 0.4,
                   jaccard_threshold: float = 0.3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  transitive: bool = False) -> DataFrame:
     """Returns the surviving documents (all original columns).
 
     Stages: (1) drop docs under the quality threshold; (2) exact dedup
     keeping the lowest id per normalized-text fingerprint; (3) drop the
     higher id of every MinHash-LSH near-duplicate pair among survivors.
+
+    ``transitive=True`` switches stage 3 to cluster semantics: near-dup
+    pairs are closed into connected components and only the minimum id per
+    component survives — stricter (A~B and B~C drops C even though A and C
+    were never a matching pair), the policy large corpus dedups usually
+    want.
     """
     scored = docs.where(quality_score(F.col(text_col)) >= quality_min)
     deduped = dedup_exact(scored, text_col=text_col, id_col=id_col)
     pairs = minhash_lsh_pairs(deduped, threshold=jaccard_threshold,
                               text_col=text_col, id_col=id_col)
-    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    if transitive:
+        from .components import connected_components
+        cc = connected_components(pairs)
+        losers = cc.where(F.col("node") != F.col("cc")) \
+            .select(F.col("node").alias(id_col))
+    else:
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return deduped.join(losers, id_col, "left_anti")

@@ -32,3 +32,15 @@ def test_curate_keeps_all_distinct_quality_docs(spark):
     assert kept.count() == 10
     # survivors keep their original columns
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_curate_transitive_removes_whole_cluster(spark):
+    from cypher_for_apache_flink_spark.functions.pipeline import curate_corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairwise = {r["doc_id"] for r in
+                curate_corpus(docs).select("doc_id").collect()}
+    transitive = {r["doc_id"] for r in
+                  curate_corpus(docs, transitive=True)
+                  .select("doc_id").collect()}
+    # transitive policy can only remove more, never fewer
+    assert transitive <= pairwise
