@@ -580,6 +580,10 @@ def _case(expr: E.CaseExpr, ctx: ExprContext) -> Column:
     for when, then in expr.alternatives:
         cond = (test == to_column(when, ctx)) if test is not None \
             else to_column(when, ctx)
+        if test is None and _is(spark_dtype(when, ctx), T.NullType):
+            # CASE WHEN null: an untyped NULL condition is legal Cypher
+            # (never matches); give Spark a boolean
+            cond = cond.cast("boolean")
         thenc = to_column(then, ctx)
         col = F.when(cond, thenc) if col is None else col.when(cond, thenc)
     default = to_column(expr.default, ctx) if expr.default is not None else F.lit(None)

@@ -193,6 +193,18 @@ SCENARIOS = [
      "MATCH (n:N) RETURN CASE WHEN n.x <= 2 THEN 'lo' WHEN n.x > 2 THEN 'hi' "
      "ELSE 'none' END AS bucket",
      [("lo",), ("lo",), ("hi",), ("hi",), ("none",)]),
+    ("null propagation through operators", None,
+     "RETURN 1 + null AS a, null AND false AS b, null OR true AS c, "
+     "null XOR true AS d, NOT null AS e, 'a' + null AS f",
+     [(None, False, True, None, None, None)]),
+    ("case with null condition takes else", None,
+     "RETURN CASE WHEN null THEN 1 ELSE 2 END AS a, "
+     "CASE null WHEN null THEN 1 ELSE 2 END AS b",
+     [(2, 2)]),
+    ("comprehension filters null members", None,
+     "RETURN [x IN [1, null, 3] WHERE x > 0 | x] AS lc, "
+     "reduce(a = 0, x IN [1, null] | a + x) AS r",
+     [((1, 3), None)]),
     ("case simple form", NUMS,
      "MATCH (n:N) WHERE n.x IS NOT NULL "
      "RETURN CASE n.x WHEN 1 THEN 'one' ELSE 'many' END AS w",
