@@ -459,6 +459,11 @@ def _property(expr: E.Property, ctx: ExprContext) -> Column:
         # Property of a graph element that is not in the schema -> null
         # (SparkSQLExprMapper.scala:151).
         return F.lit(None)
+    if isinstance(expr.owner, (E.StartNode, E.EndNode)):
+        raise NotImplementedError(
+            f"property access on {type(expr.owner).__name__} of an unbound "
+            "endpoint: bind the endpoint in the pattern instead, e.g. "
+            "MATCH (s)-[r]->() RETURN s." + key)
     # Fall back: compute owner (e.g. map literal / function result).
     return to_column(expr.owner, ctx).getField(key)
 
