@@ -688,8 +688,10 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             ((e.key, ctx.header.col(e)) for e in ctx.header.exprs()
              if isinstance(e, E.Property) and e.owner == var),
         )
+        # no declared properties -> empty map {} (a zero-field struct is not
+        # representable; Morpheus returns an empty CypherMap)
         return F.struct(*[F.col(c).alias(k) for k, c in props]) if props \
-            else F.struct(F.lit(None).alias("__empty"))
+            else F.create_map()
     if name == "exists":
         return a(0).isNotNull()
     if name == "timestamp":
