@@ -645,12 +645,14 @@ class Planner:
             node_tables[combo] = ndf if combo not in node_tables else \
                 node_tables[combo].unionByName(ndf, allowMissingColumns=True)
 
+        from ..graph import _RESERVED_NODE, _RESERVED_REL, prop_phys
+
         for v, info in node_slots.items():
             hv = header.var(v)
             prop_cols = []
             for k, ve in info["props"].items():
-                prop_cols.append(
-                    to_column(resolve_vars(ve, header), ctx).alias(k))
+                prop_cols.append(to_column(resolve_vars(ve, header), ctx)
+                                 .alias(prop_phys(k, _RESERVED_NODE)))
             if hv is None:
                 combo = frozenset(info["labels"])
                 add_node_table(combo, df.select(
@@ -662,7 +664,8 @@ class Planner:
             for e in header.exprs():
                 if isinstance(e, E.Property) and e.owner == hv and \
                         e.key not in info["props"]:
-                    prop_cols.append(F.col(header.col(e)).alias(e.key))
+                    prop_cols.append(F.col(header.col(e)).alias(
+                        prop_phys(e.key, _RESERVED_NODE)))
             label_cols = sorted(
                 (e.label, header.col(e)) for e in header.exprs()
                 if isinstance(e, E.HasLabel) and e.node == hv)
@@ -700,7 +703,8 @@ class Planner:
                     return F.col(header.col(hv))
                 return new_id_cols[v]
 
-            prop_cols = [to_column(resolve_vars(ve, header), ctx).alias(k)
+            prop_cols = [to_column(resolve_vars(ve, header), ctx)
+                         .alias(prop_phys(k, _RESERVED_REL))
                          for k, ve in rp.props]
             rdf = df.select(
                 new_id(len(new_vars) + j).alias("id"),

@@ -80,3 +80,13 @@ def test_catalog_create_and_delete(session):
     assert out.collect()[0]["n"] == 2
     session.cypher("CATALOG DELETE GRAPH friends")
     assert "friends" not in session.catalog
+
+
+def test_construct_with_reserved_property_names(session):
+    res = session.cypher(
+        "MATCH (p:Person) WHERE p.name = 'Alice' "
+        "CONSTRUCT NEW (:X {id: p.age, n: p.name})-[:L {source: 3}]->(:Y) "
+        "RETURN GRAPH")
+    out = res.graph.cypher(
+        "MATCH (x:X)-[l:L]->(:Y) RETURN x.id AS i, x.n AS n, l.source AS s")
+    assert [tuple(r) for r in out.collect()] == [(42, "Alice", 3)]
