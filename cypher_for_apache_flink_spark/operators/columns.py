@@ -840,6 +840,31 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         if isinstance(arg, E.Lit) and isinstance(arg.value, str):
             return F.to_timestamp(F.lit(arg.value.replace("T", " ")))
         return F.to_timestamp(F.translate(a(0), "T", " "))
+    if name in ("duration.between", "duration.indays", "duration.inmonths",
+                "duration.inseconds"):
+        # TemporalTests.scala duration.between family.  Calendar-correct
+        # decomposition: whole months first (anchored re-add, so Jan 31 ->
+        # Feb 28 counts as one month), whole days of the remainder, then the
+        # microsecond tail.
+        ats = a(0).cast("timestamp")
+        bts = a(1).cast("timestamp")
+        us_day = F.lit(86_400_000_000)
+        if name == "duration.inseconds":
+            return make_duration(F.lit(0), F.lit(0),
+                                 F.unix_micros(bts) - F.unix_micros(ats))
+        if name == "duration.indays":
+            dd = F.floor((F.unix_micros(bts) - F.unix_micros(ats)) / us_day)
+            return make_duration(F.lit(0), dd.cast("long"), F.lit(0))
+        raw_mo = (F.year(bts) - F.year(ats)) * 12 + (F.month(bts) - F.month(ats))
+        mo = F.when(F.timestamp_add("MONTH", raw_mo.cast("int"), ats) > bts,
+                    raw_mo - 1).otherwise(raw_mo)
+        if name == "duration.inmonths":
+            return make_duration(mo.cast("long"), F.lit(0), F.lit(0))
+        anchor = F.timestamp_add("MONTH", mo.cast("int"), ats)
+        us = F.unix_micros(bts) - F.unix_micros(anchor)
+        dd = F.floor(us / us_day)
+        return make_duration(mo.cast("long"), dd.cast("long"),
+                             (us - dd.cast("long") * us_day).cast("long"))
     if name == "duration":
         arg = args[0]
         if isinstance(arg, E.Lit) and isinstance(arg.value, str):

@@ -37,6 +37,11 @@ _TOKEN_RE = re.compile(r"""
   | (?P<PUNCT><=|>=|<>|=~|\.\.|->|<-|[-+*/%^=<>(),\[\]{}.:|])
 """, re.VERBOSE)
 
+# Dotted function names parsed as one call (TemporalTests.scala's
+# duration.between family).
+_NAMESPACED_FUNCS = {"duration.between", "duration.indays", "duration.inmonths",
+                     "duration.inseconds"}
+
 _KEYWORDS = {
     "match", "optional", "where", "with", "return", "unwind", "as", "union",
     "all", "order", "by", "skip", "limit", "distinct", "and", "or", "xor",
@@ -596,6 +601,23 @@ class Parser:
 
         if t.kind == "IDENT":
             nxt = self.peek(1)
+            # namespaced function call, e.g. duration.between(a, b)
+            if nxt.kind == "PUNCT" and nxt.text == "." and \
+                    self.peek(2).kind in ("IDENT", "KW") and \
+                    self.peek(3).kind == "PUNCT" and self.peek(3).text == "(":
+                name_tok = self.peek(2)
+                qual = f"{t.text}.{name_tok.raw if name_tok.kind == 'KW' else name_tok.text}"
+                if qual.lower() in _NAMESPACED_FUNCS:
+                    self.next(); self.next(); self.next()
+                    self.eat_punct("(")
+                    args = []
+                    if not self.at_punct(")"):
+                        while True:
+                            args.append(self.parse_expr())
+                            if not self.opt_punct(","):
+                                break
+                    self.eat_punct(")")
+                    return E.FuncCall(qual.lower(), tuple(args), False)
             if nxt.kind == "PUNCT" and nxt.text == "(":
                 return self.parse_func_call()
             self.next()

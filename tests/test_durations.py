@@ -122,3 +122,16 @@ def test_datetime_map_constructor(tgraph):
         "RETURN datetime({year: 2020, month: 2, day: 3, hour: 4, "
         "minute: 5, second: 6, millisecond: 7}) AS dt"))
     assert r["dt"] == datetime.datetime(2020, 2, 3, 4, 5, 6, 7000)
+
+
+def test_duration_between_family(tgraph):
+    r = one(tgraph.cypher(
+        "RETURN duration.between(date('2020-01-31'), date('2020-03-01')) AS b, "
+        "duration.inDays(date('2020-01-01'), date('2020-03-01')) AS d, "
+        "duration.inMonths(date('2020-01-31'), date('2020-03-30')) AS m, "
+        "duration.inSeconds(datetime('2020-01-01T00:00:00'), "
+        "datetime('2020-01-01T01:30:00')) AS s"))
+    assert (r["b"]["months"], r["b"]["days"]) == (1, 1)
+    assert r["d"]["days"] == 60
+    assert r["m"]["months"] == 1
+    assert r["s"]["microseconds"] == 5400 * 1_000_000
