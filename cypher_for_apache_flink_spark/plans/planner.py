@@ -486,6 +486,17 @@ class Planner:
 
         rel = scan_rels(self.session, self.graph, rp.var, rp.types)
         rv = E.RelVar(rp.var)
+        if rp.props:
+            # Inline property map on a var-length pattern constrains EVERY
+            # traversed relationship (VarLengthExpandPlanner applies the
+            # rel predicate per step) — filter the edge scan once, before
+            # the hop loop reuses it.
+            rctx = ExprContext(rel.header, rel.df, self.params)
+            cond = None
+            for k, ve in rp.props:
+                term = to_column(E.BinOp("=", E.Property(rv, k), ve), rctx)
+                cond = term if cond is None else cond & term
+            rel = rel.with_df(rel.df.where(cond))
         if rp.direction == "both":
             rel = _bidirectional(rel, rv)
             src_expr, dst_expr = E.StartNode(rv), E.EndNode(rv)

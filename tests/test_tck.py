@@ -50,6 +50,11 @@ SCENARIOS = [
     ("match undirected counts both orientations", ABC,
      "MATCH (b:B)--(o) RETURN o.name AS o",
      [("a",), ("c",)]),
+    ("var length inline property map filters every hop",
+     'CREATE (a:V {n: "a"})-[:K {w: 1}]->(b:V {n: "b"}), '
+     '(b)-[:K {w: 2}]->(:V {n: "c"}), (b)-[:K {w: 1}]->(:V {n: "d"})',
+     'MATCH (a:V {n: "a"})-[:K*1..2 {w: 1}]->(x) RETURN x.n AS x',
+     [("b",), ("d",)]),
     ("match var length 1..2", ABC,
      "MATCH (a:A)-[:KNOWS*1..2]->(t) RETURN t.name AS t",
      [("b",), ("c",)]),
