@@ -25,17 +25,21 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
                          max_iter: int = 25) -> DataFrame:
     """(node, component) for every node in ``pairs``; the component id is
     the minimum node id in the component."""
-    nodes = (pairs.select(F.col(a).alias("node"))
-             .unionByName(pairs.select(F.col(b).alias("node")))
+    # Materialize the (possibly expensive) pair computation exactly once —
+    # nodes, edges, and every round derive from the checkpointed copy.
+    pairs = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")) \
+        .localCheckpoint(eager=True)
+    nodes = (pairs.select(F.col("a").alias("node"))
+             .unionByName(pairs.select(F.col("b").alias("node")))
              .distinct())
     # localCheckpoint (not cache): each round's plan must TRUNCATE, or the
     # labels⋈labels convergence probe doubles the logical plan every
     # iteration and planning itself blows up long before the data does.
     labels = nodes.select("node", F.col("node").alias("cc")) \
         .localCheckpoint(eager=True)
-    bi = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-          .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))))
-    bi = bi.localCheckpoint(eager=True)
+    bi = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+          .unionByName(pairs.select(F.col("b").alias("u"),
+                                    F.col("a").alias("v"))))
 
     for _ in range(max_iter):
         neighbor_min = (bi.join(labels.withColumnRenamed("node", "u")
