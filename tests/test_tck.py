@@ -134,6 +134,16 @@ SCENARIOS = [
      "MATCH (n:N) WHERE n.x = 3 RETURN n.x * 2 + 1 AS y, n.x % 2 AS m, n.x ^ 2 AS p",
      [(7, 1, 9.0)]),
 
+    # --- Aliasing lineage (ReturnTests "tricky alias") -----------------------
+    ("entity alias keeps property lineage",
+     'CREATE (:A {name: "me"}), (:A)',
+     "MATCH (a:A) WITH a, a AS foo RETURN foo.name AS n",
+     [("me",), (None,)]),
+    ("alias then property filter",
+     'CREATE (:A {name: "me"}), (:A)',
+     "MATCH (a:A) WITH a AS x, a.name AS n WHERE n = 'me' RETURN x.name AS m",
+     [("me",)]),
+
     # --- Aggregation ---------------------------------------------------------
     ("count star vs count property", NUMS,
      "MATCH (n:N) RETURN count(*) AS all_rows, count(n.x) AS non_null",
