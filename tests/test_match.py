@@ -263,3 +263,25 @@ def test_disjunction_four_types_var_length(spark):
     assert bag(res) == rows(("a", "a"), ("a", "b"), ("a", "b"), ("a", "c"),
                             ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
                             ("c", "d"))
+
+
+# --- error paths: explicit raises, never silent truncation -------------------
+
+def test_var_length_bound_over_cap_raises(triangle_chain):
+    from cypher_for_apache_flink_spark.plans.planner import PlanError
+    with pytest.raises(PlanError, match="cap is 12"):
+        triangle_chain.cypher("MATCH (a:P)-[:K*1..20]->(b) RETURN b.n AS n")
+
+
+def test_construct_var_length_raises(spark, triangle_chain):
+    from cypher_for_apache_flink_spark import CypherSession
+    from cypher_for_apache_flink_spark.plans.planner import PlanError
+    s = CypherSession.for_graph(triangle_chain)
+    with pytest.raises(PlanError, match="var-length"):
+        s.cypher("MATCH (a:P)-[:K]->(b) "
+                 "CONSTRUCT NEW (a)-[:X*1..2]->(b) RETURN GRAPH")
+
+
+def test_unbound_variable_has_clear_error(triangle_chain):
+    with pytest.raises(KeyError, match="not in scope"):
+        triangle_chain.cypher("RETURN nope").collect()
