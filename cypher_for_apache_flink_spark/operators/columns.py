@@ -742,7 +742,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
 
     # --- strings --------------------------------------------------------
     simple = {
-        "toupper": F.upper, "tolower": F.lower, "trim": F.trim,
+        "toupper": F.upper, "tolower": F.lower,
+        "upper": F.upper, "lower": F.lower, "trim": F.trim,
         "ltrim": F.ltrim, "rtrim": F.rtrim, "reverse": F.reverse,
         "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log10": F.log10,
         "abs": F.abs, "ceil": lambda c: F.ceil(c).cast("long"),
