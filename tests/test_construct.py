@@ -90,3 +90,15 @@ def test_construct_with_reserved_property_names(session):
     out = res.graph.cypher(
         "MATCH (x:X)-[l:L]->(:Y) RETURN x.id AS i, x.n AS n, l.source AS s")
     assert [tuple(r) for r in out.collect()] == [(42, "Alice", 3)]
+
+
+def test_from_graph_mid_query_switch(session, spark):
+    """SwitchContext (RelationalPlanner context switch): FROM GRAPH changes
+    the scan source mid-query while carrying the projected scope."""
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+    other = graph_from_create(spark, 'CREATE (:Person {name: "Zoe"})')
+    session.register("other", other)
+    res = session.cypher(
+        "MATCH (p:Person) WHERE p.name = 'Alice' WITH p.name AS n "
+        "FROM GRAPH other MATCH (q:Person) RETURN n, q.name AS m")
+    assert [tuple(r) for r in res.collect()] == [("Alice", "Zoe")]
