@@ -93,9 +93,11 @@ class UnwindClause:
 
 @dataclass(frozen=True)
 class FromGraphClause:
-    """``FROM GRAPH name`` — switch the active graph (Cypher 10;
-    reference FromCatalogGraph, RelationalOperator.scala:410)."""
+    """``FROM GRAPH name`` / ``FROM GRAPH view(args)`` — switch the active
+    graph (Cypher 10; reference FromCatalogGraph,
+    RelationalOperator.scala:410; parameterized views CatalogDDLTests)."""
     name: str
+    args: tuple = ()
 
 
 @dataclass(frozen=True)

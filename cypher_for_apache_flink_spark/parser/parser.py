@@ -194,7 +194,17 @@ class Parser:
                     self.peek(1).text == "graph":
                 self.next()
                 self.next()
-                clauses.append(A.FromGraphClause(self.ident()))
+                gname = self.ident()
+                gargs = []
+                if self.at_punct("("):
+                    self.next()
+                    if not self.at_punct(")"):
+                        while True:
+                            gargs.append(self.ident())
+                            if not self.opt_punct(","):
+                                break
+                    self.eat_punct(")")
+                clauses.append(A.FromGraphClause(gname, tuple(gargs)))
             elif self.at_kw("construct"):
                 self.next()
                 clauses.append(self.parse_construct())

@@ -137,8 +137,13 @@ class Planner:
                 records = self.plan_unwind(records, clause)
             elif isinstance(clause, A.FromGraphClause):
                 # FromCatalogGraph (RelationalOperator.scala:410): switch the
-                # active graph for subsequent clauses.
-                self.graph = self.session.graph(clause.name)
+                # active graph for subsequent clauses; view invocations
+                # instantiate the parameterized body.
+                if clause.args:
+                    self.graph = self.session.view_graph(clause.name,
+                                                         clause.args)
+                else:
+                    self.graph = self.session.graph(clause.name)
             elif isinstance(clause, A.ConstructClause):
                 pending_construct = clause
             elif isinstance(clause, A.ReturnGraphClause):

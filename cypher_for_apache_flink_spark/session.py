@@ -24,6 +24,13 @@ _CATALOG_RE = re.compile(
     r"\s*(?:\{(.*)\})?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+# CATALOG CREATE VIEW v($g1, $g2) { FROM GRAPH $g1 ... RETURN GRAPH }
+# (CatalogDDLTests.scala parameterized graph views.)
+_CATALOG_VIEW_RE = re.compile(
+    r"^CATALOG\s+(CREATE|DELETE)\s+VIEW\s+([A-Za-z_][A-Za-z0-9_.]*)"
+    r"\s*(?:\(([^)]*)\))?\s*(?:\{(.*)\})?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 
 class CypherResult:
     """Lazy query result; ``df`` has user-facing column names.  Queries
@@ -74,6 +81,8 @@ class CypherSession:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.catalog: dict[str, PropertyGraph] = {}
+        # name -> (param names, body text) graph views (CatalogDDLTests)
+        self.views: dict[str, tuple] = {}
 
     @classmethod
     def for_graph(cls, graph: PropertyGraph) -> "CypherSession":
@@ -93,7 +102,33 @@ class CypherSession:
         self.catalog.pop(name, None)
 
     def graph(self, name: str) -> PropertyGraph:
-        return self.catalog[name]
+        # Graphs shadow views of the same name (CatalogDDLTests "can still
+        # resolve a graph when a view with the same name exists").
+        if name in self.catalog:
+            return self.catalog[name]
+        if name in self.views:
+            return self.view_graph(name, ())
+        raise KeyError(f"no graph or view named {name!r}")
+
+    def view_graph(self, name: str, args: tuple) -> PropertyGraph:
+        """Instantiate a catalog view: substitute the graph-name arguments
+        for the view's `$param` placeholders and run its body."""
+        if name not in self.views:
+            raise KeyError(f"no view named {name!r}")
+        params, body = self.views[name]
+        if len(args) != len(params):
+            raise ValueError(
+                f"view {name} takes {len(params)} graph argument(s), "
+                f"got {len(args)}")
+        text = body
+        for p, a in zip(params, args):
+            if a not in self.catalog and a not in self.views:
+                raise KeyError(f"view argument {a!r} is not a catalog graph")
+            text = re.sub(r"\$" + re.escape(p) + r"\b", a, text)
+        res = self.cypher(text)
+        if res.graph is None:
+            raise ValueError(f"view {name} body must RETURN GRAPH")
+        return res.graph
 
     # -- graph construction helpers ------------------------------------
     def create_graph(self, name: str, nodes: dict, rels: dict | None = None
@@ -113,6 +148,9 @@ class CypherSession:
         stmt = _CATALOG_RE.match(query.strip())
         if stmt:
             return self._catalog_statement(stmt, params)
+        vstmt = _CATALOG_VIEW_RE.match(query.strip())
+        if vstmt:
+            return self._view_statement(vstmt)
         if isinstance(graph, str):
             graph = self.catalog[graph]
         if graph is None:
@@ -146,6 +184,31 @@ class CypherSession:
             self.register(name, res.graph)
             return res
         self.deregister(name)
+        from .operators.header import Header
+        from .operators.records import Records
+        empty = Records(self, Header({}), self.spark.range(0).select())
+        return CypherResult(empty, [])
+
+    def _view_statement(self, stmt) -> "CypherResult":
+        """CATALOG CREATE VIEW name($p, ...) { body } / CATALOG DELETE VIEW
+        (CatalogDDLTests parameterized views).  The body is stored as text
+        and instantiated per invocation — `FROM GRAPH name(g1, ...)`."""
+        action, name, raw_params, body = (stmt.group(1).lower(), stmt.group(2),
+                                          stmt.group(3), stmt.group(4))
+        if action == "create":
+            if not body:
+                raise ValueError("CATALOG CREATE VIEW needs a { body }")
+            params = []
+            for p in (raw_params or "").split(","):
+                p = p.strip()
+                if p:
+                    if not p.startswith("$"):
+                        raise ValueError(
+                            f"view parameters are $names, got {p!r}")
+                    params.append(p[1:])
+            self.views[name] = (tuple(params), body)
+        else:
+            self.views.pop(name, None)
         from .operators.header import Header
         from .operators.records import Records
         empty = Records(self, Header({}), self.spark.range(0).select())

@@ -102,3 +102,43 @@ def test_from_graph_mid_query_switch(session, spark):
         "MATCH (p:Person) WHERE p.name = 'Alice' WITH p.name AS n "
         "FROM GRAPH other MATCH (q:Person) RETURN n, q.name AS m")
     assert [tuple(r) for r in res.collect()] == [("Alice", "Zoe")]
+
+
+# --- CatalogDDLTests: parameterized graph views ------------------------------
+
+def test_catalog_create_view_and_invoke(session, spark):
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+    session.register("g2", graph_from_create(
+        spark, 'CREATE (:Person {name: "Neo"})-[:KNOWS]->(:Person {name: "Trin"})'))
+    session.cypher(
+        "CATALOG CREATE VIEW pairs($g) { FROM GRAPH $g "
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "CONSTRUCT NEW (:Pair {s: a.name, t: b.name}) RETURN GRAPH }")
+    one = session.cypher("FROM GRAPH pairs(social) MATCH (p:Pair) "
+                         "RETURN p.s AS s, p.t AS t ORDER BY s")
+    assert [tuple(r) for r in one.collect()] == [("Alice", "Bob"),
+                                                 ("Bob", "Carol")]
+    two = session.cypher("FROM GRAPH pairs(g2) MATCH (p:Pair) "
+                         "RETURN p.s AS s, p.t AS t")
+    assert [tuple(r) for r in two.collect()] == [("Neo", "Trin")]
+
+
+def test_view_arity_and_delete(session):
+    session.cypher("CATALOG CREATE VIEW idview($g) "
+                   "{ FROM GRAPH $g MATCH (n) CONSTRUCT CLONE n RETURN GRAPH }")
+    with pytest.raises(ValueError, match="graph argument"):
+        session.cypher("FROM GRAPH idview(social, social) MATCH (n) "
+                       "RETURN count(*) AS c")
+    session.cypher("CATALOG DELETE VIEW idview")
+    with pytest.raises(KeyError, match="no view"):
+        session.cypher("FROM GRAPH idview(social) MATCH (n) RETURN count(*) AS c")
+
+
+def test_graph_shadows_view_of_same_name(session):
+    session.cypher("CATALOG CREATE VIEW social() "
+                   "{ FROM GRAPH social MATCH (n) WHERE 1 = 0 "
+                   "CONSTRUCT CLONE n RETURN GRAPH }")
+    # bare FROM GRAPH social still resolves the GRAPH, not the empty view
+    res = session.cypher("FROM GRAPH social MATCH (n:Person) RETURN count(*) AS c")
+    assert [tuple(r) for r in res.collect()] == [(3,)]
+    session.cypher("CATALOG DELETE VIEW social")
