@@ -195,6 +195,12 @@ class Parser:
                 self.next()
                 self.next()
                 gname = self.ident()
+                # qualified graph names: session.foo / ds.schema.graph
+                # (QualifiedGraphNameAcceptance)
+                while self.at_punct(".") and \
+                        self.peek(1).kind in ("IDENT", "KW"):
+                    self.next()
+                    gname += "." + self.ident()
                 gargs = []
                 if self.at_punct("("):
                     self.next()

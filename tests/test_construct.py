@@ -142,3 +142,14 @@ def test_graph_shadows_view_of_same_name(session):
     res = session.cypher("FROM GRAPH social MATCH (n:Person) RETURN count(*) AS c")
     assert [tuple(r) for r in res.collect()] == [(3,)]
     session.cypher("CATALOG DELETE VIEW social")
+
+
+def test_qualified_graph_names(session, spark):
+    """QualifiedGraphNameAcceptance: dotted names resolve through FROM GRAPH
+    and CATALOG statements."""
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+    session.register("ds.schema.g", graph_from_create(
+        spark, 'CREATE (:Person {name: "Q"})'))
+    res = session.cypher(
+        "FROM GRAPH ds.schema.g MATCH (p:Person) RETURN p.name AS n")
+    assert [tuple(r) for r in res.collect()] == [("Q",)]
