@@ -115,3 +115,58 @@ def run_to_memory(stream_df: DataFrame, name: str,
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def streaming_near_dup_flags(docs: DataFrame, corpus: DataFrame,
+                             n: int = 3, num_hashes: int = 8, bands: int = 4,
+                             threshold: float = 0.5,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             ts_col: str = "ts",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Online near-duplicate detection: flag incoming documents that are
+    MinHash-LSH near-duplicates of a STATIC reference corpus.
+
+    The streaming twin of functions.dedup.minhash_lsh_pairs as a
+    stream-static join: the corpus is shingled/banded once (cached static
+    side), each micro-batch computes the incoming docs' band keys and joins
+    on (band, key) — the stream side never sees more than its own rows plus
+    matched candidates.  Exact Jaccard verifies candidates; duplicates from
+    multiple shared bands are collapsed by the watermarked dropDuplicates.
+    Returns (doc_id, ref, jaccard).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import minhash_from_shingles, word_shingles
+
+    per_band = num_hashes // bands
+
+    def band_entries(df, doc_alias):
+        sh = word_shingles(F.col(text_col), n)
+        sig = minhash_from_shingles(F.col("__sh"), num_hashes)
+        out = df.withColumn("__sh", sh).withColumn("__sig", sig)
+        return out.select(
+            F.col(id_col).alias(doc_alias),
+            *([F.col(ts_col)] if ts_col in df.columns else []),
+            F.col("__sh").alias(f"{doc_alias}_sh"),
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.md5(F.concat_ws("|", *[
+                             F.col("__sig")[b * per_band + r]
+                             for r in range(per_band)])).alias("key"))
+                for b in range(bands)])).alias("bk")
+        ).select("*", F.col("bk.band").alias("band"),
+                 F.col("bk.key").alias("key")).drop("bk")
+
+    ref = band_entries(corpus, "ref").cache()
+    stream = band_entries(docs, "doc")
+    if docs.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    cand = stream.join(ref.withColumnRenamed(f"{'ref'}_sh", "ref_sh"),
+                       ["band", "key"], "inner")
+    inter = F.size(F.array_intersect(F.col("doc_sh"), F.col("ref_sh")))
+    union = F.size(F.col("doc_sh")) + F.size(F.col("ref_sh")) - inter
+    flagged = (cand.withColumn("jaccard", F.round(inter / union, 6))
+               .where(F.col("jaccard") >= threshold)
+               .select(F.col("doc").alias(id_col), "ref", "jaccard",
+                       *([F.col(ts_col)] if ts_col in docs.columns else [])))
+    return flagged.dropDuplicates([id_col, "ref"])

@@ -98,3 +98,43 @@ def test_streaming_dedup_exact(spark):
         assert texts[0].startswith("a different")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_near_dup_flags_parity(spark):
+    """Stream-static LSH near-dup flags: streaming availableNow result
+    equals the batch run of the same operator."""
+    import datetime
+    import shutil
+    from cypher_for_apache_flink_spark.streaming.events import (
+        run_to_memory,
+        streaming_near_dup_flags,
+    )
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again"),
+         (101, "entirely unrelated reference text about graph engines")],
+        "doc_id long, text string")
+    rows = [(1, "the quick brown fox jumps over the lazy dog again and again", base),
+            (2, "no resemblance to anything in the reference corpus at all", base),
+            (3, "quick brown fox jumps over the lazy dog again and again too", base)]
+    incoming = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+
+    batch = streaming_near_dup_flags(incoming, corpus, threshold=0.4)
+    want = {(r["doc_id"], r["ref"], r["jaccard"]) for r in batch.collect()}
+    assert (1, 100) in {(a, b) for a, b, _ in want}
+    assert 2 not in {a for a, _, _ in want}
+
+    tmp = "/root/repo/.tmp_test_sneardup"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        incoming.repartition(2).write.parquet(tmp)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, ts timestamp")
+                  .parquet(tmp))
+        run_to_memory(streaming_near_dup_flags(stream, corpus, threshold=0.4),
+                      "sneardup", "append")
+        got = {(r["doc_id"], r["ref"], r["jaccard"])
+               for r in spark.table("sneardup").collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
