@@ -62,6 +62,87 @@ class CypherResult:
         return Counter(tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
                        for r in self.collect())
 
+    def to_maps(self):
+        """Rows as dicts with full ENTITY values (the reference's
+        ``records.toMaps`` — CypherMap with MorpheusNode/Relationship): a
+        returned node renders as {"id", "labels", "properties"}, a returned
+        relationship as {"id", "source", "target", "type", "properties"};
+        scalar columns pass through unchanged."""
+        from .ir import expr as E
+        from .operators.header import TypeOf
+
+        h = self.records.header
+        plans = []   # (name, kind, extras)
+        sel = []
+        seen = set()
+        for name, phys in self.outputs:
+            if name in seen:
+                continue
+            seen.add(name)
+            v = h.var(name)
+            if isinstance(v, E.NodeVar) or (
+                    isinstance(v, E.Var) and not isinstance(v, E.RelVar)
+                    and v is not None and any(
+                        isinstance(e, E.HasLabel) and e.node == v
+                        for e in h.exprs())):
+                labels = sorted((e.label, h.col(e)) for e in h.exprs()
+                                if isinstance(e, E.HasLabel) and e.node == v)
+                props = sorted((e.key, h.col(e)) for e in h.exprs()
+                               if isinstance(e, E.Property) and e.owner == v)
+                plans.append((name, "node", (labels, props)))
+                sel.append(F.col(phys).alias(f"__id_{name}"))
+                sel += [F.col(c).alias(f"__l_{name}_{i}")
+                        for i, (_, c) in enumerate(labels)]
+                sel += [F.col(c).alias(f"__p_{name}_{i}")
+                        for i, (_, c) in enumerate(props)]
+            elif isinstance(v, E.RelVar):
+                props = sorted((e.key, h.col(e)) for e in h.exprs()
+                               if isinstance(e, E.Property) and e.owner == v)
+                src = h.get(E.StartNode(v))
+                dst = h.get(E.EndNode(v))
+                typ = h.get(TypeOf(v))
+                plans.append((name, "rel", props))
+                sel.append(F.col(phys).alias(f"__id_{name}"))
+                sel.append((F.col(src) if src else F.lit(None)).alias(f"__s_{name}"))
+                sel.append((F.col(dst) if dst else F.lit(None)).alias(f"__t_{name}"))
+                sel.append((F.col(typ) if typ else F.lit(None)).alias(f"__y_{name}"))
+                sel += [F.col(c).alias(f"__p_{name}_{i}")
+                        for i, (_, c) in enumerate(props)]
+            else:
+                plans.append((name, "scalar", None))
+                sel.append(F.col(phys).alias(name))
+
+        rows = self.records.df.select(*sel).collect()
+        out = []
+        for r in rows:
+            d = {}
+            for name, kind, extra in plans:
+                if kind == "scalar":
+                    d[name] = r[name]
+                elif kind == "node":
+                    labels, props = extra
+                    d[name] = {
+                        "id": r[f"__id_{name}"],
+                        "labels": {lbl for i, (lbl, _) in enumerate(labels)
+                                   if r[f"__l_{name}_{i}"]},
+                        "properties": {k: r[f"__p_{name}_{i}"]
+                                       for i, (k, _) in enumerate(props)
+                                       if r[f"__p_{name}_{i}"] is not None},
+                    }
+                else:
+                    props = extra
+                    d[name] = {
+                        "id": r[f"__id_{name}"],
+                        "source": r[f"__s_{name}"],
+                        "target": r[f"__t_{name}"],
+                        "type": r[f"__y_{name}"],
+                        "properties": {k: r[f"__p_{name}_{i}"]
+                                       for i, (k, _) in enumerate(props)
+                                       if r[f"__p_{name}_{i}"] is not None},
+                    }
+            out.append(d)
+        return out
+
     def cache(self) -> "CypherResult":
         """Persist the underlying table (reference: Cache operator /
         CacheTests) — reuse across several terminal actions."""

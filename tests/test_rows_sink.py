@@ -63,3 +63,20 @@ def test_neo4j_bulk_csv_sink(spark):
         assert rheader == ":START_ID,:END_ID,since,:TYPE"
     finally:
         shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_to_maps_renders_full_entities(spark):
+    """records.toMaps analogue: RETURN n yields {id, labels, properties}."""
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+    g = graph_from_create(
+        spark, 'CREATE (a:Person:Admin {name: "Alice", age: 42})'
+               '-[:KNOWS {since: 2019}]->(b:Person {name: "Bob"})')
+    maps = g.cypher("MATCH (a)-[r:KNOWS]->(b) RETURN a, r, b.name AS bn").to_maps()
+    assert len(maps) == 1
+    m = maps[0]
+    assert m["a"]["labels"] == {"Person", "Admin"}
+    assert m["a"]["properties"] == {"name": "Alice", "age": 42}
+    assert m["r"]["type"] == "KNOWS"
+    assert m["r"]["properties"] == {"since": 2019}
+    assert m["r"]["source"] == m["a"]["id"]
+    assert m["bn"] == "Bob"
