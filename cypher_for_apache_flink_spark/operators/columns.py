@@ -783,8 +783,19 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         return F.split(a(0), a(1))
 
     # --- lists ----------------------------------------------------------
+    if name in ("nodes", "relationships"):
+        # named-path accessors: path = struct<nodes, rels> (planner
+        # _bind_path)
+        t = spark_dtype(args[0], ctx)
+        if not (_is(t, T.StructType) and
+                set(t.fieldNames()) == {"nodes", "rels"}):
+            raise NotImplementedError(f"{name}() expects a named path")
+        return a(0).getField("nodes" if name == "nodes" else "rels")
     if name in ("size", "length"):
         t = spark_dtype(args[0], ctx)
+        if _is(t, T.StructType) and set(t.fieldNames()) == {"nodes", "rels"}:
+            # length(path) = number of relationships
+            return F.size(a(0).getField("rels")).cast("long")
         if _is(t, T.NullType):
             return F.lit(None).cast("long")
         if _is(t, T.StringType):

@@ -11,6 +11,7 @@ a small backtracking parser instead (SURVEY §7.1.5).
 
 from __future__ import annotations
 
+import dataclasses
 import re
 
 from ..ir import expr as E
@@ -237,9 +238,9 @@ class Parser:
 
     # -- clauses --------------------------------------------------------
     def parse_match(self, optional: bool) -> A.MatchClause:
-        patterns = [self.parse_pattern_part()]
+        patterns = [self._parse_match_part()]
         while self.opt_punct(","):
-            patterns.append(self.parse_pattern_part())
+            patterns.append(self._parse_match_part())
         where = None
         if self.at_kw("where"):
             self.next()
@@ -323,6 +324,18 @@ class Parser:
         return A.ProjectionItem(e, alias)
 
     # -- patterns -------------------------------------------------------
+    def _parse_match_part(self) -> A.PatternPart:
+        """Pattern part with an optional named-path binder ``p = (...)``."""
+        t = self.peek()
+        if t.kind in ("IDENT", "KW") and self.peek(1).kind == "PUNCT" and \
+                self.peek(1).text == "=":
+            name = t.raw if t.kind == "KW" else t.text
+            self.next()
+            self.next()
+            part = self.parse_pattern_part()
+            return dataclasses.replace(part, path_var=name)
+        return self.parse_pattern_part()
+
     def parse_pattern_part(self) -> A.PatternPart:
         elements = [self.parse_node_pattern()]
         while self.at_punct("-", "<-"):

@@ -300,9 +300,39 @@ class Planner:
         # ---- relationship isomorphism within the clause --------------
         current = self._rel_uniqueness(current, clause_rel_vars)
 
+        # ---- named paths ---------------------------------------------
+        for named in named_parts:
+            if named.path_var is not None:
+                current = self._bind_path(current, named)
+
         # ---- WHERE ----------------------------------------------------
         current = self.apply_predicates(current, where_conjuncts + conjuncts)
         return current
+
+    def _bind_path(self, records: Records, part: A.PatternPart) -> Records:
+        """``p = (a)-[r]->(b)``: bind the path variable to a
+        struct<nodes: array<id>, rels: array<id>> column — nodes(p) /
+        relationships(p) / length(p) compile to field accesses.  Fixed-length
+        patterns only (a var-length path would need per-hop node ids, which
+        the frontier iteration does not retain)."""
+        h = records.header
+        node_cols, rel_cols = [], []
+        for i, el in enumerate(part.elements):
+            if i % 2 == 1 and el.var_length:
+                raise PlanError("named paths over var-length patterns are "
+                                "not supported")
+            v = h.var(el.var)
+            if v is None:
+                raise PlanError(f"path element {el.var!r} not bound")
+            (node_cols if i % 2 == 0 else rel_cols).append(h.col(v))
+        from ..operators.header import _san
+        pcol = f"__path_{_san(part.path_var)}"
+        col = F.struct(
+            F.array(*[F.col(c) for c in node_cols]).alias("nodes"),
+            F.array(*[F.col(c) for c in rel_cols]).alias("rels"))
+        return Records(self.session,
+                       h.added(E.Var(part.path_var), pcol),
+                       records.df.withColumn(pcol, col))
 
     def _name_pattern(self, part: A.PatternPart) -> A.PatternPart:
         """Give every anonymous node/rel a fresh variable name."""
@@ -314,7 +344,7 @@ class Planner:
             else:
                 elems.append(el if el.var else dataclasses.replace(
                     el, var=self.fresh_name()))
-        return A.PatternPart(tuple(elems))
+        return A.PatternPart(tuple(elems), part.path_var)
 
     def _plan_component(self, current, comp, node_labels, bound,
                         clause_rel_vars, elidable=frozenset()) -> Records:

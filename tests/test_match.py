@@ -285,3 +285,25 @@ def test_construct_var_length_raises(spark, triangle_chain):
 def test_unbound_variable_has_clear_error(triangle_chain):
     with pytest.raises(KeyError, match="not in scope"):
         triangle_chain.cypher("RETURN nope").collect()
+
+
+# --- named paths (beyond-reference: Morpheus lacks them) ---------------------
+
+def test_named_path_accessors(triangle_chain):
+    res = triangle_chain.cypher(
+        'MATCH p = (a:P {n: "a"})-[:K]->(b)-[:K]->(c) '
+        "RETURN length(p) AS l, size(nodes(p)) AS nn, "
+        "size(relationships(p)) AS nr")
+    assert bag(res) == rows((2, 3, 2))
+
+
+def test_named_path_node_ids_in_order(triangle_chain):
+    res = triangle_chain.cypher(
+        'MATCH p = (a:P {n: "a"})-[:K]->(b) RETURN nodes(p) AS ns')
+    assert [list(r["ns"]) for r in res.collect()] == [[1, 2]]
+
+
+def test_named_path_varlen_raises(triangle_chain):
+    from cypher_for_apache_flink_spark.plans.planner import PlanError
+    with pytest.raises(PlanError, match="named paths"):
+        triangle_chain.cypher("MATCH p = (a)-[:K*1..2]->(b) RETURN length(p) AS l")
