@@ -203,6 +203,11 @@ class Planner:
                         conjuncts.append(
                             E.BinOp("=", E.Property(E.RelVar(rp.var), k), v))
 
+        # Var-length rels inside a named path must retain per-hop node ids.
+        self._path_rel_vars = {
+            el.var for part in named_parts if part.path_var is not None
+            for el in part.elements[1::2] if el.var_length}
+
         bound = {v.name for v in records.header.vars()} if records is not None else set()
 
         # Label constraints on already-bound variables cannot prune the scan
@@ -310,26 +315,44 @@ class Planner:
         return current
 
     def _bind_path(self, records: Records, part: A.PatternPart) -> Records:
-        """``p = (a)-[r]->(b)``: bind the path variable to a
+        """``p = (a)-[r*..]->(b)``: bind the path variable to a
         struct<nodes: array<id>, rels: array<id>> column — nodes(p) /
-        relationships(p) / length(p) compile to field accesses.  Fixed-length
-        patterns only (a var-length path would need per-hop node ids, which
-        the frontier iteration does not retain)."""
+        relationships(p) / length(p) compile to field accesses.  Var-length
+        segments splice in their hop-node and edge-id lists (the expand
+        tracked them because the rel var is in ``_path_rel_vars``)."""
         h = records.header
-        node_cols, rel_cols = [], []
+        node_pieces, rel_pieces = [], []
         for i, el in enumerate(part.elements):
-            if i % 2 == 1 and el.var_length:
-                raise PlanError("named paths over var-length patterns are "
-                                "not supported")
-            v = h.var(el.var)
-            if v is None:
-                raise PlanError(f"path element {el.var!r} not bound")
-            (node_cols if i % 2 == 0 else rel_cols).append(h.col(v))
+            if i % 2 == 0:
+                if i > 0 and part.elements[i - 1].var_length:
+                    continue  # covered by the var-length segment's tail
+                v = h.var(el.var)
+                if v is None:
+                    raise PlanError(f"path element {el.var!r} not bound")
+                node_pieces.append(F.array(F.col(h.col(v))))
+            elif el.var_length:
+                lst = h.get(E.ListRelVar(el.var))
+                hops = h.var(f"__vlnodes_{el.var}")
+                if lst is None or hops is None:
+                    raise PlanError("named path over a var-length pattern "
+                                    "lost its hop tracking (planner bug)")
+                rel_pieces.append(F.col(lst))
+                # hop array = [src, n1, ..., nk]; src already contributed
+                hc = F.col(h.col(hops))
+                node_pieces.append(F.slice(
+                    hc, 2, F.greatest(F.size(hc) - 1, F.lit(0))))
+            else:
+                v = h.var(el.var)
+                if v is None:
+                    raise PlanError(f"path element {el.var!r} not bound")
+                rel_pieces.append(F.array(F.col(h.col(v))))
         from ..operators.header import _san
         pcol = f"__path_{_san(part.path_var)}"
-        col = F.struct(
-            F.array(*[F.col(c) for c in node_cols]).alias("nodes"),
-            F.array(*[F.col(c) for c in rel_cols]).alias("rels"))
+        nodes = F.concat(*node_pieces) if node_pieces else \
+            F.array().cast("array<bigint>")
+        rels = F.concat(*rel_pieces) if rel_pieces else \
+            F.array().cast("array<bigint>")
+        col = F.struct(nodes.alias("nodes"), rels.alias("rels"))
         return Records(self.session,
                        h.added(E.Var(part.path_var), pcol),
                        records.df.withColumn(pcol, col))
@@ -550,17 +573,27 @@ class Planner:
         frontier = current.df.withColumn(end_col, F.col(sv_col))
         edge_cols = []
         staged = []
+        # Named paths over this expand need the per-hop node ids — only then
+        # do hop columns accumulate in the frontier.
+        track_nodes = rp.var in getattr(self, "_path_rel_vars", ())
+        nodes_col = f"__vlnodes_{rp.var}"
+        hop_node_cols: list = []
 
         def stage(fr_df, k):
             """Project a per-length frontier to the common shape
-            (input columns + end id + edge-id list)."""
+            (input columns + end id + edge-id list [+ hop-node list])."""
             ids = [F.col(c) for c in edge_cols[:k]]
             arr = F.array(*ids) if ids else F.array().cast("array<bigint>")
-            return fr_df.select(
+            cols = [
                 *[c for c in current.df.columns],
                 F.col(end_col),
                 arr.alias(list_col),
-            )
+            ]
+            if track_nodes:
+                cols.append(F.array(F.col(sv_col),
+                                    *[F.col(c) for c in hop_node_cols[:k]])
+                            .alias(nodes_col))
+            return fr_df.select(*cols)
 
         if lo == 0:
             staged.append(stage(frontier, 0))
@@ -593,6 +626,9 @@ class Planner:
             frontier = joined.drop(end_col, f"src{step_sfx}") \
                 .withColumnRenamed(f"dst{step_sfx}", end_col)
             edge_cols.append(f"e{step_sfx}")
+            if track_nodes:
+                frontier = frontier.withColumn(f"pn{step_sfx}", F.col(end_col))
+                hop_node_cols.append(f"pn{step_sfx}")
             if unbounded:
                 # Materialize each hop once (cache + isEmpty) so the
                 # fixpoint test doesn't recompute the whole join chain.
@@ -614,8 +650,11 @@ class Planner:
         uni = staged[0]
         for s_df in staged[1:]:
             uni = uni.unionByName(s_df)
-        out = Records(self.session, current.header.added(
-            E.Var(end_col), end_col).added(list_var, list_col), uni)
+        h_out = current.header.added(E.Var(end_col), end_col) \
+            .added(list_var, list_col)
+        if track_nodes:
+            h_out = h_out.added(E.Var(nodes_col), nodes_col)
+        out = Records(self.session, h_out, uni)
         if d in elidable:
             return out.with_header(out.header.added(dv, end_col))
         dst_scan = scan_nodes(self.session, self.graph, d,

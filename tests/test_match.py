@@ -303,7 +303,23 @@ def test_named_path_node_ids_in_order(triangle_chain):
     assert [list(r["ns"]) for r in res.collect()] == [[1, 2]]
 
 
-def test_named_path_varlen_raises(triangle_chain):
-    from cypher_for_apache_flink_spark.plans.planner import PlanError
-    with pytest.raises(PlanError, match="named paths"):
-        triangle_chain.cypher("MATCH p = (a)-[:K*1..2]->(b) RETURN length(p) AS l")
+def test_named_path_over_var_length(triangle_chain):
+    # chain c -(R)-> d -(R)-> e: paths of length 1 and 2 with hop nodes
+    res = triangle_chain.cypher(
+        'MATCH p = (c:P {n: "c"})-[:R*1..2]->(x) '
+        "RETURN length(p) AS l, size(nodes(p)) AS nn, "
+        "size(relationships(p)) AS nr")
+    assert bag(res) == rows((1, 2, 1), (2, 3, 2))
+
+
+def test_named_path_mixed_fixed_and_var_length(triangle_chain):
+    res = triangle_chain.cypher(
+        'MATCH p = (a:P {n: "b"})-[:K]->(c)-[:R*1..2]->(x) '
+        "RETURN length(p) AS l ORDER BY l")
+    assert bag(res) == rows((2,), (3,))
+
+
+def test_named_path_unbounded(triangle_chain):
+    res = triangle_chain.cypher(
+        'MATCH p = (c:P {n: "c"})-[:R*]->(x) RETURN length(p) AS l')
+    assert bag(res) == rows((1,), (2,))
