@@ -534,8 +534,12 @@ class Planner:
         hi = _VLEN_FIXPOINT_CAP if unbounded else rp.hi
         if not unbounded and hi > 12:
             raise PlanError("var-length upper bound too large (cap is 12 hops)")
+        flipped = False
         if s not in solved and d in solved:
-            # plan from the bound side; flip orientation
+            # plan from the bound side; flip orientation.  Traversal now runs
+            # against pattern order, so the accumulated edge-id / hop-node
+            # arrays must be reversed back in stage().
+            flipped = True
             s, d = d, s
             rp = dataclasses.replace(rp, direction={
                 "out": "in", "in": "out", "both": "both"}[rp.direction])
@@ -584,15 +588,21 @@ class Planner:
             (input columns + end id + edge-id list [+ hop-node list])."""
             ids = [F.col(c) for c in edge_cols[:k]]
             arr = F.array(*ids) if ids else F.array().cast("array<bigint>")
+            if flipped:
+                arr = F.reverse(arr)
             cols = [
                 *[c for c in current.df.columns],
                 F.col(end_col),
                 arr.alias(list_col),
             ]
             if track_nodes:
-                cols.append(F.array(F.col(sv_col),
-                                    *[F.col(c) for c in hop_node_cols[:k]])
-                            .alias(nodes_col))
+                narr = F.array(F.col(sv_col),
+                               *[F.col(c) for c in hop_node_cols[:k]])
+                if flipped:
+                    # traversal order [bound_dst, h1, .., hk=src] -> pattern
+                    # order [src, .., bound_dst]
+                    narr = F.reverse(narr)
+                cols.append(narr.alias(nodes_col))
             return fr_df.select(*cols)
 
         if lo == 0:

@@ -319,6 +319,25 @@ def test_named_path_mixed_fixed_and_var_length(triangle_chain):
     assert bag(res) == rows((2,), (3,))
 
 
+def test_named_path_var_length_planned_from_destination(triangle_chain):
+    # The labeled right endpoint wins start selection, so the expand is
+    # planned from the destination side (orientation flip).  nodes(p) /
+    # relationships(p) must still come out in PATTERN order.
+    res = triangle_chain.cypher(
+        'MATCH p = (s)-[:R*1..2]->(x:O {n: "e"}) '
+        "RETURN nodes(p) AS ns, relationships(p) AS rs")
+    got = sorted((list(r["ns"]), list(r["rs"])) for r in res.collect())
+    assert got == [([3, 4, 5], [104, 105]), ([4, 5], [105])]
+
+
+def test_var_length_rel_list_order_planned_from_destination(triangle_chain):
+    # Even without a named path, the bound rel-var list must be in pattern
+    # order when the expand is planned from the destination side.
+    res = triangle_chain.cypher(
+        'MATCH (s)-[r:R*2..2]->(x:O {n: "e"}) RETURN r')
+    assert [list(row["r"]) for row in res.collect()] == [[104, 105]]
+
+
 def test_named_path_unbounded(triangle_chain):
     res = triangle_chain.cypher(
         'MATCH p = (c:P {n: "c"})-[:R*]->(x) RETURN length(p) AS l')
