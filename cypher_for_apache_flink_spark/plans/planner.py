@@ -677,10 +677,13 @@ class Planner:
 
         Bound vars referenced in NEW/CLONE are cloned (dedup by id, label
         combos recovered from the label-flag columns); NEW elements get
-        fresh NEGATIVE ids derived from monotonically_increasing_id — one
-        per input row, disjoint from any source id (sources use non-negative
-        ids), computed without shuffles (the reference's
+        fresh NEGATIVE ids derived from a per-row monotonically_increasing_id
+        seed — one per input row, disjoint from any source id (sources use
+        non-negative ids), computed without shuffles (the reference's
         partitioned-id-assignment idea, ConstructGraphPlanner.scala:273-289).
+        The match table is localCheckpoint-ed once before any table is
+        derived so the ids are STABLE across the separate node-table and
+        rel-table actions (task retries / AQE cannot re-deal rows).
         """
         from ..graph import PropertyGraph
 
@@ -725,11 +728,24 @@ class Planner:
 
         new_vars = [v for v in node_slots if header.var(v) is None]
         n_slots = len(new_vars) + len(rel_slots)
-        mono = F.monotonically_increasing_id()
+
+        # Pin the match table (and the per-row id seed) in ONE materialized
+        # action before any node/rel table is derived.  Without this,
+        # monotonically_increasing_id() is re-evaluated per downstream action
+        # over a possibly re-shuffled input (task retries, AQE re-plans), so
+        # node and rel tables could disagree on NEW ids → dangling edges.
+        # localCheckpoint also stops the match pipeline being recomputed once
+        # per derived table (+ once for the label-combo collect below).
+        if node_slots or rel_slots:
+            if n_slots:
+                df = df.withColumn(
+                    "__construct_mono", F.monotonically_increasing_id())
+            df = df.localCheckpoint(eager=True)
+            ctx = ExprContext(header, df, self.params)
 
         def new_id(slot: int):
-            return (-(mono * F.lit(max(n_slots, 1)) + F.lit(slot)) - 1) \
-                .cast("long")
+            return (-(F.col("__construct_mono") * F.lit(max(n_slots, 1))
+                      + F.lit(slot)) - 1).cast("long")
 
         new_id_cols = {v: new_id(i) for i, v in enumerate(new_vars)}
 
