@@ -484,7 +484,14 @@ class Planner:
                 and rp.types[0] in self.graph.pattern_tables
                 and s in solved and d not in solved):
             _, dst_combo = self.graph.pattern_tables[rp.types[0]]
-            if frozenset(node_labels[d]) <= dst_combo:
+            # The destination must be EXPLICITLY labeled with a subset of the
+            # triplet's dst labels: an unlabeled d matches every node, but the
+            # pattern table only embeds rels whose target carries dst_combo —
+            # rewriting would silently drop edges into other labels (and
+            # stamp d with dst_combo's flags).  Mirrors the reference, which
+            # only rewrites when the pattern embeds (LogicalOptimizer.scala:
+            # 67-134).
+            if node_labels[d] and frozenset(node_labels[d]) <= dst_combo:
                 from ..operators.records import scan_pattern
                 trip = scan_pattern(self.session, self.graph, rp.var,
                                     rp.types[0], d)

@@ -55,3 +55,28 @@ def test_pattern_table_respects_extra_labels(graphs):
     res = patterned.cypher(
         "MATCH (o:Order)-[:CONTAINS]->(x:Supplier) RETURN count(*) AS n")
     assert res.collect()[0]["n"] == 0
+
+
+def test_unlabeled_destination_skips_rewrite(spark):
+    """Regression (VERDICT r3 #1): MATCH (a)-[:T]->(b) with an UNLABELED b
+    must return ALL T edges even when a pattern table is registered for a
+    combo that only partially covers T's targets.  The vacuous guard
+    (empty-set <= combo) used to reroute the expand through the triplet and
+    silently drop edges into other labels."""
+    from cypher_for_apache_flink_spark import PropertyGraph
+
+    nodes = {
+        frozenset({"A"}): spark.createDataFrame([(1,)], "id long"),
+        frozenset({"X"}): spark.createDataFrame([(10,)], "id long"),
+        frozenset({"Y"}): spark.createDataFrame([(20,)], "id long"),
+    }
+    rels = {"T": spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 20)], "id long, source long, target long")}
+    g = PropertyGraph(nodes, rels, name="partial") \
+        .with_pattern_table("T", "X")
+    # unlabeled destination: rewrite must NOT fire — both edges survive
+    res = g.cypher("MATCH (a:A)-[:T]->(b) RETURN count(*) AS n")
+    assert res.collect()[0]["n"] == 2
+    # labeled destination covered by the combo: rewrite may fire, 1 edge
+    res = g.cypher("MATCH (a:A)-[:T]->(b:X) RETURN count(*) AS n")
+    assert res.collect()[0]["n"] == 1
