@@ -950,9 +950,11 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
     if n == "percentiledisc":
         # SQL-standard exact discrete percentile: smallest value whose
         # cumulative distribution >= p, i.e. sorted[ceil(p*n)] (1-based).
-        # percentile_approx is NOT exact and hash-mismatches the oracle.
-        p = to_column(expr.args[1], ctx)
-        arr = F.array_sort(F.collect_list(arg))
-        return F.element_at(
-            arr, F.greatest(F.ceil(p * F.size(arr)), F.lit(1)).cast("int"))
+        # The planner intercepts percentileDisc and compiles a two-pass
+        # rank plan (Planner._percentile_disc_table) — O(1) memory per
+        # group instead of collect_list's O(group).  Reaching this branch
+        # means an unsupported context (e.g. percentileDisc nested inside
+        # another aggregate).
+        raise ValueError("percentileDisc is planned as a rank join; "
+                         "unsupported aggregation context")
     raise NotImplementedError(f"aggregator {n}")

@@ -1110,10 +1110,42 @@ class Planner:
         pre_cols = []
         aggs = []
         agg_item_cols = {}
+        pdisc_map: dict = {}   # percentileDisc call -> result column name
+        post_items = []        # (rewritten expr, phys) projected after joins
         for it in items:
             name = it.alias or _text(it.expr)
             var = E.Var(name)
             if E.is_aggregation(it.expr):
+                subs = _agg_subexprs(it.expr)
+                if any(isinstance(a, E.FuncCall) and a.name == "percentiledisc"
+                       for a in subs):
+                    # percentileDisc compiles to a two-pass rank plan (see
+                    # _percentile_disc_table), not a groupBy aggregate:
+                    # replace each aggregator subtree with a placeholder
+                    # column and defer any outer expression past the join.
+                    mapping = {}
+                    for sub in subs:
+                        if isinstance(sub, E.FuncCall) and \
+                                sub.name == "percentiledisc":
+                            if sub not in pdisc_map:
+                                pdisc_map[sub] = _fresh_phys(
+                                    E.Var(f"__pdisc_{len(pdisc_map)}"), taken)
+                            ph = pdisc_map[sub]
+                        else:
+                            ph = _fresh_phys(E.Var(f"__agg_{len(aggs)}"), taken)
+                            aggs.append(
+                                to_column(sub, ctx.with_agg()).alias(ph))
+                        mapping[sub] = E.Var(ph)
+                    rewritten = _substitute(it.expr, mapping)
+                    if isinstance(rewritten, E.Var):
+                        phys = rewritten.name
+                    else:
+                        phys = _fresh_phys(var, taken)
+                        post_items.append((rewritten, phys))
+                    new_header[var] = phys
+                    outputs.append((name, phys))
+                    agg_item_cols[it.expr] = phys
+                    continue
                 phys = _fresh_phys(var, taken)
                 aggs.append(to_column(it.expr, ctx.with_agg()).alias(phys))
                 new_header[var] = phys
@@ -1139,11 +1171,62 @@ class Planner:
         if pre_cols:
             df = df.select("*", *[c.alias(n) for c, n in pre_cols])
         group_cols = _dedup(group_cols)
-        if group_cols:
-            gdf = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+        if aggs or not pdisc_map:
+            if group_cols:
+                gdf = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+            else:
+                gdf = df.agg(*aggs)
+        elif group_cols:
+            # only percentileDisc aggregates: the group keys come from a
+            # plain distinct, the values from the rank-plan joins below
+            gdf = df.select(*group_cols).dropDuplicates(group_cols)
         else:
-            gdf = df.agg(*aggs)
+            gdf = self.session.spark.range(1).select()
+        for pd_expr, phys in pdisc_map.items():
+            pd_df = self._percentile_disc_table(df, group_cols, pd_expr,
+                                                phys, ctx)
+            if group_cols:
+                cond = None
+                for c in group_cols:
+                    term = gdf[c].eqNullSafe(pd_df[f"__pd_{c}"])
+                    cond = term if cond is None else (cond & term)
+                gdf = gdf.join(pd_df, cond, "left") \
+                    .drop(*[f"__pd_{c}" for c in group_cols])
+            else:
+                gdf = gdf.join(pd_df, F.lit(True), "left")
+        if post_items:
+            post_ctx = ExprContext(
+                Header({E.Var(c): c for c in gdf.columns}), gdf, self.params)
+            gdf = gdf.select(
+                "*", *[to_column(e, post_ctx).alias(ph)
+                       for e, ph in post_items])
         return Records(self.session, Header(new_header), gdf), outputs
+
+    def _percentile_disc_table(self, df, group_cols, pd_expr, phys, ctx):
+        """Exact SQL-standard discrete percentile as a two-pass rank plan:
+        rank rows within each group by value (row_number) alongside the
+        group's non-null count, then keep the row whose rank equals
+        ``max(ceil(p * n), 1)``.  One shuffle on the group keys with an
+        external (spillable) sort — no per-group in-memory array, unlike
+        collect_list (or the reference's group-buffering UDAF,
+        PercentileUdafs.scala:41)."""
+        from pyspark.sql import Window
+
+        arg = to_column(pd_expr.args[0], ctx)
+        p = to_column(pd_expr.args[1], ctx)
+        base = df.select(*group_cols, arg.alias("__pd_v")) \
+            .where(F.col("__pd_v").isNotNull())
+        w = (Window.partitionBy(*group_cols) if group_cols
+             else Window.partitionBy(F.lit(1)))
+        ranked = base.select(
+            *group_cols, "__pd_v",
+            F.row_number().over(w.orderBy(F.col("__pd_v"))).alias("__pd_rn"),
+            F.count(F.lit(1)).over(w).alias("__pd_n"))
+        return ranked.where(
+            F.col("__pd_rn") == F.greatest(
+                F.ceil(p * F.col("__pd_n")), F.lit(1)).cast("int")) \
+            .select(*[F.col(c).alias(f"__pd_{c}") for c in group_cols],
+                    F.col("__pd_v").alias(phys))
 
     def _order_and_slice(self, out: Records, clause, items, outputs,
                          sort_header: Header | None = None):
@@ -1254,6 +1337,41 @@ def _const(expr, params):
     if isinstance(expr, E.Param):
         return params[expr.name]
     raise PlanError("SKIP/LIMIT must be a literal or parameter")
+
+
+def _agg_subexprs(expr: E.Expr) -> list:
+    """Maximal aggregator subexpressions of an aggregation item."""
+    out = []
+
+    def walk(e):
+        if isinstance(e, E.CountStar) or (
+                isinstance(e, E.FuncCall) and e.name in E.AGG_FUNCS):
+            out.append(e)
+            return
+        for c in e.children():
+            walk(c)
+
+    walk(expr)
+    return out
+
+
+def _substitute(e: E.Expr, mapping: dict) -> E.Expr:
+    """Rebuild ``e`` with every node found in ``mapping`` replaced."""
+    if e in mapping:
+        return mapping[e]
+    changes = {}
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, E.Expr):
+            nv = _substitute(v, mapping)
+            if nv is not v:
+                changes[f.name] = nv
+        elif isinstance(v, tuple):
+            nv = tuple(_substitute(x, mapping) if isinstance(x, E.Expr) else x
+                       for x in v)
+            if nv != v:
+                changes[f.name] = nv
+    return dataclasses.replace(e, **changes) if changes else e
 
 
 def _fresh_phys(var: E.Var, taken: set) -> str:
