@@ -60,23 +60,33 @@ def main():
     # Warm the JVM / parquet footers with one cheap query.
     qs["scan_nodes"](spark, sf_dir).collect()
 
-    timings = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    timings, spreads = {}, {}
     for name in HEADLINE:
-        # two runs, report the min: the first run pays one-off expression
-        # codegen/JIT that a long-lived cluster job amortizes to nothing
-        # (BASELINE.md §3: warm JVM)
-        best, n = None, 0
-        for _ in range(2):
+        # BASELINE.md §3: warm JVM, median of 5.  Run 0 is a discarded
+        # warm-up (one-off codegen/JIT that a long-lived cluster job
+        # amortizes to nothing); the median of the next `runs` is reported,
+        # plus the relative spread so run-to-run noise is visible.
+        samples, n = [], 0
+        for i in range(runs + 1):
             t0 = time.time()
             n = len(qs[name](spark, sf_dir).collect())
             dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            if i > 0:
+                samples.append(dt)
+        samples.sort()
+        med = samples[len(samples) // 2] if len(samples) % 2 else \
+            (samples[len(samples) // 2 - 1] + samples[len(samples) // 2]) / 2
+        timings[name] = round(med, 3)
+        spreads[name] = round((samples[-1] - samples[0]) / med, 3) if med else 0.0
+        print(f"# {name}: median {timings[name]}s over {runs} warm runs "
+              f"(spread {spreads[name]:.0%}, {n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "headline_total", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf}))
+                      "unit": "sec", "queries": timings, "sf": sf,
+                      "protocol": f"median_of_{runs}_warm",
+                      "spread": spreads}))
 
 
 if __name__ == "__main__":
