@@ -146,9 +146,17 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
                                   F.col("sh0").alias("shb")), "b"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.col("sha")) + F.size(F.col("shb")) - inter
-    return (cand.withColumn("jaccard", F.round(inter / union, 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("a", "b", "jaccard"))
+    out = (cand.withColumn("jaccard", F.round(inter / union, 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("a", "b", "jaccard"))
+    # The shingle cache lives exactly as long as the result: unpersisted
+    # when the returned DataFrame is garbage-collected (VERDICT r3 #6 —
+    # repeated calls used to accumulate one cached corpus per call).
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(shingled)
+    out._cypher_cache_lease = lease
+    return out
 
 
 def simhash64(text):

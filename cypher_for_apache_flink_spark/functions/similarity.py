@@ -199,15 +199,25 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           block_col: str | None = None,
                           planes: int = 8, seed: int = 42,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          dims: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
     Blocked self-join: pairs are only compared within a block (an existing
     cluster/label column if given, else the LSH signature).  The block join
     is the only shuffle; its width is ids + vectors per block, never n².
+
+    ``dims`` (the embedding dimensionality) is required when ``block_col``
+    is None: the hyperplane literals are built at plan time, and probing
+    the data for the width would cost a hidden driver action per call —
+    and fail on empty input (VERDICT r3 #4).
     """
     if block_col is None:
-        dims = len(df.select(vec_col).head()[0])
+        if dims is None:
+            raise ValueError(
+                "cosine_near_dup_pairs needs dims= (embedding width) when "
+                "no block_col is given; plan construction must not run a "
+                "job to probe it")
         df = df.withColumn("__block", lsh_signature(
             F.col(vec_col), _plane_literals(dims, planes, seed)))
         block_col = "__block"

@@ -86,11 +86,16 @@ def resolve_vars(expr, header: Header):
 
 class Planner:
     def __init__(self, session, graph, params: dict | None = None):
+        from ..cache import CacheLease
+
         self.session = session
         self.graph = graph
         self.params = params or {}
         self._anon = 0
         self.result_graph = None   # set by RETURN GRAPH
+        # query-scoped caches (var-length slim edges / frontiers) released
+        # when the result is garbage-collected (cache.py)
+        self.cache_lease = CacheLease()
 
     # ------------------------------------------------------------------
     def fresh_name(self) -> str:
@@ -626,7 +631,7 @@ class Planner:
                              F.col(rel_src).alias("__vl_s"),
                              F.col(rel_dst).alias("__vl_d"))
         if hi > 1:
-            slim = slim.cache()
+            slim = self.cache_lease.add(slim.cache())
         for k in range(1, hi + 1):
             step_sfx = f"__s{k}_{rp.var}"
             step_df = slim.select(
@@ -649,7 +654,7 @@ class Planner:
             if unbounded:
                 # Materialize each hop once (cache + isEmpty) so the
                 # fixpoint test doesn't recompute the whole join chain.
-                frontier = frontier.persist()
+                frontier = self.cache_lease.add(frontier.persist())
                 if frontier.isEmpty():
                     if not staged:
                         staged.append(stage(frontier, k))
@@ -886,6 +891,7 @@ class Planner:
         across sibling subplans."""
         inner = Planner(self.session, self.graph, self.params)
         inner._anon = self._anon + 100
+        inner.cache_lease = self.cache_lease   # one lease per root query
         return inner
 
     @staticmethod

@@ -36,10 +36,21 @@ class CypherResult:
     """Lazy query result; ``df`` has user-facing column names.  Queries
     ending in RETURN GRAPH set ``graph`` instead (empty table)."""
 
-    def __init__(self, records, outputs, graph: PropertyGraph | None = None):
+    def __init__(self, records, outputs, graph: PropertyGraph | None = None,
+                 cache_lease=None):
         self.records = records
         self.outputs = outputs
         self.graph = graph
+        # planner caches (var-length slim edges/frontiers) stay alive while
+        # this result or any DataFrame taken from it is reachable, then
+        # auto-unpersist (cache.py); release() frees them eagerly.
+        self._cache_lease = cache_lease
+
+    def release(self) -> None:
+        """Unpersist the query-scoped planner caches now (they are also
+        freed automatically when the result and its DataFrames are GC'd)."""
+        if self._cache_lease is not None:
+            self._cache_lease.release()
 
     @property
     def df(self) -> DataFrame:
@@ -50,7 +61,12 @@ class CypherResult:
                 continue
             seen.add(name)
             cols.append(F.col(phys).alias(name))
-        return self.records.df.select(*cols)
+        out = self.records.df.select(*cols)
+        if self._cache_lease is not None and self._cache_lease.dfs:
+            # co-own the lease: the caches live until the last derived
+            # DataFrame is collected and garbage-collected
+            out._cypher_cache_lease = self._cache_lease
+        return out
 
     def collect(self):
         return self.df.collect()
@@ -251,7 +267,8 @@ class CypherSession:
                 self, Header({E.Var(c): c for c in driving_table.columns}),
                 driving_table)
         records, outputs = planner.plan(ast, initial)
-        return CypherResult(records, outputs, graph=planner.result_graph)
+        return CypherResult(records, outputs, graph=planner.result_graph,
+                            cache_lease=planner.cache_lease)
 
     def _catalog_statement(self, stmt, params) -> "CypherResult":
         """CATALOG CREATE GRAPH name { inner query } / CATALOG DELETE GRAPH
