@@ -308,6 +308,40 @@ def _q_similarity_topk_ivf(spark, sf_dir):
                         n_lists=8, n_probe=8)
 
 
+def _q_similarity_topk_lsh_indexed(spark, sf_dir):
+    """Persisted partitioned LSH index: write once partitionBy(__lsh_bucket),
+    probe with a partition-pruned scan.  Same result set as the in-memory
+    multi-probe, so it shares that oracle."""
+    import hashlib
+    import tempfile
+
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_lsh_indexed, write_lsh_index)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/cfas_lsh_index_{tag}"
+    write_lsh_index(emb.where(F.col("vec_id") != 0), path,
+                    dims=len(qvec), planes=8)
+    return ann_topk_lsh_indexed(spark, path, qvec, k=10)
+
+
+def _q_similarity_topk_ivf_indexed(spark, sf_dir):
+    """Persisted partitioned IVF index with a full probe — exact, so the
+    brute-force oracle verifies the round trip."""
+    import hashlib
+    import tempfile
+
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_ivf_indexed, write_ivf_index)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/cfas_ivf_index_{tag}"
+    write_ivf_index(emb.where(F.col("vec_id") != 0), path, n_lists=8)
+    return ann_topk_ivf_indexed(spark, path, qvec, k=10, n_probe=8)
+
+
 def _q_similarity_topk_join(spark, sf_dir):
     """Batch exact top-k join: 5 query vectors, k=5 nearest each."""
     from cypher_for_apache_flink_spark.functions.similarity import ann_topk_join
@@ -443,6 +477,8 @@ _PIPELINE_QUERIES = {
     "similarity_topk": _q_similarity_topk,
     "similarity_topk_lsh": _q_similarity_topk_lsh,
     "similarity_topk_ivf": _q_similarity_topk_ivf,
+    "similarity_topk_lsh_indexed": _q_similarity_topk_lsh_indexed,
+    "similarity_topk_ivf_indexed": _q_similarity_topk_ivf_indexed,
     "similarity_topk_join": _q_similarity_topk_join,
     "near_dup_clusters": _q_near_dup_clusters,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
@@ -466,7 +502,7 @@ _DEFERRED_VARIANTS = [
     "optional_match_null", "not_exists_pattern", "var_length_2_2",
     "var_length_typed", "unwind_literal", "union_distinct",
     "orderby_expression", "coalesce_function", "duration_accessors",
-    "bitwise_functions",
+    "bitwise_functions", "unwind_range_filter", "events_hour_buckets",
 ]
 
 
@@ -1003,6 +1039,15 @@ ORDER BY cosine DESC, vec_id LIMIT 10""",
         # sign bits against the SAME plane literals (seed 42) and keeps rows
         # whose signature differs from the query's in at most one plane.
         "similarity_topk_lsh": _lsh_oracle_sql(),
+        # the persisted-index probe reproduces the in-memory multi-probe
+        # result set exactly (same planes/seed), so it shares the oracle
+        "similarity_topk_lsh_indexed": _lsh_oracle_sql(),
+        "similarity_topk_ivf_indexed": rf"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round({_SQL_COSINE.format(a='e.embedding', b='q.qe')}, 6) AS cosine
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10""",
         # similarity_topk_ivf with n_probe == n_lists is exact: same oracle
         # as the brute-force query.
         "similarity_topk_ivf": rf"""

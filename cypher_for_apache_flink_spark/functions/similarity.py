@@ -85,22 +85,13 @@ def ann_topk_lsh(df: DataFrame, query_vec, k: int = 10, planes: int = 8,
     At 100 TB the vectors are stored partitioned by ``__lsh_bucket`` and this
     probe prunes the scan to ``planes + 1`` partitions out of 2^planes.
     """
-    import numpy as np
     pl = _plane_literals(len(query_vec), planes, seed)
-    qv = np.asarray(query_vec, dtype="float64")
-    qsig = 0
-    for i in range(planes):
-        if float(qv @ pl[i]) >= 0:
-            qsig |= 1 << i
+    qsig = _query_signature(query_vec, pl)
     probe = [qsig] + [qsig ^ (1 << i) for i in range(planes)]
 
     bucketed = df.withColumn("__lsh_bucket", lsh_signature(F.col(vec_col), pl))
     cand = bucketed.where(F.col("__lsh_bucket").isin(probe))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    out = cand.select(
-        F.col(id_col),
-        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"))
-    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+    return _rerank(cand, query_vec, k, id_col, vec_col)
 
 
 def ivf_index(df: DataFrame, n_lists: int = 16, seed: int = 42,
@@ -155,11 +146,106 @@ def ann_topk_ivf(df: DataFrame, query_vec, k: int = 10, n_lists: int = 16,
                    key=lambda i: -float(qn @ centroids[i]))
     probe = order[:n_probe]
     cand = assigned.where(F.col("__ivf_list").isin(probe))
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return _rerank(cand, query_vec, k, id_col, vec_col)
+
+
+def _rerank(cand: DataFrame, query_vec, k: int, id_col: str,
+            vec_col: str) -> DataFrame:
+    """Exact cosine re-rank of a candidate set; ties broken by id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
     out = cand.select(
         F.col(id_col),
-        F.round(cosine_sim(F.col(vec_col), qcol), 6).alias("cosine"))
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"))
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _query_signature(query_vec, planes_mat) -> int:
+    import numpy as np
+    qv = np.asarray(query_vec, dtype="float64")
+    sig = 0
+    for i, plane in enumerate(planes_mat):
+        if float(qv @ plane) >= 0:
+            sig |= 1 << i
+    return sig
+
+
+# ---------------------------------------------------------------------------
+# Persisted partitioned ANN indexes (the 100-TB path).  The bucketed table
+# is WRITTEN partitioned by its bucket key; a probe reads the parquet back
+# with a filter on that key, so the scan's PartitionFilters prune to the
+# probed directories — planes+1 of 2^planes (LSH) or n_probe of n_lists
+# (IVF) — without touching the rest of the corpus.  Index parameters (and
+# IVF centroids) live in a JSON sidecar under ``<path>/_ann_meta``; the
+# leading underscore keeps it invisible to the parquet reader.
+# ---------------------------------------------------------------------------
+
+def _write_meta(spark, path: str, meta: dict) -> None:
+    import json
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+        .coalesce(1).write.mode("overwrite").json(path + "/_ann_meta")
+
+
+def _read_meta(spark, path: str) -> dict:
+    import json
+    row = spark.read.json(path + "/_ann_meta",
+                          schema="meta string").collect()[0]
+    return json.loads(row["meta"])
+
+
+def write_lsh_index(df: DataFrame, path: str, dims: int, planes: int = 8,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist ``df`` bucketed by hyperplane signature: one parquet
+    partition directory per ``__lsh_bucket`` value."""
+    pl = _plane_literals(dims, planes, seed)
+    bucketed = df.withColumn("__lsh_bucket",
+                             lsh_signature(F.col(vec_col), pl))
+    bucketed.write.mode("overwrite").partitionBy("__lsh_bucket").parquet(path)
+    _write_meta(df.sparkSession, path, {
+        "kind": "lsh", "planes": planes, "seed": seed, "dims": dims,
+        "id_col": id_col, "vec_col": vec_col})
+
+
+def ann_topk_lsh_indexed(spark, path: str, query_vec, k: int = 10) -> DataFrame:
+    """Multi-probe top-k over a persisted LSH index.  The filter on the
+    partition column prunes the scan to the probed bucket directories
+    (plan shows them under PartitionFilters)."""
+    meta = _read_meta(spark, path)
+    pl = _plane_literals(meta["dims"], meta["planes"], meta["seed"])
+    qsig = _query_signature(query_vec, pl)
+    probe = [qsig] + [qsig ^ (1 << i) for i in range(meta["planes"])]
+    cand = spark.read.parquet(path).where(
+        F.col("__lsh_bucket").isin([int(p) for p in probe]))
+    return _rerank(cand, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
+def write_ivf_index(df: DataFrame, path: str, n_lists: int = 16,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist ``df`` partitioned by nearest-centroid list; centroids ride
+    in the sidecar so probes never rescan the corpus to find them."""
+    assigned, centroids = ivf_index(df, n_lists, seed, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("__ivf_list").parquet(path)
+    _write_meta(df.sparkSession, path, {
+        "kind": "ivf", "n_lists": n_lists, "seed": seed,
+        "id_col": id_col, "vec_col": vec_col,
+        "centroids": [[float(v) for v in c] for c in centroids]})
+
+
+def ann_topk_ivf_indexed(spark, path: str, query_vec, k: int = 10,
+                         n_probe: int = 4) -> DataFrame:
+    """IVF top-k over a persisted index: rank centroids driver-side from
+    the sidecar, scan only the ``n_probe`` nearest list partitions."""
+    import numpy as np
+    meta = _read_meta(spark, path)
+    centroids = [np.asarray(c, dtype="float64") for c in meta["centroids"]]
+    q = np.asarray(query_vec, dtype="float64")
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = sorted(range(len(centroids)),
+                   key=lambda i: -float(qn @ centroids[i]))
+    probe = [int(i) for i in order[:n_probe]]
+    cand = spark.read.parquet(path).where(F.col("__ivf_list").isin(probe))
+    return _rerank(cand, query_vec, k, meta["id_col"], meta["vec_col"])
 
 
 def ann_topk_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
