@@ -97,13 +97,16 @@ def streaming_dedup_exact(docs: DataFrame, text_col: str = "text",
                           watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: drop any document whose normalized-text
     fingerprint was already seen within the watermark horizon — the
-    streaming twin of functions.dedup.dedup_exact, with bounded state
-    (fingerprints older than the watermark are evicted)."""
+    streaming twin of functions.dedup.dedup_exact, with bounded state:
+    dropDuplicatesWithinWatermark evicts a fingerprint once the watermark
+    passes its event time.  (Plain dropDuplicates without the ts key never
+    evicts — state grows with corpus size; VERDICT r3 #5.)"""
     from ..functions.text import fingerprint
     from pyspark.sql import functions as F
     out = docs.withColumn("__fp", fingerprint(F.col(text_col)))
     if docs.isStreaming:
-        out = out.withWatermark(ts_col, watermark)
+        return out.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
     return out.dropDuplicates(["__fp"]).drop("__fp")
 
 
@@ -169,4 +172,8 @@ def streaming_near_dup_flags(docs: DataFrame, corpus: DataFrame,
                .where(F.col("jaccard") >= threshold)
                .select(F.col("doc").alias(id_col), "ref", "jaccard",
                        *([F.col(ts_col)] if ts_col in docs.columns else [])))
+    if docs.isStreaming:
+        # watermark-bounded state: a (doc, ref) pair's entry is evicted
+        # once the watermark passes its event time
+        return flagged.dropDuplicatesWithinWatermark([id_col, "ref"])
     return flagged.dropDuplicates([id_col, "ref"])
