@@ -342,3 +342,40 @@ def test_named_path_unbounded(triangle_chain):
     res = triangle_chain.cypher(
         'MATCH p = (c:P {n: "c"})-[:R*]->(x) RETURN length(p) AS l')
     assert bag(res) == rows((1,), (2,))
+
+
+def test_named_path_var_length_incoming_planned_from_destination(triangle_chain):
+    # '<-' direction with the flip: the labeled LEFT endpoint is the
+    # pattern's destination-side anchor; hop/edge arrays must still come
+    # out in pattern order (ADVICE r3: 'in' direction x flip untested).
+    res = triangle_chain.cypher(
+        'MATCH p = (x:O {n: "e"})<-[:R*1..2]-(s) '
+        "RETURN nodes(p) AS ns, relationships(p) AS rs")
+    got = sorted((list(r["ns"]), list(r["rs"])) for r in res.collect())
+    # pattern order starts at x (=5): [5,4] over rel 105, [5,4,3] over 105,104
+    assert got == [([5, 4], [105]), ([5, 4, 3], [105, 104])]
+
+
+def test_named_path_var_length_undirected_flip(triangle_chain):
+    # 'both' + flip: all undirected 2-hop paths ending at the labeled side
+    res = triangle_chain.cypher(
+        'MATCH p = (s:P {n: "c"})-[:R*2..2]-(x) '
+        "RETURN nodes(p) AS ns, relationships(p) AS rs")
+    got = sorted((list(r["ns"]), list(r["rs"])) for r in res.collect())
+    assert got == [([3, 4, 5], [104, 105])]
+    # same pattern anchored from the right endpoint instead
+    res2 = triangle_chain.cypher(
+        'MATCH p = (s)-[:R*2..2]-(x:O {n: "e"}) '
+        "RETURN nodes(p) AS ns, relationships(p) AS rs")
+    got2 = sorted((list(r["ns"]), list(r["rs"])) for r in res2.collect())
+    assert got2 == [([3, 4, 5], [104, 105])]
+
+
+def test_named_path_var_length_zero_hop_flipped(triangle_chain):
+    # *0..1 planned from the destination side: the zero-length stage must
+    # also respect pattern order (single-node path, empty rel list)
+    res = triangle_chain.cypher(
+        'MATCH p = (s)-[:R*0..1]->(x:O {n: "e"}) '
+        "RETURN nodes(p) AS ns, relationships(p) AS rs")
+    got = sorted((list(r["ns"]), list(r["rs"])) for r in res.collect())
+    assert got == [([4, 5], [105]), ([5], [])]
