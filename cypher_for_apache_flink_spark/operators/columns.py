@@ -504,12 +504,21 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
 
     l, r = to_column(expr.lhs, ctx), to_column(expr.rhs, ctx)
     if op in ("=", "<>", "<", "<=", ">", ">="):
-        # Cypher 3VL: comparing values of incomparable types yields null
-        # (PredicateTests.scala "fails when comparing ... incompatible
-        # types" expects empty results).  Without the static guard Spark's
-        # ANSI cast turns `4 < 'string'` into a runtime crash.
+        # Cypher semantics for incomparable static types: EQUALITY between
+        # values of different type classes is decided — `1 = '1'` is false
+        # and `1 <> '1'` is true (openCypher equality; the reference
+        # inherits it from the neo4j front end's typer, okapi-ir/.../impl/
+        # typer/) — while ORDERING comparisons yield null (PredicateTests
+        # "fails when comparing ... incompatible types" expects empty
+        # results).  A null operand still nulls either form (3VL).  The
+        # static guard also keeps Spark's ANSI cast from turning
+        # `4 < 'string'` into a runtime crash.
         if not _comparable(spark_dtype(expr.lhs, ctx),
                            spark_dtype(expr.rhs, ctx)):
+            if op in ("=", "<>"):
+                return F.when(l.isNull() | r.isNull(),
+                              F.lit(None).cast("boolean")) \
+                    .otherwise(F.lit(op == "<>"))
             return F.lit(None).cast("boolean")
     if op == "=":
         return l == r

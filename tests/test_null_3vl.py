@@ -213,3 +213,45 @@ def test_any_all_none_with_nulls(typed):
     res = typed.cypher(
         "MATCH (t:T) WHERE none(x IN t.l WHERE x = 99) RETURN id(t) AS id")
     assert vals(res) == bag((1,), (2,), (3,))
+
+
+def test_cross_type_equality_is_false_not_null(typed):
+    """openCypher: equality between values of different type classes is
+    DECIDED (false / true for <>), not null — `1 = '1'` is false; only a
+    null operand makes it null (VERDICT r3 missing #3)."""
+    res = typed.cypher(
+        "MATCH (t:T) WHERE t.s = 'abc' "
+        "RETURN 1 = '1' AS eq, 1 <> '1' AS ne, "
+        "t.i = t.s AS col_eq, t.i <> t.s AS col_ne, "
+        "true = 'true' AS beq")
+    row = res.collect()[0]
+    assert row["eq"] is False and row["ne"] is True
+    assert row["col_eq"] is False and row["col_ne"] is True
+    assert row["beq"] is False
+
+
+def test_cross_type_equality_null_operand_still_null(typed):
+    # the 'ghi' row has i = null: null vs string stays null even cross-type
+    res = typed.cypher(
+        "MATCH (t:T) WHERE t.s = 'ghi' "
+        "RETURN t.i = 'x' AS eq, t.i <> 'x' AS ne")
+    row = res.collect()[0]
+    assert row["eq"] is None and row["ne"] is None
+
+
+def test_cross_type_equality_filters_drop_false(typed):
+    # a WHERE with a decided-false cross-type equality keeps no rows,
+    # and NOT of it keeps all non-null rows
+    assert typed.cypher(
+        "MATCH (t:T) WHERE t.i = t.s RETURN count(*) AS n"
+    ).collect()[0]["n"] == 0
+    # rows where both sides non-null: ids 1, 2, 5 (i and s both present)
+    assert typed.cypher(
+        "MATCH (t:T) WHERE t.i <> t.s RETURN count(*) AS n"
+    ).collect()[0]["n"] == 3
+
+
+def test_cross_type_ordering_still_null(typed):
+    assert typed.cypher(
+        "MATCH (t:T) WHERE t.i < t.s RETURN count(*) AS n"
+    ).collect()[0]["n"] == 0

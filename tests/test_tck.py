@@ -356,7 +356,108 @@ SCENARIOS = [
      'CREATE (:M {x: 1}), (:M {x: 2}), (:M {x: 3})',
      "MATCH (n:M) RETURN sum(n.x) / count(*) AS avg_int, count(*) + 1 AS c1",
      [(2, 4)]),
+
+    # --- Equality semantics (openCypher: cross-type equality is decided) -----
+    ("equality across incomparable types is false", NUMS,
+     "MATCH (n:N) WHERE n.x = '1' RETURN count(*) AS c",
+     [(0,)]),
+    ("inequality across incomparable types is true", NUMS,
+     "MATCH (n:N) WHERE n.x <> '1' RETURN count(*) AS c",
+     [(4,)]),
+    ("cross-type equality with null operand is null", NUMS,
+     "MATCH (n:N) WHERE n.x IS NULL AND (n.x = 'a') IS NULL "
+     "RETURN count(*) AS c",
+     [(1,)]),
+
+    # --- Type conversion functions -------------------------------------------
+    ("toInteger parses and rejects", None,
+     "RETURN toInteger('42') AS i, toInteger('nope') AS bad",
+     [(42, None)]),
+    ("toFloat parses", None, "RETURN toFloat('3.5') AS f", [(3.5,)]),
+    ("toBoolean parses and rejects", None,
+     "RETURN toBoolean('true') AS t, toBoolean('x') AS bad",
+     [(True, None)]),
+    ("toString on numbers", None,
+     "RETURN toString(3) AS s, toString(3.5) AS f",
+     [("3", "3.5")]),
+
+    # --- Lists / higher-order ------------------------------------------------
+    ("list comprehension with filter and map", None,
+     "RETURN [x IN range(1,5) WHERE x % 2 = 0 | x * 10] AS l",
+     [((20, 40),)]),
+    ("reduce accumulates", None,
+     "RETURN reduce(acc = 0, x IN [1,2,3] | acc + x) AS s",
+     [(6,)]),
+    ("quantifiers", None,
+     "RETURN any(x IN [1,2] WHERE x > 1) AS a, "
+     "all(x IN [1,2] WHERE x > 0) AS b, "
+     "none(x IN [1,2] WHERE x > 5) AS c, "
+     "single(x IN [1,2] WHERE x = 2) AS d",
+     [(True, True, True, True)]),
+    ("head last tail reverse", None,
+     "RETURN head([1,2,3]) AS h, last([1,2,3]) AS l, tail([1,2,3]) AS t, "
+     "reverse([1,2,3]) AS r",
+     [(1, 3, (2, 3), (3, 2, 1))]),
+    ("range with step", None, "RETURN range(1, 9, 3) AS r", [((1, 4, 7),)]),
+    ("list slice and negative index", None,
+     "RETURN [1,2,3,4][1..3] AS s, [1,2,3][2] AS i, [1,2,3][-1] AS neg",
+     [((2, 3), 3, 3)]),
+    ("size of string and list", None,
+     "RETURN size('abc') AS a, size([1,2]) AS b",
+     [(3, 2)]),
+
+    # --- Maps ----------------------------------------------------------------
+    ("nested map literal access", None,
+     "RETURN {a: {b: 2}}.a.b AS v", [(2,)]),
+    ("keys of node", ABC, "MATCH (a:A) RETURN keys(a) AS k",
+     [(("name", "num"),)]),
+
+    # --- Scalar / string functions -------------------------------------------
+    ("abs sign floor ceil", None,
+     "RETURN abs(-3) AS a, sign(-2) AS s, floor(1.7) AS f, ceil(1.2) AS c",
+     [(3, -1, 1, 2)]),
+    ("string function chain", None,
+     "RETURN toUpper('ab') AS u, trim('  x ') AS t, "
+     "replace('aba','a','c') AS r, split('a,b', ',') AS sp, "
+     "substring('hello', 1, 3) AS su",
+     [("AB", "x", "cbc", ("a", "b"), "ell")]),
+    ("starts with null operand filters row", ABC,
+     "MATCH (n) WHERE n.name STARTS WITH null RETURN count(*) AS c",
+     [(0,)]),
+
+    # --- Unwind / aggregation edge cases -------------------------------------
+    ("double unwind cross product", None,
+     "UNWIND [1,2] AS a UNWIND ['x','y'] AS b RETURN a, b",
+     [(1, "x"), (1, "y"), (2, "x"), (2, "y")]),
+    ("unwind null produces no rows", None,
+     "UNWIND null AS x RETURN x", []),
+    ("collect skips nulls", NUMS,
+     "MATCH (n:N) RETURN size(collect(n.x)) AS s", [(4,)]),
+    ("min max over strings", ABC,
+     "MATCH (n) RETURN min(n.name) AS mn, max(n.name) AS mx",
+     [("a", "c")]),
+    ("exists property function", NUMS,
+     "MATCH (n:N) WHERE exists(n.x) RETURN count(*) AS c", [(4,)]),
+    ("with distinct expression", NUMS,
+     "MATCH (n:N) WITH DISTINCT n.x IS NOT NULL AS present "
+     "RETURN count(*) AS c",
+     [(2,)]),
+
+    # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
+    ("pattern comprehension", ABC,
+     "MATCH (a:A) RETURN [(a)-[:KNOWS]->(b) | b.name] AS l",
+     [(("b",),)]),
+    ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
 ]
+
+# Scenarios expected to fail, with the reason — mirroring the reference's
+# blacklist semantics (TckSparkCypherTest.scala:51-77): a blacklisted
+# scenario that PASSES fails the suite, so stale entries can't linger.
+BLACKLIST = {
+    "pattern comprehension": "parser: pattern comprehensions not implemented",
+    "merge clause": "wont-fix: read-only engine (reference is too; it "
+                    "blacklists TCK write scenarios the same way)",
+}
 
 
 _cache: dict = {}
@@ -376,10 +477,21 @@ def _norm(v):
 
 
 @pytest.mark.parametrize(
-    "setup,query,expected",
-    [(s, q, e) for _, s, q, e in SCENARIOS],
+    "name,setup,query,expected",
+    SCENARIOS,
     ids=[n for n, _, _, _ in SCENARIOS])
-def test_tck_scenario(spark, setup, query, expected):
-    g = _graph(spark, setup)
-    got = Counter(tuple(_norm(v) for v in row) for row in g.cypher(query).collect())
-    assert got == Counter(expected)
+def test_tck_scenario(spark, name, setup, query, expected):
+    blacklisted = name in BLACKLIST
+    try:
+        g = _graph(spark, setup)
+        got = Counter(tuple(_norm(v) for v in row)
+                      for row in g.cypher(query).collect())
+        assert got == Counter(expected)
+    except Exception:
+        if blacklisted:
+            pytest.xfail(BLACKLIST[name])
+        raise
+    if blacklisted:
+        pytest.fail(f"blacklisted scenario {name!r} PASSES - remove it from "
+                    "BLACKLIST (stale entries are failures, like the "
+                    "reference's TCK runner)")
