@@ -313,6 +313,20 @@ class PatternPredicate(Expr):
 
 
 @dataclass(frozen=True)
+class PatternComprehension(Expr):
+    """``[(a)-[:T]->(b) WHERE pred | proj]`` — a correlated pattern subquery
+    collected into one list per outer row (openCypher pattern
+    comprehension).  ``pattern`` is a frozen parser-AST PatternPart;
+    ``where``/``projection`` are planned against the SUBPATTERN's scope, so
+    ``children()`` stays empty and the planner materializes the column
+    (mirrors how PatternPredicate flags are planned)."""
+
+    pattern: object
+    where: object = None       # Expr | None
+    projection: object = None  # Expr
+
+
+@dataclass(frozen=True)
 class LocalVar(Expr):
     """Lambda-bound variable inside list comprehensions / reductions."""
 

@@ -778,6 +778,27 @@ class Parser:
                 _localize(proj, var) if proj is not None else None)
         self.pos = save
         self.eat_punct("[")
+        # [ (a)-[:T]->(b) WHERE pred | proj ]  — pattern comprehension.
+        # A parenthesized scalar like [(1), (2)] also starts with '(' but
+        # fails the pattern parse (or lacks the mandatory '|'), so it falls
+        # through to the list literal.
+        if self.at_punct("("):
+            try:
+                part = self.parse_pattern_part()
+                if len(part.elements) > 1:
+                    where = None
+                    if self.at_kw("where"):
+                        self.next()
+                        where = self.parse_expr()
+                    if self.at_punct("|"):
+                        self.next()
+                        proj = self.parse_expr()
+                        self.eat_punct("]")
+                        return E.PatternComprehension(part, where, proj)
+            except CypherSyntaxError:
+                pass
+            self.pos = save
+            self.eat_punct("[")
         items = []
         if not self.at_punct("]"):
             while True:

@@ -919,16 +919,23 @@ class Planner:
 
     def _materialize_pattern_flags(self, records: Records, expr):
         """Precompute nested pattern predicates as boolean flag columns
-        (left join + IS NOT NULL marker — RelationalPlanner.scala:224-246)."""
+        (left join + IS NOT NULL marker — RelationalPlanner.scala:224-246)
+        and pattern comprehensions as collected-list columns."""
         patterns: list[E.PatternPredicate] = []
+        comps: list[E.PatternComprehension] = []
 
         def collect(e):
             if isinstance(e, E.PatternPredicate):
                 if E.PatternPredicate(e.pattern) not in patterns:
                     patterns.append(E.PatternPredicate(e.pattern))
+            if isinstance(e, E.PatternComprehension) and e not in comps:
+                comps.append(e)
             for ch in e.children() if isinstance(e, E.Expr) else ():
                 collect(ch)
         collect(expr)
+
+        for pc in comps:
+            records = self._materialize_comprehension(records, pc)
 
         for pos_pp in patterns:
             inner = self._subplanner()
@@ -962,6 +969,45 @@ class Planner:
                         if c != marker})
             records = Records(self.session, h.added(pos_pp, flag), df)
         return records, expr
+
+    def _materialize_comprehension(self, records: Records,
+                                   pc: E.PatternComprehension) -> Records:
+        """Plan a pattern comprehension as a grouped subquery: match the
+        pattern, project per match, collect_list per anchor key, left-join
+        back (missing anchor -> empty list).  One shuffle on the anchor ids;
+        no correlated per-row subplans."""
+        inner = self._subplanner()
+        pclause = A.MatchClause((pc.pattern,), pc.where, False)
+        rhs = inner.plan_match(
+            None, pclause,
+            id_only=self._shared_pattern_vars(records, pclause))
+        self._anon = inner._anon
+        shared = [v.name for v in records.header.vars()
+                  if rhs.header.var(v.name) is not None
+                  and not v.name.startswith("_a")]
+        pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
+        rctx = ExprContext(rhs.header, rhs.df, self.params)
+        pcol = to_column(resolve_vars(pc.projection, rhs.header), rctx)
+        marker = f"__pc_{self.fresh_name()}"
+        rhs_cols = [rhs.header.col(r) for _, r in pairs]
+        if rhs_cols:
+            rdf = rhs.df.groupBy(*[F.col(c) for c in rhs_cols]) \
+                .agg(F.collect_list(pcol).alias(marker))
+        else:
+            # uncorrelated: one global list row (empty list on no matches)
+            rdf = rhs.df.agg(F.collect_list(pcol).alias(marker))
+        list_type = rdf.schema[marker].dataType.simpleString()
+        rmap = {r: rhs.header.col(r) for _, r in pairs}
+        rmap[E.Var(marker)] = marker
+        rhs2 = Records(self.session, Header(rmap), rdf)
+        joined = join_records(records, rhs2, pairs, how="left")
+        outc = f"{marker}_list"
+        df = joined.df.withColumn(
+            outc, F.coalesce(F.col(marker),
+                             F.array().cast(list_type))).drop(marker)
+        h = Header({e: c for e, c in joined.header.mapping.items()
+                    if c != marker})
+        return Records(self.session, h.added(pc, outc), df)
 
     def _rel_uniqueness(self, records: Records, rel_vars) -> Records:
         """Cypher edge-uniqueness within one MATCH: pairwise distinct rels
@@ -1425,7 +1471,7 @@ def _retarget(e: E.Expr, src: E.Var, tgt: E.Var) -> E.Expr:
 
 
 def _contains_pattern(e) -> bool:
-    if isinstance(e, E.PatternPredicate):
+    if isinstance(e, (E.PatternPredicate, E.PatternComprehension)):
         return True
     if not isinstance(e, E.Expr):
         return False

@@ -443,10 +443,26 @@ SCENARIOS = [
      "RETURN count(*) AS c",
      [(2,)]),
 
-    # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
+    # --- Pattern comprehensions ----------------------------------------------
     ("pattern comprehension", ABC,
      "MATCH (a:A) RETURN [(a)-[:KNOWS]->(b) | b.name] AS l",
      [(("b",),)]),
+    ("pattern comprehension empty for no match", ABC,
+     "MATCH (c:C) RETURN [(c)-[:KNOWS]->(x) | x.name] AS l",
+     [((),)]),
+    ("pattern comprehension with where", ABC,
+     "MATCH (a:A) RETURN [(a)-[:KNOWS]->(b) WHERE b.num > 5 | b.name] AS l",
+     [((),)]),
+    ("pattern comprehension inside size", ABC,
+     "MATCH (n) RETURN n.name AS n, "
+     "size([(n)-[:KNOWS]->(m) | m.name]) AS deg",
+     [("a", 1), ("b", 1), ("c", 0)]),
+    ("pattern comprehension as predicate", ABC,
+     "MATCH (n) WHERE size([(n)-[:KNOWS]->(x) | x.name]) > 0 "
+     "RETURN n.name AS name",
+     [("a",), ("b",)]),
+
+    # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
 ]
 
@@ -454,7 +470,6 @@ SCENARIOS = [
 # blacklist semantics (TckSparkCypherTest.scala:51-77): a blacklisted
 # scenario that PASSES fails the suite, so stale entries can't linger.
 BLACKLIST = {
-    "pattern comprehension": "parser: pattern comprehensions not implemented",
     "merge clause": "wont-fix: read-only engine (reference is too; it "
                     "blacklists TCK write scenarios the same way)",
 }
