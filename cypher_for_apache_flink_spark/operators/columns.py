@@ -46,6 +46,23 @@ class ExprContext:
             return None
 
 
+_NO_CONST = object()
+
+
+def plan_const(expr: E.Expr, ctx: "ExprContext"):
+    """Plan-time-constant value of an expression: a literal, or a parameter
+    whose value is bound in this plan (literal->parameter extraction makes
+    these interchangeable).  Returns _NO_CONST when not constant."""
+    if isinstance(expr, E.Lit):
+        return expr.value
+    if isinstance(expr, E.Param):
+        try:
+            return ctx.params[expr.name]
+        except KeyError:
+            return _NO_CONST
+    return _NO_CONST
+
+
 def to_column(expr: E.Expr, ctx: ExprContext) -> Column:
     """Main entry: IR expression -> pyspark Column."""
     # Header hit first: aliases and precomputed fields resolve to their column
@@ -63,10 +80,27 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         return ctx.dtype(c)
     if isinstance(expr, E.CountStar):
         return T.LongType()
-    if isinstance(expr, E.Param) and isinstance(
-            ctx.params.get(expr.name), dict):
-        return T.StructType([T.StructField(k, T.NullType())
-                             for k in ctx.params[expr.name]])
+    if isinstance(expr, E.Param) and expr.name in ctx.params:
+        # Bound parameters type like the literal they carry (literal ->
+        # parameter extraction must not weaken overload/comparability
+        # resolution).
+        v = ctx.params[expr.name]
+        if isinstance(v, dict):
+            return T.StructType([T.StructField(k, T.NullType())
+                                 for k in v])
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        if v is None:
+            return T.NullType()
+        if isinstance(v, (list, tuple)):
+            return T.ArrayType(T.NullType())
+        return None
     if isinstance(expr, E.Lit):
         v = expr.value
         if isinstance(v, bool):
@@ -345,11 +379,12 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         idx = to_column(expr.index, ctx)
         if _is(ot, T.MapType):
             return F.try_element_at(owner, idx)
-        if _is(ot, T.StructType) and isinstance(expr.index, E.Lit):
+        key = plan_const(expr.index, ctx)
+        if _is(ot, T.StructType) and isinstance(key, str):
             # missing key on a map/struct yields null (Cypher), not an error
-            if expr.index.value not in ot.fieldNames():
+            if key not in ot.fieldNames():
                 return F.lit(None)
-            return owner.getField(expr.index.value)
+            return owner.getField(key)
         # Cypher list index is 0-based, element_at is 1-based; negative
         # indices count from the end in both (MorpheusFunctions.scala:62-74).
         # try_element_at: out-of-range yields null (Cypher) instead of the
@@ -373,9 +408,9 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         # result type; a numeric init literal widens to the list's element
         # type (reduce(acc = 0, x IN bigint_list | acc + x)).
         lst_t = spark_dtype(expr.list_expr, ctx)
-        if isinstance(expr.init, E.Lit) and \
-                isinstance(expr.init.value, (int, float)) and \
-                not isinstance(expr.init.value, bool) and \
+        init_v = plan_const(expr.init, ctx)
+        if isinstance(init_v, (int, float)) and \
+                not isinstance(init_v, bool) and \
                 isinstance(lst_t, T.ArrayType) and \
                 isinstance(lst_t.elementType,
                            (T.LongType, T.IntegerType, T.DoubleType,
@@ -708,9 +743,9 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
 
     # --- bitwise (Expr.scala:916-948) -----------------------------------
     if name == "shiftleft":
-        return F.shiftleft(a(0), int(args[1].value))
+        return F.shiftleft(a(0), int(plan_const(args[1], ctx)))
     if name == "shiftrightunsigned":
-        return F.shiftrightunsigned(a(0), int(args[1].value))
+        return F.shiftrightunsigned(a(0), int(plan_const(args[1], ctx)))
     if name == "bitwiseand":
         return a(0).bitwiseAND(a(1))
     if name == "bitwiseor":
@@ -729,8 +764,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
 
     # --- casts ----------------------------------------------------------
     if name == "bigdecimal":
-        p = int(args[1].value)
-        s = int(args[2].value) if len(args) > 2 else 0
+        p = int(plan_const(args[1], ctx))
+        s = int(plan_const(args[2], ctx)) if len(args) > 2 else 0
         return a(0).cast(f"decimal({p},{s})")
     if name == "tointeger":
         src = a(0)
@@ -766,7 +801,7 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name in simple:
         return simple[name](a(0))
     if name == "round":
-        return F.round(a(0), int(args[1].value) if len(args) > 1 else 0)
+        return F.round(a(0), int(plan_const(args[1], ctx)) if len(args) > 1 else 0)
     if name == "atan2":
         return F.atan2(a(0), a(1))
     if name == "haversin":
@@ -858,8 +893,9 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                 m.get("year", F.lit(1)), m.get("month", F.lit(1)),
                 m.get("day", F.lit(1)), m.get("hour", F.lit(0)),
                 m.get("minute", F.lit(0)), sec)
-        if isinstance(arg, E.Lit) and isinstance(arg.value, str):
-            return F.to_timestamp(F.lit(arg.value.replace("T", " ")))
+        ts_v = plan_const(arg, ctx)
+        if isinstance(ts_v, str):
+            return F.to_timestamp(F.lit(ts_v.replace("T", " ")))
         return F.to_timestamp(F.translate(a(0), "T", " "))
     if name in ("duration.between", "duration.indays", "duration.inmonths",
                 "duration.inseconds"):
@@ -888,8 +924,9 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                              (us - dd.cast("long") * us_day).cast("long"))
     if name == "duration":
         arg = args[0]
-        if isinstance(arg, E.Lit) and isinstance(arg.value, str):
-            mo, dd, us = parse_iso_duration(arg.value)
+        dur_v = plan_const(arg, ctx)
+        if isinstance(dur_v, str):
+            mo, dd, us = parse_iso_duration(dur_v)
             return make_duration(F.lit(mo), F.lit(dd), F.lit(us))
         if isinstance(arg, E.MapLit):
             parts = {"months": F.lit(0), "days": F.lit(0),

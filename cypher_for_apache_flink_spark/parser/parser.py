@@ -85,7 +85,9 @@ def tokenize(src: str) -> list:
             continue
         if kind in ("HEX", "OCT"):
             base = 16 if kind == "HEX" else 8
-            toks.append(Tok("INT", str(int(text, base)), m.start()))
+            # raw keeps the source spelling so literal extraction can splice
+            # the exact span out of the query text
+            toks.append(Tok("INT", str(int(text, base)), m.start(), raw=text))
             continue
         if kind == "IDENT":
             if text.startswith("`"):
@@ -843,3 +845,66 @@ def _localize(e, var, strip=False):
 
 def parse(query: str) -> A.Query:
     return Parser(query).parse_query()
+
+
+# ---------------------------------------------------------------------------
+# Literal -> parameter extraction + AST cache (the reference's AstRewriting
+# literal extraction, okapi-ir/.../impl/parse/CypherParser.scala:72): a
+# pipeline issuing thousands of structurally identical queries with varying
+# literals parses ONE skeleton; per call only the values are rebound.
+# ---------------------------------------------------------------------------
+
+_LITERAL_KINDS = frozenset(("INT", "FLOAT", "STRING"))
+_AST_CACHE: dict = {}
+_AST_CACHE_MAX = 512
+ast_cache_stats = {"hits": 0, "misses": 0}
+
+
+def parameterize(src: str):
+    """Extract literals: returns (skeleton text, {auto-param: value}).
+    Var-length bounds and slice bounds (a token touching ``..`` or
+    following ``*``) stay literal — they are pattern syntax, not
+    expressions."""
+    toks = tokenize(src)
+    pieces = []
+    values = {}
+    last = 0
+    for i, t in enumerate(toks):
+        if t.kind not in _LITERAL_KINDS:
+            continue
+        prev = toks[i - 1] if i else None
+        nxt = toks[i + 1]
+        if prev is not None and prev.kind == "PUNCT" and \
+                prev.text in ("*", ".."):
+            continue
+        if nxt.kind == "PUNCT" and nxt.text == "..":
+            continue
+        if t.kind == "INT":
+            v = int(t.text)
+        elif t.kind == "FLOAT":
+            v = float(t.text)
+        else:
+            v = _unescape(t.text)
+        name = f"__lit{len(values)}"
+        values[name] = v
+        pieces.append(src[last:t.pos])
+        pieces.append(f"${name}")
+        last = t.pos + len(t.raw)
+    pieces.append(src[last:])
+    return "".join(pieces), values
+
+
+def parse_parameterized(src: str):
+    """Parse via the skeleton cache: literal-differing queries of the same
+    shape share one parsed AST.  Returns (ast, auto_params)."""
+    skeleton, values = parameterize(src)
+    ast = _AST_CACHE.get(skeleton)
+    if ast is None:
+        ast_cache_stats["misses"] += 1
+        if len(_AST_CACHE) >= _AST_CACHE_MAX:
+            _AST_CACHE.clear()
+        ast = parse(skeleton)
+        _AST_CACHE[skeleton] = ast
+    else:
+        ast_cache_stats["hits"] += 1
+    return ast, values

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .graph import PropertyGraph
-from .parser.parser import parse
+from .parser.parser import parse, parse_parameterized
 from .plans.planner import Planner
 
 _CATALOG_RE = re.compile(
@@ -256,8 +256,12 @@ class CypherSession:
             # Multi-graph catalogs: first registered graph is the default;
             # the query can switch with FROM GRAPH, or pass graph=...
             graph = next(iter(self.catalog.values()))
-        ast = parse(query)
-        planner = Planner(self, graph, params)
+        # Literal->parameter extraction: same-shaped queries share a cached
+        # AST skeleton; the literal values are rebound as auto-params.
+        ast, auto_params = parse_parameterized(query)
+        if params:
+            auto_params.update(params)
+        planner = Planner(self, graph, auto_params)
         initial = None
         if driving_table is not None:
             from .ir import expr as E

@@ -38,9 +38,40 @@ def _struct(cols: dict) -> T.StructType:
         for name, dtype in cols.items()])
 
 
+KNOWN_FORMATS = ("parquet", "csv", "orc", "json", "avro")
+
+
+def format_available(spark: SparkSession, fmt: str) -> bool:
+    """True if the session can read/write ``fmt``.  Avro ships as an
+    external Spark module (FSGraphSource.scala:79-93 lists it alongside
+    parquet/csv/orc); probe the classpath instead of failing mid-write."""
+    if fmt != "avro":
+        return fmt in KNOWN_FORMATS
+    # A class-presence check is not enough (the class can be on the
+    # classpath without the DataSource registration): probe the lookup the
+    # way the writer will.
+    import tempfile
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame([], "x int").write \
+                .mode("overwrite").format("avro").save(os.path.join(d, "p"))
+        return True
+    except Exception:
+        return False
+
+
 def write_graph(graph: PropertyGraph, path: str, fmt: str = "parquet",
                 mode: str = "error") -> None:
     """Persist a property graph in the reference directory layout."""
+    if fmt not in KNOWN_FORMATS:
+        raise ValueError(f"unknown graph format {fmt!r}; "
+                         f"one of {KNOWN_FORMATS}")
+    spark = next(iter(graph.node_tables.values())).sparkSession \
+        if graph.node_tables else SparkSession.builder.getOrCreate()
+    if fmt == "avro" and not format_available(spark, fmt):
+        raise RuntimeError(
+            "avro format needs the spark-avro module on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark version>)")
     def writer(df):
         w = df.write.format(fmt).mode(mode)
         return w.option("header", "true") if fmt == "csv" else w

@@ -68,3 +68,31 @@ def test_bigdecimal(people):
         "MATCH (p:Person) WHERE p.age = 42 "
         "RETURN bigDecimal(p.balance, 10, 2) AS d"))
     assert r["d"] == decimal.Decimal("1500.50")
+
+
+def test_literal_extraction_shares_ast_skeleton(spark):
+    """Two literal-differing queries of the same shape parse ONE skeleton
+    (AstRewriting literal extraction, CypherParser.scala:72); results match
+    the literal forms exactly."""
+    from cypher_for_apache_flink_spark import CypherSession, PropertyGraph
+    from cypher_for_apache_flink_spark.parser import parser as P
+
+    g = PropertyGraph({frozenset({"V"}): spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, x long")}, {}, name="lits")
+    s = CypherSession.for_graph(g)
+    q1 = "MATCH (v:V) WHERE v.x > 15 RETURN count(*) AS n"
+    q2 = "MATCH (v:V) WHERE v.x > 25 RETURN count(*) AS n"
+    sk1, vals1 = P.parameterize(q1)
+    sk2, vals2 = P.parameterize(q2)
+    assert sk1 == sk2 and vals1 == {"__lit0": 15} and vals2 == {"__lit0": 25}
+    before = dict(P.ast_cache_stats)
+    assert s.cypher(q1).collect()[0]["n"] == 2
+    assert s.cypher(q2).collect()[0]["n"] == 1
+    gained_hits = P.ast_cache_stats["hits"] - before["hits"]
+    assert gained_hits >= 1, P.ast_cache_stats
+    # var-length bounds and slices survive extraction untouched
+    sk3, vals3 = P.parameterize("MATCH (a)-[:R*1..2]->(b) RETURN [1,2,3][0..2] AS s")
+    assert "*1..2" in sk3.replace(" ", "") and "[$__lit0,$__lit1,$__lit2]" in sk3.replace(" ", "")
+    # explicit user params still win over auto-params
+    assert s.cypher("MATCH (v:V) WHERE v.x > $t RETURN count(*) AS n",
+                    params={"t": 15}).collect()[0]["n"] == 2

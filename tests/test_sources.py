@@ -143,3 +143,37 @@ def test_ddl_tpch_matches_handbuilt(spark):
     from cypher_for_apache_flink_spark.sources.tpch import tpch_graph
     want = [tuple(r) for r in tpch_graph(spark, sf).cypher(q).collect()]
     assert got == want
+
+
+def test_avro_roundtrip_or_gated(spark, tmp_path):
+    """Avro FS format: full round-trip when spark-avro is on the classpath,
+    a clear gate error otherwise (the module is external, like the
+    reference's optional format list in FSGraphSource.scala:79-93)."""
+    import pytest as _pytest
+
+    from cypher_for_apache_flink_spark import PropertyGraph
+    from cypher_for_apache_flink_spark.sources.fs import (
+        format_available, read_graph, write_graph)
+
+    g = PropertyGraph({frozenset({"A"}): spark.createDataFrame(
+        [(1, "x")], "id long, p string")}, {}, name="avrog")
+    path = str(tmp_path / "avro_graph")
+    if not format_available(spark, "avro"):
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            write_graph(g, path, fmt="avro")
+        _pytest.skip("spark-avro not on classpath")
+    write_graph(g, path, fmt="avro")
+    back = read_graph(spark, path)
+    assert [tuple(r) for r in
+            back.cypher("MATCH (a:A) RETURN a.p AS p").collect()] == [("x",)]
+
+
+def test_unknown_format_rejected(spark):
+    from cypher_for_apache_flink_spark import PropertyGraph
+    from cypher_for_apache_flink_spark.sources.fs import write_graph
+
+    g = PropertyGraph({frozenset({"A"}): spark.createDataFrame(
+        [(1,)], "id long")}, {}, name="fmtg")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown graph format"):
+        write_graph(g, "/tmp/nope", fmt="feather")
