@@ -62,8 +62,10 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     ``max_shingle_freq`` drops shingles appearing in more than that many docs
     before the self-join (skew control at scale; off by default so the SQL
     oracle is simple)."""
-    sh = df.select(F.col(id_col).alias("doc"),
-                   F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    from .util import ensure_parallelism
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -117,8 +119,10 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
     # (doc, shingles) table is reused by the signature pass AND the two
     # candidate re-attach joins — cache it rather than re-shingling the
     # corpus three times.
-    shingled = df.select(F.col(id_col).alias("doc"),
-                         word_shingles(F.col(text_col), n).alias("sh0")).cache()
+    from .util import ensure_parallelism
+    shingled = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("sh0")).cache()
     sig = shingled.select("doc",
                           minhash_from_shingles(F.col("sh0"), num_hashes).alias("sig"))
     # Band entries carry ONLY (doc, band, key): at 100 TB the band-bucket
@@ -194,8 +198,10 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
     ``bands`` chunks; docs sharing a chunk are candidates, verified by
     Hamming distance <= max_hamming."""
     bits_per = 64 // bands
-    sig = df.select(F.col(id_col).alias("doc"),
-                    simhash64(F.col(text_col)).cast("string").alias("sig"))
+    from .util import ensure_parallelism
+    sig = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        simhash64(F.col(text_col)).cast("string").alias("sig"))
     # Band over BIT chunks of the signature (the pigeonhole guarantee:
     # hamming <= bands-1 implies at least one identical band).  Banding over
     # decimal-digit slices is wrong — one flipped high bit changes every

@@ -34,7 +34,9 @@ def curate_corpus(docs: DataFrame, quality_min: float = 0.4,
     were never a matching pair), the policy large corpus dedups usually
     want.
     """
-    scored = docs.where(quality_score(F.col(text_col)) >= quality_min)
+    from .util import ensure_parallelism
+    scored = ensure_parallelism(docs).where(
+        quality_score(F.col(text_col)) >= quality_min)
     deduped = dedup_exact(scored, text_col=text_col, id_col=id_col)
     pairs = minhash_lsh_pairs(deduped, threshold=jaccard_threshold,
                               text_col=text_col, id_col=id_col)
@@ -45,4 +47,12 @@ def curate_corpus(docs: DataFrame, quality_min: float = 0.4,
             .select(F.col("node").alias(id_col))
     else:
         losers = pairs.select(F.col("b").alias(id_col)).distinct()
-    return deduped.join(losers, id_col, "left_anti")
+    out = deduped.join(losers, id_col, "left_anti")
+    # Keep the MinHash shingle cache alive for as long as THIS result can
+    # still execute (the lease rides on `pairs`; without the hand-off it
+    # would be unpersisted the moment `pairs` falls out of scope and every
+    # downstream action would re-shingle the corpus).
+    lease = getattr(pairs, "_cypher_cache_lease", None)
+    if lease is not None:
+        out._cypher_cache_lease = lease
+    return out
