@@ -20,10 +20,23 @@ from __future__ import annotations
 class CacheLease:
     def __init__(self):
         self.dfs = []
+        # JVM RDD handles of local checkpoints.  Unlike caches these are
+        # NOT recomputable (checkpointing truncates lineage), so they are
+        # freed only when the lease itself is garbage-collected — at that
+        # point nothing can re-access the data.  release() leaves them.
+        self.rdds = []
 
     def add(self, df):
         """Track a cached/persisted DataFrame; returns it unchanged."""
         self.dfs.append(df)
+        return df
+
+    def add_checkpoint(self, df):
+        """Track the materialized RDD behind an eager localCheckpoint."""
+        try:
+            self.rdds.append(df._jdf.queryExecution().analyzed().rdd())
+        except Exception:
+            pass   # plan shape changed — ContextCleaner still applies
         return df
 
     def release(self):
@@ -36,3 +49,9 @@ class CacheLease:
 
     def __del__(self):
         self.release()
+        rdds, self.rdds = self.rdds, []
+        for r in rdds:
+            try:
+                r.unpersist(False)
+            except Exception:
+                pass

@@ -652,9 +652,16 @@ class Planner:
                 frontier = frontier.withColumn(f"pn{step_sfx}", F.col(end_col))
                 hop_node_cols.append(f"pn{step_sfx}")
             if unbounded:
-                # Materialize each hop once (cache + isEmpty) so the
-                # fixpoint test doesn't recompute the whole join chain.
-                frontier = self.cache_lease.add(frontier.persist())
+                # Materialize each hop once so the fixpoint test doesn't
+                # recompute the whole join chain.  localCheckpoint (not
+                # persist): each hop's plan must TRUNCATE or the logical
+                # plan grows quadratically with depth and a ~20-hop
+                # frontier OOMs the DRIVER during planning (same lesson as
+                # functions/components.py's label-propagation loop).
+                # Checkpointed RDDs are freed by Spark's ContextCleaner
+                # when the result is garbage-collected.
+                frontier = self.cache_lease.add_checkpoint(
+                    frontier.localCheckpoint(eager=True))
                 if frontier.isEmpty():
                     if not staged:
                         staged.append(stage(frontier, k))

@@ -48,8 +48,12 @@ def test_var_length_cache_released_by_gc(spark, chain_graph):
 
 
 def test_unbounded_frontier_caches_released(spark):
-    # small chain: the unbounded loop persists one frontier per hop until
-    # the fixpoint — every one of them must be released
+    # The unbounded loop localCheckpoints one frontier per hop (plan
+    # truncation — a deep chain used to OOM the DRIVER during planning).
+    # Checkpointed frontiers are freed by Spark's ContextCleaner once the
+    # result is garbage-collected; poll briefly for the async cleanup.
+    import time
+
     nodes = {frozenset({"N"}): spark.createDataFrame(
         [(i, i) for i in range(6)], "id long, v long")}
     rels = {"R": spark.createDataFrame(
@@ -61,9 +65,16 @@ def test_unbounded_frontier_caches_released(spark):
     res = CypherSession.for_graph(g).cypher(
         "MATCH (a:N)-[:R*]->(b:N) WHERE a.v = 0 RETURN count(*) AS n")
     assert res.collect()[0]["n"] == 5
+    # explicit release leaves checkpoints alive (re-access CAN'T recompute
+    # them); the lease frees their storage when the result is GC'd
     res.release()
-    # <= not ==: results from OTHER tests may be GC'd meanwhile,
-    # releasing their own leases
+    assert res.collect()[0]["n"] == 5
+    del res
+    gc.collect()
+    for _ in range(8):
+        if len(_cached_rdds(spark)) <= before:
+            break
+        time.sleep(0.25)
     assert len(_cached_rdds(spark)) <= before
 
 
