@@ -113,3 +113,133 @@ def neo4j_graph(spark, uri: str, auth, schema: GraphSchema,
             rel_tables[rtype] = df
     driver.close()
     return PropertyGraph(node_tables, rel_tables, name=name)
+
+
+# ---------------------------------------------------------------------------
+# Merge-sync write-back (reference: Neo4jGraphMerge.scala:53-170 +
+# ElementWriter.scala:44-112).  The statement builders are pure (offline
+# unit-tested); the executor streams each element table's partitions
+# through batched UNWIND ... MERGE calls over bolt — Spark's
+# foreachPartition is the PySpark analogue of the reference's
+# foreachPartitionAsync writers.
+# ---------------------------------------------------------------------------
+
+META_PROP = "__cfas_id"     # transient match key, removed after the sync
+                            # (the reference's metaPropertyKey)
+
+
+def _label_string(labels) -> str:
+    return "".join(f":`{l}`" for l in sorted(labels))
+
+
+def merge_node_statement(labels, keys, columns, meta_label=None) -> str:
+    """UNWIND-batched MERGE for one node table.  ``columns`` is the table's
+    column order (id first); ``keys`` the property names that uniquely
+    identify a node with these labels (schema nodeKeys)."""
+    lbl = _label_string(set(labels) | ({meta_label} if meta_label else set()))
+    key_props = ", ".join(
+        f"`{k}`: row[{columns.index(prop_phys(k, _RESERVED_NODE))}]"
+        for k in sorted(keys))
+    sets = [f"SET n.`{META_PROP}` = row[{columns.index('id')}]"]
+    for i, c in enumerate(columns):
+        if c == "id":
+            continue
+        prop = c[:-1] if c.endswith("_") and c[:-1] in _RESERVED_NODE else c
+        if prop in keys:
+            continue
+        sets.append(f"SET n.`{prop}` = row[{i}]")
+    return (f"UNWIND $batch AS row\n"
+            f"MERGE (n{lbl} {{ {key_props} }})\n" + "\n".join(sets))
+
+
+def merge_rel_statement(rtype, keys, columns, meta_label=None) -> str:
+    """UNWIND-batched MERGE for one relationship table: endpoints matched
+    by the transient meta property stamped during the node pass."""
+    lbl = f":`{meta_label}`" if meta_label else ""
+    key_props = ", ".join(
+        f"`{k}`: row[{columns.index(prop_phys(k, _RESERVED_REL))}]"
+        for k in sorted(keys))
+    key_str = f" {{ {key_props} }}" if key_props else ""
+    sets = []
+    for i, c in enumerate(columns):
+        if c in ("id", "source", "target"):
+            continue
+        prop = c[:-1] if c.endswith("_") and c[:-1] in _RESERVED_REL else c
+        if prop in keys:
+            continue
+        sets.append(f"SET rel.`{prop}` = row[{i}]")
+    body = "\n".join(sets)
+    return (f"UNWIND $batch AS row\n"
+            f"MATCH (from{lbl} {{`{META_PROP}`: "
+            f"row[{columns.index('source')}]}})\n"
+            f"MATCH (to{lbl} {{`{META_PROP}`: "
+            f"row[{columns.index('target')}]}})\n"
+            f"MERGE (from)-[rel:`{rtype}`{key_str}]->(to)"
+            + (f"\n{body}" if body else ""))
+
+
+def merge_index_statements(node_keys, meta_label=None) -> list:
+    """Constraint/index DDL that speeds the merge up
+    (Neo4jGraphMerge.createIndexes)."""
+    out = []
+    for label, keys in sorted(node_keys.items()):
+        props = ", ".join(f"n.`{k}`" for k in sorted(keys))
+        out.append(f"CREATE CONSTRAINT ON (n:`{label}`) "
+                   f"ASSERT ({props}) IS NODE KEY")
+        out.append(f"CREATE INDEX ON :`{label}`(`{META_PROP}`)")
+    if meta_label:
+        out.append(f"CREATE INDEX ON :`{meta_label}`(`{META_PROP}`)")
+    return out
+
+
+def merge_graph(graph: PropertyGraph, uri: str, auth, node_keys: dict,
+                rel_keys: dict | None = None, database: str = "neo4j",
+                batch_size: int = 1000,
+                meta_label: str | None = None) -> None:  # pragma: no cover
+    """Merge ``graph`` into an existing Neo4j database: nodes first (each
+    stamped with the transient ``__cfas_id`` match key), then
+    relationships matched through it, then the key removed — the
+    reference's three-phase merge (Neo4jGraphMerge.scala:117-157).
+
+    ``node_keys``: {label: {prop, ...}} uniquely identifying a node per
+    label (at least one label of every combo must have keys).  Runs
+    distributed: every table partition opens its own bolt session and
+    streams UNWIND batches.
+    """
+    _require_driver()
+    rel_keys = rel_keys or {}
+
+    def run_partition(stmt):
+        def write(rows):
+            from neo4j import GraphDatabase
+            drv = GraphDatabase.driver(uri, auth=auth)
+            with drv.session(database=database) as s:
+                batch = []
+                for row in rows:
+                    batch.append(list(row))
+                    if len(batch) >= batch_size:
+                        s.run(stmt, batch=batch).consume()
+                        batch = []
+                if batch:
+                    s.run(stmt, batch=batch).consume()
+            drv.close()
+        return write
+
+    for combo, df in graph.node_tables.items():
+        key_label = next((l for l in sorted(combo) if l in node_keys), None)
+        if key_label is None:
+            raise ValueError(f"no node key for label combination "
+                             f"{sorted(combo)}")
+        stmt = merge_node_statement(combo, node_keys[key_label],
+                                    df.columns, meta_label)
+        df.foreachPartition(run_partition(stmt))
+    for rtype, df in graph.rel_tables.items():
+        stmt = merge_rel_statement(rtype, rel_keys.get(rtype, set()),
+                                   df.columns, meta_label)
+        df.foreachPartition(run_partition(stmt))
+    from neo4j import GraphDatabase
+    drv = GraphDatabase.driver(uri, auth=auth)
+    lbl = f":`{meta_label}`" if meta_label else ""
+    with drv.session(database=database) as s:
+        s.run(f"MATCH (n{lbl}) REMOVE n.`{META_PROP}`").consume()
+    drv.close()

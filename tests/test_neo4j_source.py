@@ -47,3 +47,66 @@ def test_driver_gate_raises_without_package():
         pass
     with pytest.raises(ImportError, match="bolt driver"):
         _require_driver()
+
+
+def test_merge_node_statement_shape():
+    """Mirrors ElementWriter.mergeNodes (ElementWriter.scala:44-73): keys in
+    the MERGE map, non-key properties as SETs, meta id stamped."""
+    from cypher_for_apache_flink_spark.sources.neo4j import (
+        META_PROP, merge_node_statement)
+
+    stmt = merge_node_statement(
+        {"Person"}, {"name"}, ["id", "name", "age"])
+    assert "UNWIND $batch AS row" in stmt
+    assert "MERGE (n:`Person` { `name`: row[1] })" in stmt
+    assert f"SET n.`{META_PROP}` = row[0]" in stmt
+    assert "SET n.`age` = row[2]" in stmt
+    assert "SET n.`name`" not in stmt          # key never re-SET
+    # meta label rides on the node
+    stmt_ml = merge_node_statement({"Person"}, {"name"},
+                                   ["id", "name"], meta_label="G")
+    assert "MERGE (n:`G`:`Person`" in stmt_ml
+
+
+def test_merge_rel_statement_shape():
+    from cypher_for_apache_flink_spark.sources.neo4j import (
+        META_PROP, merge_rel_statement)
+
+    stmt = merge_rel_statement("KNOWS", set(),
+                               ["id", "source", "target", "since"])
+    assert f"MATCH (from {{`{META_PROP}`: row[1]}})" in stmt
+    assert f"MATCH (to {{`{META_PROP}`: row[2]}})" in stmt
+    assert "MERGE (from)-[rel:`KNOWS`]->(to)" in stmt
+    assert "SET rel.`since` = row[3]" in stmt
+    stmt_k = merge_rel_statement("KNOWS", {"since"},
+                                 ["id", "source", "target", "since"])
+    assert "MERGE (from)-[rel:`KNOWS` { `since`: row[3] }]->(to)" in stmt_k
+    assert "SET rel.`since`" not in stmt_k
+
+
+def test_merge_index_statements():
+    from cypher_for_apache_flink_spark.sources.neo4j import (
+        merge_index_statements)
+
+    ddl = merge_index_statements({"Person": {"name"}}, meta_label="G")
+    assert any("CONSTRAINT" in d and "NODE KEY" in d for d in ddl)
+    assert any(":`G`" in d for d in ddl)
+
+
+def test_merge_graph_requires_driver(spark):
+    """Connected path is import-gated (no bolt driver in this container)."""
+    import pytest as _pytest
+
+    from cypher_for_apache_flink_spark import PropertyGraph
+    from cypher_for_apache_flink_spark.sources.neo4j import merge_graph
+
+    g = PropertyGraph({frozenset({"A"}): spark.createDataFrame(
+        [(1, "x")], "id long, name string")}, {}, name="m")
+    try:
+        import neo4j  # noqa: F401
+        _pytest.skip("driver present; connected merge needs a server")
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match="neo4j"):
+        merge_graph(g, "bolt://localhost:7687", ("u", "p"),
+                    node_keys={"A": {"name"}})
