@@ -163,32 +163,52 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
     return out
 
 
-def simhash64(text):
-    """64-bit SimHash from md5-derived token bits: for each of the 64 bits of
-    md5(token)[:16], vote ±1 across tokens; bit set where the vote is > 0."""
+def simhash_votes(text):
+    """64-long vote array for the SimHash bits: votes[i] = sum over tokens
+    of (bit_i of md5(token)[:16] ? +1 : -1) — ONE aggregate pass over the
+    token array.  (The earlier form ran 64 separate aggregates, i.e. 64
+    full token-array traversals per row: 10x slower and a 64x bigger
+    expression tree.)"""
     toks = F.array_distinct(tokens(text))
     hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
 
-    # votes[i] = sum over tokens of (bit_i ? 1 : -1)
-    def bit(h, i):
-        # hex char index i//4, bit within nibble i%4 (big-endian nibble)
-        ch = F.substring(h, (i // 4) + 1, 1)
-        val = F.instr(F.lit("0123456789abcdef"), ch) - 1
-        return F.shiftright(val, 3 - (i % 4)) % 2
+    def tok_bits(h):
+        # array of the 64 bits of the 16-hex-char prefix, big-endian nibble
+        def bit(i):
+            ch = h.substr((F.floor(i / 4) + 1).cast("int"), F.lit(1))
+            a = F.ascii(ch)
+            val = F.when(a >= 97, a - 87).otherwise(a - 48)  # hex digit
+            return (F.floor(val / F.pow(F.lit(2.0), 3 - (i % 4)))
+                    .cast("long") % 2)
+        return F.transform(F.sequence(F.lit(0), F.lit(63)), bit)
 
-    def vote(i):
-        # two-parameter merge lambda: PySpark passes an extra index arg to
-        # 3-parameter lambdas, so a default-arg capture of i would be
-        # silently overwritten by a Column.
-        return lambda acc, h: acc + bit(h, i) * 2 - 1
+    zeros = F.transform(F.sequence(F.lit(0), F.lit(63)),
+                        lambda _: F.lit(0).cast("long"))
+    return F.aggregate(
+        hexes, zeros,
+        lambda acc, h: F.zip_with(acc, tok_bits(h),
+                                  lambda a, b: a + b * 2 - 1))
 
-    votes = [F.aggregate(hexes, F.lit(0), vote(i)) for i in range(64)]
+
+def simhash_from_votes(votes):
+    """Pack a 64-vote array column into the unsigned 64-bit signature
+    (decimal, bit i set where votes[i] > 0).  Call on a MATERIALIZED votes
+    column — inlining would re-embed the vote aggregate 64 times."""
     out = F.lit(0).cast("decimal(20,0)")
-    for i, v in enumerate(votes):
+    for i in range(64):
         # 2^63 overflows a long literal — go through a string literal.
         weight = F.lit(str(2 ** (63 - i))).cast("decimal(20,0)")
-        out = out + F.when(v > 0, weight).otherwise(F.lit(0).cast("decimal(20,0)"))
+        out = out + F.when(F.element_at(votes, i + 1) > 0, weight) \
+            .otherwise(F.lit(0).cast("decimal(20,0)"))
     return out
+
+
+def simhash64(text):
+    """64-bit SimHash from md5-derived token bits; prefer computing
+    :func:`simhash_votes` as its own column and packing with
+    :func:`simhash_from_votes` (projection boundary stops Catalyst from
+    duplicating the vote aggregate per bit)."""
+    return simhash_from_votes(simhash_votes(text))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 8,
@@ -199,32 +219,47 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
     Hamming distance <= max_hamming."""
     bits_per = 64 // bands
     from .util import ensure_parallelism
-    sig = ensure_parallelism(df).select(
+    voted = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        simhash64(F.col(text_col)).cast("string").alias("sig"))
+        simhash_votes(F.col(text_col)).alias("__v"))
+    # One 64-char bit string per doc, straight from the votes (no decimal
+    # round-trip) — computed ONCE and cached: the self-join would otherwise
+    # recompute the vote aggregate for both sides of every candidate.
+    sig = voted.select(
+        "doc",
+        F.concat_ws("", F.transform(
+            F.col("__v"),
+            lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))))
+        .alias("bits")).cache()
     # Band over BIT chunks of the signature (the pigeonhole guarantee:
     # hamming <= bands-1 implies at least one identical band).  Banding over
     # decimal-digit slices is wrong — one flipped high bit changes every
     # decimal digit, so Hamming-close docs would land in disjoint buckets.
-    bits = F.lpad(F.conv(F.col("sig"), 10, 2), 64, "0")
-    entries = sig.select("doc", "sig", F.explode(F.array(*[
+    entries = sig.select("doc", "bits", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.substring(bits, b * bits_per + 1, bits_per).alias("key"))
+                 F.substring(F.col("bits"), b * bits_per + 1,
+                             bits_per).alias("key"))
         for b in range(bands)])).alias("bk"))
-    left = entries.select(F.col("doc").alias("a"), F.col("sig").alias("siga"),
-                          F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    right = entries.select(F.col("doc").alias("b"), F.col("sig").alias("sigb"),
-                           F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = entries.select(F.col("doc").alias("a"), F.col("bits").alias("ba"),
+                          F.col("bk.band").alias("band"),
+                          F.col("bk.key").alias("key"))
+    right = entries.select(F.col("doc").alias("b"), F.col("bits").alias("bb"),
+                           F.col("bk.band").alias("band"),
+                           F.col("bk.key").alias("key"))
     cand = (left.join(right, ["band", "key"])
             .where(F.col("a") < F.col("b"))
             .dropDuplicates(["a", "b"]))
-    # Hamming distance: compare the padded bit strings positionally.
-    pa = F.lpad(F.conv(F.col("siga"), 10, 2), 64, "0")
-    pb = F.lpad(F.conv(F.col("sigb"), 10, 2), 64, "0")
+    # Hamming distance: positional compare of the two in-row bit strings.
     hamming = F.aggregate(
-        F.sequence(F.lit(1), F.lit(64)), F.lit(0),
-        lambda acc, i: acc + F.when(
-            F.substring(pa, i, 1) == F.substring(pb, i, 1), 0).otherwise(1))
-    return (cand.withColumn("hamming", hamming)
-            .where(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+        F.zip_with(F.split(F.col("ba"), "(?!^)"),
+                   F.split(F.col("bb"), "(?!^)"),
+                   lambda x, y: F.when(x == y, 0).otherwise(1)),
+        F.lit(0), lambda acc, d: acc + d)
+    out = (cand.withColumn("hamming", hamming)
+           .where(F.col("hamming") <= max_hamming)
+           .select("a", "b", "hamming"))
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(sig)
+    out._cypher_cache_lease = lease
+    return out
