@@ -630,7 +630,10 @@ class Planner:
         slim = rel.df.select(F.col(rel_id).alias("__vl_e"),
                              F.col(rel_src).alias("__vl_s"),
                              F.col(rel_dst).alias("__vl_d"))
-        if hi > 1:
+        # Cache only when the hop loop reads the edge table 3+ times: at
+        # two reads the cache materialization costs more than a second
+        # column-pruned parquet scan (measured 2.8s vs 1.6s at sf0.1).
+        if unbounded or hi > 2:
             slim = self.cache_lease.add(slim.cache())
         for k in range(1, hi + 1):
             step_sfx = f"__s{k}_{rp.var}"
