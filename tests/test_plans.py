@@ -99,3 +99,23 @@ def test_percentile_disc_plan_has_no_collect_list(g):
     for st, p, n in want:
         got_p, got_n = rows[st]
         assert got_n == n and abs(got_p - p) < 1e-9, (st, got_p, p)
+
+
+def test_pattern_comprehension_plan_is_grouped_join(g):
+    """A pattern comprehension plans as match -> collect_list per anchor ->
+    ONE left join back: no per-row correlated subplans, no cartesian."""
+    res = g.cypher(
+        "MATCH (n:Nation) RETURN n.n_name AS nation, "
+        "size([(n)<-[:FROM_NATION]-(c:Customer) | c.c_name]) AS n_cust")
+    plan = _executed(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" in _full(res)
+    rows = {r["nation"]: r["n_cust"] for r in res.collect()}
+    import duckdb
+    want = dict(duckdb.sql(
+        f"SELECT n_name, count(c_name) FROM "
+        f"read_parquet('{SF_DIR}/nation.parquet') n LEFT JOIN "
+        f"read_parquet('{SF_DIR}/customer.parquet') c "
+        f"ON c.c_nationkey = n.n_nationkey GROUP BY 1").fetchall())
+    assert rows == want
