@@ -63,9 +63,10 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     before the self-join (skew control at scale; off by default so the SQL
     oracle is simple)."""
     from .util import ensure_parallelism
+    # cached: read by the size pass AND both sides of the blocked self-join
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh")).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -77,11 +78,16 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
-    return (inter.join(sa, "a").join(sb, "b")
-            .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("a", "b", "jaccard"))
+    out = (inter.join(sa, "a").join(sb, "b")
+           .withColumn("jaccard", F.round(
+               F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("a", "b", "jaccard"))
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(sh)
+    out._cypher_cache_lease = lease
+    return out
 
 
 def minhash_from_shingles(sh, num_hashes: int = 8):
