@@ -96,3 +96,41 @@ def test_literal_extraction_shares_ast_skeleton(spark):
     # explicit user params still win over auto-params
     assert s.cypher("MATCH (v:V) WHERE v.x > $t RETURN count(*) AS n",
                     params={"t": 15}).collect()[0]["n"] == 2
+
+
+def test_percentile_disc_various_p_vs_duckdb(spark):
+    """Exact discrete percentile across p values and group shapes, including
+    p where ceil(p*n) hits the group edges."""
+    import duckdb
+
+    from cypher_for_apache_flink_spark import PropertyGraph
+
+    rows = [(i, f"g{i % 3}", float(v)) for i, v in enumerate(
+        [5, 1, 9, 2, 8, 3, 7, 4, 6, 0, 2.5, 9.5])]
+    g = PropertyGraph({frozenset({"V"}): spark.createDataFrame(
+        rows, "id long, grp string, x double")}, {}, name="pd")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, grp TEXT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    for p in (0.01, 0.25, 0.5, 0.75, 0.99, 1.0):
+        got = {r["grp"]: r["v"] for r in g.cypher(
+            f"MATCH (v:V) RETURN v.grp AS grp, "
+            f"percentileDisc(v.x, {p}) AS v").collect()}
+        want = dict(con.execute(
+            f"SELECT grp, percentile_disc({p}) WITHIN GROUP (ORDER BY x) "
+            f"FROM t GROUP BY grp").fetchall())
+        assert got == want, (p, got, want)
+
+
+def test_two_pattern_comprehensions_one_return(spark):
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+
+    g = graph_from_create(
+        spark,
+        'CREATE (a:P {n: "a"}), (b:P {n: "b"}), (c:P {n: "c"}), '
+        "(a)-[:X]->(b), (a)-[:Y]->(c), (a)-[:Y]->(b)")
+    row = g.cypher(
+        'MATCH (p:P {n: "a"}) RETURN '
+        "[(p)-[:X]->(m) | m.n] AS xs, "
+        "size([(p)-[:Y]->(m) | m.n]) AS n_y").collect()[0]
+    assert list(row["xs"]) == ["b"] and row["n_y"] == 2
