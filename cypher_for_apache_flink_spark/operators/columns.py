@@ -24,20 +24,32 @@ class ExprContext:
     """Carries everything needed to compile an expression."""
 
     def __init__(self, header: Header, df, params: dict | None = None,
-                 local_vars: dict | None = None, in_agg: bool = False):
+                 local_vars: dict | None = None, in_agg: bool = False,
+                 local_types: dict | None = None):
         self.header = header
         self.df = df
         self.params = params or {}
         self.local_vars = local_vars or {}  # LocalVar name -> Column (lambda args)
         self.in_agg = in_agg  # aggregators compile to agg Columns in this scope
+        # LocalVar name -> Spark dtype, so overload resolution (string +,
+        # comparability) works inside higher-order lambdas
+        self.local_types = local_types or {}
 
     def with_locals(self, **kv) -> "ExprContext":
         loc = dict(self.local_vars)
         loc.update(kv)
-        return ExprContext(self.header, self.df, self.params, loc, self.in_agg)
+        return ExprContext(self.header, self.df, self.params, loc,
+                           self.in_agg, self.local_types)
+
+    def with_local_types(self, **kv) -> "ExprContext":
+        lt = dict(self.local_types)
+        lt.update({k: v for k, v in kv.items() if v is not None})
+        return ExprContext(self.header, self.df, self.params,
+                           self.local_vars, self.in_agg, lt)
 
     def with_agg(self, flag: bool = True) -> "ExprContext":
-        return ExprContext(self.header, self.df, self.params, self.local_vars, flag)
+        return ExprContext(self.header, self.df, self.params, self.local_vars,
+                           flag, self.local_types)
 
     def dtype(self, col_name: str):
         try:
@@ -80,6 +92,8 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         return ctx.dtype(c)
     if isinstance(expr, E.CountStar):
         return T.LongType()
+    if isinstance(expr, E.LocalVar):
+        return ctx.local_types.get(expr.name)
     if isinstance(expr, E.Param) and expr.name in ctx.params:
         # Bound parameters type like the literal they carry (literal ->
         # parameter extraction must not weaken overload/comparability
@@ -117,7 +131,14 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
     if isinstance(expr, E.MapLit):
         return T.StructType([T.StructField(k, T.NullType())
                              for k, _ in expr.items])
-    if isinstance(expr, (E.ListLit, E.ListComprehension, E.ListSlice)):
+    if isinstance(expr, E.ListLit):
+        et = None
+        for it in expr.items:
+            et = spark_dtype(it, ctx)
+            if et is not None and not isinstance(et, T.NullType):
+                break
+        return T.ArrayType(et or T.LongType())
+    if isinstance(expr, (E.ListComprehension, E.ListSlice)):
         return T.ArrayType(T.LongType())
     if isinstance(expr, E.FuncCall):
         n = expr.name
@@ -131,8 +152,16 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             return spark_dtype(expr.args[0], ctx)
         if n in ("tofloat", "sqrt", "exp", "log", "log10", "avg", "round"):
             return T.DoubleType()
-        if n in ("split", "labels", "keys", "range", "collect", "tail"):
+        if n in ("split", "labels", "keys"):
             return T.ArrayType(T.StringType())
+        if n == "range":
+            return T.ArrayType(T.LongType())
+        if n == "collect" and expr.args:
+            et = spark_dtype(expr.args[0], ctx)
+            return T.ArrayType(et) if et is not None else None
+        if n == "tail" and expr.args:
+            at = spark_dtype(expr.args[0], ctx)
+            return at if isinstance(at, T.ArrayType) else None
         if n == "date":
             return T.DateType()
         if n in ("datetime", "localdatetime"):
@@ -416,10 +445,13 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
                            (T.LongType, T.IntegerType, T.DoubleType,
                             T.FloatType, T.ShortType)):
             init = init.cast(lst_t.elementType)
+        elem_t = lst_t.elementType if isinstance(lst_t, T.ArrayType) else None
+        acc_t = spark_dtype(expr.init, ctx)
+        tctx = ctx.with_local_types(**{expr.acc: acc_t, expr.var: elem_t})
         return F.aggregate(
             lst, init,
             lambda acc, x: to_column(
-                expr.step, ctx.with_locals(**{expr.acc: acc, expr.var: x})),
+                expr.step, tctx.with_locals(**{expr.acc: acc, expr.var: x})),
         )
 
     if isinstance(expr, E.FuncCall):
@@ -652,6 +684,9 @@ def _slice(expr: E.ListSlice, ctx: ExprContext) -> Column:
 
 def _list_comprehension(expr: E.ListComprehension, ctx: ExprContext) -> Column:
     lst = to_column(expr.list_expr, ctx)
+    lt = spark_dtype(expr.list_expr, ctx)
+    ctx = ctx.with_local_types(**{
+        expr.var: lt.elementType if isinstance(lt, T.ArrayType) else None})
     if expr.where is not None:
         lst = F.filter(lst, lambda x: to_column(
             expr.where, ctx.with_locals(**{expr.var: x})))
@@ -663,6 +698,9 @@ def _list_comprehension(expr: E.ListComprehension, ctx: ExprContext) -> Column:
 
 def _list_predicate(expr: E.ListPredicate, ctx: ExprContext) -> Column:
     lst = to_column(expr.list_expr, ctx)
+    lt = spark_dtype(expr.list_expr, ctx)
+    ctx = ctx.with_local_types(**{
+        expr.var: lt.elementType if isinstance(lt, T.ArrayType) else None})
 
     def pred(x):
         return to_column(expr.where, ctx.with_locals(**{expr.var: x}))

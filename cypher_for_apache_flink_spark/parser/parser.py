@@ -507,27 +507,30 @@ class Parser:
         return e
 
     def parse_multiplicative(self):
-        e = self.parse_power()
+        e = self.parse_unary()
         while self.at_punct("*", "/", "%"):
             op = self.next().text
-            e = E.BinOp(op, e, self.parse_power())
-        return e
-
-    def parse_power(self):
-        e = self.parse_unary()
-        if self.at_punct("^"):
-            self.next()
-            return E.BinOp("^", e, self.parse_power())
+            e = E.BinOp(op, e, self.parse_unary())
         return e
 
     def parse_unary(self):
+        # Unary minus binds LOOSER than exponentiation (Neo4j operator
+        # precedence): -2^2 = -(2^2) = -4.
         if self.at_punct("-"):
             self.next()
             return E.Neg(self.parse_unary())
         if self.at_punct("+"):
             self.next()
             return self.parse_unary()
-        return self.parse_postfix()
+        return self.parse_power()
+
+    def parse_power(self):
+        e = self.parse_postfix()
+        if self.at_punct("^"):
+            self.next()
+            # right-associative; rhs through parse_unary so 2 ^ -1 parses
+            return E.BinOp("^", e, self.parse_unary())
+        return e
 
     def parse_postfix(self):
         e = self.parse_atom()

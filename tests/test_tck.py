@@ -462,8 +462,40 @@ SCENARIOS = [
      "RETURN n.name AS name",
      [("a",), ("b",)]),
 
+    # --- Operator precedence / lambdas ---------------------------------------
+    ("unary minus binds looser than exponent", None,
+     "RETURN -2 ^ 2 AS a, 2 ^ -1 AS b, 2 ^ 3 ^ 2 AS e",
+     [(-4.0, 0.5, 512.0)]),
+    ("reduce over strings concatenates", None,
+     "RETURN reduce(s = '', x IN ['a','b'] | s + x) AS s",
+     [("ab",)]),
+    ("string comprehension with typed lambda var", None,
+     "RETURN [x IN ['ab','c'] WHERE x STARTS WITH 'a' | x + '!'] AS l",
+     [(("ab!",),)]),
+    ("with pipeline chains wheres", NUMS,
+     "MATCH (n:N) WITH n.x AS x WHERE x > 1 WITH x WHERE x < 4 "
+     "RETURN x", [(2,), (3,)]),
+    ("with order skip limit", NUMS,
+     "MATCH (n:N) WITH n.x AS x ORDER BY x SKIP 1 LIMIT 2 RETURN x",
+     [(2,), (3,)]),
+    ("aggregates on empty match", None,
+     "MATCH (q:Nope) RETURN count(q) AS c, sum(q.x) AS s, "
+     "size(collect(q.x)) AS l",
+     [(0, None, 0)]),
+    ("list equality by value", None,
+     "RETURN [1,2] = [1,2] AS a, [1,2] = [2,1] AS b",
+     [(True, False)]),
+    ("null arithmetic propagates", None,
+     "RETURN 1 + null AS a, null * 2 AS b, null + 'x' AS c",
+     [(None, None, None)]),
+    ("substring beyond end is empty", None,
+     "RETURN substring('abc', 5, 2) AS a, substring('abc', 1) AS b",
+     [("", "bc")]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
+    ("heterogeneous nested list literal", None,
+     "RETURN [1, [2]] = [1, [2]] AS a", [(True,)]),
 ]
 
 # Scenarios expected to fail, with the reason — mirroring the reference's
@@ -472,6 +504,10 @@ SCENARIOS = [
 BLACKLIST = {
     "merge clause": "wont-fix: read-only engine (reference is too; it "
                     "blacklists TCK write scenarios the same way)",
+    "heterogeneous nested list literal":
+        "wont-fix: Cypher lists are heterogeneous, Spark ArrayType is not "
+        "(mapping values to Spark-native columns is the design trade; the "
+        "reference carries a boxed CypherValue runtime instead)",
 }
 
 
