@@ -35,7 +35,10 @@ def curate_corpus(docs: DataFrame, quality_min: float = 0.4,
     want.
     """
     from .util import ensure_parallelism
-    scored = ensure_parallelism(docs).where(
+    # size_aware: the heavy minhash stage runs downstream of the dedup
+    # window shuffle (parallel regardless); only a genuinely fat single
+    # file is worth a pre-shuffle here.
+    scored = ensure_parallelism(docs, size_aware=True).where(
         quality_score(F.col(text_col)) >= quality_min)
     deduped = dedup_exact(scored, text_col=text_col, id_col=id_col)
     pairs = minhash_lsh_pairs(deduped, threshold=jaccard_threshold,

@@ -8,6 +8,8 @@ from cypher_for_apache_flink_spark.sources.tables import (
     save_graph_tables,
 )
 
+SF_DIR = "/root/testdata/sf0.01"
+
 
 def test_table_round_trip(spark):
     g = PropertyGraph(
@@ -25,5 +27,46 @@ def test_table_round_trip(spark):
         assert [tuple(r) for r in res.collect()] == [("Alice", "Bob")]
     finally:
         for t in ("tg_rt_nodes_Person", "tg_rt_rels_KNOWS", "tg_rt_schema"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("/root/repo/spark-warehouse", ignore_errors=True)
+
+
+def test_bucketed_expand_runs_without_first_hop_exchange(spark):
+    """A graph saved with buckets=N co-locates node.id and rel.source: the
+    out-expand's first join is a bucketed sort-merge join with NO Exchange
+    under either side, and results match the unbucketed graph.  At 100 TB
+    this deletes the dominant traversal shuffle."""
+    from cypher_for_apache_flink_spark.sources.tpch import tpch_graph
+
+    g = tpch_graph(spark, SF_DIR)
+    sub = PropertyGraph(
+        {c: df for c, df in g.node_tables.items()
+         if c in (frozenset({"Customer"}), frozenset({"Order"}))},
+        {"PLACED": g.rel_tables["PLACED"]}, name="sub")
+    tables = ["tb_nodes_Customer", "tb_nodes_Order", "tb_rels_PLACED",
+              "tb_schema"]
+    q = ("MATCH (c:Customer)-[:PLACED]->(o:Order) "
+         "WHERE o.o_totalprice > 100000.0 RETURN count(*) AS n")
+    want = sub.cypher(q).collect()[0]["n"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        save_graph_tables(sub, "tb", mode="overwrite", buckets=8)
+        g2 = read_graph_tables(spark, "tb")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        res = g2.cypher(q)
+        plan = res.df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # first hop (c.id = r.source) is exchange-free: at most the
+        # second-hop intermediate repartition + the final agg exchange
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange <= 2, plan
+        assert res.collect()[0]["n"] == want
+        # control: same query unbucketed needs shuffles under both joins
+        plain = sub.cypher(q)
+        plain_plan = plain.df._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange hashpartitioning") > n_exchange
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree("/root/repo/spark-warehouse", ignore_errors=True)
