@@ -40,7 +40,13 @@ def curate_corpus(docs: DataFrame, quality_min: float = 0.4,
     # file is worth a pre-shuffle here.
     scored = ensure_parallelism(docs, size_aware=True).where(
         quality_score(F.col(text_col)) >= quality_min)
-    deduped = dedup_exact(scored, text_col=text_col, id_col=id_col)
+    # The dedup survivors feed BOTH the near-dup pair generation and the
+    # final anti-join; without a persist the quality filter + fingerprint
+    # window subtree is replicated per consumer (measured: 15 Window nodes,
+    # 10 scans in one curate plan).  MEMORY_AND_DISK (cache default) spills
+    # rather than OOMs at warehouse scale, and the lease below unpersists
+    # when the result is done.
+    deduped = dedup_exact(scored, text_col=text_col, id_col=id_col).cache()
     pairs = minhash_lsh_pairs(deduped, threshold=jaccard_threshold,
                               text_col=text_col, id_col=id_col)
     if transitive:
@@ -51,11 +57,12 @@ def curate_corpus(docs: DataFrame, quality_min: float = 0.4,
     else:
         losers = pairs.select(F.col("b").alias(id_col)).distinct()
     out = deduped.join(losers, id_col, "left_anti")
-    # Keep the MinHash shingle cache alive for as long as THIS result can
-    # still execute (the lease rides on `pairs`; without the hand-off it
-    # would be unpersisted the moment `pairs` falls out of scope and every
-    # downstream action would re-shingle the corpus).
-    lease = getattr(pairs, "_cypher_cache_lease", None)
-    if lease is not None:
-        out._cypher_cache_lease = lease
+    # Keep the MinHash shingle cache AND the dedup-survivor cache alive for
+    # as long as THIS result can still execute (the lease rides on `pairs`;
+    # without the hand-off it would be unpersisted the moment `pairs` falls
+    # out of scope and every downstream action would re-shingle the corpus).
+    from ..cache import CacheLease
+    lease = getattr(pairs, "_cypher_cache_lease", None) or CacheLease()
+    lease.add(deduped)
+    out._cypher_cache_lease = lease
     return out

@@ -7,17 +7,19 @@ from pyspark.sql import DataFrame
 # Size-aware mode only widens when each target partition would receive at
 # least this many bytes.  Used where the next stage is CHEAP per row (a
 # quality filter): there the repartition shuffle plus 32-task scheduling
-# overhead on every downstream stage costs more than the parallelism buys
-# (measured: curate_corpus at sf0.1 is 1.8x slower force-spread over 32
-# cores, because its heavy minhash stage already sits downstream of the
-# dedup window shuffle and is parallel either way).
+# overhead on every downstream stage costs more than the parallelism buys.
 _MIN_BYTES_PER_PARTITION = 8 << 20  # 8 MiB
+
+# An input whose plan-size estimate is at least target_partitions x this is
+# already naturally wide (Spark splits file scans at maxPartitionBytes =
+# 128 MiB) — widening it would re-shuffle warehouse-scale data for nothing.
+_NATURALLY_WIDE_BYTES = 128 << 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for the plan (exact file bytes for a bare
     scan, propagated estimate above it).  None when the estimate is the
-    unknown-size sentinel, so callers fall back to always-widen."""
+    unknown-size sentinel."""
     try:
         raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         size = raw if isinstance(raw, int) else int(raw.toString())
@@ -33,24 +35,27 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
     A corpus often arrives as ONE parquet file = one partition, which
     serializes tokenize/shingle/minhash work onto a single core (measured:
     minhash_lsh_pairs over 5k docs is 5x slower unwidened).  Default mode
-    always widens to the session's default parallelism because per-row
-    signature compute dwarfs the shuffle of the input bytes at any scale.
+    widens any input whose size estimate says it cannot already be wide —
+    per-row signature compute dwarfs the shuffle of the input bytes.
 
     ``size_aware=True`` is for call sites whose NEXT stage is cheap and
     whose heavy stages sit downstream of a natural shuffle: it only widens
-    when each target partition would get at least 8 MiB, so tiny corpora
-    skip the pointless shuffle.  Warehouse-scale inputs are already wide —
-    both modes pass through untouched at 100 TB.
+    when each target partition would get at least 8 MiB.
+
+    The decision uses ONLY Catalyst's plan-size estimate — never
+    ``df.rdd.getNumPartitions()``, which under AQE materializes every
+    query stage below the plan, i.e. silently RUNS the upstream job at
+    pipeline-construction time (measured: 4x slowdown of curate_corpus
+    from exactly that).  Inputs estimated at >= partitions x 128 MiB pass
+    through untouched, so no shuffle is ever added at 100 TB.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    current = df.rdd.getNumPartitions()
-    if current >= target:
+    size = _plan_size_bytes(df)
+    if size is None or size >= target * _NATURALLY_WIDE_BYTES:
         return df
     if size_aware:
-        size = _plan_size_bytes(df)
-        if size is not None:
-            target = min(target, max(1, size // _MIN_BYTES_PER_PARTITION))
-        if current >= target:
-            return df
+        target = min(target, max(1, size // _MIN_BYTES_PER_PARTITION))
+    if target <= 1:
+        return df
     return df.repartition(target)

@@ -23,17 +23,22 @@ def chain_graph(spark):
     return PropertyGraph(nodes, rels, name="chain")
 
 
+def _cached_ids(spark):
+    return {i.id() for i in _cached_rdds(spark)}
+
+
 def test_var_length_cache_released_explicitly(spark, chain_graph):
-    before = len(_cached_rdds(spark))
+    # track by RDD id, not by count: other tests' dead leases drain
+    # asynchronously and would offset the +1/-1 this test asserts
+    before = _cached_ids(spark)
     res = CypherSession.for_graph(chain_graph).cypher(
         "MATCH (a:N)-[:R*1..3]->(b:N) RETURN count(*) AS n")
     assert res.collect()[0]["n"] == 19 + 18 + 17
     # the slim pruned edge cache was materialized by the collect
-    assert len(_cached_rdds(spark)) > before
+    fresh = _cached_ids(spark) - before
+    assert fresh
     res.release()
-    # <= not ==: results from OTHER tests may be GC'd meanwhile,
-    # releasing their own leases
-    assert len(_cached_rdds(spark)) <= before
+    assert not (_cached_ids(spark) & fresh)
 
 
 def test_var_length_cache_released_by_gc(spark, chain_graph):
