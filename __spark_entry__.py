@@ -448,6 +448,60 @@ def _q_graph_union(spark, sf_dir):
     return u.cypher("MATCH (n) RETURN count(*) AS n").df
 
 
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sampling (md5-fraction trial)."""
+    from cypher_for_apache_flink_spark.functions.sampling import (
+        sample_stratified,
+    )
+    return sample_stratified(
+        _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.25},
+        default_rate=0.1).select("doc_id", "source")
+
+
+def _q_domain_mixture(spark, sf_dir):
+    """Weighted corpus mixture: top-n per domain in deterministic hash order."""
+    from cypher_for_apache_flink_spark.functions.sampling import domain_mixture
+    return domain_mixture(
+        _docs(spark, sf_dir), {"src0": 2.0, "src1": 1.0, "src2": 1.0},
+        total=100).select("doc_id", "source")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing: contiguous-fill token-budget bins per language."""
+    from cypher_for_apache_flink_spark.functions.sampling import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def _q_contamination_check(spark, sf_dir):
+    """Benchmark contamination: train docs sharing >=3 shingles with the
+    benchmark slice (doc_id < 50)."""
+    from cypher_for_apache_flink_spark.functions.sampling import (
+        contamination_check,
+    )
+    docs = _docs(spark, sf_dir)
+    return contamination_check(docs.where(F.col("doc_id") >= 50),
+                               docs.where(F.col("doc_id") < 50),
+                               n=3, min_overlap=3)
+
+
+def _q_pagerank(spark, sf_dir):
+    """DataFrame-native PageRank over the customer->nation->region graph
+    (parity with the reference's GraphX PageRank example, no RDD hop)."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import pagerank
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = (cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"))
+        .unionAll(nat.select(
+            F.concat(F.lit("N"),
+                     F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("R"),
+                     F.col("n_regionkey").cast("string")).alias("dst"))))
+    return pagerank(edges, iterations=3).select(
+        "node", F.round("rank", 6).alias("rank"))
+
+
 def _q_media_decode(spark, sf_dir):
     """Multimodal plumbing over synthetic blobs (utf-8 document bytes as
     opaque media): typed media table -> Arrow-batched decode."""
@@ -483,6 +537,11 @@ _PIPELINE_QUERIES = {
     "near_dup_clusters": _q_near_dup_clusters,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
+    "sample_stratified": _q_sample_stratified,
+    "domain_mixture": _q_domain_mixture,
+    "pack_sequences": _q_pack_sequences,
+    "contamination_check": _q_contamination_check,
+    "pagerank": _q_pagerank,
     "curate_corpus": _q_curate_corpus,
     "rolling_fingerprints": _q_rolling_fingerprints,
     "driving_table": _q_driving_table,
@@ -503,6 +562,13 @@ _DEFERRED_VARIANTS = [
     "var_length_typed", "unwind_literal", "union_distinct",
     "orderby_expression", "coalesce_function", "duration_accessors",
     "bitwise_functions", "unwind_range_filter", "events_hour_buckets",
+    # deferred in round 4 to make window room for the sampling/pagerank ops
+    # (each duplicates an in-window operator: scan_nodes < scan_filter,
+    # rel_properties < expand+filter, optional_first_clause <
+    # optional_match_count, type_function ~ labels_function, agg_global's
+    # global agg is exercised by exists_pattern's count)
+    "scan_nodes", "rel_properties", "optional_first_clause",
+    "type_function", "agg_global",
 ]
 
 
@@ -573,6 +639,29 @@ flt AS (
   FROM embeddings e, q WHERE e.vec_id <> 0
 )
 SELECT vec_id, cosine FROM flt WHERE mm <= 1 ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _sample_stratified_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.sampling import rate_threshold
+    t0, t1, td = (rate_threshold(0.5), rate_threshold(0.25),
+                  rate_threshold(0.1))
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+  CASE source WHEN 'src0' THEN '{t0}' WHEN 'src1' THEN '{t1}'
+  ELSE '{td}' END"""
+
+
+def _pagerank_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        pagerank_sql_oracle,
+    )
+    edges_sql = (
+        "SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src, "
+        "'N' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer "
+        "UNION ALL SELECT 'N' || CAST(n_nationkey AS VARCHAR), "
+        "'R' || CAST(n_regionkey AS VARCHAR) FROM nation")
+    return pagerank_sql_oracle(edges_sql, iterations=3)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1018,6 +1107,38 @@ SELECT a, b, hamming FROM (
     AS BIGINT) AS hamming
   FROM cand
 ) WHERE hamming <= 8""",
+
+        # --- LLM-pipeline: sampling / mixing / packing ----------------
+        "sample_stratified": _sample_stratified_oracle_sql(),
+        "domain_mixture": """
+WITH ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source FROM ranked
+WHERE rk <= CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+            WHEN 'src2' THEN 25 ELSE 0 END""",
+        "pack_sequences": rf"""
+WITH t AS (
+  SELECT doc_id, lang AS part, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, part, n_tokens,
+  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+       AS BIGINT) AS bin
+FROM t""",
+        "contamination_check": rf"""
+{_SQL_SHINGLES}, bsh AS (
+  SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id < 50
+), dsh AS (
+  SELECT doc_id, unnest(shl) AS s FROM sh WHERE doc_id >= 50
+)
+SELECT doc_id, count(*) AS n_shared FROM dsh JOIN bsh USING (s)
+GROUP BY doc_id HAVING count(*) >= 3""",
+
+        # --- graph algorithms -----------------------------------------
+        "pagerank": _pagerank_oracle_sql(),
 
         # --- LLM-pipeline: multimodal ---------------------------------
         # decode is a deterministic stub; the oracle checks the pipeline's

@@ -1,0 +1,119 @@
+"""DataFrame-native iterative graph algorithms.
+
+Reference parity: the reference demonstrates graph-algorithm interop by
+round-tripping a Cypher result through GraphX PageRank
+(morpheus-examples/.../GraphXPageRankExample.scala:55-75 -- Cypher -> DF ->
+RDD -> GraphX -> DF).  GraphX is JVM/RDD-only; here the same computation is a
+DataFrame-only loop (join + groupBy per superstep), so Catalyst/AQE plan every
+iteration, Tungsten keeps rows off-heap, and the shuffle key (dst) is the
+natural partitioning -- no RDD hop, no Python row processing.
+
+Scale design:
+ - Per iteration: one join ranks-to-edges on src and one hash aggregate on
+   dst.  Both shuffles are on node ids; pre-bucketing the edge table by src
+   makes the join exchange-free on a real cluster.
+ - Lineage is truncated with localCheckpoint every few supersteps --
+   iterative DataFrame plans otherwise grow exponentially (same recipe as
+   functions/components.py connected components).
+ - The dangling-mass term is a 1-row aggregate broadcast into the update
+   expression; node count is computed once up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             checkpoint_interval: int = 4) -> DataFrame:
+    """PageRank over an edge DataFrame; returns (node, rank).
+
+    Fixed-iteration power method with uniform teleport and dangling-node
+    mass redistribution:
+
+        rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/deg(u) + dangling/N)
+
+    Deterministic given the edge set (float summation order aside) --
+    verified against an unrolled recursive-CTE SQL oracle at 6 decimal
+    places.
+    """
+    edges = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .dropDuplicates(["node"]))
+    # Cached: read every superstep (left join target + dangling scan) and
+    # counted once for N.
+    nodes = nodes.cache()
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg) is loop-invariant; persist so each superstep reads a
+    # materialized table instead of re-running scan+join+agg.
+    out_edges = edges.join(deg, "src").persist()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iterations):
+        contribs = (out_edges
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") / F.col("deg"))
+                         .alias("contrib"))
+                    .withColumnRenamed("dst", "node"))
+        dangling = (ranks.join(deg.withColumnRenamed("src", "node"),
+                               "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("m")))
+        ranks = (nodes
+                 .join(contribs, "node", "left_outer")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.col("m") / n)).alias("rank")))
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    out = ranks.select("node", F.col("rank").alias("rank"))
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(nodes)
+    lease.add(out_edges)
+    out._cypher_cache_lease = lease
+    return out
+
+
+def pagerank_sql_oracle(edges_sql: str, iterations: int = 3,
+                        damping: float = 0.85, round_to: int = 6) -> str:
+    """Unrolled-CTE ANSI-SQL twin of :func:`pagerank` for the DuckDB oracle.
+
+    ``edges_sql`` must select columns (src, dst).  One CTE per superstep --
+    usable for small fixed iteration counts only (the oracle runs at
+    sf=0.01); the DataFrame loop is the scale path.
+    """
+    d = damping
+    parts = [f"WITH edges AS ({edges_sql})",
+             "nodes AS (SELECT src AS node FROM edges "
+             "UNION SELECT dst FROM edges)",
+             "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+             "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+             "FROM edges GROUP BY src)",
+             "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"]
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(p.rank / g.deg) AS contrib "
+            f"FROM edges e JOIN {prev} p ON p.node = e.src "
+            f"JOIN deg g ON g.src = e.src GROUP BY e.dst)")
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(p.rank), 0.0) AS m FROM {prev} p "
+            f"LEFT JOIN deg g ON g.src = p.node WHERE g.src IS NULL)")
+        parts.append(
+            f"r{i} AS (SELECT n.node, (1.0 - {d}) / nn.n + {d} * "
+            f"(coalesce(c.contrib, 0.0) + dd.m / nn.n) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON c.node = n.node, d{i} dd, nn)")
+    return (", ".join(parts)
+            + f" SELECT node, round(rank, {round_to}) AS rank "
+              f"FROM r{iterations}")

@@ -1,0 +1,151 @@
+"""Deterministic sampling / corpus-mixing operators for training pipelines.
+
+Reference parity note: the reference engine has no sampling surface; these are
+the extension operators a 100 TB training-data pipeline needs around the query
+core (brief: dedup / mixing / curation are first-class).
+
+Scale design:
+ - All sampling decisions are pure per-row column expressions over an
+   md5-derived hash fraction -- no shuffle, no RNG state, reproducible across
+   engines, cluster sizes, task retries and re-runs (``rand()`` is none of
+   those: it reseeds per task attempt).
+ - The hash threshold is compared as a 32-char lowercase hex STRING, which
+   orders identically in Spark, DuckDB and any other engine -- no unsigned
+   64-bit conversion portability trap.
+ - ``domain_mixture`` shuffles once on the domain column (a window per
+   domain); per-domain ordering by hash is exactly the "deterministic uniform
+   random order" a weighted-mixture spec wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_hex(key: Column) -> Column:
+    """32-hex-char deterministic uniform draw for a row, from its key."""
+    return F.md5(key.cast("string"))
+
+
+def rate_threshold(rate: float) -> str:
+    """The 32-hex-char string t with P[md5(key) < t] = rate for uniform md5.
+
+    String comparison against this threshold IS the Bernoulli trial; both
+    Spark and the SQL oracle compare the same lowercase hex lexicographically.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
+        # 2**128 would be 33 hex chars, which lexicographically sorts BELOW
+        # most 32-char md5 strings ("1..." < "a...").  'g' > 'f' beats every
+        # md5 digit, so a single 'g' is a safe "keep everything" sentinel.
+        return "g"
+    return format(int(rate * (1 << 128)), "032x")
+
+
+def sample_fraction(df: DataFrame, rate: float,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Deterministic Bernoulli sample: keep ~rate of rows, chosen by the
+    md5-fraction of the key.  Same input -> same sample, on any cluster."""
+    return df.where(hash_hex(F.col(key_col)) < rate_threshold(rate))
+
+
+def sample_stratified(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "source", key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling.
+
+    ``rates`` maps stratum value -> keep rate; strata not listed keep
+    ``default_rate``.  One narrow filter, no shuffle: the per-row threshold
+    is a CASE chain over the stratum column.
+    """
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(rate_threshold(rate))).otherwise(thr)
+    return df.where(hash_hex(F.col(key_col)) < thr)
+
+
+def domain_mixture(df: DataFrame, weights: dict[str, float], total: int,
+                   domain_col: str = "source",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Weighted corpus mixture: draw a deterministic sample of ``total`` rows
+    with per-domain target counts proportional to ``weights``.
+
+    Rows within a domain are ranked by their hash fraction (a reproducible
+    uniform shuffle) and the top ``round(total * w / sum(w))`` survive.  One
+    shuffle on the domain column; at 100 TB the window is per-domain and the
+    rank cutoff keeps partial aggregation effective.  Domains missing from
+    ``weights`` are dropped.  If a domain has fewer rows than its target the
+    mixture under-fills (no re-balancing pass -- callers wanting exact totals
+    run a second pass on the counts).
+    """
+    wsum = sum(weights.values())
+    targets = {d: int(round(total * w / wsum)) for d, w in weights.items()}
+    target_col: Column = F.lit(0)
+    for d, n in sorted(targets.items()):
+        target_col = F.when(F.col(domain_col) == d, F.lit(n)) \
+            .otherwise(target_col)
+    w = Window.partitionBy(domain_col).orderBy(
+        hash_hex(F.col(key_col)), F.col(key_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= target_col)
+            .drop("__rk"))
+
+
+def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   part_col: str = "lang") -> DataFrame:
+    """Assign documents to fixed-token-budget training bins (sequence
+    packing, contiguous-fill approximation).
+
+    Documents are laid out per ``part_col`` in ``id_col`` order; a document
+    starts bin ``floor(tokens_before / budget)`` where tokens_before is the
+    running token count of earlier documents in the same partition.  This is
+    the streaming-append packing a data loader performs, expressed as ONE
+    window cumulative sum -- no Python, no iteration.
+
+    Scale: the window partitions by ``part_col`` so no global sort exists;
+    at 100 TB with few distinct languages, sub-partition the corpus first
+    (e.g. by (lang, shard)) so each window fits an executor -- bin ids then
+    nest as (shard, bin).  Returns (id, part, n_tokens, bin).
+    """
+    from .text import token_count
+    counted = df.select(
+        F.col(id_col), F.col(part_col).alias("part"),
+        token_count(F.col(text_col)).alias("n_tokens"))
+    w = (Window.partitionBy("part").orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return counted.select(
+        F.col(id_col), F.col("part"), F.col("n_tokens"),
+        F.floor(cum_before / budget).cast("long").alias("bin"))
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                        min_overlap: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing at least
+    ``min_overlap`` distinct word n-gram shingles with ANY benchmark doc.
+
+    Returns (doc_id, n_shared) where n_shared counts distinct contaminated
+    shingles.  The join is shingle-blocked (same candidate generation as
+    n-gram dedup) and the benchmark side -- small by construction -- is
+    broadcast after being collapsed to its distinct shingle set, so the scan
+    over a 100 TB corpus is a map-side semi-join with no shuffle of the
+    training data.
+    """
+    from .dedup import word_shingles
+    from .util import ensure_parallelism
+    doc_sh = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(F.col(text_col), n))
+                        .alias("sh"))
+                .dropDuplicates(["sh"]))
+    return (doc_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_overlap))

@@ -1,0 +1,85 @@
+"""DataFrame-native PageRank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_flink_spark.functions.graph_algos import (
+    pagerank, pagerank_sql_oracle)
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # a -> b -> c -> a: symmetric, every node converges to 1/3
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    got = _ranks(pagerank(edges, iterations=20))
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    # hub-and-authority shape with a dangling node d
+    edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = _ranks(pagerank(edges, iterations=15, damping=0.85))
+
+    nodes = sorted({x for e in edge_list for x in e})
+    n = len(nodes)
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(15):
+        contrib = {v: 0.0 for v in nodes}
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += ranks[s] / len(ds)
+        ranks = {v: 0.15 / n + 0.85 * (contrib[v] + dangling / n)
+                 for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(ranks[v], abs=1e-9)
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 17) for i in range(17)] +
+        [(i, (i * 5 + 2) % 17) for i in range(17)],
+        "src long, dst long")
+    pr = pagerank(edges, iterations=8)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+    again = pagerank(edges.repartition(5), iterations=8)
+    a = {r.node: round(r.rank, 12) for r in pr.collect()}
+    b = {r.node: round(r.rank, 12) for r in again.collect()}
+    assert a == b
+
+
+def test_pagerank_sql_oracle_matches(spark):
+    import duckdb
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: round(r.rank, 6)
+           for r in pagerank(edges, iterations=3).collect()}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edge_list)
+    sql = pagerank_sql_oracle(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", iterations=3)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_pagerank_releases_caches(spark):
+    import gc
+    jsc = spark.sparkContext._jsc.sc()
+    gc.collect()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    out = pagerank(edges, iterations=2)
+    out.collect()
+    del out
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() <= before

@@ -1,0 +1,102 @@
+"""Sampling / mixing / packing / contamination operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_flink_spark.functions.sampling import (
+    contamination_check, domain_mixture, hash_hex, pack_sequences,
+    rate_threshold, sample_fraction, sample_stratified)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(20)),
+             ["en", "de", "fr"][i % 3], f"src{i % 4}")
+            for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string, source string")
+
+
+def test_rate_threshold_bounds():
+    assert rate_threshold(0.0) == "0" * 32
+    assert rate_threshold(1.0) == "g"  # sorts above every 32-char md5
+    assert rate_threshold(0.5).startswith("80")
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+def test_sample_fraction_deterministic_and_calibrated(docs):
+    a = sorted(r.doc_id for r in sample_fraction(docs, 0.5).collect())
+    b = sorted(r.doc_id
+               for r in sample_fraction(docs.repartition(7), 0.5).collect())
+    assert a == b  # same rows regardless of partitioning
+    assert 140 <= len(a) <= 260  # ~200 expected
+
+
+def test_sample_stratified_rates(docs):
+    out = sample_stratified(docs, {"src0": 1.0, "src1": 0.0},
+                            default_rate=0.5)
+    by_src = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["src0"] == 100  # rate 1.0 keeps everything
+    assert "src1" not in by_src  # rate 0.0 keeps nothing
+    assert 25 <= by_src.get("src2", 0) <= 75
+
+
+def test_domain_mixture_counts_and_determinism(docs):
+    out = domain_mixture(docs, {"src0": 3.0, "src1": 1.0}, total=80)
+    by_src = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src == {"src0": 60, "src1": 20}
+    again = domain_mixture(docs.repartition(13), {"src0": 3.0, "src1": 1.0},
+                           total=80)
+    assert (sorted(r.doc_id for r in out.collect())
+            == sorted(r.doc_id for r in again.collect()))
+
+
+def test_domain_mixture_underfilled_domain(docs):
+    # src0 only has 100 docs; target 200 -> keeps all 100, no error
+    out = domain_mixture(docs, {"src0": 1.0}, total=200)
+    assert out.count() == 100
+
+
+def test_pack_sequences_fill_invariants(docs):
+    out = pack_sequences(docs, budget=100, part_col="lang").collect()
+    by_part = {}
+    for r in sorted(out, key=lambda r: (r.part, r.doc_id)):
+        by_part.setdefault(r.part, []).append(r)
+    for rows in by_part.values():
+        bins = [r.bin for r in rows]
+        assert bins == sorted(bins)  # contiguous fill: bins non-decreasing
+        assert bins[0] == 0
+        # bin boundary: cumulative tokens before a doc // budget is its bin
+        cum = 0
+        for r in rows:
+            assert r.bin == cum // 100
+            cum += r.n_tokens
+
+
+def test_contamination_check_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "alpha beta gamma delta zeta"),      # shares 2 shingles
+         (11, "totally unrelated words here now"),  # shares none
+         (12, "alpha beta gamma delta epsilon")],   # shares all 3
+        "doc_id long, text string")
+    hits = {r.doc_id: r.n_shared
+            for r in contamination_check(train, bench, n=3,
+                                         min_overlap=1).collect()}
+    assert hits == {10: 2, 12: 3}
+    strict = contamination_check(train, bench, n=3, min_overlap=3)
+    assert [r.doc_id for r in strict.collect()] == [12]
+
+
+def test_hash_hex_matches_duckdb(spark):
+    import duckdb
+    ours = {r.k: r.h for r in spark.range(5).select(
+        F.col("id").alias("k"), hash_hex(F.col("id")).alias("h")).collect()}
+    theirs = dict(duckdb.connect().execute(
+        "SELECT i, md5(CAST(i AS VARCHAR)) FROM generate_series(0, 4) t(i)"
+    ).fetchall())
+    assert ours == theirs
