@@ -6,6 +6,7 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -74,6 +75,10 @@ def main():
             dt = time.time() - t0
             if i > 0:
                 samples.append(dt)
+            # Drop the run's cache leases NOW: lazy finalization would let
+            # cached corpora from prior runs pile up and perturb later
+            # timings (spread, not median, but keep the noise down).
+            gc.collect()
         samples.sort()
         med = samples[len(samples) // 2] if len(samples) % 2 else \
             (samples[len(samples) // 2 - 1] + samples[len(samples) // 2]) / 2

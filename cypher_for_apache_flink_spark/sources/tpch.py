@@ -35,8 +35,35 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Session-scoped graph memo (the reference's CachedDataSource pattern —
+# morpheus-spark-cypher/.../api/io/util/CachedDataSource.scala): building the
+# graph costs ~0.65 s of driver-side parquet footer reads for 7 tables, which
+# would otherwise be paid on EVERY query in benchmark/driver loops that
+# re-call the builder.  Keyed by Spark application id so a new session never
+# sees another session's DataFrames.
+_GRAPH_MEMO: dict[tuple[str, str, str], PropertyGraph] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _GRAPH_MEMO:
+        _GRAPH_MEMO[key] = build()
+    g = _GRAPH_MEMO[key]
+    # Hand out a shallow copy sharing the (immutable-in-practice) DataFrames:
+    # callers may mutate their graph (with_pattern_table, cache) without
+    # aliasing every other caller's instance.
+    copy = PropertyGraph(g.node_tables, g.rel_tables, name=g.name,
+                         stats=g.stats)
+    copy.pattern_tables = dict(g.pattern_tables)
+    return copy
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     """Property graph over region/nation/customer/supplier/part/orders/lineitem."""
+    return _memo(spark, sf_dir, "tpch", lambda: _tpch_graph(spark, sf_dir))
+
+
+def _tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     region = _read(spark, sf_dir, "region")
     nation = _read(spark, sf_dir, "nation")
     customer = _read(spark, sf_dir, "customer")
@@ -125,6 +152,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     """Events stream table as a (User)-[:PERFORMED]->(Event) graph
     (FIXTURES.md §C.2)."""
+    return _memo(spark, sf_dir, "events", lambda: _events_graph(spark, sf_dir))
+
+
+def _events_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     events = read_events(spark, sf_dir)
     nodes = {
         frozenset({"User"}): events.select(
