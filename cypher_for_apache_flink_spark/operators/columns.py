@@ -546,11 +546,16 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
         return (l & ~r) | (~l & r)
 
     if op == "IN":
-        l = to_column(expr.lhs, ctx)
         r = to_column(expr.rhs, ctx)
         # x IN [] is false even for null x (openCypher); array_contains
         # otherwise matches Cypher's 3VL exactly (null value or unmatched
         # null member -> null).
+        if isinstance(expr.lhs, E.Lit) and expr.lhs.value is None:
+            # a bare NULL needle is VOID-typed, which array_contains
+            # rejects at analysis; the 3VL answer needs no lookup anyway
+            return F.when(F.size(r) == 0, F.lit(False)) \
+                .otherwise(F.lit(None).cast("boolean"))
+        l = to_column(expr.lhs, ctx)
         return F.when(F.size(r) == 0, F.lit(False)) \
             .otherwise(F.array_contains(r, l))
 

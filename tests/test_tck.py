@@ -492,6 +492,79 @@ SCENARIOS = [
      "RETURN substring('abc', 5, 2) AS a, substring('abc', 1) AS b",
      [("", "bc")]),
 
+    # --- IN 3-valued logic (TCK ListOperations null semantics) ---------------
+    ("null in empty list is false", None,
+     "RETURN null IN [] AS r", [(False,)]),
+    ("null in nonempty list is null", None,
+     "RETURN null IN [1] AS r", [(None,)]),
+    ("in list with null member undecided", None,
+     "RETURN 1 IN [null] AS a, 1 IN [2, null] AS b", [(None, None)]),
+    ("in list found despite null member", None,
+     "RETURN 1 IN [1, null] AS r", [(True,)]),
+
+    # --- Ordering null placement (openCypher: null is largest) ---------------
+    ("order by puts nulls last ascending", NUMS,
+     "MATCH (n:N) RETURN n.x AS x ORDER BY x LIMIT 5",
+     [(1,), (2,), (3,), (4,), (None,)]),
+    ("order by desc puts nulls first", NUMS,
+     "MATCH (n:N) RETURN n.x AS x ORDER BY x DESC LIMIT 1",
+     [(None,)]),
+
+    # --- CASE / container access edge cases ----------------------------------
+    ("case without else yields null", None,
+     "RETURN CASE WHEN false THEN 1 END AS r", [(None,)]),
+    ("simple case on value", NUMS,
+     "MATCH (n:N) RETURN CASE n.x WHEN 1 THEN 'one' WHEN 2 THEN 'two' "
+     "ELSE 'many' END AS w",
+     [("one",), ("two",), ("many",), ("many",), ("many",)]),
+    ("index out of bounds is null", None,
+     "RETURN [1,2,3][5] AS a, [1,2,3][-1] AS b", [(None, 3)]),
+
+    # --- Comparability (incomparable types compare to null) ------------------
+    ("cross type comparison is null", NUMS,
+     "MATCH (n:N) WITH n WHERE n.x < 'a' RETURN count(*) AS c", [(0,)]),
+    ("string ordering", None,
+     "RETURN 'a' < 'b' AS a, 'abc' <= 'abd' AS b", [(True, True)]),
+
+    # --- Aggregation null handling -------------------------------------------
+    ("collect skips nulls", NUMS,
+     "MATCH (n:N) RETURN size(collect(n.x)) AS c", [(4,)]),
+    ("count property skips nulls", NUMS,
+     "MATCH (n:N) RETURN count(n.x) AS a, count(*) AS b", [(4, 5)]),
+    ("min max skip nulls", NUMS,
+     "MATCH (n:N) RETURN min(n.x) AS lo, max(n.x) AS hi", [(1, 4)]),
+    ("distinct projection keeps one null", NUMS,
+     "MATCH (n:N) RETURN DISTINCT n.x IS NULL AS b",
+     [(False,), (True,)]),
+
+    # --- Boolean operators ---------------------------------------------------
+    ("xor truth table", None,
+     "RETURN true XOR false AS a, true XOR true AS b, "
+     "false XOR false AS c", [(True, False, False)]),
+    ("string predicate on null is null", NUMS,
+     "MATCH (n:N) WHERE (CASE WHEN n.x IS NULL THEN null ELSE 'ab' END) "
+     "STARTS WITH 'a' RETURN count(*) AS c", [(4,)]),
+
+    # --- Unwind composition --------------------------------------------------
+    ("double unwind is a cartesian", None,
+     "UNWIND [1,2] AS a UNWIND [10,20] AS b RETURN a, b",
+     [(1, 10), (1, 20), (2, 10), (2, 20)]),
+    ("unwind range with step", None,
+     "UNWIND range(1, 10, 3) AS x RETURN x",
+     [(1,), (4,), (7,), (10,)]),
+    ("with distinct deduplicates mid-pipeline", NUMS,
+     "MATCH (n:N) WITH DISTINCT n.x IS NULL AS b RETURN b",
+     [(False,), (True,)]),
+
+    # --- Scalar function edges -----------------------------------------------
+    ("size of null is null", None,
+     "RETURN size(null) AS r", [(None,)]),
+    ("modulo", None,
+     "RETURN 7 % 3 AS a, -7 % 3 AS b", [(1, -1)]),
+    ("min aggregator over strings", None,
+     "UNWIND ['b', 'a'] AS s RETURN min(s) AS lo, max(s) AS hi",
+     [("a", "b")]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
