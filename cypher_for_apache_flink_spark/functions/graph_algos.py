@@ -85,6 +85,64 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     return out
 
 
+def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
+                       max_hops: int = 10, src_col: str = "src",
+                       dst_col: str = "dst", node_col: str = "node",
+                       checkpoint_interval: int = 4) -> DataFrame:
+    """Unweighted single/multi-source shortest path lengths; returns
+    (node, dist) for every node reachable from ``sources`` within
+    ``max_hops`` (sources themselves at dist 0).
+
+    Frontier BFS as a DataFrame loop: per hop, one join frontier-to-edges
+    and one anti-join against the visited set -- both shuffles keyed on
+    node ids, so pre-bucketing the edge table makes the expansion
+    exchange-free on a cluster.  The visited set is the only growing state
+    (one row per reached node).  The reference has no path operator at all
+    (SURVEY §2.3 negative space: CTPath exists in the type lattice but no
+    operator produces it); this is the extension users reached for GraphX
+    Pregel for.
+    """
+    edges = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
+    visited = (sources.select(F.col(node_col).alias("node"))
+               .dropDuplicates(["node"])
+               .withColumn("dist", F.lit(0).cast("long")))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+               .select(F.col("dst").alias("node"))
+               .dropDuplicates(["node"])
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(hop).cast("long")))
+        if hop % checkpoint_interval == 0 or hop == max_hops:
+            # truncate lineage AND decide termination with one materialize
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def bfs_sql_oracle(edges_sql: str, sources_sql: str,
+                   max_hops: int = 10) -> str:
+    """Recursive-CTE ANSI-SQL twin of :func:`bfs_shortest_paths`.
+
+    ``edges_sql`` selects (src, dst); ``sources_sql`` selects (node).
+    """
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+srcs AS ({sources_sql}),
+walk(node, dist) AS (
+  SELECT DISTINCT node, 0 FROM srcs
+  UNION ALL
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {max_hops}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node"""
+
+
 def pagerank_sql_oracle(edges_sql: str, iterations: int = 3,
                         damping: float = 0.85, round_to: int = 6) -> str:
     """Unrolled-CTE ANSI-SQL twin of :func:`pagerank` for the DuckDB oracle.

@@ -4,7 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cypher_for_apache_flink_spark.functions.graph_algos import (
-    pagerank, pagerank_sql_oracle)
+    bfs_shortest_paths, bfs_sql_oracle, pagerank, pagerank_sql_oracle)
 
 
 def _ranks(df):
@@ -67,6 +67,57 @@ def test_pagerank_sql_oracle_matches(spark):
     vals = ", ".join(f"('{s}', '{d}')" for s, d in edge_list)
     sql = pagerank_sql_oracle(
         f"SELECT * FROM (VALUES {vals}) t(src, dst)", iterations=3)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def _dists(df):
+    return {r.node: r.dist for r in df.collect()}
+
+
+def test_bfs_basic_distances(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = _dists(bfs_shortest_paths(edges, srcs, max_hops=10))
+    # shortest, not just any, path: c is 1 hop via the direct edge
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # x/y unreachable
+
+
+def test_bfs_terminates_on_cycle(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = _dists(bfs_shortest_paths(edges, srcs, max_hops=50))
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("z", "c")], "src string, dst string")
+    srcs = spark.createDataFrame([("a",), ("z",)], "node string")
+    got = _dists(bfs_shortest_paths(edges, srcs, max_hops=10))
+    assert got == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+def test_bfs_max_hops_bound(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = _dists(bfs_shortest_paths(edges, srcs, max_hops=2))
+    assert got == {"a": 0, "b": 1, "c": 2}  # d beyond the bound
+
+
+def test_bfs_sql_oracle_matches(spark):
+    import duckdb
+    edge_list = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = _dists(bfs_shortest_paths(edges, srcs, max_hops=4))
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edge_list)
+    sql = bfs_sql_oracle(f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+                         "SELECT 'a' AS node", max_hops=4)
     want = dict(duckdb.connect().execute(sql).fetchall())
     assert got == want
 
