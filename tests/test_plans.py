@@ -101,6 +101,46 @@ def test_percentile_disc_plan_has_no_collect_list(g):
         assert got_n == n and abs(got_p - p) < 1e-9, (st, got_p, p)
 
 
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The benchmark shingle set joins the training corpus as a broadcast
+    (map-side semi-join shape): a 100 TB corpus is never shuffled to meet a
+    small benchmark table."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_flink_spark.functions.sampling import (
+        contamination_check,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = contamination_check(docs.where(F.col("doc_id") >= 50),
+                              docs.where(F.col("doc_id") < 50))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_filters_are_shuffle_free(spark):
+    """Hash-fraction sampling is a pure per-row filter: no Exchange in the
+    plan, and the scan's partitioning passes straight through."""
+    from cypher_for_apache_flink_spark.functions.sampling import (
+        sample_stratified,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sample_stratified(docs, {"src0": 0.5}, default_rate=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_partition_window(spark):
+    """Sequence packing is ONE window over the partition column — exactly
+    one Exchange (hashpartitioning on the part key), no global sort."""
+    from cypher_for_apache_flink_spark.functions.sampling import pack_sequences
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pack_sequences(docs, budget=512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
 def test_pattern_comprehension_plan_is_grouped_join(g):
     """A pattern comprehension plans as match -> collect_list per anchor ->
     ONE left join back: no per-row correlated subplans, no cartesian."""
