@@ -110,6 +110,31 @@ def streaming_dedup_exact(docs: DataFrame, text_col: str = "text",
     return out.dropDuplicates(["__fp"]).drop("__fp")
 
 
+def streaming_curate(docs: DataFrame, quality_min: float = 0.4,
+                     sample_rate: float = 1.0, text_col: str = "text",
+                     id_col: str = "doc_id", ts_col: str = "ts",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Online corpus curation: quality filter -> deterministic hash-fraction
+    sample -> watermarked exact dedup, on a document stream.
+
+    The filter and sample stages are stateless per-row column expressions
+    (identical results batch or stream, any micro-batch boundaries); the
+    only state is the dedup fingerprint set, bounded by the watermark.  The
+    streaming twin of functions.pipeline.curate_corpus's filter+dedup
+    prefix — near-dup removal against a static reference corpus composes on
+    top via :func:`streaming_near_dup_flags`.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.sampling import hash_hex, rate_threshold
+    from ..functions.text import quality_score
+    out = docs.where(quality_score(F.col(text_col)) >= quality_min)
+    if sample_rate < 1.0:
+        out = out.where(hash_hex(F.col(id_col)) < rate_threshold(sample_rate))
+    return streaming_dedup_exact(out, text_col=text_col, id_col=id_col,
+                                 ts_col=ts_col, watermark=watermark)
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete") -> None:
     """Drain the stream into an in-memory table with availableNow (test /

@@ -140,6 +140,46 @@ def test_streaming_near_dup_flags_parity(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_curate_parity(spark):
+    """Quality filter + hash sample + dedup on a stream gives the same
+    surviving ids as the batch run over the same rows."""
+    import datetime
+    import shutil
+    from cypher_for_apache_flink_spark.streaming.events import (
+        run_to_memory,
+        streaming_curate,
+    )
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    good = ("a perfectly reasonable document with plenty of ordinary words "
+            "to pass the quality threshold easily and naturally today")
+    rows = [(i, good + f" variant {i}", base) for i in range(20)]
+    rows += [(100, good + " variant 3", base),   # exact dup of id 3
+             (101, "!!! ??? !!!", base)]          # fails quality
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+
+    # dedup keeps an ARBITRARY row per fingerprint (first arrival on a
+    # stream), so parity is on the surviving text set, not row ids
+    batch_rows = streaming_curate(df, sample_rate=0.7).collect()
+    want = sorted(r["text"] for r in batch_rows)
+    assert all(r["doc_id"] != 101 for r in batch_rows)  # quality-filtered
+    assert 0 < len(want) < 20  # sampling dropped some
+    assert len(want) == len(set(want))  # deduped
+
+    tmp = "/root/repo/.tmp_test_scurate"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        df.repartition(3).write.parquet(tmp)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, ts timestamp")
+                  .parquet(tmp))
+        run_to_memory(streaming_curate(stream, sample_rate=0.7),
+                      "scurate", "append")
+        got = sorted(r["text"] for r in spark.table("scurate").collect())
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_dedup_state_evicts_past_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark bounds the dedup state: fingerprints
     whose event time falls behind the watermark are EVICTED between
