@@ -36,6 +36,9 @@ HEADLINE = [
     "curate_corpus",
     "construct_requery",
     "ddl_graph",
+    "pack_sequences",
+    "contamination_check",
+    "pagerank",
 ]
 
 

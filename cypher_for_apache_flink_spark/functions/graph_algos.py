@@ -44,10 +44,15 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .dropDuplicates(["node"]))
-    # Cached: read every superstep (left join target + dangling scan) and
-    # counted once for N.
+    # Cached: read every superstep (left join target + dangling scan).  The
+    # count is a deliberate single action: it materializes the cache AND
+    # yields N for the teleport term (an iterative algorithm runs a job per
+    # superstep anyway — this is not a hidden extra).
     nodes = nodes.cache()
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg) is loop-invariant; persist so each superstep reads a
     # materialized table instead of re-running scan+join+agg.

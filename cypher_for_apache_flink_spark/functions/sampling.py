@@ -68,18 +68,27 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
 
 
 def domain_mixture(df: DataFrame, weights: dict[str, float], total: int,
-                   domain_col: str = "source",
-                   key_col: str = "doc_id") -> DataFrame:
+                   domain_col: str = "source", key_col: str = "doc_id",
+                   prefilter_margin: float | None = None) -> DataFrame:
     """Weighted corpus mixture: draw a deterministic sample of ``total`` rows
     with per-domain target counts proportional to ``weights``.
 
     Rows within a domain are ranked by their hash fraction (a reproducible
-    uniform shuffle) and the top ``round(total * w / sum(w))`` survive.  One
-    shuffle on the domain column; at 100 TB the window is per-domain and the
-    rank cutoff keeps partial aggregation effective.  Domains missing from
-    ``weights`` are dropped.  If a domain has fewer rows than its target the
-    mixture under-fills (no re-balancing pass -- callers wanting exact totals
-    run a second pass on the counts).
+    uniform shuffle) and the top ``round(total * w / sum(w))`` survive.
+    Domains missing from ``weights`` are dropped.  If a domain has fewer
+    rows than its target the mixture under-fills (no re-balancing pass --
+    callers wanting exact totals run a second pass on the counts).
+
+    Scale note: the per-domain ``row_number`` window funnels each domain
+    through one reducer.  With few domains over a 100 TB corpus, set
+    ``prefilter_margin`` (e.g. 2.0): a first aggregation counts each
+    domain, rows are pre-pruned to ``margin * target / count`` of the hash
+    space, and the exact window then ranks only ~margin x target survivors
+    per domain.  The pre-filter keeps a superset of the exact winners
+    whenever at least ``target`` of a domain's rows fall under the widened
+    threshold (overwhelmingly likely at margin >= 2; the trade is
+    documented rather than silent -- the default is the exact
+    single-window plan).
     """
     wsum = sum(weights.values())
     targets = {d: int(round(total * w / wsum)) for d, w in weights.items()}
@@ -87,9 +96,20 @@ def domain_mixture(df: DataFrame, weights: dict[str, float], total: int,
     for d, n in sorted(targets.items()):
         target_col = F.when(F.col(domain_col) == d, F.lit(n)) \
             .otherwise(target_col)
+    out = df
+    if prefilter_margin is not None:
+        counts = {r[0]: r[1] for r in
+                  (df.where(F.col(domain_col).isin(*targets))
+                   .groupBy(domain_col).agg(F.count(F.lit(1))).collect())}
+        thr: Column = F.lit(rate_threshold(0.0))
+        for d, n in sorted(targets.items()):
+            rate = min(1.0, prefilter_margin * n / max(counts.get(d, 1), 1))
+            thr = F.when(F.col(domain_col) == d,
+                         F.lit(rate_threshold(rate))).otherwise(thr)
+        out = out.where(hash_hex(F.col(key_col)) < thr)
     w = Window.partitionBy(domain_col).orderBy(
         hash_hex(F.col(key_col)), F.col(key_col))
-    return (df.withColumn("__rk", F.row_number().over(w))
+    return (out.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= target_col)
             .drop("__rk"))
 

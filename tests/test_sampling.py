@@ -54,6 +54,20 @@ def test_domain_mixture_counts_and_determinism(docs):
             == sorted(r.doc_id for r in again.collect()))
 
 
+def test_domain_mixture_prefilter_is_exact(docs):
+    exact = domain_mixture(docs, {"src0": 3.0, "src1": 1.0}, total=40)
+    pruned = domain_mixture(docs, {"src0": 3.0, "src1": 1.0}, total=40,
+                            prefilter_margin=2.0)
+    assert (sorted(r.doc_id for r in exact.collect())
+            == sorted(r.doc_id for r in pruned.collect()))
+
+
+def test_pagerank_empty_edges(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import pagerank
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iterations=3).collect() == []
+
+
 def test_domain_mixture_underfilled_domain(docs):
     # src0 only has 100 docs; target 200 -> keeps all 100, no error
     out = domain_mixture(docs, {"src0": 1.0}, total=200)
