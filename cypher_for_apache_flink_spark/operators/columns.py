@@ -526,9 +526,15 @@ def _property(expr: E.Property, ctx: ExprContext) -> Column:
         # Property of a graph element that is not in the schema -> null
         # (SparkSQLExprMapper.scala:151).
         return F.lit(None)
-    if isinstance(expr.owner, (E.StartNode, E.EndNode)):
+    if isinstance(expr.owner, (E.StartNode, E.EndNode)) or (
+            isinstance(expr.owner, E.FuncCall)
+            and expr.owner.name in ("startnode", "endnode")):
+        # startNode(r)/endNode(r) compile to the endpoint ID column (the
+        # reference does the same: SparkSQLExprMapper.scala:254-255), so
+        # property access needs the node row itself -- tell the user the
+        # supported spelling instead of letting getField fail on a BIGINT.
         raise NotImplementedError(
-            f"property access on {type(expr.owner).__name__} of an unbound "
+            "property access on startNode()/endNode() of an unbound "
             "endpoint: bind the endpoint in the pattern instead, e.g. "
             "MATCH (s)-[r]->() RETURN s." + key)
     # Fall back: compute owner (e.g. map literal / function result).

@@ -134,3 +134,13 @@ def test_two_pattern_comprehensions_one_return(spark):
         "[(p)-[:X]->(m) | m.n] AS xs, "
         "size([(p)-[:Y]->(m) | m.n]) AS n_y").collect()[0]
     assert list(row["xs"]) == ["b"] and row["n_y"] == 2
+
+
+def test_startnode_property_access_raises_clear_error(spark):
+    import pytest
+
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+    g = graph_from_create(
+        spark, 'CREATE (:S {n: "a"})-[:R]->(:T {n: "b"})')
+    with pytest.raises(NotImplementedError, match="bind the endpoint"):
+        g.cypher("MATCH (s)-[r:R]->() RETURN startNode(r).n AS n").df

@@ -565,6 +565,50 @@ SCENARIOS = [
      "UNWIND ['b', 'a'] AS s RETURN min(s) AS lo, max(s) AS hi",
      [("a", "b")]),
 
+    # --- Paths / entity meta functions ---------------------------------------
+    ("path length of two hop", ABC,
+     "MATCH p = (a:A)-[:KNOWS]->()-[:KNOWS]->() RETURN length(p) AS l",
+     [(2,)]),
+    ("path nodes and rels sizes", ABC,
+     "MATCH p = (a:A)-[:KNOWS*1..2]->(x) "
+     "RETURN size(nodes(p)) AS n, size(relationships(p)) AS r",
+     [(2, 1), (3, 2)]),
+    ("start and end node ids match endpoints", ABC,
+     "MATCH (x)-[r:KNOWS {w: 1}]->(y) "
+     "RETURN startNode(r) = id(x) AS s, endNode(r) = id(y) AS e",
+     [(True, True)]),
+    ("type and labels of matched entities", ABC,
+     "MATCH (x:A)-[r]->() RETURN labels(x)[0] AS lbl, type(r) AS t",
+     [("A", "KNOWS")]),
+    ("keys of a node", ABC,
+     "MATCH (x:A) RETURN size(keys(x)) AS k", [(2,)]),
+    ("properties as map", ABC,
+     "MATCH (x:A) RETURN properties(x).num AS num", [(1,)]),
+    ("id is stable within a query", ABC,
+     "MATCH (x:A)-[:KNOWS]->(y) WITH x, y "
+     "MATCH (x2) WHERE id(x2) = id(x) RETURN x2.name AS name",
+     [("a",)]),
+
+    # --- Map projections ------------------------------------------------------
+    ("map projection with computed entry", ABC,
+     "MATCH (x:A) WITH x {.name, double: x.num * 2} AS m "
+     "RETURN m.name AS name, m.double AS d",
+     [("a", 2)]),
+
+    # --- Temporal scalars -----------------------------------------------------
+    ("date accessors", None,
+     "WITH date('2024-03-15') AS d "
+     "RETURN d.year AS y, d.month AS m, d.day AS dd",
+     [(2024, 3, 15)]),
+    ("datetime comparison", None,
+     "RETURN localdatetime('2024-01-01T10:00:00') < "
+     "localdatetime('2024-01-01T11:30:00') AS a",
+     [(True,)]),
+    ("duration map constructor components", None,
+     "WITH duration({days: 3, hours: 4}) AS d "
+     "RETURN d.days AS days, d.hours AS h",
+     [(3, 4)]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
