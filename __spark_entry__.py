@@ -342,6 +342,18 @@ def _q_similarity_topk_ivf_indexed(spark, sf_dir):
     return ann_topk_ivf_indexed(spark, path, qvec, k=10, n_probe=8)
 
 
+def _q_similarity_topk_quantized(spark, sf_dir):
+    """Int8-quantized ANN: quantize -> dequantize -> exact top-k.  The
+    oracle reproduces the quantization arithmetic bit-for-bit in SQL."""
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_bruteforce, dequantize_embeddings, quantize_embeddings)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    deq = dequantize_embeddings(
+        quantize_embeddings(emb.where(F.col("vec_id") != 0)))
+    return ann_topk_bruteforce(deq, qvec, k=10)
+
+
 def _q_similarity_topk_join(spark, sf_dir):
     """Batch exact top-k join: 5 query vectors, k=5 nearest each."""
     from cypher_for_apache_flink_spark.functions.similarity import ann_topk_join
@@ -556,6 +568,7 @@ _PIPELINE_QUERIES = {
     "similarity_topk_lsh_indexed": _q_similarity_topk_lsh_indexed,
     "similarity_topk_ivf_indexed": _q_similarity_topk_ivf_indexed,
     "similarity_topk_join": _q_similarity_topk_join,
+    "similarity_topk_quantized": _q_similarity_topk_quantized,
     "near_dup_clusters": _q_near_dup_clusters,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
@@ -593,8 +606,11 @@ _DEFERRED_VARIANTS = [
     "scan_nodes", "rel_properties", "optional_first_clause",
     "type_function", "agg_global",
     # expand_2hop's chained-expand + agg shape is covered in-window by
-    # expand_1hop + expand_3hop_keyword_types (bench still runs it)
-    "expand_2hop",
+    # expand_1hop + expand_3hop_keyword_types (bench still runs it);
+    # duration_shift's date+duration arithmetic stays oracle-checkable and
+    # locally tested (test_temporal) while events_temporal covers the
+    # in-window temporal surface
+    "expand_2hop", "duration_shift",
 ]
 
 
@@ -1218,6 +1234,25 @@ SELECT e.vec_id AS vec_id,
        round({_SQL_COSINE.format(a='e.embedding', b='q.qe')}, 6) AS cosine
 FROM embeddings e, q WHERE e.vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 10""",
+        # quantize -> dequantize -> exact top-k; the quantization arithmetic
+        # is all-double so the SQL mirror is bit-exact
+        "similarity_topk_quantized": rf"""
+WITH s AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+      AS scale
+  FROM embeddings WHERE vec_id <> 0
+), dq AS (
+  SELECT e.vec_id,
+    list_transform(e.embedding, x -> CAST(CASE WHEN s.scale = 0 THEN 0
+      ELSE greatest(-127, least(127,
+        CAST(round(CAST(x AS DOUBLE) / s.scale, 0) AS INTEGER))) END
+      AS DOUBLE) * s.scale) AS emb
+  FROM embeddings e JOIN s USING (vec_id)
+), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT d.vec_id AS vec_id,
+       round({_SQL_COSINE.format(a='d.emb', b='q.qe')}, 6) AS cosine
+FROM dq d, q ORDER BY cosine DESC, vec_id LIMIT 10""",
         "similarity_topk_join": rf"""
 WITH scored AS (
   SELECT q.vec_id AS qid, e.vec_id AS vec_id,

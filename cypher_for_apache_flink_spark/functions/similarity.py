@@ -318,3 +318,40 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
             .where(F.col("cosine") >= threshold)
             .select("a", "b", "cosine")
             .dropDuplicates(["a", "b"]))
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x| / 127,
+    q_i = round(x_i / scale) clamped to [-127, 127].
+
+    The scale path for billion-vector ANN: 4x smaller storage and shuffle
+    width than float32, with the scale kept per row so dequantization is a
+    column expression.  All arithmetic is double (float32 widens exactly),
+    so a SQL oracle reproduces the quantized values bit-for-bit.  Zero
+    vectors get scale 0 and all-zero codes.  Returns (id, scale, qvec).
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127),
+                    F.round(x.cast("double") / F.col("scale"), 0)
+                    .cast("int"))))
+        .cast("tinyint"))
+    return (df.select(F.col(id_col), scale, v.alias("__v"))
+            .select(id_col, "scale", q.alias("qvec")))
+
+
+def dequantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                          scale_col: str = "scale",
+                          qvec_col: str = "qvec",
+                          out_col: str = "embedding") -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x_i ~ q_i * scale (double)."""
+    deq = F.transform(F.col(qvec_col),
+                      lambda x: x.cast("double") * F.col(scale_col))
+    return df.select(F.col(id_col), deq.alias(out_col))

@@ -128,3 +128,46 @@ def test_persisted_ivf_index_prunes_partitions(spark, emb, query, tmp_path):
     want = [(r["vec_id"], r["cosine"]) for r in
             ann_topk_ivf(rest, query, k=10, n_lists=8, n_probe=8).collect()]
     assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == want
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+    joined = emb.join(deq.withColumnRenamed("embedding", "deq"), "vec_id")
+    # per-element error <= scale/2 = max|x|/254
+    bad = joined.where(F.exists(
+        F.zip_with("embedding", "deq",
+                   lambda x, y: F.abs(x.cast("double") - y)
+                   > F.array_max(F.transform(
+                       "embedding",
+                       lambda v: F.abs(v.cast("double")))) / 254.0 + 1e-12),
+        lambda b: b)).count()
+    assert bad == 0
+
+
+def test_quantize_zero_vector(spark):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    qt = quantize_embeddings(df)
+    row = qt.collect()[0]
+    assert row["scale"] == 0.0 and list(row["qvec"]) == [0, 0, 0]
+    assert list(dequantize_embeddings(qt).collect()[0][1]) == [0.0, 0.0, 0.0]
+
+
+def test_quantize_codes_are_int8(spark):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qt = quantize_embeddings(emb)
+    assert qt.schema["qvec"].dataType.simpleString() == "array<tinyint>"
+    from pyspark.sql import functions as F
+    mx = qt.select(F.max(F.array_max("qvec")).alias("hi"),
+                   F.min(F.array_min("qvec")).alias("lo")).collect()[0]
+    assert -127 <= mx["lo"] and mx["hi"] <= 127
