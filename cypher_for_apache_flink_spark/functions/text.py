@@ -137,3 +137,58 @@ def text_profile(df: DataFrame, text_col: str = "text",
         lang_guess(tt, toks=tk).alias("lang_guess"),
         fingerprint(tt).alias("fingerprint"),
     )
+
+
+def top_ngrams_by_doc_freq(df: DataFrame, n: int = 2, k: int = 20,
+                           text_col: str = "text") -> DataFrame:
+    """Corpus-level n-gram statistics: the k n-grams appearing in the most
+    documents.  Returns (ngram, doc_freq), ties broken lexicographically.
+
+    One explode + hash aggregate + TakeOrderedAndProject: partial counts
+    combine map-side, and only k rows per partition reach the driver — the
+    plan a 100 TB corpus wants.
+    """
+    from .dedup import word_shingles
+    from .util import ensure_parallelism
+    ex = ensure_parallelism(df).select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
+    return (ex.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
+            .limit(k))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    n_docs: int | None = None) -> DataFrame:
+    """Per-document top-k TF-IDF terms.  Returns (doc_id, term, score).
+
+    tf = occurrences of the term in the doc; idf = ln((N + 1) / (df + 1))
+    with df = number of docs containing the term.  Scores are rounded to 6
+    places BEFORE ranking so the ordering is reproducible across engines
+    (ties then break lexicographically).  ``n_docs`` avoids a count job
+    when the caller already knows N; when omitted it is computed once.
+
+    Plan shape: tokenize once, one (doc, term) aggregate for tf, one term
+    aggregate for df (broadcast back — the vocabulary is tiny next to the
+    corpus), one window per doc for the top-k.
+    """
+    from pyspark.sql import Window
+
+    from .util import ensure_parallelism
+    base = ensure_parallelism(df)
+    if n_docs is None:
+        n_docs = base.count()
+    terms = base.select(F.col(id_col),
+                        F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (terms.dropDuplicates([id_col, "term"])
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log((n_docs + 1) / (F.col("df") + 1)), 6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .select(id_col, "term", "score"))

@@ -105,3 +105,26 @@ def test_string_size_and_regex(g):
     assert res.collect()[0]["c"] == 1
     res = g.cypher("MATCH (n:N) WHERE n.s =~ 'World' RETURN count(*) AS c")
     assert res.collect()[0]["c"] == 0   # =~ must match the ENTIRE string
+
+
+def test_top_ngrams_by_doc_freq(spark):
+    from cypher_for_apache_flink_spark.functions.text import (
+        top_ngrams_by_doc_freq,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a b"), (4, "x y")],
+        "doc_id long, text string")
+    rows = [tuple(r) for r in top_ngrams_by_doc_freq(docs, n=2, k=3).collect()]
+    assert rows[0] == ("a b", 3)
+    # ties broken lexicographically
+    assert rows[1:] == [("b c", 1), ("b d", 1)]
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    from cypher_for_apache_flink_spark.functions.text import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "common common rare"), (2, "common other"), (3, "common thing")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.term) for r in tfidf_top_terms(docs, k=1).collect()}
+    # 'common' appears everywhere -> idf 0; the rare term wins per doc
+    assert got == {(1, "rare"), (2, "other"), (3, "thing")}
