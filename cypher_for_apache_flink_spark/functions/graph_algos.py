@@ -55,8 +55,11 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
         return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg) is loop-invariant; persist so each superstep reads a
-    # materialized table instead of re-running scan+join+agg.
+    # materialized table instead of re-running scan+join+agg.  Same for the
+    # set of nodes WITH out-edges — the per-superstep dangling anti-join
+    # would otherwise re-aggregate the raw edge scan every iteration.
     out_edges = edges.join(deg, "src").persist()
+    out_srcs = deg.select(F.col("src").alias("node")).persist()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
@@ -66,8 +69,7 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
                     .agg(F.sum(F.col("rank") / F.col("deg"))
                          .alias("contrib"))
                     .withColumnRenamed("dst", "node"))
-        dangling = (ranks.join(deg.withColumnRenamed("src", "node"),
-                               "node", "left_anti")
+        dangling = (ranks.join(out_srcs, "node", "left_anti")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                          .alias("m")))
         ranks = (nodes
@@ -86,6 +88,7 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     lease = CacheLease()
     lease.add(nodes)
     lease.add(out_edges)
+    lease.add(out_srcs)
     out._cypher_cache_lease = lease
     return out
 
