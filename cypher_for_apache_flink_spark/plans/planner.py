@@ -114,10 +114,14 @@ class Planner:
         for part, is_all in zip(query.parts[1:], query.union_alls):
             r2, o2 = Planner(self.session, self.graph, self.params).plan_single(
                 part, initial)
-            if [n for n, _ in o2] != [n for n, _ in outs]:
+            if {n for n, _ in o2} != {n for n, _ in outs}:
                 raise PlanError("UNION parts must have identical column names")
-            # align physical columns by output position
-            rename = {c2: c1 for (_, c1), (_, c2) in zip(outs, o2)}
+            # align by OUTPUT NAME, not position — openCypher unions match
+            # columns by name (the reference sorts columns before
+            # TabularUnionAll, RelationalOperator.scala:474-480), so
+            # `RETURN a, b UNION RETURN b, a` is legal
+            by_name = dict(o2)
+            rename = {by_name[n1]: c1 for n1, c1 in outs}
             df2 = r2.df.select(*[F.col(c).alias(rename.get(c, c))
                                  for c in r2.df.columns])
             recs = recs.with_df(recs.df.select(*[c for _, c in outs]).unionByName(

@@ -565,6 +565,14 @@ SCENARIOS = [
      "UNWIND ['b', 'a'] AS s RETURN min(s) AS lo, max(s) AS hi",
      [("a", "b")]),
 
+    ("union matches columns by name not position", ABC,
+     "MATCH (a:A) RETURN a.name AS n, a.num AS x "
+     "UNION MATCH (b:B) RETURN b.num AS x, b.name AS n",
+     [("a", 1), ("b", 2)]),
+    ("union all keeps duplicates across parts", ABC,
+     "MATCH (a:A) RETURN a.num AS x UNION ALL MATCH (a:A) RETURN a.num AS x",
+     [(1,), (1,)]),
+
     # --- Paths / entity meta functions ---------------------------------------
     ("path length of two hop", ABC,
      "MATCH p = (a:A)-[:KNOWS]->()-[:KNOWS]->() RETURN length(p) AS l",
