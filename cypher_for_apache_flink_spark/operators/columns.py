@@ -138,8 +138,20 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             if et is not None and not isinstance(et, T.NullType):
                 break
         return T.ArrayType(et or T.LongType())
-    if isinstance(expr, (E.ListComprehension, E.ListSlice)):
+    if isinstance(expr, E.ListSlice):
+        ot = spark_dtype(expr.owner, ctx)
+        return ot if isinstance(ot, T.ArrayType) else T.ArrayType(T.LongType())
+    if isinstance(expr, E.ListComprehension):
         return T.ArrayType(T.LongType())
+    if isinstance(expr, E.CaseExpr):
+        # type of the first branch that resolves (branches are coerced to a
+        # common type at execution anyway)
+        for _, then in expr.alternatives:
+            t = spark_dtype(then, ctx)
+            if t is not None and not isinstance(t, T.NullType):
+                return t
+        return spark_dtype(expr.default, ctx) \
+            if expr.default is not None else None
     if isinstance(expr, E.FuncCall):
         n = expr.name
         if n in ("tostring", "toupper", "tolower", "trim", "ltrim", "rtrim",

@@ -96,6 +96,8 @@ class Planner:
         # query-scoped caches (var-length slim edges / frontiers) released
         # when the result is garbage-collected (cache.py)
         self.cache_lease = CacheLease()
+        # path var -> ([node element vars], [rel element vars], has_varlen)
+        self._paths: dict = {}
 
     # ------------------------------------------------------------------
     def fresh_name(self) -> str:
@@ -261,6 +263,13 @@ class Planner:
                     if not lbls and n not in bound and n not in referenced
                     and (n.startswith("_a") or n in id_only
                          or (query_refs is not None and n not in query_refs))}
+        # Elements of a REFERENCED named path are observable through
+        # nodes(p)/relationships(p) comprehensions (rewritten to direct
+        # element reads) — even anonymous ones must keep their scans.
+        for named in named_parts:
+            if named.path_var and (query_refs is None
+                                   or named.path_var in query_refs):
+                elidable -= {el.var for el in named.elements}
 
         # ---- connected components (union-find over node vars) --------
         parent = {n: n for n in node_labels}
@@ -329,6 +338,14 @@ class Planner:
         relationships(p) / length(p) compile to field accesses.  Var-length
         segments splice in their hop-node and edge-id lists (the expand
         tracked them because the rel var is in ``_path_rel_vars``)."""
+        # Element inventory for the comprehension rewrite: over a FIXED
+        # path, [x IN nodes(p) | x.prop] can read the bound element vars
+        # directly (no join needed) — see _rewrite_path_lambdas.
+        nvars = [el.var for i, el in enumerate(part.elements) if i % 2 == 0]
+        rvars = [el.var for i, el in enumerate(part.elements) if i % 2 == 1]
+        varlen = any(el.var_length for i, el in enumerate(part.elements)
+                     if i % 2 == 1)
+        self._paths[part.path_var] = (nvars, rvars, varlen)
         h = records.header
         node_pieces, rel_pieces = [], []
         for i, el in enumerate(part.elements):
@@ -365,6 +382,66 @@ class Planner:
         return Records(self.session,
                        h.added(E.Var(part.path_var), pcol),
                        records.df.withColumn(pcol, col))
+
+    # -- comprehensions over fixed-path nodes()/relationships() ---------
+    def _path_elements_of(self, list_expr):
+        """([element vars], kind) when ``list_expr`` is nodes(p) /
+        relationships(p) over a FIXED named path, else None."""
+        if not (isinstance(list_expr, E.FuncCall)
+                and list_expr.name in ("nodes", "relationships")
+                and len(list_expr.args) == 1
+                and isinstance(list_expr.args[0], E.Var)):
+            return None
+        entry = self._paths.get(list_expr.args[0].name)
+        if entry is None or entry[2]:   # unknown path or var-length
+            return None
+        names = entry[0] if list_expr.name == "nodes" else entry[1]
+        mk = E.NodeVar if list_expr.name == "nodes" else E.RelVar
+        return [mk(n) for n in names]
+
+    def _rewrite_path_lambdas(self, e):
+        """Rewrite comprehensions/quantifiers over nodes(p)/relationships(p)
+        of a fixed-length path into per-element expressions, so property
+        access on the lambda variable reads the already-bound element
+        columns (no join).  The reference gets this through its boxed
+        value runtime; a columnar engine unrolls it at plan time.
+        Var-length paths keep the id-array form (property access there
+        raises the instructive startNode/endNode error)."""
+        e = _map_subexprs(e, self._rewrite_path_lambdas)   # bottom-up
+        if isinstance(e, E.ListComprehension):
+            elems = self._path_elements_of(e.list_expr)
+            if elems is None:
+                return e
+            if e.where is None:
+                body = e.projection if e.projection is not None \
+                    else E.LocalVar(e.var)
+                return E.ListLit(tuple(
+                    _subst_local(body, e.var, ev) for ev in elems))
+            out = None
+            for ev in elems:
+                body = e.projection if e.projection is not None \
+                    else E.LocalVar(e.var)
+                body_lit = E.ListLit((_subst_local(body, e.var, ev),))
+                piece = E.CaseExpr(
+                    test=None,
+                    alternatives=((_subst_local(e.where, e.var, ev),
+                                   body_lit),),
+                    # typed empty list: [body][0..0] — a bare [] is VOID
+                    # and fails array concat type resolution
+                    default=E.ListSlice(body_lit, E.Lit(0), E.Lit(0)))
+                out = piece if out is None else E.BinOp("+", out, piece)
+            return out
+        if isinstance(e, E.ListPredicate) and e.kind in ("any", "all", "none"):
+            elems = self._path_elements_of(e.list_expr)
+            if elems is None:
+                return e
+            preds = [_subst_local(e.where, e.var, ev) for ev in elems]
+            folded = preds[0]
+            op = "AND" if e.kind == "all" else "OR"
+            for p in preds[1:]:
+                folded = E.BinOp(op, folded, p)
+            return E.Not(folded) if e.kind == "none" else folded
+        return e
 
     def _name_pattern(self, part: A.PatternPart) -> A.PatternPart:
         """Give every anonymous node/rel a fresh variable name."""
@@ -881,7 +958,7 @@ class Planner:
     def apply_predicates(self, records: Records, conjuncts) -> Records:
         plain = []
         for c in conjuncts:
-            c = resolve_vars(c, records.header)
+            c = resolve_vars(self._rewrite_path_lambdas(c), records.header)
             if isinstance(c, E.PatternPredicate):
                 records = self._pattern_join(records, c,
                                              "left_anti" if c.negated else "left_semi")
@@ -1082,7 +1159,8 @@ class Planner:
                     items.append(A.ProjectionItem(v, v.name))
         for it in clause.items:
             items.append(A.ProjectionItem(
-                resolve_vars(it.expr, records.header), it.alias))
+                resolve_vars(self._rewrite_path_lambdas(it.expr),
+                             records.header), it.alias))
 
         # exists((a)-->(b)) in a projection compiles via the same flag-column
         # materialization as nested WHERE pattern predicates.
@@ -1386,6 +1464,14 @@ def _query_var_refs(q: A.SingleQuery):
                         refs.add(el.var)
                     for _, v in el.props:
                         _expr_var_names(v, refs)
+    # A referenced named path can observe every element var (the
+    # comprehension rewrite reads them directly: _rewrite_path_lambdas),
+    # so path membership blocks scan elision for its elements.
+    for clause in q.clauses:
+        if isinstance(clause, A.MatchClause):
+            for part in clause.patterns:
+                if part.path_var and part.path_var in refs:
+                    refs.update(el.var for el in part.elements if el.var)
         elif isinstance(clause, A.ConstructClause):
             refs.update(clause.clones)
             for part in clause.news:
@@ -1419,6 +1505,36 @@ def _agg_subexprs(expr: E.Expr) -> list:
 
     walk(expr)
     return out
+
+
+def _map_tuple_val(v, fn):
+    if isinstance(v, E.Expr):
+        return fn(v)
+    if isinstance(v, tuple):
+        return tuple(_map_tuple_val(x, fn) for x in v)
+    return v
+
+
+def _map_subexprs(e: E.Expr, fn) -> E.Expr:
+    """Rebuild ``e`` with ``fn`` applied to every direct sub-expression,
+    including ones nested in tuples-of-tuples (CaseExpr alternatives,
+    property maps)."""
+    changes = {}
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        nv = _map_tuple_val(v, fn)
+        if nv != v:
+            changes[f.name] = nv
+    return dataclasses.replace(e, **changes) if changes else e
+
+
+def _subst_local(e: E.Expr, name: str, repl: E.Expr) -> E.Expr:
+    """Replace the lambda-bound LocalVar/Var ``name`` with ``repl``
+    everywhere in ``e`` (comprehension bodies keep plain Var references
+    when the parser cannot know the name is lambda-bound)."""
+    if isinstance(e, (E.LocalVar, E.Var)) and e.name == name:
+        return repl
+    return _map_subexprs(e, lambda c: _subst_local(c, name, repl))
 
 
 def _substitute(e: E.Expr, mapping: dict) -> E.Expr:

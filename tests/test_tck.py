@@ -577,6 +577,26 @@ SCENARIOS = [
     ("path length of two hop", ABC,
      "MATCH p = (a:A)-[:KNOWS]->()-[:KNOWS]->() RETURN length(p) AS l",
      [(2,)]),
+    ("comprehension over path nodes reads properties", ABC,
+     "MATCH p = (a:A)-[:KNOWS]->(b) RETURN [n IN nodes(p) | n.name] AS ns",
+     [(("a", "b"),)]),
+    ("filtered comprehension over path nodes", ABC,
+     "MATCH p = (a:A)-[:KNOWS]->()-[:KNOWS]->() "
+     "RETURN [n IN nodes(p) WHERE n.num > 1 | n.name] AS ns",
+     [(("b", "c"),)]),
+    ("comprehension over path relationships", ABC,
+     "MATCH p = (a:A)-[:KNOWS]->()-[:KNOWS]->() "
+     "RETURN [r IN relationships(p) | r.w] AS ws",
+     [((1, 2),)]),
+    ("all quantifier over path relationships", ABC,
+     "MATCH p = (x)-[:KNOWS]->()-[:KNOWS]->(z) "
+     "WHERE all(r IN relationships(p) WHERE r.w <= 2) "
+     "RETURN x.name AS x, z.name AS z",
+     [("a", "c")]),
+    ("none quantifier over path relationships", ABC,
+     "MATCH p = (x)-[:KNOWS]->(y) "
+     "WHERE none(r IN relationships(p) WHERE r.w > 1) "
+     "RETURN x.name AS x", [("a",)]),
     ("path nodes and rels sizes", ABC,
      "MATCH p = (a:A)-[:KNOWS*1..2]->(x) "
      "RETURN size(nodes(p)) AS n, size(relationships(p)) AS r",
