@@ -570,11 +570,22 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis keys
+    from deterministic md5 draws), weight = document length."""
+    from cypher_for_apache_flink_spark.functions.sampling import (
+        sample_weighted,
+    )
+    return sample_weighted(_docs(spark, sf_dir), n=50,
+                           weight_col="n_chars").select("doc_id", "source")
+
+
 # Appended AFTER the in-window groups (the driver records the first 50
 # entries; these stay judge-checkable via tools/check_oracle.py).
 _EXTRA_QUERIES = {
     "top_ngrams": _q_top_ngrams,
     "tfidf_top_terms": _q_tfidf_top_terms,
+    "sample_weighted": _q_sample_weighted,
 }
 
 
@@ -1246,6 +1257,19 @@ scored AS (
   FROM scored
 )
 SELECT doc_id, term, score FROM ranked WHERE rk <= 3""",
+
+        # weighted sample: same exponential-sort keys (md5-fraction draw,
+        # 15 hex chars / 2^60), rounded to 9 places before ranking
+        "sample_weighted": """
+WITH k AS (
+  SELECT doc_id, source,
+    round(-ln(greatest(
+        CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS DOUBLE) / 1152921504606846976.0,
+        1.0 / 1152921504606846976.0)) / n_chars, 9) AS wkey
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source FROM k ORDER BY wkey, doc_id LIMIT 50""",
 
         # --- LLM-pipeline: multimodal ---------------------------------
         # decode is a deterministic stub; the oracle checks the pipeline's

@@ -169,3 +169,30 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .where(F.col("n_shared") >= min_overlap))
+
+
+def sample_weighted(df: DataFrame, n: int, weight_col: str,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep ``n`` rows
+    where each row's inclusion odds are proportional to ``weight_col``.
+
+    Efraimidis-Spirakis exponential-sort keys, k = u^(1/w) ranked
+    descending (equivalently -ln(u)/w ascending), with the uniform draw u
+    derived from the row key's md5 fraction -- reproducible on any engine,
+    cluster size, or retry.  Keys are rounded to 9 places BEFORE ranking
+    (ties then break by row key) so the order reproduces across engines.
+    Rows with weight <= 0 never survive.  One global top-n
+    (TakeOrderedAndProject: per-partition partial top-n, the driver merges
+    n rows per partition) -- no full sort at 100 TB.
+    """
+    u = (F.conv(F.substring(hash_hex(F.col(key_col)), 1, 15), 16, 10)
+         .cast("double") / float(1 << 60))
+    # guard the log: u in (0, 1] -- md5 fraction 0 maps to the smallest
+    # positive step so ln stays finite
+    u = F.greatest(u, F.lit(1.0 / float(1 << 60)))
+    key = F.round(-F.log(u) / F.col(weight_col), 9)
+    ranked = (df.where(F.col(weight_col) > 0)
+              .withColumn("__wkey", key)
+              .orderBy(F.col("__wkey"), F.col(key_col))
+              .limit(n))
+    return ranked.drop("__wkey")

@@ -114,3 +114,41 @@ def test_hash_hex_matches_duckdb(spark):
         "SELECT i, md5(CAST(i AS VARCHAR)) FROM generate_series(0, 4) t(i)"
     ).fetchall())
     assert ours == theirs
+
+
+def test_sample_weighted_deterministic_and_biased(spark):
+    from cypher_for_apache_flink_spark.functions.sampling import (
+        sample_weighted,
+    )
+    rows = ([(i, 100.0) for i in range(100)]         # heavy
+            + [(i, 1.0) for i in range(100, 200)])   # light
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sample_weighted(df, n=50, weight_col="w")
+    ids = sorted(r.doc_id for r in got.collect())
+    again = sample_weighted(df.repartition(7), n=50, weight_col="w")
+    assert ids == sorted(r.doc_id for r in again.collect())
+    heavy = sum(1 for i in ids if i < 100)
+    assert heavy >= 40  # 100x weight dominates the draw
+
+
+def test_sample_weighted_drops_nonpositive_weights(spark):
+    from cypher_for_apache_flink_spark.functions.sampling import (
+        sample_weighted,
+    )
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, 2.0)], "doc_id long, w double")
+    ids = sorted(r.doc_id for r in
+                 sample_weighted(df, n=10, weight_col="w").collect())
+    assert ids == [1, 4]
+
+
+def test_sample_weighted_plan_is_topk(spark):
+    """Global top-n compiles to TakeOrderedAndProject — per-partition
+    partial top-n, no full sort."""
+    from cypher_for_apache_flink_spark.functions.sampling import (
+        sample_weighted,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sample_weighted(docs, n=10, weight_col="n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
