@@ -102,10 +102,12 @@ class FromGraphClause:
 
 @dataclass(frozen=True)
 class ConstructClause:
-    """``CONSTRUCT [CLONE v, ...] [NEW pattern, ...]`` (Cypher 10;
-    reference ConstructGraphPlanner.scala:54-85)."""
+    """``CONSTRUCT [CLONE v, ...] [NEW pattern, ...] [SET v:L | v.k = e]``
+    (Cypher 10; reference ConstructGraphPlanner.scala:54-85, SET items
+    :133-156)."""
     clones: tuple = ()       # (var_name, ...)
     news: tuple = ()         # (PatternPart, ...)
+    sets: tuple = ()         # ("label", var, lbl) | ("prop", var, key, Expr)
 
 
 @dataclass(frozen=True)

@@ -49,7 +49,7 @@ _KEYWORDS = {
     "not", "in", "starts", "ends", "contains", "is", "null", "true", "false",
     "case", "when", "then", "else", "end", "asc", "ascending", "desc",
     "descending", "any", "none", "single", "reduce", "exists", "from",
-    "graph", "construct", "clone", "new",
+    "graph", "construct", "clone", "new", "set",
 }
 
 
@@ -297,6 +297,18 @@ class Parser:
     def parse_construct(self) -> A.ConstructClause:
         clones = []
         news = []
+        sets = []
+
+        def parse_set_item():
+            var = self.ident()
+            if self.opt_punct(":"):
+                sets.append(("label", var, self.ident()))
+                return
+            self.eat_punct(".")
+            key = self.ident()
+            self.eat_punct("=")
+            sets.append(("prop", var, key, self.parse_expr()))
+
         while True:
             if self.at_kw("clone"):
                 self.next()
@@ -308,9 +320,16 @@ class Parser:
                 news.append(self.parse_pattern_part())
                 while self.opt_punct(","):
                     news.append(self.parse_pattern_part())
+            elif self.at_kw("set"):
+                # CONSTRUCT ... SET v:Label / SET v.key = expr (the
+                # reference's AddInto path, ConstructGraphPlanner.scala:133)
+                self.next()
+                parse_set_item()
+                while self.opt_punct(","):
+                    parse_set_item()
             else:
                 break
-        return A.ConstructClause(tuple(clones), tuple(news))
+        return A.ConstructClause(tuple(clones), tuple(news), tuple(sets))
 
     def parse_projection_items(self):
         items = [self.parse_projection_item()]

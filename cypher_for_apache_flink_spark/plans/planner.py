@@ -829,6 +829,37 @@ class Planner:
                 raise PlanError(f"CLONE of unbound variable {v!r}")
             node_slots.setdefault(v, {"labels": set(), "props": {}})
 
+        # SET items (reference AddInto, ConstructGraphPlanner.scala:133-156):
+        # labels extend the element's combo, property sets override carried
+        # values.  Targets must be construct elements (CLONE/NEW vars) —
+        # node slots or NEW relationship vars.
+        rel_prop_sets: dict[str, dict] = {}
+        for item in getattr(clause, "sets", ()):
+            kind, var = item[0], item[1]
+            if var in node_slots:
+                if kind == "label":
+                    node_slots[var]["labels"].add(item[2])
+                else:
+                    node_slots[var]["props"][item[2]] = item[3]
+            elif any(rp.var == var for _, rp, _ in rel_slots):
+                if kind == "label":
+                    raise PlanError(
+                        "SET :Label on a relationship is not allowed")
+                rel_prop_sets.setdefault(var, {})[item[2]] = item[3]
+            else:
+                raise PlanError(
+                    f"SET target {var!r} is not a CONSTRUCT element "
+                    "(CLONE it first)")
+        if rel_prop_sets:
+            rel_slots = [
+                (s, dataclasses.replace(
+                    rp, props=tuple(
+                        [(k, v) for k, v in rp.props
+                         if k not in rel_prop_sets.get(rp.var, {})]
+                        + sorted(rel_prop_sets.get(rp.var, {}).items())))
+                 if rp.var in rel_prop_sets else rp, d)
+                for s, rp, d in rel_slots]
+
         new_vars = [v for v in node_slots if header.var(v) is None]
         n_slots = len(new_vars) + len(rel_slots)
 

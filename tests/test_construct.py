@@ -190,3 +190,46 @@ def test_construct_new_ids_stable_across_actions(spark):
     out = res.graph.cypher(
         "MATCH (s:S)-[:R]->(t:T) WHERE s.n = t.n RETURN count(*) AS c")
     assert out.collect()[0]["c"] == 500
+
+
+def test_construct_set_label_and_property(session):
+    """CONSTRUCT SET v:Label / SET v.key = expr (the reference's AddInto
+    path, ConstructGraphPlanner.scala:133-156)."""
+    g = session.catalog["social"]
+    res = g.cypher(
+        'MATCH (p:Person {name: "Alice"}) '
+        "CONSTRUCT CLONE p SET p:Vip SET p.score = p.age * 2 RETURN GRAPH")
+    rows = res.graph.cypher(
+        "MATCH (v:Vip) RETURN v.name AS name, v.score AS score").collect()
+    assert [(r["name"], r["score"]) for r in rows] == [("Alice", 84)]
+
+
+def test_construct_set_overrides_cloned_property(session):
+    g = session.catalog["social"]
+    res = g.cypher(
+        'MATCH (p:Person {name: "Alice"}) '
+        "CONSTRUCT CLONE p SET p.age = 99 RETURN GRAPH")
+    rows = res.graph.cypher("MATCH (p:Person) RETURN p.age AS age").collect()
+    assert [r["age"] for r in rows] == [99]
+
+
+def test_construct_set_on_new_rel_and_comma_items(session):
+    g = session.catalog["social"]
+    res = g.cypher(
+        'MATCH (p:Person {name: "Alice"}) '
+        "CONSTRUCT NEW (p)-[e:TAGGED {a: 1}]->(:Tag) "
+        "SET e.b = 2, e.c = 3 RETURN GRAPH")
+    rows = res.graph.cypher(
+        "MATCH ()-[e:TAGGED]->() RETURN e.a AS a, e.b AS b, e.c AS c"
+    ).collect()
+    assert [(r["a"], r["b"], r["c"]) for r in rows] == [(1, 2, 3)]
+
+
+def test_construct_set_unbound_target_rejected(session):
+    import pytest
+
+    from cypher_for_apache_flink_spark.plans.planner import PlanError
+    g = session.catalog["social"]
+    with pytest.raises(PlanError, match="not a CONSTRUCT element"):
+        g.cypher("MATCH (p:Person) CONSTRUCT NEW (:Q) SET p.x = 1 "
+                 "RETURN GRAPH").graph.nodes()
