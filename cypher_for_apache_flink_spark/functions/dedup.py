@@ -22,12 +22,18 @@ from .text import tokens
 
 
 def word_shingles(text, n: int = 3):
-    """Distinct word n-gram shingles of the lower-cased text."""
+    """Distinct word n-gram shingles of the lower-cased text.
+
+    Docs with fewer than ``n`` tokens yield an empty array: sequence(1, 0)
+    DESCENDS in Spark, so without the guard slice(toks, 0, n) throws at
+    runtime on the first empty document in the corpus.
+    """
     toks = tokens(text)
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), cnt),
+    cnt = F.size(toks) - (n - 1)
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",

@@ -139,6 +139,133 @@ def text_profile(df: DataFrame, text_col: str = "text",
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Non-distinct word n-grams (frequency-preserving, unlike
+    dedup.word_shingles which deduplicates for set-similarity).
+
+    Guard: sequence(1, 0) DESCENDS in Spark, so an empty doc must yield an
+    empty array, not slice(toks, 0, n) (an error at runtime).
+    """
+    cnt = F.size(toks) - (n - 1)
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(cnt > 0, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style per-document repetition filters (Rae et al. 2021 §A1.1).
+
+    Returns one row per doc:
+      - ``n_tokens``
+      - ``dup_token_frac``   fraction of tokens that repeat an earlier token
+      - ``max_token_frac``   share of the single most frequent token
+      - ``top_bigram_cover`` max over bigrams of count(g)*len(g) / n_chars
+                             (character coverage of the most repetitive
+                             2-gram; Gopher's "top n-gram character
+                             fraction" without needing an argmax, so the
+                             metric is engine-order independent)
+      - ``dup_line_frac``    fraction of lines that repeat an earlier line
+
+    All pure column expressions: a narrow per-row map, no shuffle.  The
+    per-row cost is O(distinct_tokens * n_tokens) — bounded for real
+    corpora by a pre-filter on n_chars (documents longer than the training
+    cutoff are truncated upstream), so there is no skew hazard at 100 TB.
+    """
+    t = F.col(text_col)
+    staged = df.select(F.col(id_col), t.alias("__text"),
+                       tokens(t).alias("__toks"))
+    tk = F.col("__toks")
+    n = F.size(tk)
+    safe_n = F.greatest(n, F.lit(1))
+    counts_of = lambda arr: F.transform(  # noqa: E731
+        F.array_distinct(arr),
+        lambda g: F.size(F.filter(arr, lambda x: x == g)))
+    bigrams = _word_ngrams(tk, 2)
+    big_cover = F.array_max(F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(F.array_distinct(bigrams),
+                    lambda g: (F.size(F.filter(bigrams, lambda x: x == g))
+                               * F.length(g)).cast("long"))))
+    lines = F.filter(F.split(F.col("__text"), r"\n"), lambda x: x != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round((n - F.size(F.array_distinct(tk))) / safe_n, 6)
+         .alias("dup_token_frac"),
+        F.round(F.array_max(F.concat(F.array(F.lit(0)), counts_of(tk)))
+                / safe_n, 6).alias("max_token_frac"),
+        F.round(big_cover / F.greatest(F.length(F.col("__text")), F.lit(1)),
+                6).alias("top_bigram_cover"),
+        F.round((F.size(lines) - F.size(F.array_distinct(lines))) / n_lines,
+                6).alias("dup_line_frac"),
+    )
+
+
+# PII patterns shared with the SQL oracle: the common Java-regex/RE2 subset
+# (no backrefs, no lookaround), so Spark and DuckDB match identically.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() -]{6,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails, IPv4 addresses and phone-like digit runs.
+
+    Returns (id, redacted text, n_email, n_ip, n_phone).  Patterns apply in
+    order, each counting on the PREVIOUS stage's output so a redacted email
+    can't double-count as a phone number.  Pure regexp column expressions —
+    per-row map, no shuffle, whole-stage codegen.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long")
+                      .alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), cur.alias("text"), *counts)
+
+
+def chunk_documents(df: DataFrame, size: int = 16, overlap: int = 4,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows for training.
+
+    Chunk starts are 1, 1+step, ... with step = size - overlap, while
+    start <= max(n_tokens - size + step, 1) — the final window swallows the
+    tail (no chunk is a suffix of the previous one).  Empty docs produce no
+    chunks.  Returns (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+
+    explode() of a per-row sequence: rows fan out ~n_tokens/step with no
+    shuffle; downstream repartitioning (if needed) is the caller's choice.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    t = F.col(text_col)
+    staged = df.select(F.col(id_col), tokens(t).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(F.lit(1),
+                        F.greatest(n - size + step, F.lit(1)),
+                        F.lit(step))
+    ex = (staged.where(n > 0)
+          .select(F.col(id_col), F.col("__toks"),
+                  F.explode(starts).alias("__s")))
+    return ex.select(
+        F.col(id_col),
+        ((F.col("__s") - 1) / step).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), size))
+         .alias("chunk_text"),
+        F.least(F.lit(size), F.size(F.col("__toks")) - F.col("__s") + 1)
+         .cast("long").alias("n_chunk_tokens"),
+    )
+
+
 def top_ngrams_by_doc_freq(df: DataFrame, n: int = 2, k: int = 20,
                            text_col: str = "text") -> DataFrame:
     """Corpus-level n-gram statistics: the k n-grams appearing in the most

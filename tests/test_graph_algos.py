@@ -134,3 +134,58 @@ def test_pagerank_releases_caches(spark):
     del out
     gc.collect()
     assert jsc.getPersistentRDDs().size() <= before
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / degree histogram
+# ---------------------------------------------------------------------------
+
+from cypher_for_apache_flink_spark.functions.graph_algos import (  # noqa: E402
+    degree_histogram, triangle_count, triangle_sql_oracle)
+
+
+def _tri(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    return triangle_count(edges).collect()[0].n_triangles
+
+
+def test_triangle_single(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 1)]) == 1
+
+
+def test_triangle_none_on_path(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == 0
+
+
+def test_triangle_k4_has_four(spark):
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert _tri(spark, k4) == 4
+
+
+def test_triangle_ignores_direction_dupes_loops(spark):
+    # same triangle encoded with reversed/duplicate edges and a self-loop
+    assert _tri(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]) == 1
+
+
+def test_triangle_matches_duckdb_oracle(spark):
+    import duckdb
+
+    import random
+    rng = random.Random(7)
+    edge_list = list({(rng.randint(1, 30), rng.randint(1, 30))
+                      for _ in range(150)})
+    got = _tri(spark, edge_list)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", edge_list)
+    want = con.execute(
+        triangle_sql_oracle("SELECT src, dst FROM raw")).fetchone()[0]
+    assert got == want > 0
+
+
+def test_degree_histogram(spark):
+    # star 1-(2,3,4) plus edge 2-3: degrees 1:3, 2:2, 3:2, 4:1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "src long, dst long")
+    got = {r.degree: r.n_nodes for r in degree_histogram(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
