@@ -580,6 +580,57 @@ def _q_sample_weighted(spark, sf_dir):
                            weight_col="n_chars").select("doc_id", "source")
 
 
+def _q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition quality filters over the corpus."""
+    from cypher_for_apache_flink_spark.functions.text import repetition_profile
+    return repetition_profile(_docs(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """Email/IPv4/phone redaction with per-category counts."""
+    from cypher_for_apache_flink_spark.functions.text import pii_scrub
+    return pii_scrub(_docs(spark, sf_dir))
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking for training sequences."""
+    from cypher_for_apache_flink_spark.functions.text import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), size=16, overlap=4)
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Part co-purchase graph: parts sharing an order (undirected src<dst)."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey"))
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .select(F.col("a.l_partkey").alias("src"),
+                    F.col("b.l_partkey").alias("dst")))
+
+
+_COPURCHASE_SQL = (
+    "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey")
+
+
+def _q_triangle_count(spark, sf_dir):
+    """Degree-ordered triangle count of the part co-purchase graph."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        triangle_count,
+    )
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+def _q_degree_histogram(spark, sf_dir):
+    """Degree distribution of the part co-purchase graph."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        degree_histogram,
+    )
+    return degree_histogram(_copurchase_edges(spark, sf_dir))
+
+
 # Appended AFTER the in-window groups (the driver records the first 50
 # entries; these stay judge-checkable via tools/check_oracle.py).
 _EXTRA_QUERIES = {
@@ -614,6 +665,11 @@ _PIPELINE_QUERIES = {
     "bfs_shortest_paths": _q_bfs,
     "curate_corpus": _q_curate_corpus,
     "rolling_fingerprints": _q_rolling_fingerprints,
+    "repetition_profile": _q_repetition_profile,
+    "pii_scrub": _q_pii_scrub,
+    "chunk_documents": _q_chunk_documents,
+    "triangle_count": _q_triangle_count,
+    "degree_histogram": _q_degree_histogram,
     "driving_table": _q_driving_table,
     "construct_requery": _q_construct_requery,
     "ddl_graph": _q_ddl_graph,
@@ -639,6 +695,15 @@ _DEFERRED_VARIANTS = [
     # global agg is exercised by exists_pattern's count)
     "scan_nodes", "rel_properties", "optional_first_clause",
     "type_function", "agg_global",
+    # deferred in round 4 to make window room for repetition/PII/chunking/
+    # triangle ops (each deferral keeps an in-window family representative:
+    # expand_into < expand_3hop_keyword_types, var_length_unbounded <
+    # var_length_1_2, distinct_projection < union_all's dedup,
+    # agg_count_distinct < agg_stats, the expression-family quartet
+    # case/string/math/list < with_pipeline + events_temporal)
+    "expand_into", "var_length_unbounded", "distinct_projection",
+    "agg_count_distinct", "case_expression", "string_functions",
+    "math_functions", "list_functions",
     # expand_2hop's chained-expand + agg shape is covered in-window by
     # expand_1hop + expand_3hop_keyword_types (bench still runs it);
     # duration_shift's date+duration arithmetic stays oracle-checkable and
@@ -727,6 +792,13 @@ SELECT doc_id, source FROM documents
 WHERE md5(CAST(doc_id AS VARCHAR)) <
   CASE source WHEN 'src0' THEN '{t0}' WHEN 'src1' THEN '{t1}'
   ELSE '{td}' END"""
+
+
+def _triangle_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        triangle_sql_oracle,
+    )
+    return triangle_sql_oracle(_COPURCHASE_SQL)
 
 
 def _pagerank_oracle_sql() -> str:
@@ -1078,6 +1150,79 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, unnest(list_slice(fps, 1, 4)) AS fp FROM spans""",
+        "repetition_profile": rf"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents
+), b AS (
+  SELECT doc_id, text, tk,
+    CASE WHEN len(tk) >= 2 THEN list_transform(
+      generate_series(1, len(tk) - 1),
+      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+    ELSE [] END AS bg,
+    list_filter(string_split(text, chr(10)), x -> x <> '') AS ln
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  round((len(tk) - len(list_distinct(tk))) / greatest(len(tk), 1), 6)
+    AS dup_token_frac,
+  round(list_max(list_concat([0], list_transform(list_distinct(tk),
+        g -> len(list_filter(tk, x -> x = g))))) / greatest(len(tk), 1), 6)
+    AS max_token_frac,
+  round(list_max(list_concat([0], list_transform(list_distinct(bg),
+        g -> len(list_filter(bg, x -> x = g)) * length(g))))
+        / greatest(length(text), 1), 6) AS top_bigram_cover,
+  round((len(ln) - len(list_distinct(ln))) / greatest(len(ln), 1), 6)
+    AS dup_line_frac
+FROM b""",
+        "pii_scrub": r"""
+WITH s1 AS (
+  SELECT doc_id, text AS t0,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t1,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t2, '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g') AS text,
+  CAST(n_email AS BIGINT) AS n_email,
+  CAST(n_ip AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t2, '\+?\d[\d() -]{6,}\d')) AS BIGINT)
+    AS n_phone
+FROM s2""",
+        "chunk_documents": rf"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), s AS (
+  SELECT doc_id, tk,
+    unnest(generate_series(1, greatest(len(tk) - 16 + 12, 1), 12)) AS st
+  FROM t WHERE len(tk) > 0
+)
+SELECT doc_id,
+  CAST((st - 1) // 12 AS BIGINT) AS chunk_id,
+  array_to_string(list_slice(tk, st, st + 15), ' ') AS chunk_text,
+  CAST(least(16, len(tk) - st + 1) AS BIGINT) AS n_chunk_tokens
+FROM s""",
+        "triangle_count": _triangle_oracle_sql(),
+        "degree_histogram": rf"""
+WITH e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({_COPURCHASE_SQL}) WHERE src <> dst
+), d AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY degree""",
         "dedup_exact_groups": rf"""
 SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
 FROM (SELECT doc_id, {_SQL_FP} AS fp FROM documents)
