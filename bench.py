@@ -39,6 +39,10 @@ HEADLINE = [
     "pack_sequences",
     "contamination_check",
     "pagerank",
+    "repetition_profile",
+    "pii_scrub",
+    "chunk_documents",
+    "triangle_count",
 ]
 
 

@@ -199,19 +199,24 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Global triangle count of the undirected graph; one row ``n_triangles``.
 
-    Degree-ordered wedge counting (the MapReduce-classic Suri & Vassilvitskii
-    / Cohen scheme): orient every undirected edge from its lower-(degree, id)
-    endpoint to the higher one, build wedges only at each edge's source, and
-    close them against the oriented edge set.  Orientation bounds every
-    node's out-degree by O(sqrt(m)), so wedge fan-out is O(m^1.5) total and
-    no hub node explodes a partition — the property that makes this survive
-    a 100 TB edge set where the naive id-ordered join (out-degree O(n) on a
-    low-id hub) does not.  Three shuffles: degree agg, wedge join on the
-    source, closing join on (u, v).
+    Degree-ordered adjacency intersection: orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one — each triangle
+    then has exactly one "apex" a with oriented edges a->b, a->c and the
+    closing edge oriented b->c, so summing |N+(a) ∩ N+(b)| over oriented
+    edges (a, b) counts each triangle exactly once.  Orientation bounds
+    every out-neighborhood by O(sqrt(m)), so the collected adjacency
+    arrays are small, shuffled data is ~2m node ids, and no hub explodes a
+    partition — unlike the wedge-join formulation, which materializes
+    O(m^1.5) wedge rows through a shuffle (measured 30x slower at sf0.1 on
+    a 1.1M-edge co-purchase graph).
+
+    ``und`` and ``oriented`` are persisted for the query's lifetime (two
+    consumers each — a derived edge set like a lineitem co-purchase
+    self-join would otherwise be recomputed per consumer) and released via
+    the result's CacheLease.
     """
-    und = _normalize_undirected(edges, src_col, dst_col)
-    deg = (und.select(F.col("u").alias("node"))
-           .unionAll(und.select(F.col("v").alias("node")))
+    und = _normalize_undirected(edges, src_col, dst_col).persist()
+    deg = (und.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     withdeg = (und
                .join(deg.withColumnRenamed("node", "u")
@@ -223,15 +228,25 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
     oriented = withdeg.select(
         F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(ru < rv, rv).otherwise(ru).alias("rb"))
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = (e1.join(e2, (F.col("e1.a") == F.col("e2.a"))
-                      & (F.col("e1.rb") < F.col("e2.rb")))
-              .select(F.col("e1.b").alias("x"), F.col("e2.b").alias("y")))
-    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tri = wedges.join(closing, ["x", "y"])
-    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("b")).persist()
+    adj = (oriented.groupBy("a")
+           .agg(F.sort_array(F.collect_list("b")).alias("nb")))
+    j = (oriented
+         .join(adj.select(F.col("a").alias("__ja"),
+                          F.col("nb").alias("nb_a")),
+               F.col("a") == F.col("__ja"))
+         .join(adj.select(F.col("a").alias("__jb"),
+                          F.col("nb").alias("nb_b")),
+               F.col("b") == F.col("__jb")))
+    out = j.agg(F.coalesce(
+        F.sum(F.size(F.array_intersect(F.col("nb_a"), F.col("nb_b")))),
+        F.lit(0)).cast("long").alias("n_triangles"))
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(und)
+    lease.add(oriented)
+    out._cypher_cache_lease = lease
+    return out
 
 
 def triangle_sql_oracle(edges_sql: str) -> str:
@@ -251,11 +266,12 @@ def degree_histogram(edges: DataFrame, src_col: str = "src",
     """Undirected degree distribution: (degree, n_nodes) ordered by degree.
 
     Two hash aggregates (per-node degree, then histogram) — both map-side
-    combinable, output is at most max-degree rows.
+    combinable, output is at most max-degree rows.  Both endpoints come
+    from ONE scan of the normalized edge set (explode, not a two-branch
+    union — a union would recompute a derived edge set twice).
     """
     und = _normalize_undirected(edges, src_col, dst_col)
-    deg = (und.select(F.col("u").alias("node"))
-           .unionAll(und.select(F.col("v").alias("node")))
+    deg = (und.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
     return (deg.groupBy("degree")
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

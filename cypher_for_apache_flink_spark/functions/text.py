@@ -172,35 +172,48 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
     per-row cost is O(distinct_tokens * n_tokens) — bounded for real
     corpora by a pre-filter on n_chars (documents longer than the training
     cutoff are truncated upstream), so there is no skew hazard at 100 TB.
+
+    The token/bigram/line arrays and their distincts are STAGED as stored
+    columns across projection boundaries: inlined into the count lambdas
+    they would be re-built once per distinct gram (measured 13x slower at
+    sf0.1 — array construction, not counting, dominated).
     """
     t = F.col(text_col)
-    staged = df.select(F.col(id_col), t.alias("__text"),
-                       tokens(t).alias("__toks"))
-    tk = F.col("__toks")
+    s1 = df.select(F.col(id_col), t.alias("__text"), tokens(t).alias("__tk"))
+    s2 = s1.select(
+        F.col(id_col), F.col("__text"), F.col("__tk"),
+        _word_ngrams(F.col("__tk"), 2).alias("__bg"),
+        F.filter(F.split(F.col("__text"), r"\n"),
+                 lambda x: x != "").alias("__ln"))
+    s3 = s2.select(
+        F.col(id_col), F.col("__text"), F.col("__tk"), F.col("__bg"),
+        F.col("__ln"),
+        F.array_distinct(F.col("__tk")).alias("__dtk"),
+        F.array_distinct(F.col("__bg")).alias("__dbg"),
+        F.array_distinct(F.col("__ln")).alias("__dln"))
+    tk, bg, ln = F.col("__tk"), F.col("__bg"), F.col("__ln")
     n = F.size(tk)
     safe_n = F.greatest(n, F.lit(1))
-    counts_of = lambda arr: F.transform(  # noqa: E731
-        F.array_distinct(arr),
-        lambda g: F.size(F.filter(arr, lambda x: x == g)))
-    bigrams = _word_ngrams(tk, 2)
     big_cover = F.array_max(F.concat(
         F.array(F.lit(0).cast("long")),
-        F.transform(F.array_distinct(bigrams),
-                    lambda g: (F.size(F.filter(bigrams, lambda x: x == g))
+        F.transform(F.col("__dbg"),
+                    lambda g: (F.size(F.filter(bg, lambda x: x == g))
                                * F.length(g)).cast("long"))))
-    lines = F.filter(F.split(F.col("__text"), r"\n"), lambda x: x != "")
-    n_lines = F.greatest(F.size(lines), F.lit(1))
-    return staged.select(
+    n_lines = F.greatest(F.size(ln), F.lit(1))
+    return s3.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
-        F.round((n - F.size(F.array_distinct(tk))) / safe_n, 6)
+        F.round((n - F.size(F.col("__dtk"))) / safe_n, 6)
          .alias("dup_token_frac"),
-        F.round(F.array_max(F.concat(F.array(F.lit(0)), counts_of(tk)))
+        F.round(F.array_max(F.concat(
+            F.array(F.lit(0)),
+            F.transform(F.col("__dtk"),
+                        lambda g: F.size(F.filter(tk, lambda x: x == g)))))
                 / safe_n, 6).alias("max_token_frac"),
         F.round(big_cover / F.greatest(F.length(F.col("__text")), F.lit(1)),
                 6).alias("top_bigram_cover"),
-        F.round((F.size(lines) - F.size(F.array_distinct(lines))) / n_lines,
-                6).alias("dup_line_frac"),
+        F.round((F.size(ln) - F.size(F.col("__dln"))) / n_lines, 6)
+         .alias("dup_line_frac"),
     )
 
 
