@@ -131,6 +131,18 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
     if isinstance(expr, E.MapLit):
         return T.StructType([T.StructField(k, T.NullType())
                              for k, _ in expr.items])
+    if isinstance(expr, E.MapProjection):
+        # mirror the compile: .* props first, explicit items override
+        fields: dict = {}
+        if expr.all_props:
+            for e in ctx.header.exprs():
+                if isinstance(e, E.Property) and e.owner == expr.var:
+                    fields[e.key] = None
+            fields = dict(sorted(fields.items()))
+        for k, _ in expr.items:
+            fields[k] = None
+        return T.StructType([T.StructField(k, T.NullType())
+                             for k in fields])
     if isinstance(expr, E.ListLit):
         et = None
         for it in expr.items:
@@ -783,10 +795,23 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             ((e.key, ctx.header.col(e)) for e in ctx.header.exprs()
              if isinstance(e, E.Property) and e.owner == var),
         )
-        if not props:
+        if props:
+            # entity: a null-valued property column means "property absent
+            # on this element" -> excluded (reference CypherMap semantics)
+            return F.array_compact(F.array(
+                *[F.when(F.col(c).isNotNull(), F.lit(k))
+                  for k, c in props]))
+        if isinstance(var, E.Var) and ctx.header.var(var.name) is not None:
+            # entity with no declared properties: keys() = []
             return F.array().cast("array<string>")
-        return F.array_compact(F.array(
-            *[F.when(F.col(c).isNotNull(), F.lit(k)) for k, c in props]))
+        # map value (literal / projection / nested struct): every key is
+        # present even when its value is null (TCK Keys on literal maps)
+        t = spark_dtype(args[0], ctx)
+        if _is(t, T.StructType):
+            return F.array(*[F.lit(f) for f in t.fieldNames()])
+        if _is(t, T.MapType):
+            return F.map_keys(a(0))
+        return F.array().cast("array<string>")
     if name == "properties":
         var = args[0]
         props = sorted(

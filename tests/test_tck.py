@@ -637,6 +637,54 @@ SCENARIOS = [
      "RETURN d.days AS days, d.hours AS h",
      [(3, 4)]),
 
+    # --- Container index / slice edges (TCK ListOperations) ------------------
+    ("negative list index", None, "RETURN [1,2,3][-1] AS r", [(3,)]),
+    ("out of range index is null", None, "RETURN [1,2,3][5] AS r", [(None,)]),
+    ("open-ended slice", None, "RETURN [1,2,3][1..] AS r", [((2, 3),)]),
+    ("open-start slice", None, "RETURN [1,2,3][..2] AS r", [((1, 2),)]),
+    ("negative slice start", None, "RETURN [1,2,3][-2..] AS r", [((2, 3),)]),
+
+    # --- Arithmetic semantics -------------------------------------------------
+    ("integer division truncates", None, "RETURN 5 / 2 AS r", [(2,)]),
+    ("mixed division is float", None, "RETURN 5.0 / 2 AS r", [(2.5,)]),
+    ("modulo", None, "RETURN 5 % 2 AS r", [(1,)]),
+    ("float equality is exact", None,
+     "RETURN 0.1 + 0.2 = 0.3 AS r", [(False,)]),
+    ("string plus null is null", None, "RETURN 'a' + null AS r", [(None,)]),
+
+    # --- Quantifiers over empty lists ----------------------------------------
+    ("any over empty list is false", None,
+     "RETURN any(x IN [] WHERE x) AS r", [(False,)]),
+    ("all over empty list is true", None,
+     "RETURN all(x IN [] WHERE x) AS r", [(True,)]),
+
+    # --- DISTINCT treats null as a value -------------------------------------
+    ("distinct keeps one null", None,
+     "UNWIND [1, null, 1, null] AS x RETURN DISTINCT x AS x",
+     [(1,), (None,)]),
+
+    # --- Repeated variable across MATCH clauses ------------------------------
+    ("rebound variable must satisfy both labels", ABC,
+     "MATCH (a:A) MATCH (a:B) RETURN a.name AS r", []),
+    ("property map pattern filters", ABC,
+     "MATCH (n {name: 'a'}) RETURN n.num AS r", [(1,)]),
+    ("relationship property map pattern", ABC,
+     "MATCH ()-[r:KNOWS {w: 1}]->() RETURN r.w AS r", [(1,)]),
+
+    # --- keys() on maps (TCK Keys: literal-map keys include null values) -----
+    ("keys of literal map keeps null-valued keys", None,
+     "RETURN keys({a: 1, b: null}) AS r", [(("a", "b"),)]),
+    ("keys of map projection", ABC,
+     "MATCH (n:A) RETURN keys(n {.name, extra: 5}) AS r",
+     [(("name", "extra"),)]),
+    ("keys of nested map", None,
+     "WITH {x: 1, y: {z: 2}} AS m RETURN keys(m.y) AS r", [(("z",),)]),
+
+    # --- range with step / reverse -------------------------------------------
+    ("range descending", None, "RETURN range(3, 0, -1) AS r",
+     [((3, 2, 1, 0),)]),
+    ("reverse list", None, "RETURN reverse([1,2,3]) AS r", [((3, 2, 1),)]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
