@@ -427,6 +427,25 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         return _case(expr, ctx)
 
     if isinstance(expr, E.Subscript):
+        if isinstance(expr.owner, E.Var):
+            # dynamic property lookup on an entity: n['name'] (TCK
+            # ContainerIndex on nodes/relationships)
+            props = sorted(
+                ((e.key, ctx.header.col(e)) for e in ctx.header.exprs()
+                 if isinstance(e, E.Property) and e.owner == expr.owner),
+            )
+            if props:
+                key = plan_const(expr.index, ctx)
+                if isinstance(key, str):
+                    for k, c in props:
+                        if k == key:
+                            return F.col(c)
+                    return F.lit(None)
+                idx = to_column(expr.index, ctx)
+                out = F.lit(None)
+                for k, c in props:
+                    out = F.when(idx == F.lit(k), F.col(c)).otherwise(out)
+                return out
         owner = to_column(expr.owner, ctx)
         ot = spark_dtype(expr.owner, ctx)
         idx = to_column(expr.index, ctx)
@@ -1053,7 +1072,12 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
         mo, dd, us = (arg.getField("months"), arg.getField("days"),
                       arg.getField("microseconds"))
         if n == "sum":
-            return make_duration(F.sum(mo), F.sum(dd), F.sum(us))
+            # sum of no durations = zero duration (reference DurationSum
+            # initializes its buffer to interval 0)
+            z = F.lit(0).cast("long")
+            return make_duration(F.coalesce(F.sum(mo), z),
+                                 F.coalesce(F.sum(dd), z),
+                                 F.coalesce(F.sum(us), z))
         if n == "avg":
             return make_duration(F.avg(mo), F.avg(dd), F.avg(us))
         est = duration_estimate_us(arg)
@@ -1061,7 +1085,11 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
     if n == "count":
         return F.count_distinct(arg) if expr.distinct else F.count(arg)
     if n == "sum":
-        return F.sum_distinct(arg) if expr.distinct else F.sum(arg)
+        # openCypher: sum over zero values (empty group / all nulls) is 0,
+        # not null (TCK Aggregation; Spark's SUM returns null there).
+        # coalesce with an int literal: Spark coerces 0 up to the sum type.
+        out = F.sum_distinct(arg) if expr.distinct else F.sum(arg)
+        return F.coalesce(out, F.lit(0))
     if n == "avg":
         return F.avg(arg)
     if n == "min":

@@ -479,9 +479,18 @@ SCENARIOS = [
      "MATCH (n:N) WITH n.x AS x ORDER BY x SKIP 1 LIMIT 2 RETURN x",
      [(2,), (3,)]),
     ("aggregates on empty match", None,
+     # sum over zero values is 0 (TCK Aggregation), min/collect stay empty
      "MATCH (q:Nope) RETURN count(q) AS c, sum(q.x) AS s, "
      "size(collect(q.x)) AS l",
-     [(0, None, 0)]),
+     [(0, 0, 0)]),
+    ("sum of all nulls is zero", None,
+     "UNWIND [null, null] AS x RETURN sum(x) AS s", [(0,)]),
+    ("dynamic property lookup", ABC,
+     "MATCH (n:A) RETURN n['name'] AS r", [("a",)]),
+    ("dynamic property lookup missing key", ABC,
+     "MATCH (n:A) RETURN n['zzz'] AS r", [(None,)]),
+    ("dynamic property lookup computed key", ABC,
+     "MATCH (n:A) WITH 'nu' + 'm' AS k, n RETURN n[k] AS r", [(1,)]),
     ("list equality by value", None,
      "RETURN [1,2] = [1,2] AS a, [1,2] = [2,1] AS b",
      [(True, False)]),
