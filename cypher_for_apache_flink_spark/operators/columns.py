@@ -901,10 +901,15 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         "sin": F.sin, "cos": F.cos, "tan": F.tan, "cot": lambda c: 1.0 / F.tan(c),
         "asin": F.asin, "acos": F.acos, "atan": F.atan,
         "degrees": F.degrees, "radians": F.radians,
-        "isempty": lambda c: F.size(c) == 0,
     }
     if name in simple:
         return simple[name](a(0))
+    if name == "isempty":
+        # string -> char_length, list/map -> size (TCK IsEmpty)
+        t = spark_dtype(args[0], ctx)
+        if _is(t, T.StringType):
+            return F.length(a(0)) == 0
+        return F.size(a(0)) == 0
     if name == "round":
         return F.round(a(0), int(plan_const(args[1], ctx)) if len(args) > 1 else 0)
     if name == "atan2":

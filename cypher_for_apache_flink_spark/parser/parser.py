@@ -714,6 +714,14 @@ class Parser:
                 if not self.opt_punct(","):
                     break
         self.eat_punct(")")
+        if name in ("size", "length") and len(args) == 1 \
+                and isinstance(args[0], E.PatternPredicate) \
+                and not args[0].negated:
+            # size((n)-[:T]->()) counts pattern matches: rewrite to the
+            # size of a pattern comprehension projecting 1 per match
+            # (legacy openCypher pattern expression in size()).
+            return E.FuncCall("size", (E.PatternComprehension(
+                args[0].pattern, None, E.Lit(1)),), False)
         return E.FuncCall(name, tuple(args), distinct)
 
     def parse_case(self):

@@ -694,6 +694,17 @@ SCENARIOS = [
      [((3, 2, 1, 0),)]),
     ("reverse list", None, "RETURN reverse([1,2,3]) AS r", [((3, 2, 1),)]),
 
+    # --- size() of a pattern expression / isEmpty ----------------------------
+    ("size of pattern expression counts matches", ABC,
+     "MATCH (n) RETURN n.name AS n, size((n)-[:KNOWS]->()) AS c",
+     [("a", 1), ("b", 1), ("c", 0)]),
+    ("size of pattern in where", ABC,
+     "MATCH (n) WHERE size((n)-[:KNOWS]->()) = 1 RETURN n.name AS r",
+     [("a",), ("b",)]),
+    ("isEmpty on list and string", None,
+     "RETURN isEmpty([]) AS a, isEmpty('x') AS b, isEmpty('') AS c",
+     [(True, False, True)]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
