@@ -599,14 +599,24 @@ def _q_chunk_documents(spark, sf_dir):
 
 
 def _copurchase_edges(spark, sf_dir):
-    """Part co-purchase graph: parts sharing an order (undirected src<dst)."""
+    """Part co-purchase graph: parts sharing an order (undirected src<dst).
+
+    One groupBy + per-order pair explode instead of a lineitem self-join:
+    a single shuffle of the fact table (the self-join shuffles it twice),
+    and group size is bounded by items-per-order so the explode cannot
+    skew.  Same row set as the SQL oracle's self-join.
+    """
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_partkey"))
-    a, b = li.alias("a"), li.alias("b")
-    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-            .select(F.col("a.l_partkey").alias("src"),
-                    F.col("b.l_partkey").alias("dst")))
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    ps = F.col("ps")
+    pairs = F.flatten(F.transform(
+        ps, lambda x, i: F.transform(
+            F.slice(ps, i + 2, F.size(ps)),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    return (grp.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst")))
 
 
 _COPURCHASE_SQL = (

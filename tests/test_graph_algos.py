@@ -189,3 +189,12 @@ def test_degree_histogram(spark):
         [(1, 2), (1, 3), (1, 4), (2, 3)], "src long, dst long")
     got = {r.degree: r.n_nodes for r in degree_histogram(edges).collect()}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                  "src long, dst long")
+    plan = (triangle_count(edges)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -705,6 +705,25 @@ SCENARIOS = [
      "RETURN isEmpty([]) AS a, isEmpty('x') AS b, isEmpty('') AS c",
      [(True, False, True)]),
 
+    # --- Multi-label / type alternation / WITH semantics ---------------------
+    ("conjunctive label pattern",
+     'CREATE (:A:B {name: "ab"}), (:A {name: "a"}), (:B {name: "b"})',
+     "MATCH (n:A:B) RETURN n.name AS r", [("ab",)]),
+    ("relationship type alternation counts both", ABC,
+     "MATCH ()-[r:KNOWS|NOPE]->() RETURN count(*) AS c", [(2,)]),
+    ("anonymous fixed-length var expand", ABC,
+     "MATCH ()-[*2]->(z) RETURN z.name AS r", [("c",)]),
+    ("with star keeps all variables", ABC,
+     "MATCH (a:A) WITH * RETURN a.num AS r", [(1,)]),
+    ("three part union distinct", None,
+     "RETURN 1 AS x UNION RETURN 2 AS x UNION RETURN 1 AS x",
+     [(1,), (2,)]),
+    ("with shadows its own alias", None,
+     "WITH 1 AS x WITH x + 1 AS x RETURN x", [(2,)]),
+    ("case in where", NUMS,
+     "MATCH (n:N) WHERE CASE WHEN n.x IS NULL THEN false "
+     "ELSE n.x > 2 END RETURN n.x AS x", [(3,), (4,)]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,

@@ -151,3 +151,16 @@ def test_word_shingles_short_docs_yield_empty(spark):
                      word_shingles(F.col("text"), 3).alias("s")).collect()}
     assert got[1] == [] and got[2] == []
     assert got[3] == ["a b c", "b c d"]
+
+
+def test_repetition_profile_no_shuffle_plan(spark):
+    df = _docs(spark, [(1, _toks(30))])
+    plan = (repetition_profile(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_no_shuffle_plan(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
