@@ -17,6 +17,7 @@ class NodePattern:
     var: object          # str | None
     labels: tuple = ()
     props: tuple = ()    # ((key, Expr), ...)
+    base: object = None  # str | None — CONSTRUCT ``v COPY OF base``
 
 
 @dataclass(frozen=True)
@@ -28,6 +29,7 @@ class RelPattern:
     var_length: bool = False
     lo: object = None        # int | None
     hi: object = None        # int | None
+    base: object = None      # str | None — CONSTRUCT ``r COPY OF base``
 
 
 @dataclass(frozen=True)

@@ -365,23 +365,39 @@ class Parser:
             elements.extend([rel, node])
         return A.PatternPart(tuple(elements))
 
+    def _opt_copy_of(self):
+        """``COPY OF base`` (CONSTRUCT base entities, reference
+        IRBuilder.scala:637-677 baseFields).  copy/of are soft keywords:
+        only the exact two-identifier sequence triggers."""
+        t0, t1 = self.peek(), self.peek(1)
+        if t0.kind == "IDENT" and t0.text.lower() == "copy" \
+                and t1.kind == "IDENT" and t1.text.lower() == "of":
+            self.next()
+            self.next()
+            return self.ident()
+        return None
+
     def parse_node_pattern(self) -> A.NodePattern:
         self.eat_punct("(")
         var = None
         labels = []
         props: tuple = ()
         t = self.peek()
-        if t.kind == "IDENT":
+        if t.kind == "IDENT" and not (
+                t.text.lower() == "copy"
+                and self.peek(1).kind == "IDENT"
+                and self.peek(1).text.lower() == "of"):
             var = self.next().text
         elif t.kind == "KW":   # keyword-spelled variable, e.g. (order:Order)
             var = self.next().raw
+        base = self._opt_copy_of()
         while self.at_punct(":"):
             self.next()
             labels.append(self.ident())
         if self.at_punct("{"):
             props = self.parse_map_entries()
         self.eat_punct(")")
-        return A.NodePattern(var, tuple(labels), props)
+        return A.NodePattern(var, tuple(labels), props, base)
 
     def parse_rel_pattern(self) -> A.RelPattern:
         direction = "out"
@@ -395,12 +411,17 @@ class Parser:
         props: tuple = ()
         var_length = False
         lo = hi = None
+        base = None
         if self.at_punct("["):
             self.next()
-            if self.peek().kind == "IDENT":
+            if self.peek().kind == "IDENT" and not (
+                    self.peek().text.lower() == "copy"
+                    and self.peek(1).kind == "IDENT"
+                    and self.peek(1).text.lower() == "of"):
                 var = self.next().text
             elif self.peek().kind == "KW":
                 var = self.next().raw
+            base = self._opt_copy_of()
             while self.at_punct(":"):
                 self.next()
                 types.append(self.ident())
@@ -431,7 +452,8 @@ class Parser:
             self.eat_punct("-")
             if direction == "out":
                 direction = "both"
-        return A.RelPattern(var, tuple(types), direction, props, var_length, lo, hi)
+        return A.RelPattern(var, tuple(types), direction, props, var_length,
+                            lo, hi, base)
 
     def parse_map_entries(self) -> tuple:
         self.eat_punct("{")

@@ -801,10 +801,22 @@ class Planner:
         rel_slots = []
 
         def reg_node(np: A.NodePattern) -> str:
-            info = node_slots.setdefault(np.var, {"labels": set(), "props": {}})
+            info = node_slots.setdefault(
+                np.var, {"labels": set(), "props": {}, "base": None})
             info["labels"] |= set(np.labels)
             for k, v in np.props:
                 info["props"][k] = v
+            if getattr(np, "base", None):
+                if info["base"] not in (None, np.base):
+                    raise PlanError(
+                        f"conflicting COPY OF bases for {np.var!r}")
+                if header.var(np.base) is None:
+                    raise PlanError(f"COPY OF unbound variable {np.base!r}")
+                if np.var is not None and header.var(np.var) is not None:
+                    raise PlanError(
+                        f"COPY OF target {np.var!r} is already bound "
+                        "(use CLONE to keep identity)")
+                info["base"] = np.base
             return np.var
 
         for part in clause.news:
@@ -898,23 +910,32 @@ class Planner:
             for k, ve in info["props"].items():
                 prop_cols.append(to_column(resolve_vars(ve, header), ctx)
                                  .alias(prop_phys(k, _RESERVED_NODE)))
-            if hv is None:
+            # COPY OF base: a NEW entity (fresh id per row) carrying the
+            # base element's labels and properties, extended by explicit
+            # ones (reference IRBuilder.scala:637-677 base-field schema:
+            # every base label combo maps to combo + new labels).
+            carrier = hv if hv is not None else (
+                header.var(info.get("base")) if info.get("base") else None)
+            if carrier is None:
                 combo = frozenset(info["labels"])
                 add_node_table(combo, df.select(
                     new_id_cols[v].alias("id"), *prop_cols))
                 continue
-            # clone: carry the element's properties; recover label combos
-            # from the flag columns (tiny distinct — at most 2^labels rows).
-            id_col = F.col(header.col(hv))
+            # clone/copy: carry the element's properties; recover label
+            # combos from the flag columns (tiny distinct — at most
+            # 2^labels rows).
+            id_col = F.col(header.col(hv)) if hv is not None \
+                else new_id_cols[v]
+            carrier_id = F.col(header.col(carrier))
             for e in header.exprs():
-                if isinstance(e, E.Property) and e.owner == hv and \
+                if isinstance(e, E.Property) and e.owner == carrier and \
                         e.key not in info["props"]:
                     prop_cols.append(F.col(header.col(e)).alias(
                         prop_phys(e.key, _RESERVED_NODE)))
             label_cols = sorted(
                 (e.label, header.col(e)) for e in header.exprs()
-                if isinstance(e, E.HasLabel) and e.node == hv)
-            base = df.where(id_col.isNotNull())
+                if isinstance(e, E.HasLabel) and e.node == carrier)
+            base = df.where(carrier_id.isNotNull())
             if not label_cols:
                 add_node_table(frozenset(info["labels"]), base.select(
                     id_col.alias("id"), *prop_cols).dropDuplicates(["id"]))
@@ -936,11 +957,22 @@ class Planner:
 
         # -- relationship tables -----------------------------------------
         rel_tables: dict = {}
+
+        def add_rel_table(rtype, rdf):
+            rel_tables[rtype] = rdf if rtype not in rel_tables else \
+                rel_tables[rtype].unionByName(rdf, allowMissingColumns=True)
+
         for j, (s, rp, d) in enumerate(rel_slots):
-            if len(rp.types) != 1:
+            base_rv = header.var(rp.base) if getattr(rp, "base", None) \
+                else None
+            if getattr(rp, "base", None) and base_rv is None:
+                raise PlanError(f"COPY OF unbound variable {rp.base!r}")
+            if base_rv is None and len(rp.types) != 1:
+                raise PlanError("CONSTRUCT NEW relationships need exactly "
+                                "one type (or COPY OF a bound one)")
+            if len(rp.types) > 1:
                 raise PlanError("CONSTRUCT NEW relationships need exactly "
                                 "one type")
-            rtype = rp.types[0]
 
             def end_id(v):
                 hv = header.var(v)
@@ -948,17 +980,44 @@ class Planner:
                     return F.col(header.col(hv))
                 return new_id_cols[v]
 
+            over = {k for k, _ in rp.props}
             prop_cols = [to_column(resolve_vars(ve, header), ctx)
                          .alias(prop_phys(k, _RESERVED_REL))
                          for k, ve in rp.props]
+            if base_rv is not None:
+                # carry the base relationship's properties (explicit
+                # overrides win) — reference: newPropertyKeys layered over
+                # baseFieldSchema keys (IRBuilder.scala:653,669)
+                for e in header.exprs():
+                    if isinstance(e, E.Property) and e.owner == base_rv \
+                            and e.key not in over:
+                        prop_cols.append(F.col(header.col(e)).alias(
+                            prop_phys(e.key, _RESERVED_REL)))
+            type_cols = []
+            if base_rv is not None and not rp.types:
+                tc = header.get(TypeOf(base_rv))
+                if tc is None:
+                    raise PlanError(
+                        f"COPY OF {rp.base!r}: its type column is not in "
+                        "scope — give the NEW relationship an explicit type")
+                type_cols = [F.col(tc).alias("__rtype")]
             rdf = df.select(
                 new_id(len(new_vars) + j).alias("id"),
                 end_id(s).alias("source"),
                 end_id(d).alias("target"),
                 *prop_cols,
+                *type_cols,
             ).where(F.col("source").isNotNull() & F.col("target").isNotNull())
-            rel_tables[rtype] = rdf if rtype not in rel_tables else \
-                rel_tables[rtype].unionByName(rdf, allowMissingColumns=True)
+            if rp.types:
+                add_rel_table(rp.types[0], rdf)
+            else:
+                # type inherited per row from the base relationship
+                # (newTypes empty -> base types, IRBuilder.scala:677);
+                # rel tables are keyed by type, so split on the tiny set
+                # of distinct type values
+                for row in rdf.select("__rtype").distinct().collect():
+                    add_rel_table(row["__rtype"], rdf.where(
+                        F.col("__rtype") == row["__rtype"]).drop("__rtype"))
 
         # One element per id per combo: several cloned vars (a AND b of the
         # same pattern) can contribute the same entity.

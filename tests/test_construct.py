@@ -233,3 +233,59 @@ def test_construct_set_unbound_target_rejected(session):
     with pytest.raises(PlanError, match="not a CONSTRUCT element"):
         g.cypher("MATCH (p:Person) CONSTRUCT NEW (:Q) SET p.x = 1 "
                  "RETURN GRAPH").graph.nodes()
+
+
+# ---------------------------------------------------------------------------
+# COPY OF base entities (reference IRBuilder.scala:637-677 baseFields)
+# ---------------------------------------------------------------------------
+
+def test_construct_node_copy_of_carries_labels_and_props(session):
+    g = session.catalog["social"]
+    rg = g.cypher('MATCH (p:Person {name: "Alice"}) '
+                  "CONSTRUCT NEW (c COPY OF p :Vip {tier: 1}) "
+                  "RETURN GRAPH").graph
+    rows = rg.cypher("MATCH (n:Person:Vip) RETURN n.name AS name, "
+                     "n.age AS age, n.tier AS tier").collect()
+    assert [(r.name, r.age, r.tier) for r in rows] == [("Alice", 42, 1)]
+    # it is a COPY: a fresh entity, not Alice's id
+    ids = [r.i for r in rg.cypher("MATCH (n) RETURN id(n) AS i").collect()]
+    assert len(ids) == 1 and ids[0] < 0
+
+
+def test_construct_node_copy_of_prop_override(session):
+    g = session.catalog["social"]
+    rg = g.cypher('MATCH (p:Person {name: "Bob"}) '
+                  "CONSTRUCT NEW (c COPY OF p {age: 99}) "
+                  "RETURN GRAPH").graph
+    rows = rg.cypher("MATCH (n:Person) RETURN n.age AS age").collect()
+    assert [r.age for r in rows] == [99]
+
+
+def test_construct_rel_copy_of_carries_type_and_props(session):
+    spark = session.spark
+    nodes = {frozenset({"P"}): spark.createDataFrame(
+        [(1,), (2,), (3,)], "id long")}
+    rels = {
+        "KNOWS": spark.createDataFrame(
+            [(100, 1, 2, 7)], "id long, source long, target long, w long"),
+        "LIKES": spark.createDataFrame(
+            [(101, 2, 3, 8)], "id long, source long, target long, w long"),
+    }
+    from cypher_for_apache_flink_spark import PropertyGraph
+    g = PropertyGraph(nodes, rels, name="g")
+    rg = session.cypher(
+        "MATCH (a)-[r]->(b) CONSTRUCT CLONE a, b "
+        "NEW (b)-[COPY OF r]->(a) RETURN GRAPH", graph=g).graph
+    rows = rg.cypher("MATCH (x)-[e]->(y) RETURN type(e) AS t, e.w AS w, "
+                     "id(x) AS x, id(y) AS y").collect()
+    got = sorted((r.t, r.w, r.x, r.y) for r in rows)
+    # reversed endpoints, per-row inherited type, carried property
+    assert got == [("KNOWS", 7, 2, 1), ("LIKES", 8, 3, 2)]
+
+
+def test_construct_copy_of_unbound_base_rejected(session):
+    from cypher_for_apache_flink_spark.plans.planner import PlanError
+    g = session.catalog["social"]
+    with pytest.raises(PlanError, match="unbound"):
+        g.cypher("MATCH (p:Person) CONSTRUCT NEW (c COPY OF zz) "
+                 "RETURN GRAPH").graph.nodes()
