@@ -47,6 +47,22 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                     "n", "avg_value"))
 
 
+def sliding_event_counts(events: DataFrame, window: str = "1 hour",
+                         slide: str = "15 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window counts per event type: each event lands in
+    window/slide overlapping windows (epoch-aligned, like F.window).
+    Batch/stream identical by construction — same expression both ways.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.window("ts", window, slide).alias("w"),
+                        F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n"))
+
+
 def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Per-user session windows (gap-based), the canonical stream

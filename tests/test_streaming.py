@@ -213,3 +213,19 @@ def test_streaming_dedup_state_evicts_past_watermark(spark, tmp_path):
     # 9 distinct fingerprints flowed through; day-1 rows must be gone from
     # state once the watermark (day-3 noon minus 1h) passed them
     assert final_total < 9, [s["numRowsTotal"] for s in states]
+
+
+def test_sliding_counts_match_batch(spark, event_dir):
+    from cypher_for_apache_flink_spark.streaming.events import (
+        sliding_event_counts,
+    )
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    run_to_memory(sliding_event_counts(stream, window="1 hour",
+                                       slide="15 minutes"),
+                  "slide_counts", "complete")
+    got = spark.table("slide_counts").collect()
+    want = sliding_event_counts(spark.read.parquet(event_dir)).collect()
+    assert bag(got) == bag(want)
+    # sliding windows overlap: strictly more window rows than tumbling
+    tumb = windowed_event_counts(spark.read.parquet(event_dir)).collect()
+    assert len(want) > len(tumb)
