@@ -653,8 +653,20 @@ def _q_events_sliding(spark, sf_dir):
     return sliding_event_counts(ev, window="1 hour", slide="15 minutes")
 
 
+def _q_correlated_events(spark, sf_dir):
+    """Funnel correlation (batch twin of the watermarked stream-stream
+    interval join): view -> click by the same user within 10 minutes."""
+    from cypher_for_apache_flink_spark.streaming.events import (
+        correlated_events,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return correlated_events(ev, first_type="view", then_type="click",
+                             within="10 minutes")
+
+
 _EXTRA_QUERIES = {
     "events_sliding_counts": _q_events_sliding,
+    "correlated_events": _q_correlated_events,
     "top_ngrams": _q_top_ngrams,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "sample_weighted": _q_sample_weighted,
@@ -1252,6 +1264,13 @@ FROM events e, generate_series(0, 3) t(k)
 WHERE epoch(ts) >= cast(floor(epoch(ts)/900) as bigint)*900 - k*900
   AND epoch(ts) <  cast(floor(epoch(ts)/900) as bigint)*900 - k*900 + 3600
 GROUP BY 1, 2""",
+        "correlated_events": r"""
+SELECT l.user_id AS user_id, l.event_id AS first_id,
+       r.event_id AS then_id,
+       epoch_us(r.ts) - epoch_us(l.ts) AS gap_micros
+FROM events l JOIN events r ON r.user_id = l.user_id
+WHERE l.event_type = 'view' AND r.event_type = 'click'
+  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL '10 minutes'""",
         "dedup_exact_groups": rf"""
 SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
 FROM (SELECT doc_id, {_SQL_FP} AS fp FROM documents)

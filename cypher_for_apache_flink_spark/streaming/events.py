@@ -218,3 +218,39 @@ def streaming_near_dup_flags(docs: DataFrame, corpus: DataFrame,
         # once the watermark passes its event time
         return flagged.dropDuplicatesWithinWatermark([id_col, "ref"])
     return flagged.dropDuplicates([id_col, "ref"])
+
+
+def correlated_events(events: DataFrame, first_type: str = "view",
+                      then_type: str = "click", within: str = "10 minutes",
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: for each user, pair every
+    ``first_type`` event with the ``then_type`` events that FOLLOW it
+    within ``within`` (classic funnel / attribution correlation).
+
+    On a stream both sides carry watermarks and the join condition bounds
+    event-time range, so Spark can evict state — bounded memory at any
+    input rate.  On a batch DataFrame the same equi+range join runs as a
+    plain join, so the batch form is the SQL oracle's twin.  Returns
+    (user_id, first_id, then_id, gap_seconds).
+    """
+    lhs = events.where(F.col("event_type") == first_type).select(
+        F.col("user_id"), F.col("event_id").alias("first_id"),
+        F.col("ts").alias("first_ts"))
+    rhs = events.where(F.col("event_type") == then_type).select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("then_id"),
+        F.col("ts").alias("then_ts"))
+    if events.isStreaming:
+        lhs = lhs.withWatermark("first_ts", watermark)
+        rhs = rhs.withWatermark("then_ts", watermark)
+    cond = ((F.col("user_id") == F.col("u2"))
+            & (F.col("then_ts") > F.col("first_ts"))
+            & (F.col("then_ts") <= F.col("first_ts")
+               + F.expr(f"INTERVAL {within}")))
+    # parquet events carry TIMESTAMP_NTZ; unix_micros needs TIMESTAMP —
+    # the cast only shifts both sides by the same session-tz offset, so
+    # the difference is exact
+    return (lhs.join(rhs, cond)
+            .select("user_id", "first_id", "then_id",
+                    (F.unix_micros(F.col("then_ts").cast("timestamp"))
+                     - F.unix_micros(F.col("first_ts").cast("timestamp")))
+                    .alias("gap_micros")))

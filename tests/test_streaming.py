@@ -229,3 +229,23 @@ def test_sliding_counts_match_batch(spark, event_dir):
     # sliding windows overlap: strictly more window rows than tumbling
     tumb = windowed_event_counts(spark.read.parquet(event_dir)).collect()
     assert len(want) > len(tumb)
+
+
+def test_correlated_events_match_batch(spark, event_dir):
+    from cypher_for_apache_flink_spark.streaming.events import (
+        correlated_events,
+    )
+    # one micro-batch: the landing files are random row splits, so with
+    # per-file triggers the watermark would (correctly) drop out-of-order
+    # rows and parity with the batch twin would not hold
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(correlated_events(stream, within="30 minutes"),
+                  "corr_events", "append")
+    got = spark.table("corr_events").collect()
+    want = correlated_events(spark.read.parquet(event_dir),
+                             within="30 minutes").collect()
+    assert bag(got) == bag(want)
+    assert len(want) > 0
+    # every pair respects the interval bound and strict ordering
+    for r in want:
+        assert 0 < r.gap_micros <= 30 * 60 * 1_000_000
