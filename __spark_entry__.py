@@ -664,9 +664,16 @@ def _q_correlated_events(spark, sf_dir):
                              within="10 minutes")
 
 
+def _q_k_core(spark, sf_dir):
+    """12-core of the part co-purchase graph (iterative peeling)."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import k_core
+    return k_core(_copurchase_edges(spark, sf_dir), k=12)
+
+
 _EXTRA_QUERIES = {
     "events_sliding_counts": _q_events_sliding,
     "correlated_events": _q_correlated_events,
+    "k_core": _q_k_core,
     "top_ngrams": _q_top_ngrams,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "sample_weighted": _q_sample_weighted,
@@ -825,6 +832,14 @@ SELECT doc_id, source FROM documents
 WHERE md5(CAST(doc_id AS VARCHAR)) <
   CASE source WHEN 'src0' THEN '{t0}' WHEN 'src1' THEN '{t1}'
   ELSE '{td}' END"""
+
+
+def _k_core_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        k_core_sql_oracle,
+    )
+    # 16 unrolled rounds cover convergence at the sf0.01 oracle scale
+    return k_core_sql_oracle(_COPURCHASE_SQL, k=12, rounds=16)
 
 
 def _triangle_oracle_sql() -> str:
@@ -1245,6 +1260,7 @@ SELECT doc_id,
   CAST(least(16, len(tk) - st + 1) AS BIGINT) AS n_chunk_tokens
 FROM s""",
         "triangle_count": _triangle_oracle_sql(),
+        "k_core": _k_core_oracle_sql(),
         "degree_histogram": rf"""
 WITH e AS (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

@@ -276,3 +276,68 @@ def degree_histogram(edges: DataFrame, src_col: str = "src",
     return (deg.groupBy("degree")
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
             .orderBy("degree"))
+
+
+def k_core(edges: DataFrame, k: int = 3, src_col: str = "src",
+           dst_col: str = "dst", max_rounds: int = 50) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k.  Returns (node, degree) with each survivor's degree
+    INSIDE the core.
+
+    Iterative peeling as a DataFrame loop: per round, one degree
+    aggregate over the remaining edge set and one semi-join to drop edges
+    touching sub-k nodes.  Converges in at most O(n) rounds, in practice
+    a handful; every round is localCheckpoint-materialized (the fixpoint
+    test needs a count anyway) so lineage stays flat.  All shuffles key on
+    node ids — pre-bucketed edge tables make the peeling exchange-free on
+    a cluster.
+    """
+    live = _normalize_undirected(edges, src_col, dst_col) \
+        .localCheckpoint(eager=True)
+    n_live = live.count()
+    for _ in range(max_rounds):
+        deg = (live.select(F.explode(F.array("u", "v")).alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+        keep = deg.where(F.col("degree") >= k).select("node")
+        nxt = (live.join(keep.withColumnRenamed("node", "u"), "u",
+                         "left_semi")
+               .join(keep.withColumnRenamed("node", "v"), "v", "left_semi"))
+        # materialize every round: the fixpoint test needs a count anyway,
+        # and the checkpoint truncates the per-round lineage
+        nxt = nxt.localCheckpoint(eager=True)
+        n_next = nxt.count()
+        live = nxt
+        if n_next == n_live:
+            break
+        n_live = n_next
+    deg = (live.select(F.explode(F.array("u", "v")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                .alias("degree")))
+    return deg.where(F.col("degree") >= k)
+
+
+def k_core_sql_oracle(edges_sql: str, k: int = 3, rounds: int = 12) -> str:
+    """Unrolled-CTE twin of :func:`k_core` (one CTE pair per peel round —
+    fine for the sf0.01 oracle; the DataFrame loop is the scale path).
+    ``rounds`` must cover convergence for the oracle data set; the final
+    round's survivors are stable by then."""
+    # MATERIALIZED: each round references the previous one three times —
+    # default CTE inlining would expand the tree 3^rounds-fold
+    parts = [f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+             f"greatest(src, dst) AS v FROM ({edges_sql}) WHERE src <> dst)"]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS degree FROM "
+            f"(SELECT u AS node FROM {p} UNION ALL SELECT v FROM {p}) "
+            f"GROUP BY node)")
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE degree >= {k})")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT p.u, p.v FROM {p} p "
+            f"JOIN k{i} a ON a.node = p.u JOIN k{i} b ON b.node = p.v)")
+    last = f"e{rounds}"
+    return (", ".join(parts)
+            + f" SELECT node, CAST(count(*) AS BIGINT) AS degree FROM "
+              f"(SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})"
+              f" GROUP BY node HAVING count(*) >= {k}")

@@ -198,3 +198,49 @@ def test_triangle_plan_has_no_cartesian(spark):
             .executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+from cypher_for_apache_flink_spark.functions.graph_algos import (  # noqa: E402
+    k_core, k_core_sql_oracle)
+
+
+def test_k_core_triangle_with_tail(spark):
+    # triangle 1-2-3 plus tail 3-4: 2-core = the triangle, 4 peeled off
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+    got = {(r.node, r.degree) for r in k_core(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_cascading_peel(spark):
+    # path 1-2-3-4-5: 2-core empty (peeling cascades from both endpoints)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    assert k_core(edges, k=2).collect() == []
+
+
+def test_k_core_k1_keeps_everything(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    got = {r.node for r in k_core(edges, k=1).collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_k_core_matches_duckdb_oracle(spark):
+    import duckdb
+    import random
+    rng = random.Random(11)
+    edge_list = list({(rng.randint(1, 25), rng.randint(1, 25))
+                      for _ in range(80)})
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {(r.node, r.degree) for r in k_core(edges, k=4).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", edge_list)
+    want = set(con.execute(
+        k_core_sql_oracle("SELECT src, dst FROM raw", k=4,
+                          rounds=12)).fetchall())
+    assert got == want
