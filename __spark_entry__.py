@@ -670,10 +670,21 @@ def _q_k_core(spark, sf_dir):
     return k_core(_copurchase_edges(spark, sf_dir), k=12)
 
 
+def _q_events_sessions(spark, sf_dir):
+    """Per-user session windows (batch form of the streaming gap-session
+    operator — F.session_window)."""
+    from cypher_for_apache_flink_spark.streaming.events import (
+        sessionized_counts,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionized_counts(ev, gap="30 minutes")
+
+
 _EXTRA_QUERIES = {
     "events_sliding_counts": _q_events_sliding,
     "correlated_events": _q_correlated_events,
     "k_core": _q_k_core,
+    "events_sessions": _q_events_sessions,
     "top_ngrams": _q_top_ngrams,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "sample_weighted": _q_sample_weighted,
@@ -1287,6 +1298,22 @@ SELECT l.user_id AS user_id, l.event_id AS first_id,
 FROM events l JOIN events r ON r.user_id = l.user_id
 WHERE l.event_type = 'view' AND r.event_type = 'click'
   AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL '10 minutes'""",
+        "events_sessions": r"""
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS sess
+  FROM marked
+)
+SELECT min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
+       user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, sess""",
         "dedup_exact_groups": rf"""
 SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
 FROM (SELECT doc_id, {_SQL_FP} AS fp FROM documents)
