@@ -340,3 +340,31 @@ def test_unwind_param_list_of_maps(g):
     res = g.cypher("UNWIND $rows AS r RETURN r.id AS i, r.v AS v",
                    params={"rows": [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]})
     assert bag(res) == rows((1, "x"), (2, "y"))
+
+
+def test_graphx_pagerank_example_parity(g, spark):
+    """Reference workflow parity (GraphXPageRankExample.scala:55-75):
+    Cypher -> edge list -> PageRank -> ranks rejoined to names via a
+    driving table.  Here the RDD/GraphX hop is a DataFrame-only loop and
+    the rejoin is cypher(driving_table=...)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_flink_spark import CypherSession
+    from cypher_for_apache_flink_spark.functions.graph_algos import pagerank
+
+    edges = g.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "RETURN id(a) AS src, id(b) AS dst").df
+    ranks = pagerank(edges, iterations=20)
+
+    session = CypherSession.for_graph(g)
+    out = session.cypher(
+        "MATCH (p:Person) WHERE id(p) = node "
+        "RETURN p.name AS name, rank",
+        driving_table=ranks).df
+    got = {r.name: r.rank for r in out.collect()}
+    # the KNOWS subgraph is the 3-cycle a->b->c->a: uniform 1/3
+    assert set(got) == {"a", "b", "c"}
+    for v in got.values():
+        assert v == _pytest.approx(1 / 3, abs=1e-9)
