@@ -680,11 +680,22 @@ def _q_events_sessions(spark, sf_dir):
     return sessionized_counts(ev, gap="30 minutes")
 
 
+def _q_node_similarity(spark, sf_dir):
+    """GDS-style node similarity: co-purchase parts with Jaccard >= 0.5
+    over their undirected neighbor sets."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        neighborhood_jaccard_pairs,
+    )
+    return neighborhood_jaccard_pairs(_copurchase_edges(spark, sf_dir),
+                                      threshold=0.5)
+
+
 _EXTRA_QUERIES = {
     "events_sliding_counts": _q_events_sliding,
     "correlated_events": _q_correlated_events,
     "k_core": _q_k_core,
     "events_sessions": _q_events_sessions,
+    "node_similarity": _q_node_similarity,
     "top_ngrams": _q_top_ngrams,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "sample_weighted": _q_sample_weighted,
@@ -851,6 +862,13 @@ def _k_core_oracle_sql() -> str:
     )
     # 16 unrolled rounds cover convergence at the sf0.01 oracle scale
     return k_core_sql_oracle(_COPURCHASE_SQL, k=12, rounds=16)
+
+
+def _node_similarity_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        neighborhood_jaccard_sql_oracle,
+    )
+    return neighborhood_jaccard_sql_oracle(_COPURCHASE_SQL, threshold=0.5)
 
 
 def _triangle_oracle_sql() -> str:
@@ -1272,6 +1290,7 @@ SELECT doc_id,
 FROM s""",
         "triangle_count": _triangle_oracle_sql(),
         "k_core": _k_core_oracle_sql(),
+        "node_similarity": _node_similarity_oracle_sql(),
         "degree_histogram": rf"""
 WITH e AS (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

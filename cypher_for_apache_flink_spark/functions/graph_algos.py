@@ -341,3 +341,72 @@ def k_core_sql_oracle(edges_sql: str, k: int = 3, rounds: int = 12) -> str:
             + f" SELECT node, CAST(count(*) AS BIGINT) AS degree FROM "
               f"(SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})"
               f" GROUP BY node HAVING count(*) >= {k}")
+
+
+def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
+                               src_col: str = "src", dst_col: str = "dst",
+                               max_neighbor_degree: int | None = None
+                               ) -> DataFrame:
+    """Node-similarity pairs by Jaccard over undirected neighbor sets
+    (the GDS nodeSimilarity shape).  Returns (a, b, jaccard) with a < b
+    and jaccard >= threshold.
+
+    Candidate pairs are generated only through SHARED neighbors (wedge
+    join on the neighbor id) — no all-pairs blowup; a zero-overlap pair
+    has jaccard 0 and can never pass a positive threshold, so the block
+    is exact.  ``max_neighbor_degree`` drops hub neighbors (connecting
+    more than that many nodes) before the wedge join — the same skew cap
+    as ngram_jaccard_pairs' shingle-frequency cut, for graphs with
+    power-law hubs.  Degrees in the denominator still count ALL
+    neighbors, but hub-mediated overlap leaves the numerator, so capped
+    jaccard values are LOWER BOUNDS of the exact ones (pairs whose
+    overlap is hub-only can be missed) — the standard recall/cost trade
+    at scale.
+    """
+    und = _normalize_undirected(edges, src_col, dst_col)
+    adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(und.select(F.col("v").alias("node"),
+                                F.col("u").alias("nbr")))).persist()
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    wedge_src = adj
+    if max_neighbor_degree is not None:
+        small = deg.where(F.col("deg") <= max_neighbor_degree) \
+            .select(F.col("node").alias("nbr"))
+        wedge_src = adj.join(F.broadcast(small), "nbr")
+    a = wedge_src.select(F.col("node").alias("a"), "nbr")
+    b = wedge_src.select(F.col("node").alias("b"), "nbr")
+    shared = (a.join(b, "nbr").where(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("shared")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    out = (shared.join(da, "a").join(db, "b")
+           .withColumn("jaccard", F.round(
+               F.col("shared")
+               / (F.col("da") + F.col("db") - F.col("shared")), 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("a", "b", "jaccard"))
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(adj)
+    out._cypher_cache_lease = lease
+    return out
+
+
+def neighborhood_jaccard_sql_oracle(edges_sql: str,
+                                    threshold: float = 0.5) -> str:
+    """SQL twin of :func:`neighborhood_jaccard_pairs` (no degree cap)."""
+    return f"""
+WITH __nj_in AS ({edges_sql}),
+e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM __nj_in WHERE src <> dst),
+adj AS (SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+shared AS (
+  SELECT x.node AS a, y.node AS b, count(*) AS shared
+  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+  GROUP BY x.node, y.node)
+SELECT a, b,
+       round(shared / (da.deg + db.deg - shared), 6) AS jaccard
+FROM shared JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+WHERE shared / (da.deg + db.deg - shared) >= {threshold}"""

@@ -244,3 +244,66 @@ def test_k_core_matches_duckdb_oracle(spark):
         k_core_sql_oracle("SELECT src, dst FROM raw", k=4,
                           rounds=12)).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood Jaccard node similarity
+# ---------------------------------------------------------------------------
+
+from cypher_for_apache_flink_spark.functions.graph_algos import (  # noqa: E402
+    neighborhood_jaccard_pairs, neighborhood_jaccard_sql_oracle)
+
+
+def test_neighborhood_jaccard_basic(spark):
+    # K2,2: N(1)=N(2)={3,4} and N(3)=N(4)={1,2} -> both pairs at 1.0
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long")
+    got = {(r.a, r.b): r.jaccard
+           for r in neighborhood_jaccard_pairs(edges, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0, (3, 4): 1.0}
+
+
+def test_neighborhood_jaccard_partial_overlap(spark):
+    # N(1)={3,4}, N(2)={4,5}: shared 1, union 3 -> 1/3
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 4), (2, 5)], "src long, dst long")
+    got = {(r.a, r.b): r.jaccard
+           for r in neighborhood_jaccard_pairs(edges, threshold=0.3).collect()}
+    assert got[(1, 2)] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_neighborhood_jaccard_matches_duckdb(spark):
+    import duckdb
+    import random
+    rng = random.Random(13)
+    edge_list = list({(rng.randint(1, 20), rng.randint(1, 20))
+                      for _ in range(60)})
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {(r.a, r.b, r.jaccard)
+           for r in neighborhood_jaccard_pairs(edges,
+                                               threshold=0.25).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", edge_list)
+    want = set(map(tuple, con.execute(neighborhood_jaccard_sql_oracle(
+        "SELECT src, dst FROM raw", threshold=0.25)).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_neighborhood_jaccard_cap_prunes_only_candidates(spark):
+    # hub 9 connects to everyone; cap excludes it from wedge generation,
+    # but degrees still count it, so jaccard values shrink accordingly
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 9), (2, 9), (4, 9)], "src long, dst long")
+    uncapped = {(r.a, r.b): r.jaccard for r in
+                neighborhood_jaccard_pairs(edges, threshold=0.0).collect()}
+    capped = {(r.a, r.b): r.jaccard for r in
+              neighborhood_jaccard_pairs(
+                  edges, threshold=0.0,
+                  max_neighbor_degree=2).collect()}
+    # via hub 9 only: pair (1,4) disappears under the cap
+    assert (1, 4) in uncapped and (1, 4) not in capped
+    # pair (1,2) still found via neighbor 3; the capped value is a lower
+    # bound (hub-mediated overlap no longer counted in the numerator)
+    assert uncapped[(1, 2)] == 1.0
+    assert 0 < capped[(1, 2)] <= uncapped[(1, 2)]
