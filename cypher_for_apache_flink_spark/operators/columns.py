@@ -934,7 +934,14 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name == "right":
         return F.substring(a(0), -a(1).cast("int"), a(1))
     if name == "split":
-        return F.split(a(0), a(1))
+        # Cypher split's delimiter is a LITERAL string; F.split takes a
+        # Java regex ('.' would match everything).  \Q...\E quotes the
+        # whole delimiter; for computed delimiters the quoting is applied
+        # to the value at runtime.
+        d = plan_const(args[1], ctx)
+        if isinstance(d, str):
+            return F.split(a(0), "\\Q" + d + "\\E")
+        return F.split(a(0), F.concat(F.lit("\\Q"), a(1), F.lit("\\E")))
 
     # --- lists ----------------------------------------------------------
     if name in ("nodes", "relationships"):
@@ -969,8 +976,13 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         c = a(0)
         return F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
     if name == "range":
+        # empty list when the step points away from stop (Cypher), where
+        # F.sequence raises "Illegal sequence boundaries"
         step = a(2) if len(args) > 2 else F.lit(1)
-        return F.sequence(a(0), a(1), step)
+        lo, hi = a(0), a(1)
+        ok = (hi - lo) * F.signum(step) >= 0
+        return F.when(ok, F.sequence(lo, hi, step)) \
+            .otherwise(F.array().cast("array<long>"))
     if name == "coalesce":
         return F.coalesce(*all_cols())
     if name == "min" and len(args) > 1:

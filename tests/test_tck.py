@@ -724,6 +724,15 @@ SCENARIOS = [
      "MATCH (n:N) WHERE CASE WHEN n.x IS NULL THEN false "
      "ELSE n.x > 2 END RETURN n.x AS x", [(3,), (4,)]),
 
+    # --- split literal delimiter / empty range -------------------------------
+    ("split delimiter is literal not regex", None,
+     "RETURN split('a.b.c', '.') AS r", [(("a", "b", "c"),)]),
+    ("split computed delimiter", None,
+     "WITH '.' AS d RETURN split('x.y', d) AS r", [(("x", "y"),)]),
+    ("range with wrong-direction step is empty", None,
+     "RETURN range(1, 0) AS r, range(0, -5, 1) AS s",
+     [((), ())]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
