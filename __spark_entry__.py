@@ -690,12 +690,32 @@ def _q_node_similarity(spark, sf_dir):
                                       threshold=0.5)
 
 
+def _q_personalized_pagerank(spark, sf_dir):
+    """Random walk with restart from the first order's parts over the
+    co-purchase graph (graph-recommendation primitive)."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        personalized_pagerank,
+    )
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey"))
+    first = li.groupBy().agg(F.min("l_orderkey").alias("l_orderkey"))
+    srcs = (li.join(F.broadcast(first), "l_orderkey")
+            .select(F.col("l_partkey").alias("node")))
+    # distinct pairs: PPR (unlike the normalized triangle/degree ops) is
+    # sensitive to edge multiplicity, and the Spark derivation dedups
+    # within an order (collect_set) while the SQL self-join does not
+    edges = _copurchase_edges(spark, sf_dir).dropDuplicates(["src", "dst"])
+    return personalized_pagerank(edges, srcs, iterations=3).select(
+        "node", F.round("rank", 6).alias("rank"))
+
+
 _EXTRA_QUERIES = {
     "events_sliding_counts": _q_events_sliding,
     "correlated_events": _q_correlated_events,
     "k_core": _q_k_core,
     "events_sessions": _q_events_sessions,
     "node_similarity": _q_node_similarity,
+    "personalized_pagerank": _q_personalized_pagerank,
     "top_ngrams": _q_top_ngrams,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "sample_weighted": _q_sample_weighted,
@@ -869,6 +889,17 @@ def _node_similarity_oracle_sql() -> str:
         neighborhood_jaccard_sql_oracle,
     )
     return neighborhood_jaccard_sql_oracle(_COPURCHASE_SQL, threshold=0.5)
+
+
+def _ppr_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        personalized_pagerank_sql_oracle,
+    )
+    srcs = ("SELECT l_partkey AS node FROM lineitem "
+            "WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)")
+    return personalized_pagerank_sql_oracle(
+        f"SELECT DISTINCT src, dst FROM ({_COPURCHASE_SQL})", srcs,
+        iterations=3)
 
 
 def _triangle_oracle_sql() -> str:
@@ -1291,6 +1322,7 @@ FROM s""",
         "triangle_count": _triangle_oracle_sql(),
         "k_core": _k_core_oracle_sql(),
         "node_similarity": _node_similarity_oracle_sql(),
+        "personalized_pagerank": _ppr_oracle_sql(),
         "degree_histogram": rf"""
 WITH e AS (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

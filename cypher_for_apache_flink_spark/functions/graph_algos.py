@@ -410,3 +410,113 @@ SELECT a, b,
        round(shared / (da.deg + db.deg - shared), 6) AS jaccard
 FROM shared JOIN deg da ON da.node = a JOIN deg db ON db.node = b
 WHERE shared / (da.deg + db.deg - shared) >= {threshold}"""
+
+
+def personalized_pagerank(edges: DataFrame, sources: DataFrame,
+                          iterations: int = 10, damping: float = 0.85,
+                          src_col: str = "src", dst_col: str = "dst",
+                          node_col: str = "node",
+                          checkpoint_interval: int = 4) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling mass) land only on
+    the ``sources`` set, uniformly — random walk with restart, the
+    standard graph-recommendation primitive.  Returns (node, rank).
+
+        rank'(v) = (1-d)*tele(v) + d * (sum_{u->v} rank(u)/deg(u)
+                                        + dangling * tele(v))
+
+    with tele(v) = 1/|S| for source nodes, else 0.  Same loop shape and
+    cache discipline as :func:`pagerank`; per-superstep shuffles key on
+    node ids.
+    """
+    edges = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
+    srcs = sources.select(F.col(node_col).alias("node")) \
+        .dropDuplicates(["node"])
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .union(srcs.select("node"))
+             .dropDuplicates(["node"]))
+    n_src = srcs.count()
+    if n_src == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
+    # (node, tele) is read every superstep: cache + count materializes
+    nodes = (nodes.join(srcs.withColumn("__s", F.lit(1)), "node",
+                        "left_outer")
+             .select("node", F.when(F.col("__s").isNotNull(),
+                                    F.lit(1.0 / n_src))
+                     .otherwise(F.lit(0.0)).alias("tele"))).cache()
+    nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.join(deg, "src").persist()
+    out_srcs = deg.select(F.col("src").alias("node")).persist()
+
+    ranks = nodes.select("node", F.col("tele").alias("rank"))
+    for i in range(iterations):
+        contribs = (out_edges
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") / F.col("deg"))
+                         .alias("contrib"))
+                    .withColumnRenamed("dst", "node"))
+        dangling = (ranks.join(out_srcs, "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")))
+        ranks = (nodes
+                 .join(contribs, "node", "left_outer")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit(1.0 - damping) * F.col("tele")
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.col("m") * F.col("tele"))).alias("rank")))
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    out = ranks.select("node", "rank")
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(nodes)
+    lease.add(out_edges)
+    lease.add(out_srcs)
+    out._cypher_cache_lease = lease
+    return out
+
+
+def personalized_pagerank_sql_oracle(edges_sql: str, sources_sql: str,
+                                     iterations: int = 3,
+                                     damping: float = 0.85,
+                                     round_to: int = 6) -> str:
+    """Unrolled-CTE twin of :func:`personalized_pagerank` (MATERIALIZED —
+    every round references the previous one multiple times)."""
+    d = damping
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        f"srcs AS MATERIALIZED (SELECT DISTINCT node FROM ({sources_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges UNION SELECT node FROM srcs)",
+        "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs)",
+        "tele AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NOT NULL "
+        "THEN 1.0 / ns.n ELSE 0.0 END AS t "
+        "FROM nodes n LEFT JOIN srcs s ON s.node = n.node, ns)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, t AS rank FROM tele)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"sum(p.rank / g.deg) AS contrib "
+            f"FROM edges e JOIN {prev} p ON p.node = e.src "
+            f"JOIN deg g ON g.src = e.src GROUP BY e.dst)")
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS m "
+            f"FROM {prev} p LEFT JOIN deg g ON g.src = p.node "
+            f"WHERE g.src IS NULL)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT t.node, "
+            f"(1.0 - {d}) * t.t + {d} * "
+            f"(coalesce(c.contrib, 0.0) + dd.m * t.t) AS rank "
+            f"FROM tele t LEFT JOIN c{i} c ON c.node = t.node, d{i} dd)")
+    return (", ".join(parts)
+            + f" SELECT node, round(rank, {round_to}) AS rank "
+              f"FROM r{iterations}")

@@ -307,3 +307,59 @@ def test_neighborhood_jaccard_cap_prunes_only_candidates(spark):
     # bound (hub-mediated overlap no longer counted in the numerator)
     assert uncapped[(1, 2)] == 1.0
     assert 0 < capped[(1, 2)] <= uncapped[(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+# ---------------------------------------------------------------------------
+
+from cypher_for_apache_flink_spark.functions.graph_algos import (  # noqa: E402
+    personalized_pagerank, personalized_pagerank_sql_oracle)
+
+
+def test_ppr_mass_conserved_and_biased_to_source(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    pr = personalized_pagerank(edges, srcs, iterations=20)
+    got = {r.node: r.rank for r in pr.collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # restart node dominates its far neighbors
+    assert got["a"] > got["c"] and got["a"] > got["d"]
+
+
+def test_ppr_zero_outside_reachable_set(spark):
+    # component {a,b} with source a; disconnected {x,y} gets zero mass
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")],
+        "src string, dst string")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.rank
+           for r in personalized_pagerank(edges, srcs, iterations=10)
+           .collect()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0
+
+
+def test_ppr_matches_duckdb_oracle(spark):
+    import duckdb
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+                 ("c", "d")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    srcs = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {r.node: round(r.rank, 6)
+           for r in personalized_pagerank(edges, srcs,
+                                          iterations=3).collect()}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edge_list)
+    sql = personalized_pagerank_sql_oracle(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+        "SELECT 'a' AS node UNION ALL SELECT 'd'", iterations=3)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_ppr_empty_sources(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    srcs = spark.createDataFrame([], "node string")
+    assert personalized_pagerank(edges, srcs, iterations=3).collect() == []
