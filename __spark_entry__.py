@@ -709,13 +709,17 @@ def _q_personalized_pagerank(spark, sf_dir):
         "node", F.round("rank", 6).alias("rank"))
 
 
+# each demoted entry duplicates an in-window operator: the *_indexed
+# probes share the LSH/IVF plans with similarity_topk_lsh/ivf, quantized
+# shares similarity_topk's ranking, dedup_exact_groups shares
+# dedup_exact_keep's fingerprint window
 _EXTRA_QUERIES = {
+    "similarity_topk_lsh_indexed": _q_similarity_topk_lsh_indexed,
+    "similarity_topk_ivf_indexed": _q_similarity_topk_ivf_indexed,
+    "similarity_topk_quantized": _q_similarity_topk_quantized,
+    "dedup_exact_groups": _q_dedup_exact_groups,
     "events_sliding_counts": _q_events_sliding,
     "correlated_events": _q_correlated_events,
-    "k_core": _q_k_core,
-    "events_sessions": _q_events_sessions,
-    "node_similarity": _q_node_similarity,
-    "personalized_pagerank": _q_personalized_pagerank,
     "top_ngrams": _q_top_ngrams,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "sample_weighted": _q_sample_weighted,
@@ -724,7 +728,6 @@ _EXTRA_QUERIES = {
 
 _PIPELINE_QUERIES = {
     "text_profile": _q_text_profile,
-    "dedup_exact_groups": _q_dedup_exact_groups,
     "dedup_exact_keep": _q_dedup_exact_keep,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "minhash_lsh_pairs": _q_minhash_lsh,
@@ -732,10 +735,7 @@ _PIPELINE_QUERIES = {
     "similarity_topk": _q_similarity_topk,
     "similarity_topk_lsh": _q_similarity_topk_lsh,
     "similarity_topk_ivf": _q_similarity_topk_ivf,
-    "similarity_topk_lsh_indexed": _q_similarity_topk_lsh_indexed,
-    "similarity_topk_ivf_indexed": _q_similarity_topk_ivf_indexed,
     "similarity_topk_join": _q_similarity_topk_join,
-    "similarity_topk_quantized": _q_similarity_topk_quantized,
     "near_dup_clusters": _q_near_dup_clusters,
     "cosine_near_dup_pairs": _q_cosine_near_dup,
     "media_decode": _q_media_decode,
@@ -752,6 +752,10 @@ _PIPELINE_QUERIES = {
     "chunk_documents": _q_chunk_documents,
     "triangle_count": _q_triangle_count,
     "degree_histogram": _q_degree_histogram,
+    "k_core": _q_k_core,
+    "node_similarity": _q_node_similarity,
+    "personalized_pagerank": _q_personalized_pagerank,
+    "events_sessions": _q_events_sessions,
     "driving_table": _q_driving_table,
     "construct_requery": _q_construct_requery,
     "ddl_graph": _q_ddl_graph,
