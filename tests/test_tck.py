@@ -733,6 +733,68 @@ SCENARIOS = [
      "RETURN range(1, 0) AS r, range(0, -5, 1) AS s",
      [((), ())]),
 
+    # --- Probe-verified semantics (round 4 batches 2-4) ----------------------
+    ("order by aggregate expression", ABC,
+     "MATCH (x)-[:KNOWS]->() RETURN x.name AS n, count(*) AS c "
+     "ORDER BY count(*) DESC, n", [("a", 1), ("b", 1)]),
+    ("with aggregate then where", ABC,
+     "MATCH (x)-[:KNOWS]->() WITH x, count(*) AS c WHERE c >= 1 "
+     "RETURN x.name AS n", [("a",), ("b",)]),
+    ("count star without match", None, "RETURN count(*) AS c", [(1,)]),
+    ("count distinct over expression", ABC,
+     "MATCH (n) RETURN count(DISTINCT n.num + 1) AS c", [(3,)]),
+    ("exists with var length pattern", ABC,
+     "MATCH (a:A) WHERE exists((a)-[*1..2]->()) RETURN a.name AS r",
+     [("a",)]),
+    ("optional match where filters inside", ABC,
+     "MATCH (a:A) OPTIONAL MATCH (a)-[:KNOWS]->(x) WHERE x.num > 5 "
+     "RETURN a.name AS a, x.name AS x", [("a", None)]),
+    ("list comprehension over collected", ABC,
+     "MATCH (a) WITH collect(a.num) AS xs "
+     "RETURN [x IN xs WHERE x > 1] AS r", [((2, 3),)]),
+    ("pattern predicate with property map", ABC,
+     "MATCH (a:A)-[:KNOWS]->(b) WHERE (b)-[:KNOWS]->(:C) "
+     "RETURN b.name AS r", [("b",)]),
+    ("with order by limit then expand", ABC,
+     "MATCH (n) WITH n ORDER BY n.num DESC LIMIT 1 "
+     "MATCH (n)<-[:KNOWS]-(m) RETURN m.name AS r", [("b",)]),
+    ("toBoolean", None,
+     "RETURN toBoolean('true') AS a, toBoolean('nope') AS b",
+     [(True, None)]),
+    ("toUpper of null", None, "RETURN toUpper(null) AS r", [(None,)]),
+    ("aggregates over no rows", ABC,
+     "MATCH (n:Zzz) RETURN sum(n.num) AS s, min(n.num) AS lo, "
+     "avg(n.num) AS a", [(0, None, None)]),
+    ("none and single quantifiers", None,
+     "RETURN none(x IN [1,2] WHERE x > 5) AS a, "
+     "single(x IN [1,2] WHERE x = 2) AS b", [(True, True)]),
+    ("property access on map literal", None,
+     "RETURN {a: 1}.a AS r", [(1,)]),
+    ("index into nested map list", None,
+     "WITH {list: [1,2]} AS m RETURN m.list[0] AS r", [(1,)]),
+    ("limit zero", NUMS,
+     "MATCH (n:N) RETURN n.x AS x ORDER BY x LIMIT 0", []),
+    ("skip beyond rows", ABC,
+     "MATCH (n:A) RETURN n.name AS r SKIP 10", []),
+    ("simple form case", None,
+     "RETURN CASE 2 WHEN 1 THEN 'one' WHEN 2 THEN 'two' "
+     "ELSE 'other' END AS r", [("two",)]),
+    ("head and last", None,
+     "RETURN head([1,2,3]) AS h, last([1,2,3]) AS l", [(1, 3)]),
+    ("substring one arg", None,
+     "RETURN substring('hello', 3) AS r", [("lo",)]),
+    ("replace grows", None,
+     "RETURN replace('aaa', 'a', 'ab') AS r", [("ababab",)]),
+    ("date plus month lands on month end", None,
+     "RETURN toString(date('2024-01-31') + duration({months: 1})) AS r",
+     [("2024-02-29",)]),
+    ("date accessors week", None,
+     "RETURN date('2024-01-01').week AS w", [(1,)]),
+    ("duration between months accessor", None,
+     "RETURN duration.between(date('2024-01-01'), "
+     "date('2024-03-15')).months AS m", [(2,)]),
+    ("negative exponent", None, "RETURN 10 ^ -1 AS r", [(0.1,)]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
