@@ -681,13 +681,22 @@ def _q_events_sessions(spark, sf_dir):
 
 
 def _q_node_similarity(spark, sf_dir):
-    """GDS-style node similarity: co-purchase parts with Jaccard >= 0.5
-    over their undirected neighbor sets."""
+    """GDS-style node similarity on the document-shingle bipartite graph:
+    doc pairs whose shingle neighborhoods overlap with Jaccard >= 0.5
+    (the generic-graph generalization of ngram_jaccard_pairs), hub
+    shingles capped at degree 100."""
+    from cypher_for_apache_flink_spark.functions.dedup import word_shingles
     from cypher_for_apache_flink_spark.functions.graph_algos import (
         neighborhood_jaccard_pairs,
     )
-    return neighborhood_jaccard_pairs(_copurchase_edges(spark, sf_dir),
-                                      threshold=0.5)
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        F.concat(F.lit("D"), F.col("doc_id").cast("string")).alias("src"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("dst"))
+    pairs = neighborhood_jaccard_pairs(edges, threshold=0.5,
+                                       max_neighbor_degree=100)
+    return pairs.where(F.col("a").startswith("D")
+                       & F.col("b").startswith("D"))
 
 
 def _q_personalized_pagerank(spark, sf_dir):
@@ -892,7 +901,12 @@ def _node_similarity_oracle_sql() -> str:
     from cypher_for_apache_flink_spark.functions.graph_algos import (
         neighborhood_jaccard_sql_oracle,
     )
-    return neighborhood_jaccard_sql_oracle(_COPURCHASE_SQL, threshold=0.5)
+    edges = (_SQL_SHINGLES + """
+SELECT 'D' || CAST(doc_id AS VARCHAR) AS src, unnest(shl) AS dst FROM sh""")
+    inner = neighborhood_jaccard_sql_oracle(edges, threshold=0.5,
+                                            max_neighbor_degree=100)
+    return (f"SELECT * FROM ({inner}) "
+            "WHERE a LIKE 'D%' AND b LIKE 'D%'")
 
 
 def _ppr_oracle_sql() -> str:

@@ -392,19 +392,30 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     return out
 
 
-def neighborhood_jaccard_sql_oracle(edges_sql: str,
-                                    threshold: float = 0.5) -> str:
-    """SQL twin of :func:`neighborhood_jaccard_pairs` (no degree cap)."""
+def neighborhood_jaccard_sql_oracle(edges_sql: str, threshold: float = 0.5,
+                                    max_neighbor_degree: int | None = None
+                                    ) -> str:
+    """SQL twin of :func:`neighborhood_jaccard_pairs`, including the
+    optional hub cap (wedge source filtered by neighbor degree; the
+    jaccard denominator keeps FULL degrees, exactly like the Spark op)."""
+    wedge_src = "adj"
+    cap_cte = ""
+    if max_neighbor_degree is not None:
+        cap_cte = (f", capped AS (SELECT a.node, a.nbr FROM adj a "
+                   f"JOIN deg d ON d.node = a.nbr "
+                   f"WHERE d.deg <= {max_neighbor_degree})")
+        wedge_src = "capped"
     return f"""
 WITH __nj_in AS ({edges_sql}),
 e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       FROM __nj_in WHERE src <> dst),
 adj AS (SELECT u AS node, v AS nbr FROM e
         UNION ALL SELECT v, u FROM e),
-deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node){cap_cte},
 shared AS (
   SELECT x.node AS a, y.node AS b, count(*) AS shared
-  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+  FROM {wedge_src} x JOIN {wedge_src} y
+    ON x.nbr = y.nbr AND x.node < y.node
   GROUP BY x.node, y.node)
 SELECT a, b,
        round(shared / (da.deg + db.deg - shared), 6) AS jaccard
