@@ -39,8 +39,11 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     verified against an unrolled recursive-CTE SQL oracle at 6 decimal
     places.
     """
+    # Persisted: the input may be an expensive derived set (a co-purchase
+    # self-join, a Cypher projection) and setup scans it several times
+    # (node set, degrees, out-edge materialization) before the loop.
     edges = edges.select(F.col(src_col).alias("src"),
-                         F.col(dst_col).alias("dst"))
+                         F.col(dst_col).alias("dst")).persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .dropDuplicates(["node"]))
@@ -86,6 +89,7 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     out = ranks.select("node", F.col("rank").alias("rank"))
     from ..cache import CacheLease
     lease = CacheLease()
+    lease.add(edges)
     lease.add(nodes)
     lease.add(out_edges)
     lease.add(out_srcs)
@@ -439,8 +443,10 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     cache discipline as :func:`pagerank`; per-superstep shuffles key on
     node ids.
     """
+    # persisted: setup scans the (possibly expensively derived) edge set
+    # several times before the loop — see pagerank
     edges = edges.select(F.col(src_col).alias("src"),
-                         F.col(dst_col).alias("dst"))
+                         F.col(dst_col).alias("dst")).persist()
     srcs = sources.select(F.col(node_col).alias("node")) \
         .dropDuplicates(["node"])
     nodes = (edges.select(F.col("src").alias("node"))
@@ -485,6 +491,7 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     out = ranks.select("node", "rank")
     from ..cache import CacheLease
     lease = CacheLease()
+    lease.add(edges)
     lease.add(nodes)
     lease.add(out_edges)
     lease.add(out_srcs)
