@@ -43,6 +43,9 @@ HEADLINE = [
     "pii_scrub",
     "chunk_documents",
     "triangle_count",
+    "k_core",
+    "node_similarity",
+    "events_sessions",
 ]
 
 
