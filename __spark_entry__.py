@@ -722,7 +722,26 @@ def _q_personalized_pagerank(spark, sf_dir):
 # probes share the LSH/IVF plans with similarity_topk_lsh/ivf, quantized
 # shares similarity_topk's ranking, dedup_exact_groups shares
 # dedup_exact_keep's fingerprint window
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: write the fingerprint index for docs
+    < 300, then dedup the (overlapping) batch of docs >= 250 against it —
+    the 50 overlapping documents drop, the rest survive.  The index scan
+    is dynamic-partition-pruned to the batch's buckets."""
+    import hashlib
+    import tempfile
+
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        dedup_against_index, write_fingerprint_index)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/cfas_fp_index_{tag}"
+    write_fingerprint_index(docs.where(F.col("doc_id") < 300), path)
+    batch = docs.where(F.col("doc_id") >= 250)
+    return dedup_against_index(spark, batch, path).select("doc_id")
+
+
 _EXTRA_QUERIES = {
+    "dedup_incremental": _q_dedup_incremental,
     "similarity_topk_lsh_indexed": _q_similarity_topk_lsh_indexed,
     "similarity_topk_ivf_indexed": _q_similarity_topk_ivf_indexed,
     "similarity_topk_quantized": _q_similarity_topk_quantized,
@@ -1383,6 +1402,11 @@ WITH marked AS (
 SELECT min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
        user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM numbered GROUP BY user_id, sess""",
+        "dedup_incremental": rf"""
+SELECT doc_id FROM (
+  SELECT doc_id, {_SQL_FP} AS fp FROM documents WHERE doc_id >= 250) b
+WHERE fp NOT IN (
+  SELECT {_SQL_FP} FROM documents WHERE doc_id < 300)""",
         "dedup_exact_groups": rf"""
 SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
 FROM (SELECT doc_id, {_SQL_FP} AS fp FROM documents)

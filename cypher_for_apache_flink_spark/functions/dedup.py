@@ -275,3 +275,46 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
     lease.add(sig)
     out._cypher_cache_lease = lease
     return out
+
+
+def write_fingerprint_index(df: DataFrame, path: str, text_col: str = "text",
+                            id_col: str = "doc_id") -> None:
+    """Persist the corpus's exact-dedup fingerprints as a partitioned
+    parquet index: one row (doc_id, fp) per document, partitioned by the
+    first two hex chars of the fingerprint (256 buckets).
+
+    The incremental-ingestion sibling of the ANN indexes
+    (similarity.write_lsh_index): new batches dedup against the corpus
+    without rescanning it — :func:`dedup_against_index` prunes the read
+    to the buckets the batch actually touches.
+    """
+    from .text import fingerprint
+    fp = fingerprint(F.col(text_col))
+    (df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"),
+               F.substring(fp, 1, 2).alias("__fp_bucket"))
+     .write.mode("overwrite").partitionBy("__fp_bucket").parquet(path))
+
+
+def dedup_against_index(spark, docs: DataFrame, path: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Drop documents whose fingerprint already exists in a persisted
+    :func:`write_fingerprint_index`; returns the surviving rows (all
+    original columns).
+
+    The index scan is restricted FIRST by a broadcast semi-join on the
+    partition column (the batch's bucket set) — Catalyst turns that into
+    dynamic partition pruning, so a small batch reads a handful of the
+    256 bucket directories instead of the whole corpus index — then the
+    batch anti-joins the pruned index on the full fingerprint.
+    """
+    from .text import fingerprint
+    new = docs.withColumn("__fp", fingerprint(F.col(text_col))) \
+        .withColumn("__fp_bucket", F.substring(F.col("__fp"), 1, 2))
+    idx = spark.read.parquet(path)
+    batch_buckets = new.select("__fp_bucket").distinct()
+    pruned = idx.join(F.broadcast(batch_buckets), "__fp_bucket",
+                      "left_semi")
+    out = new.join(pruned.select(F.col("fp").alias("__fp")), "__fp",
+                   "left_anti")
+    return out.drop("__fp", "__fp_bucket")

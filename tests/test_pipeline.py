@@ -44,3 +44,52 @@ def test_curate_transitive_removes_whole_cluster(spark):
                   .select("doc_id").collect()}
     # transitive policy can only remove more, never fewer
     assert transitive <= pairwise
+
+
+# ---------------------------------------------------------------------------
+# Persisted fingerprint index (incremental ingestion dedup)
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_index_round_trip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        dedup_against_index, write_fingerprint_index)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")],
+        "doc_id long, text string")
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(corpus, path)
+    batch = spark.createDataFrame(
+        [(10, "Hello   World"),        # normalizes to an indexed fp -> drop
+         (11, "entirely new text"),    # survives
+         (12, "the quick brown fox")], # exact indexed dup -> drop
+        "doc_id long, text string")
+    out = dedup_against_index(spark, batch, path)
+    assert {r.doc_id for r in out.collect()} == {11}
+    # original columns come back untouched
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_fingerprint_index_prunes_partitions(spark, tmp_path):
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        dedup_against_index, write_fingerprint_index)
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(50)],
+        "doc_id long, text string")
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(corpus, path)
+    # DPP requirements: a file-sourced probe side (a LocalRelation batch
+    # skips the rewrite) carrying a selective predicate (any real
+    # ingestion filter qualifies; an unfiltered scan is not considered a
+    # pruning source by Spark's PartitionPruning rule)
+    bpath = str(tmp_path / "batch")
+    spark.createDataFrame([(99, "document number 7")],
+                          "doc_id long, text string").write.parquet(bpath)
+    from pyspark.sql import functions as F
+    batch = spark.read.parquet(bpath).where(F.col("doc_id") >= 99)
+    out = dedup_against_index(spark, batch, path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index scan must carry a dynamic partition-pruning filter
+    assert "dynamicpruning" in plan.lower()
+    assert out.collect() == []
