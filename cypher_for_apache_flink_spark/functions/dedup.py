@@ -312,9 +312,16 @@ def dedup_against_index(spark, docs: DataFrame, path: str,
     new = docs.withColumn("__fp", fingerprint(F.col(text_col))) \
         .withColumn("__fp_bucket", F.substring(F.col("__fp"), 1, 2))
     idx = spark.read.parquet(path)
-    batch_buckets = new.select("__fp_bucket").distinct()
-    pruned = idx.join(F.broadcast(batch_buckets), "__fp_bucket",
-                      "left_semi")
+    if docs.isStreaming:
+        # stream-static anti-join is the supported streaming shape; a
+        # semi-join with the stream on the right is not, so the bucket
+        # restriction is skipped (the static index is scanned per
+        # micro-batch — parquet row-group fp statistics still apply)
+        pruned = idx
+    else:
+        batch_buckets = new.select("__fp_bucket").distinct()
+        pruned = idx.join(F.broadcast(batch_buckets), "__fp_bucket",
+                          "left_semi")
     out = new.join(pruned.select(F.col("fp").alias("__fp")), "__fp",
                    "left_anti")
     return out.drop("__fp", "__fp_bucket")

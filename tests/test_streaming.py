@@ -249,3 +249,27 @@ def test_correlated_events_match_batch(spark, event_dir):
     # every pair respects the interval bound and strict ordering
     for r in want:
         assert 0 < r.gap_micros <= 30 * 60 * 1_000_000
+
+
+def test_streaming_dedup_against_persisted_index(spark, tmp_path):
+    """Stream-static incremental dedup: a document stream anti-joins the
+    persisted fingerprint index (static side) — the composition of
+    dedup_against_index with readStream, no code changes needed."""
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        dedup_against_index, write_fingerprint_index)
+    corpus = spark.createDataFrame(
+        [(1, "known document one"), (2, "known document two")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    write_fingerprint_index(corpus, idx)
+
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(10, "known document one"), (11, "fresh document")],
+        "doc_id long, text string").write.parquet(land)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(land))
+    out = dedup_against_index(spark, stream, idx)
+    assert out.isStreaming
+    run_to_memory(out.select("doc_id"), "sfpdedup", "append")
+    assert {r.doc_id for r in spark.table("sfpdedup").collect()} == {11}
