@@ -452,11 +452,20 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         if _is(ot, T.MapType):
             return F.try_element_at(owner, idx)
         key = plan_const(expr.index, ctx)
-        if _is(ot, T.StructType) and isinstance(key, str):
-            # missing key on a map/struct yields null (Cypher), not an error
-            if key not in ot.fieldNames():
-                return F.lit(None)
-            return owner.getField(key)
+        if _is(ot, T.StructType):
+            if isinstance(key, str):
+                # missing key on a map/struct yields null, not an error
+                if key not in ot.fieldNames():
+                    return F.lit(None)
+                return owner.getField(key)
+            if key is None and isinstance(expr.index, E.Lit):
+                return F.lit(None)        # {a: 1}[null] -> null
+            # computed key over a struct-typed map: CASE chain on fields
+            out = F.lit(None)
+            for fname in ot.fieldNames():
+                out = F.when(idx == F.lit(fname),
+                             owner.getField(fname)).otherwise(out)
+            return out
         # Cypher list index is 0-based, element_at is 1-based; negative
         # indices count from the end in both (MorpheusFunctions.scala:62-74).
         # try_element_at: out-of-range yields null (Cypher) instead of the

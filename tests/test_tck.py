@@ -795,6 +795,16 @@ SCENARIOS = [
      "date('2024-03-15')).months AS m", [(2,)]),
     ("negative exponent", None, "RETURN 10 ^ -1 AS r", [(0.1,)]),
 
+    # --- subscript null / computed keys on maps ------------------------------
+    ("map subscript with null key", None,
+     "RETURN {a: 1}[null] AS r", [(None,)]),
+    ("map subscript with computed key", None,
+     "WITH 'a' AS k RETURN {a: 1, b: 2}[k] AS r", [(1,)]),
+    ("map subscript computed key missing", None,
+     "WITH 'z' AS k RETURN {a: 1}[k] AS r", [(None,)]),
+    ("entity subscript with null key", ABC,
+     "MATCH (n:A) RETURN n[null] AS r", [(None,)]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
