@@ -104,12 +104,14 @@ class FromGraphClause:
 
 @dataclass(frozen=True)
 class ConstructClause:
-    """``CONSTRUCT [CLONE v, ...] [NEW pattern, ...] [SET v:L | v.k = e]``
-    (Cypher 10; reference ConstructGraphPlanner.scala:54-85, SET items
-    :133-156)."""
+    """``CONSTRUCT [ON g, ...] [CLONE v, ...] [NEW pattern, ...]
+    [SET v:L | v.k = e]`` (Cypher 10; reference
+    ConstructGraphPlanner.scala:54-85, SET items :133-156, ON graphs
+    IRBuilder.scala:288-298)."""
     clones: tuple = ()       # (var_name, ...)
     news: tuple = ()         # (PatternPart, ...)
     sets: tuple = ()         # ("label", var, lbl) | ("prop", var, key, Expr)
+    on: tuple = ()           # (graph_name, ...) — union base graphs
 
 
 @dataclass(frozen=True)

@@ -298,6 +298,21 @@ class Parser:
         clones = []
         news = []
         sets = []
+        on = []
+        # CONSTRUCT ON g1, g2 ... — the construct builds ON TOP of the
+        # named graphs (their full content is unioned into the result,
+        # reference IRBuilder.scala:288-298).  'on' is a soft keyword.
+        if self.peek().kind == "IDENT" and self.peek().text.lower() == "on":
+            self.next()
+            while True:
+                gname = self.ident()
+                while self.at_punct(".") and \
+                        self.peek(1).kind in ("IDENT", "KW"):
+                    self.next()
+                    gname += "." + self.ident()
+                on.append(gname)
+                if not self.opt_punct(","):
+                    break
 
         def parse_set_item():
             var = self.ident()
@@ -329,7 +344,8 @@ class Parser:
                     parse_set_item()
             else:
                 break
-        return A.ConstructClause(tuple(clones), tuple(news), tuple(sets))
+        return A.ConstructClause(tuple(clones), tuple(news), tuple(sets),
+                                 tuple(on))
 
     def parse_projection_items(self):
         items = [self.parse_projection_item()]

@@ -1019,6 +1019,35 @@ class Planner:
                     add_rel_table(row["__rtype"], rdf.where(
                         F.col("__rtype") == row["__rtype"]).drop("__rtype"))
 
+        # ON graphs: the construct builds on top of them — their FULL
+        # content carries into the result (reference IRBuilder.scala:288-298
+        # folds the ON schemas into the construct schema).  Ids are kept
+        # as-is: CLONEd matches of an ON graph coincide with the carried
+        # rows and collapse in the dedup below; NEW ids are negative and
+        # cannot collide with source ids.
+        on_names = getattr(clause, "on", ())
+        if on_names:
+            # constructed elements REPLACE their ON-graph originals: a
+            # CLONE ... SET row (possibly in an extended label combo) must
+            # win over the carried base row, so the base contribution is
+            # anti-joined on the full constructed id set
+            cons_ids = None
+            for ndf in node_tables.values():
+                ids = ndf.select("id")
+                cons_ids = ids if cons_ids is None else cons_ids.unionAll(ids)
+            if cons_ids is not None:
+                cons_ids = cons_ids.dropDuplicates(["id"])
+            for gname in on_names:
+                base_g = self.session.graph(gname)
+                for combo, ndf in base_g.node_tables.items():
+                    if cons_ids is not None:
+                        ndf = ndf.join(cons_ids, "id", "left_anti")
+                    add_node_table(combo, ndf)
+                for rtype, rdf in base_g.rel_tables.items():
+                    add_rel_table(rtype, rdf)
+            rel_tables = {t: rdf.dropDuplicates(["id"])
+                          for t, rdf in rel_tables.items()}
+
         # One element per id per combo: several cloned vars (a AND b of the
         # same pattern) can contribute the same entity.
         node_tables = {combo: ndf.dropDuplicates(["id"])

@@ -289,3 +289,61 @@ def test_construct_copy_of_unbound_base_rejected(session):
     with pytest.raises(PlanError, match="unbound"):
         g.cypher("MATCH (p:Person) CONSTRUCT NEW (c COPY OF zz) "
                  "RETURN GRAPH").graph.nodes()
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT ON base graphs (reference IRBuilder.scala:288-298)
+# ---------------------------------------------------------------------------
+
+def test_construct_on_carries_base_graph(session):
+    g = session.catalog["social"]
+    rg = session.cypher(
+        "FROM GRAPH social MATCH (p:Person) "
+        "CONSTRUCT ON social NEW (p)-[:TAGGED]->(:Tag {who: p.name}) "
+        "RETURN GRAPH").graph
+    # all base nodes + rels still present
+    assert rg.cypher("MATCH (p:Person) RETURN count(*) AS c") \
+        .collect()[0].c == 3
+    assert rg.cypher("MATCH ()-[:KNOWS]->() RETURN count(*) AS c") \
+        .collect()[0].c == 2
+    # plus one tag per person
+    tags = rg.cypher("MATCH (p:Person)-[:TAGGED]->(t:Tag) "
+                     "RETURN p.name AS p, t.who AS w").collect()
+    assert {(r.p, r.w) for r in tags} == {("Alice", "Alice"),
+                                          ("Bob", "Bob"),
+                                          ("Carol", "Carol")}
+
+
+def test_construct_on_without_new_is_identity_union(session):
+    rg = session.cypher("CONSTRUCT ON social RETURN GRAPH").graph
+    assert rg.cypher("MATCH (n) RETURN count(*) AS c").collect()[0].c == 3
+    assert rg.cypher("MATCH ()-[r]->() RETURN count(*) AS c") \
+        .collect()[0].c == 2
+
+
+def test_construct_on_clone_of_base_element_collapses(session):
+    # cloning a matched element of the ON graph must not duplicate it
+    rg = session.cypher(
+        "FROM GRAPH social MATCH (p:Person {name: 'Alice'}) "
+        "CONSTRUCT ON social CLONE p SET p.flag = true "
+        "RETURN GRAPH").graph
+    rows = rg.cypher("MATCH (p:Person) RETURN p.name AS n, count(*) AS c "
+                     "ORDER BY n").collect()
+    assert [(r.n, r.c) for r in rows] == [("Alice", 1), ("Bob", 1),
+                                          ("Carol", 1)]
+
+
+def test_construct_on_clone_set_replaces_base_row(session):
+    # the SET-extended clone must win over the ON-carried original, even
+    # when the SET moves it to an extended label combo
+    rg = session.cypher(
+        "FROM GRAPH social MATCH (p:Person {name: 'Alice'}) "
+        "CONSTRUCT ON social CLONE p SET p:Vip SET p.level = 9 "
+        "RETURN GRAPH").graph
+    vips = rg.cypher("MATCH (p:Person:Vip) RETURN p.name AS n, "
+                     "p.level AS lvl").collect()
+    assert [(r.n, r.lvl) for r in vips] == [("Alice", 9)]
+    # Alice appears exactly once in the whole graph
+    rows = rg.cypher("MATCH (p:Person) WHERE p.name = 'Alice' "
+                     "RETURN count(*) AS c").collect()
+    assert rows[0].c == 1
