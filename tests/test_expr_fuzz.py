@@ -56,3 +56,46 @@ def test_int_expression_fuzz_matches_duckdb(spark, seed):
     assert got == want, [(i, pairs[i][0], a, b)
                          for i, (a, b) in enumerate(zip(got, want))
                          if a != b][:3]
+
+
+def gen_str_expr(rng, depth=0):
+    """String-typed trees: literals, +, toUpper/toLower/trim/reverse,
+    substring, left/right, replace — identical Cypher and SQL spellings
+    modulo function names."""
+    if depth >= 3 or rng.random() < 0.35:
+        v = "".join(rng.choice("ab C") for _ in range(rng.randint(0, 4)))
+        return (f"'{v}'", f"'{v}'")
+    pick = rng.random()
+    if pick < 0.4:
+        lc, ls = gen_str_expr(rng, depth + 1)
+        rc, rs = gen_str_expr(rng, depth + 1)
+        return (f"({lc} + {rc})", f"({ls} || {rs})")
+    if pick < 0.6:
+        f = rng.choice([("toUpper", "upper"), ("toLower", "lower"),
+                        ("trim", "trim"), ("reverse", "reverse")])
+        c, s = gen_str_expr(rng, depth + 1)
+        return (f"{f[0]}({c})", f"{f[1]}({s})")
+    if pick < 0.8:
+        c, s = gen_str_expr(rng, depth + 1)
+        start = rng.randint(0, 3)
+        ln = rng.randint(0, 3)
+        # Cypher substring is 0-based, SQL 1-based
+        return (f"substring({c}, {start}, {ln})",
+                f"substring({s}, {start + 1}, {ln})")
+    c, s = gen_str_expr(rng, depth + 1)
+    return (f"replace({c}, 'a', 'xy')", f"replace({s}, 'a', 'xy')")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_str_expression_fuzz_matches_duckdb(spark, seed):
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+    g = graph_from_create(spark, "CREATE (:X)")
+    rng = random.Random(seed)
+    pairs = [gen_str_expr(rng) for _ in range(25)]
+    cy = "RETURN " + ", ".join(f"{c} AS c{i}" for i, (c, _) in enumerate(pairs))
+    sql = "SELECT " + ", ".join(f"{s} AS c{i}" for i, (_, s) in enumerate(pairs))
+    got = list(g.cypher(cy).collect()[0])
+    want = list(duckdb.connect().execute(sql).fetchone())
+    assert got == want, [(i, pairs[i][0], a, b)
+                         for i, (a, b) in enumerate(zip(got, want))
+                         if a != b][:3]
