@@ -894,6 +894,42 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             return src.try_cast("double")
         return src.cast("double")
     if name == "tostring":
+        t = spark_dtype(args[0], ctx)
+        if is_duration_type(t):
+            # ISO-8601 rendering (neo4j style): P[yY][mM][dD]T[hH][mM][sS],
+            # zero components omitted, all-zero -> PT0S
+            dur = a(0)
+            mo, dd = dur.getField("months"), dur.getField("days")
+            us = dur.getField("microseconds")
+            y, rm = (mo / 12).cast("long"), mo % 12
+            h = (us / 3_600_000_000).cast("long")
+            mi = ((us % 3_600_000_000) / 60_000_000).cast("long")
+            us_s = us % 60_000_000
+            sec_i = (us_s / 1_000_000).cast("long")
+            frac = us_s % 1_000_000
+
+            def part(v, unit):
+                return F.when(v != 0, F.concat(v.cast("string"),
+                                               F.lit(unit))) \
+                    .otherwise(F.lit(""))
+
+            secs = F.when(
+                (sec_i == 0) & (frac == 0), F.lit("")).otherwise(
+                F.concat(
+                    sec_i.cast("string"),
+                    F.when(frac != 0, F.concat(
+                        F.lit("."),
+                        F.regexp_replace(F.lpad(frac.cast("string"), 6, "0"),
+                                         r"0+$", ""))).otherwise(F.lit("")),
+                    F.lit("S")))
+            time_part = F.concat(part(h, "H"), part(mi, "M"), secs)
+            body = F.concat(part(y, "Y"), part(rm, "M"), part(dd, "D"),
+                            F.when(time_part != "",
+                                   F.concat(F.lit("T"), time_part))
+                            .otherwise(F.lit("")))
+            return F.when(dur.isNull(), F.lit(None).cast("string")) \
+                .when(body == "", F.lit("PT0S")) \
+                .otherwise(F.concat(F.lit("P"), body))
         return a(0).cast("string")
     if name == "toboolean":
         return a(0).try_cast("boolean")
@@ -1016,7 +1052,11 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             return F.current_timestamp()
         arg = args[0]
         if isinstance(arg, E.MapLit):
-            m = {k: to_column(v, ctx) for k, v in arg.items}
+            m = {k.lower(): to_column(v, ctx) for k, v in arg.items}
+            if "epochmillis" in m:
+                return F.timestamp_millis(m["epochmillis"].cast("long"))
+            if "epochseconds" in m:
+                return F.timestamp_seconds(m["epochseconds"])
             sec = m.get("second", F.lit(0)).cast("double") + \
                 m.get("microsecond", F.lit(0)).cast("double") / 1e6 + \
                 m.get("millisecond", F.lit(0)).cast("double") / 1e3

@@ -805,6 +805,20 @@ SCENARIOS = [
     ("entity subscript with null key", ABC,
      "MATCH (n:A) RETURN n[null] AS r", [(None,)]),
 
+    # --- duration rendering / epoch constructors -----------------------------
+    ("duration toString is iso8601", None,
+     "RETURN toString(duration({days: 2, hours: 3})) AS a, "
+     "toString(duration({years: 1, months: 2})) AS b, "
+     "toString(duration({seconds: 90, milliseconds: 500})) AS c, "
+     "toString(duration({days: 0})) AS d",
+     [("P2DT3H", "P1Y2M", "PT1M30.5S", "PT0S")]),
+    ("duration toString round trips", None,
+     "RETURN toString(duration('P1Y2M3DT4H5M6.5S')) AS r",
+     [("P1Y2M3DT4H5M6.5S",)]),
+    ("datetime from epoch millis", None,
+     "RETURN datetime({epochMillis: 86400000}).day AS d, "
+     "datetime({epochSeconds: 60}).minute AS m", [(2, 1)]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
