@@ -533,12 +533,26 @@ def _property(expr: E.Property, ctx: ExprContext) -> Column:
             "year": F.year, "month": F.month, "day": F.dayofmonth,
             "hour": F.hour, "minute": F.minute, "second": F.second,
             "week": F.weekofyear, "quarter": F.quarter,
-            "dayofweek": F.dayofweek, "ordinalday": F.dayofyear,
+            "ordinalday": F.dayofyear,
         }
         if k in temporal:
             return temporal[k](owner).cast("long")
+        if k == "dayofweek":
+            # ISO: Monday=1..Sunday=7 (F.dayofweek is Sunday=1)
+            return (F.weekday(owner) + 1).cast("long")
+        if k == "weekyear":
+            # ISO week-based year = year of the week's Thursday
+            return F.year(F.date_add(owner.cast("date"),
+                                     3 - F.weekday(owner))).cast("long")
+        if k == "dayofquarter":
+            return (F.datediff(owner.cast("date"),
+                               F.trunc(owner.cast("date"), "quarter"))
+                    + 1).cast("long")
         if k == "millisecond":
             return (F.unix_micros(owner.cast("timestamp")) % 1_000_000 / 1000).cast("long")
+        if k == "microsecond":
+            return (F.unix_micros(owner.cast("timestamp"))
+                    % 1_000_000).cast("long")
         if k == "epochmillis":
             return F.unix_millis(owner.cast("timestamp"))
         if k == "epochseconds":
@@ -566,6 +580,12 @@ def _property(expr: E.Property, ctx: ExprContext) -> Column:
             "secondsofminute": F.floor(us / _US_PER_SEC).cast("long") % 60,
             "milliseconds": F.floor(us / 1000).cast("long"),
             "microseconds": us,
+            # sub-group remainders (reference durationAccessor :136-143)
+            "quartersofyear": F.floor(mo / 3).cast("long") % 4,
+            "monthsofquarter": mo % 3,
+            "millisecondsofsecond": F.floor((us % _US_PER_SEC) / 1000)
+                                     .cast("long"),
+            "microsecondsofsecond": us % _US_PER_SEC,
         }
         if k in accessors:
             return accessors[k]
@@ -1107,7 +1127,11 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                 if kl not in _DURATION_MAP_KEYS:
                     raise ValueError(f"unknown duration component {k!r}")
                 field, factor = _DURATION_MAP_KEYS[kl]
-                parts[field] = parts[field] + to_column(v, ctx) * F.lit(factor)
+                # long arithmetic: int32 literals overflow at
+                # minutes >= ~36 (35.8 * 60_000_000 > 2^31)
+                parts[field] = parts[field] + (
+                    to_column(v, ctx).cast("long")
+                    * F.lit(factor).cast("long"))
             return make_duration(parts["months"], parts["days"],
                                  parts["microseconds"])
         raise ValueError("duration() takes an ISO-8601 string literal or a "

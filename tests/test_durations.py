@@ -135,3 +135,36 @@ def test_duration_between_family(tgraph):
     assert r["d"]["days"] == 60
     assert r["m"]["months"] == 1
     assert r["s"]["microseconds"] == 5400 * 1_000_000
+
+
+def test_extended_temporal_accessors(spark, tgraph):
+    from cypher_for_apache_flink_spark.session import CypherSession
+    s = CypherSession.for_graph(tgraph)
+    r = s.cypher(
+        "RETURN date('2024-03-15').weekYear AS wy, "
+        "date('2024-12-30').weekYear AS wy2, "
+        "date('2024-03-15').dayOfQuarter AS dq, "
+        "date('2024-03-15').dayOfWeek AS dw, "           # ISO: Friday = 5
+        "localdatetime('2024-01-01T01:02:03.000456').microsecond AS us"
+    ).collect()[0]
+    assert (r.wy, r.wy2, r.dq, r.dw, r.us) == (2024, 2025, 75, 5, 456)
+
+
+def test_extended_duration_accessors(spark, tgraph):
+    from cypher_for_apache_flink_spark.session import CypherSession
+    s = CypherSession.for_graph(tgraph)
+    r = s.cypher(
+        "RETURN duration({months: 27}).quartersOfYear AS qy, "
+        "duration({months: 27}).monthsOfQuarter AS mq, "
+        "duration({minutes: 125}).minutesOfHour AS mh, "
+        "duration({seconds: 61, milliseconds: 250}).millisecondsOfSecond "
+        "AS ms").collect()[0]
+    assert (r.qy, r.mq, r.mh, r.ms) == (1, 0, 5, 250)
+
+
+def test_duration_constructor_no_int_overflow(spark, tgraph):
+    # minutes >= 36 used to overflow int32 microsecond factors
+    from cypher_for_apache_flink_spark.session import CypherSession
+    s = CypherSession.for_graph(tgraph)
+    r = s.cypher("RETURN duration({minutes: 125}).minutes AS m").collect()[0]
+    assert r.m == 125
