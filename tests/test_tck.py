@@ -819,6 +819,24 @@ SCENARIOS = [
      "RETURN datetime({epochMillis: 86400000}).day AS d, "
      "datetime({epochSeconds: 60}).minute AS m", [(2, 1)]),
 
+    # --- plus overloads / rel meta / temporal comparability ------------------
+    ("string plus number concatenates", None,
+     "RETURN 'a' + 1 AS a, 1 + 'a' AS b, 'n' + 1.5 AS c",
+     [("a1", "1a", "n1.5")]),
+    ("list concat and append with plus", None,
+     "RETURN [1] + [2, 3] AS a, [1, 2] + 3 AS b",
+     [((1, 2, 3), (1, 2, 3))]),
+    ("keys and dynamic lookup on relationships", ABC,
+     "MATCH (:A)-[r:KNOWS]->() RETURN keys(r) AS k, r['w'] AS w",
+     [(("w",), 1)]),
+    ("date comparable with datetime", None,
+     "RETURN date('2024-01-01') < localdatetime('2024-01-01T10:00:00') AS r",
+     [(True,)]),
+    ("duration equality is component-wise", None,
+     "RETURN duration({days: 1}) = duration({hours: 24}) AS a, "
+     "duration({days: 1}) < duration({days: 2}) AS b",
+     [(False, True)]),
+
     # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
     ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
     ("heterogeneous nested list literal", None,
