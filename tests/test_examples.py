@@ -15,6 +15,7 @@ EXAMPLES = [
     ("recommendation", 1),
     ("update_construct", 2),
     ("datasource_fs", 1),
+    ("incremental_dedup", 1),
 ]
 
 
