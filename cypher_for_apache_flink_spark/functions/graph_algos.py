@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -283,7 +285,7 @@ def degree_histogram(edges: DataFrame, src_col: str = "src",
 
 
 def k_core(edges: DataFrame, k: int = 3, src_col: str = "src",
-           dst_col: str = "dst", max_rounds: int = 50) -> DataFrame:
+           dst_col: str = "dst", max_rounds: int | None = None) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k.  Returns (node, degree) with each survivor's degree
     INSIDE the core.
@@ -299,7 +301,9 @@ def k_core(edges: DataFrame, k: int = 3, src_col: str = "src",
     live = _normalize_undirected(edges, src_col, dst_col) \
         .localCheckpoint(eager=True)
     n_live = live.count()
-    for _ in range(max_rounds):
+    rounds = 0
+    converged = n_live == 0
+    while not converged:
         deg = (live.select(F.explode(F.array("u", "v")).alias("node"))
                .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
         keep = deg.where(F.col("degree") >= k).select("node")
@@ -311,9 +315,18 @@ def k_core(edges: DataFrame, k: int = 3, src_col: str = "src",
         nxt = nxt.localCheckpoint(eager=True)
         n_next = nxt.count()
         live = nxt
-        if n_next == n_live:
-            break
+        converged = n_next == n_live
         n_live = n_next
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds and not converged:
+            # a peel that removes O(1) nodes per round (e.g. a long path
+            # graph) legitimately needs O(n) rounds — stopping early would
+            # return non-core members, so the default is unbounded
+            warnings.warn(
+                f"k_core: stopped after max_rounds={max_rounds} without "
+                "reaching the fixpoint; result is a SUPERSET of the "
+                f"{k}-core", RuntimeWarning)
+            break
     deg = (live.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).cast("long")
                                 .alias("degree")))

@@ -286,33 +286,63 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           planes: int = 8, seed: int = 42,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          dims: int | None = None) -> DataFrame:
+                          dims: int | None = None,
+                          bands: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    Blocked self-join: pairs are only compared within a block (an existing
-    cluster/label column if given, else the LSH signature).  The block join
-    is the only shuffle; its width is ids + vectors per block, never n².
+    Blocked self-join: pairs are only compared within a block.  With an
+    existing cluster/label ``block_col`` the block key is that column;
+    otherwise the hyperplane LSH signature is split into ``bands`` bit
+    bands (like ``dedup.simhash_pairs``) and a pair is a candidate when
+    ANY band matches — pigeonhole: hamming(sig_a, sig_b) <= bands-1
+    guarantees a shared band, so a pair differing in a single sign bit is
+    always compared (the full-signature block of earlier rounds halved
+    recall at theta=0.9).  The band join is the only shuffle; its width
+    is bands x (ids + vectors), never n².
 
     ``dims`` (the embedding dimensionality) is required when ``block_col``
     is None: the hyperplane literals are built at plan time, and probing
     the data for the width would cost a hidden driver action per call —
     and fail on empty input (VERDICT r3 #4).
     """
-    if block_col is None:
+    if block_col is not None:
+        left = df.select(F.col(block_col).alias("blk"),
+                         F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        right = df.select(F.col(block_col).alias("blk"),
+                          F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        cand = left.join(right, "blk").where(F.col("a") < F.col("b"))
+    else:
         if dims is None:
             raise ValueError(
                 "cosine_near_dup_pairs needs dims= (embedding width) when "
                 "no block_col is given; plan construction must not run a "
                 "job to probe it")
-        df = df.withColumn("__block", lsh_signature(
-            F.col(vec_col), _plane_literals(dims, planes, seed)))
-        block_col = "__block"
-    left = df.select(F.col(block_col).alias("blk"),
-                     F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(block_col).alias("blk"),
-                      F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (left.join(right, "blk")
-            .where(F.col("a") < F.col("b"))
+        if planes % bands:
+            raise ValueError(f"planes={planes} not divisible by "
+                             f"bands={bands}")
+        bits_per = planes // bands
+        mask = (1 << bits_per) - 1
+        sig = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            lsh_signature(F.col(vec_col),
+                          _plane_literals(dims, planes, seed)).alias("__sig"))
+        entries = sig.select(
+            "id", "vec",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("__sig"), b * bits_per)
+                    .bitwiseAND(F.lit(mask)).alias("key"))
+                for b in range(bands)])).alias("bk")) \
+            .select("id", "vec", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key"))
+        left = entries.select(F.col("id").alias("a"),
+                              F.col("vec").alias("va"), "band", "key")
+        right = entries.select(F.col("id").alias("b"),
+                               F.col("vec").alias("vb"), "band", "key")
+        cand = (left.join(right, ["band", "key"])
+                .where(F.col("a") < F.col("b")))
+    return (cand
             .withColumn("cosine", F.round(
                 cosine_sim(F.col("va"), F.col("vb")), 6))
             .where(F.col("cosine") >= threshold)

@@ -446,6 +446,13 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
                 for k, c in props:
                     out = F.when(idx == F.lit(k), F.col(c)).otherwise(out)
                 return out
+            hv = ctx.header.var(expr.owner.name)
+            if isinstance(hv, (E.NodeVar, E.RelVar)):
+                # entity with no declared properties: n[key] is null for
+                # every key (mirrors the keys() == [] guard above) —
+                # falling through would try_element_at the long id column
+                # and raise an AnalysisException
+                return F.lit(None)
         owner = to_column(expr.owner, ctx)
         ot = spark_dtype(expr.owner, ctx)
         idx = to_column(expr.index, ctx)

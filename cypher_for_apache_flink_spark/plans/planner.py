@@ -1027,6 +1027,44 @@ class Planner:
         # cannot collide with source ids.
         on_names = getattr(clause, "on", ())
         if on_names:
+            on_graphs = [self.session.graph(gname) for gname in on_names]
+            # Distinct id spaces can collide: two graph_from_create graphs
+            # are both numbered from 0, so unioning ON graphs by raw id
+            # would merge unrelated entities and rewire edges.  The
+            # reference (okapi) retags ids per graph for CONSTRUCT ON; we
+            # prefix like union_all/prefixed_graph.  The matched graph (if
+            # present among ON, or contributing CLONEd ids) keeps tag 0 so
+            # the replacement anti-join below still collapses clones onto
+            # their originals; every OTHER distinct ON graph gets its own
+            # high-bit tag.  NEW ids are negative and never collide with
+            # any (shifted or not) source id.  Only retag when >= 2
+            # distinct id spaces actually meet, so the common single
+            # same-graph ON case keeps its ids verbatim.
+            from ..operators.records import prefixed_graph
+            bound_content = (
+                any(header.var(v) is not None for v in node_slots)
+                or any(header.var(s) is not None or header.var(d) is not None
+                       for s, _, d in rel_slots))
+            distinct: list = []
+            for bg in on_graphs:
+                if all(bg is not o for o in distinct):
+                    distinct.append(bg)
+            matched_in = any(bg is self.graph for bg in distinct)
+            spaces = len(distinct) + (
+                1 if (bound_content and not matched_in) else 0)
+            if spaces > 1:
+                tags: dict = {}
+                next_tag = 1
+                retagged = []
+                for bg in on_graphs:
+                    if bg is self.graph:
+                        retagged.append(bg)
+                        continue
+                    if id(bg) not in tags:
+                        tags[id(bg)] = next_tag
+                        next_tag += 1
+                    retagged.append(prefixed_graph(bg, tags[id(bg)], 2))
+                on_graphs = retagged
             # constructed elements REPLACE their ON-graph originals: a
             # CLONE ... SET row (possibly in an extended label combo) must
             # win over the carried base row, so the base contribution is
@@ -1037,8 +1075,7 @@ class Planner:
                 cons_ids = ids if cons_ids is None else cons_ids.unionAll(ids)
             if cons_ids is not None:
                 cons_ids = cons_ids.dropDuplicates(["id"])
-            for gname in on_names:
-                base_g = self.session.graph(gname)
+            for base_g in on_graphs:
                 for combo, ndf in base_g.node_tables.items():
                     if cons_ids is not None:
                         ndf = ndf.join(cons_ids, "id", "left_anti")
@@ -1479,12 +1516,42 @@ class Planner:
         p = to_column(pd_expr.args[1], ctx)
         base = df.select(*group_cols, arg.alias("__pd_v")) \
             .where(F.col("__pd_v").isNotNull())
-        w = (Window.partitionBy(*group_cols) if group_cols
-             else Window.partitionBy(F.lit(1)))
-        ranked = base.select(
-            *group_cols, "__pd_v",
-            F.row_number().over(w.orderBy(F.col("__pd_v"))).alias("__pd_rn"),
-            F.count(F.lit(1)).over(w).alias("__pd_n"))
+        if group_cols:
+            w = Window.partitionBy(*group_cols)
+            ranked = base.select(
+                *group_cols, "__pd_v",
+                F.row_number().over(w.orderBy(F.col("__pd_v")))
+                .alias("__pd_rn"),
+                F.count(F.lit(1)).over(w).alias("__pd_n"))
+        else:
+            # Ungrouped: a partitionBy(lit(1)) window would funnel every
+            # row through one task.  Two-phase instead: range-repartition
+            # by value (sampled boundaries, like a global sort), rank
+            # WITHIN each range partition in parallel, then add the
+            # broadcast per-partition row-count offsets — the offset/total
+            # windows run over at most shuffle-partition-count rows.
+            d = base.repartitionByRange(F.col("__pd_v")) \
+                .withColumn("__pd_pid", F.spark_partition_id())
+            local = d.withColumn(
+                "__pd_rn_local",
+                F.row_number().over(
+                    Window.partitionBy("__pd_pid").orderBy("__pd_v")))
+            counts = d.groupBy("__pd_pid") \
+                .agg(F.count(F.lit(1)).alias("__pd_pc"))
+            offs = counts.select(
+                "__pd_pid",
+                F.coalesce(
+                    F.sum("__pd_pc").over(
+                        Window.orderBy("__pd_pid")
+                        .rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)).alias("__pd_off"))
+            total = counts.agg(F.sum("__pd_pc").alias("__pd_n"))
+            ranked = (local.join(F.broadcast(offs), "__pd_pid")
+                      .crossJoin(F.broadcast(total))
+                      .select("__pd_v",
+                              (F.col("__pd_rn_local") + F.col("__pd_off"))
+                              .alias("__pd_rn"),
+                              "__pd_n"))
         return ranked.where(
             F.col("__pd_rn") == F.greatest(
                 F.ceil(p * F.col("__pd_n")), F.lit(1)).cast("int")) \

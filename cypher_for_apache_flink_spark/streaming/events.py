@@ -231,7 +231,7 @@ def correlated_events(events: DataFrame, first_type: str = "view",
     event-time range, so Spark can evict state — bounded memory at any
     input rate.  On a batch DataFrame the same equi+range join runs as a
     plain join, so the batch form is the SQL oracle's twin.  Returns
-    (user_id, first_id, then_id, gap_seconds).
+    (user_id, first_id, then_id, gap_micros) — the gap in MICROseconds.
     """
     lhs = events.where(F.col("event_type") == first_type).select(
         F.col("user_id"), F.col("event_id").alias("first_id"),

@@ -347,3 +347,54 @@ def test_construct_on_clone_set_replaces_base_row(session):
     rows = rg.cypher("MATCH (p:Person) WHERE p.name = 'Alice' "
                      "RETURN count(*) AS c").collect()
     assert rows[0].c == 1
+
+
+def test_construct_on_two_graphs_with_overlapping_ids(spark):
+    """ADVICE r4 (medium): two graph_from_create graphs are both numbered
+    from 0 — CONSTRUCT ON g1, g2 must retag ids per graph, or unrelated
+    nodes collide in the union and edges rewire to the wrong entity
+    (okapi retags per graph; MultipleGraphExample does CONSTRUCT ON
+    socialNetwork, purchases.products)."""
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+
+    g1 = graph_from_create(spark, "CREATE (a:A {n: 1})-[:RA]->(b:A {n: 2})")
+    g2 = graph_from_create(spark, "CREATE (c:B {m: 3})-[:RB]->(d:B {m: 4})")
+    s = CypherSession.for_graph(g1)
+    s.register("g1", g1)
+    s.register("g2", g2)
+    rg = s.cypher("CONSTRUCT ON g1, g2 RETURN GRAPH").graph
+    assert rg.cypher("MATCH (n) RETURN count(*) AS c").collect()[0].c == 4
+    ra = rg.cypher("MATCH (x:A)-[:RA]->(y:A) "
+                   "RETURN x.n AS x, y.n AS y").collect()
+    assert [(r.x, r.y) for r in ra] == [(1, 2)]
+    rb = rg.cypher("MATCH (x:B)-[:RB]->(y:B) "
+                   "RETURN x.m AS x, y.m AS y").collect()
+    assert [(r.x, r.y) for r in rb] == [(3, 4)]
+    # no cross-graph edge appeared through an id collision
+    assert rg.cypher("MATCH (x:A)-->(y:B) RETURN count(*) AS c") \
+        .collect()[0].c == 0
+    assert rg.cypher("MATCH (x:B)-->(y:A) RETURN count(*) AS c") \
+        .collect()[0].c == 0
+
+
+def test_construct_on_matched_plus_foreign_graph_clone_replaces(spark):
+    """The matched graph keeps tag 0 so a CLONE ... SET row still replaces
+    its original; the foreign ON graph is retagged into a disjoint id
+    space."""
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+
+    g1 = graph_from_create(
+        spark, "CREATE (:P {name: 'a'}), (:P {name: 'b'})")
+    g2 = graph_from_create(spark, "CREATE (:Q {q: 1}), (:Q {q: 2})")
+    s = CypherSession.for_graph(g1)
+    s.register("g1", g1)
+    s.register("g2", g2)
+    rg = s.cypher(
+        "FROM GRAPH g1 MATCH (p:P) WHERE p.name = 'a' "
+        "CONSTRUCT ON g1, g2 CLONE p SET p.flag = true "
+        "RETURN GRAPH").graph
+    assert rg.cypher("MATCH (n) RETURN count(*) AS c").collect()[0].c == 4
+    rows = rg.cypher("MATCH (p:P) RETURN p.name AS n, p.flag AS f "
+                     "ORDER BY n").collect()
+    assert [(r.n, r.f) for r in rows] == [("a", True), ("b", None)]
+    assert rg.cypher("MATCH (q:Q) RETURN count(*) AS c").collect()[0].c == 2

@@ -122,6 +122,21 @@ def test_percentile_disc_various_p_vs_duckdb(spark):
         assert got == want, (p, got, want)
 
 
+def test_dynamic_subscript_on_propertyless_entity_is_null(spark):
+    """ADVICE r4: n[key] on an entity whose label declares no properties
+    must be Cypher null, not an AnalysisException from try_element_at on
+    the id column."""
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+
+    g = graph_from_create(spark, "CREATE (:Bare), (:Bare)")
+    rows = g.cypher("MATCH (n:Bare) RETURN n['x'] AS v").collect()
+    assert [r["v"] for r in rows] == [None, None]
+    # computed key too
+    rows = g.cypher(
+        "WITH 'k' AS key MATCH (n:Bare) RETURN n[key] AS v").collect()
+    assert [r["v"] for r in rows] == [None, None]
+
+
 def test_two_pattern_comprehensions_one_return(spark):
     from cypher_for_apache_flink_spark.sources.create import graph_from_create
 

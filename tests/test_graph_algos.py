@@ -223,6 +223,24 @@ def test_k_core_cascading_peel(spark):
     assert k_core(edges, k=2).collect() == []
 
 
+def test_k_core_long_path_runs_to_fixpoint(spark):
+    """ADVICE r4: peeling a path graph removes only the two endpoints per
+    round, so a long chain legitimately needs O(n) rounds.  The default is
+    now unbounded (loop until the count stops changing); an explicit
+    max_rounds that stops early must warn and is documented as returning a
+    superset."""
+    import warnings as _w
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long")
+    assert k_core(edges, k=2).collect() == []          # true 2-core: empty
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        early = k_core(edges, k=2, max_rounds=3).collect()
+    assert len(early) > 0                              # superset remains
+    assert any("max_rounds" in str(w.message) for w in rec)
+
+
 def test_k_core_k1_keeps_everything(spark):
     edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
     got = {r.node for r in k_core(edges, k=1).collect()}

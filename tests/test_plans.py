@@ -101,6 +101,24 @@ def test_percentile_disc_plan_has_no_collect_list(g):
         assert got_n == n and abs(got_p - p) < 1e-9, (st, got_p, p)
 
 
+def test_global_percentile_disc_two_phase(g):
+    """Ungrouped percentileDisc must NOT funnel every row through a
+    partitionBy(lit(1)) window (VERDICT r4 #2): the rank is two-phase —
+    range-repartition by value, per-partition row_number in parallel,
+    broadcast per-partition offsets."""
+    res = g.cypher(
+        "MATCH (o:Order) RETURN percentileDisc(o.o_totalprice, 0.5) AS p50")
+    plan = _full(res)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "__pd_pid" in plan          # windows keyed on range-partition id
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) "
+        f"FROM read_parquet('{SF_DIR}/orders.parquet')").fetchone()[0]
+    got = res.collect()[0]["p50"]
+    assert abs(got - want) < 1e-9, (got, want)
+
+
 def test_contamination_benchmark_side_broadcasts(spark):
     """The benchmark shingle set joins the training corpus as a broadcast
     (map-side semi-join shape): a 100 TB corpus is never shuffled to meet a
