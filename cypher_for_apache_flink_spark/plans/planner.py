@@ -1538,11 +1538,15 @@ class Planner:
                     Window.partitionBy("__pd_pid").orderBy("__pd_v")))
             counts = d.groupBy("__pd_pid") \
                 .agg(F.count(F.lit(1)).alias("__pd_pc"))
+            # this window IS single-partition, but over the per-partition
+            # COUNT table (<= shuffle-partition-count rows), not the row
+            # stream; the constant key just suppresses the WindowExec
+            # "no partition defined" log spam
             offs = counts.select(
                 "__pd_pid",
                 F.coalesce(
                     F.sum("__pd_pc").over(
-                        Window.orderBy("__pd_pid")
+                        Window.partitionBy(F.lit(0)).orderBy("__pd_pid")
                         .rowsBetween(Window.unboundedPreceding, -1)),
                     F.lit(0)).alias("__pd_off"))
             total = counts.agg(F.sum("__pd_pc").alias("__pd_n"))
