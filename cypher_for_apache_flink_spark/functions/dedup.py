@@ -316,7 +316,9 @@ def dedup_against_index(spark, docs: DataFrame, path: str,
         # stream-static anti-join is the supported streaming shape; a
         # semi-join with the stream on the right is not, so the bucket
         # restriction is skipped (the static index is scanned per
-        # micro-batch — parquet row-group fp statistics still apply)
+        # micro-batch — parquet row-group fp statistics still apply).
+        # Use stream_dedup_against_index (foreachBatch) to restore the
+        # per-batch bucket pruning at scale.
         pruned = idx
     else:
         batch_buckets = new.select("__fp_bucket").distinct()
@@ -325,3 +327,29 @@ def dedup_against_index(spark, docs: DataFrame, path: str,
     out = new.join(pruned.select(F.col("fp").alias("__fp")), "__fp",
                    "left_anti")
     return out.drop("__fp", "__fp_bucket")
+
+
+def stream_dedup_against_index(spark, docs: DataFrame, path: str, sink,
+                               text_col: str = "text",
+                               id_col: str = "doc_id"):
+    """Streaming incremental dedup with per-batch bucket pruning
+    (VERDICT r4 #3): each micro-batch is deduped as a BATCH DataFrame
+    inside ``foreachBatch``, so :func:`dedup_against_index`'s broadcast
+    bucket semi-join restricts the index scan to the buckets the batch
+    actually touches — the plain stream-static composition rescans the
+    FULL index every micro-batch, O(index) per batch at a 100-TB corpus.
+
+    ``sink(deduped_batch_df, batch_id)`` receives each surviving batch
+    (write it, merge it, append it to the index...).  Returns the
+    ``DataStreamWriter`` — the caller adds trigger/options and ``.start()``.
+    """
+    if not docs.isStreaming:
+        raise ValueError("stream_dedup_against_index needs a streaming "
+                         "input; use dedup_against_index for batches")
+
+    def _process(batch_df, batch_id):
+        sink(dedup_against_index(spark, batch_df, path,
+                                 text_col=text_col, id_col=id_col),
+             batch_id)
+
+    return docs.writeStream.foreachBatch(_process)

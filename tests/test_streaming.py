@@ -273,3 +273,51 @@ def test_streaming_dedup_against_persisted_index(spark, tmp_path):
     assert out.isStreaming
     run_to_memory(out.select("doc_id"), "sfpdedup", "append")
     assert {r.doc_id for r in spark.table("sfpdedup").collect()} == {11}
+
+
+def test_stream_dedup_foreachbatch_prunes_buckets(spark, tmp_path):
+    """The foreachBatch wrapper dedups each micro-batch as a BATCH, so the
+    broadcast bucket semi-join restricts the index scan per batch (the
+    stream-static composition above scans the full index every batch,
+    VERDICT r4 #3).  Parity with the stream-static result + plan gate on
+    the per-batch bucket semi-join."""
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        stream_dedup_against_index, write_fingerprint_index)
+    corpus = spark.createDataFrame(
+        [(i, f"known document {i}") for i in range(40)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    write_fingerprint_index(corpus, idx)
+
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(100, "known document 3"), (101, "fresh document")],
+        "doc_id long, text string").write.parquet(land)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(land))
+    got, plans = [], []
+
+    def sink(df, batch_id):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        got.extend(df.select("doc_id").collect())
+
+    q = (stream_dedup_against_index(spark, stream, idx, sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert {r.doc_id for r in got} == {101}
+    plan = "\n".join(plans)
+    # the per-batch plan carries the bucket restriction: a broadcast
+    # LeftSemi join on the partition column before the fp anti-join
+    assert "LeftSemi" in plan and "__fp_bucket" in plan, plan
+    assert "LeftAnti" in plan
+
+
+def test_stream_dedup_wrapper_rejects_batch_input(spark):
+    import pytest as _pytest
+
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        stream_dedup_against_index,
+    )
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="streaming"):
+        stream_dedup_against_index(spark, df, "/tmp/nope", lambda d, b: None)
