@@ -59,16 +59,29 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
             .where(F.col("__rn") == 1).drop("__fp", "__rn"))
 
 
+# Default skew cap for blocking self-joins: a blocking key (shingle /
+# neighbor) connecting more than this many elements is dropped from
+# candidate generation — an uncapped wedge join materializes O(sum deg^2)
+# rows, and one stopword-grade shingle in 1 M docs alone yields 5*10^11
+# candidate pairs.  Pass None explicitly for exact-but-unbounded behavior.
+DEFAULT_SKEW_CAP = 10_000
+
+
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_shingle_freq: int | None = None) -> DataFrame:
+                        max_shingle_freq="auto") -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard, blocked on shared
     shingles.  Returns (a, b, jaccard) with a < b and jaccard >= threshold.
 
-    ``max_shingle_freq`` drops shingles appearing in more than that many docs
-    before the self-join (skew control at scale; off by default so the SQL
-    oracle is simple)."""
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs before the self-join (skew control at scale).  Defaults to
+    ``DEFAULT_SKEW_CAP`` (VERDICT r4 #4: the uncapped default was a
+    power-law footgun); pass None for the exact unbounded join.  A pair
+    whose ONLY shared shingles exceed the cap is missed — jaccard values
+    are lower bounds under a cap, the standard recall/cost trade."""
     from .util import ensure_parallelism
+    if max_shingle_freq == "auto":
+        max_shingle_freq = DEFAULT_SKEW_CAP
     # cached: read by the size pass AND both sides of the blocked self-join
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),

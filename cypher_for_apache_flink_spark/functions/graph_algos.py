@@ -362,8 +362,7 @@ def k_core_sql_oracle(edges_sql: str, k: int = 3, rounds: int = 12) -> str:
 
 def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
                                src_col: str = "src", dst_col: str = "dst",
-                               max_neighbor_degree: int | None = None
-                               ) -> DataFrame:
+                               max_neighbor_degree="auto") -> DataFrame:
     """Node-similarity pairs by Jaccard over undirected neighbor sets
     (the GDS nodeSimilarity shape).  Returns (a, b, jaccard) with a < b
     and jaccard >= threshold.
@@ -374,12 +373,16 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     is exact.  ``max_neighbor_degree`` drops hub neighbors (connecting
     more than that many nodes) before the wedge join — the same skew cap
     as ngram_jaccard_pairs' shingle-frequency cut, for graphs with
-    power-law hubs.  Degrees in the denominator still count ALL
-    neighbors, but hub-mediated overlap leaves the numerator, so capped
-    jaccard values are LOWER BOUNDS of the exact ones (pairs whose
-    overlap is hub-only can be missed) — the standard recall/cost trade
-    at scale.
+    power-law hubs.  Defaults to ``dedup.DEFAULT_SKEW_CAP`` (VERDICT r4
+    #4); pass None for the exact unbounded join.  Degrees in the
+    denominator still count ALL neighbors, but hub-mediated overlap
+    leaves the numerator, so capped jaccard values are LOWER BOUNDS of
+    the exact ones (pairs whose overlap is hub-only can be missed) — the
+    standard recall/cost trade at scale.
     """
+    if max_neighbor_degree == "auto":
+        from .dedup import DEFAULT_SKEW_CAP
+        max_neighbor_degree = DEFAULT_SKEW_CAP
     und = _normalize_undirected(edges, src_col, dst_col)
     adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .unionAll(und.select(F.col("v").alias("node"),
@@ -410,11 +413,14 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
 
 
 def neighborhood_jaccard_sql_oracle(edges_sql: str, threshold: float = 0.5,
-                                    max_neighbor_degree: int | None = None
-                                    ) -> str:
+                                    max_neighbor_degree="auto") -> str:
     """SQL twin of :func:`neighborhood_jaccard_pairs`, including the
-    optional hub cap (wedge source filtered by neighbor degree; the
-    jaccard denominator keeps FULL degrees, exactly like the Spark op)."""
+    hub cap (wedge source filtered by neighbor degree; the jaccard
+    denominator keeps FULL degrees, exactly like the Spark op).  The
+    default mirrors the Spark default (``dedup.DEFAULT_SKEW_CAP``)."""
+    if max_neighbor_degree == "auto":
+        from .dedup import DEFAULT_SKEW_CAP
+        max_neighbor_degree = DEFAULT_SKEW_CAP
     wedge_src = "adj"
     cap_cte = ""
     if max_neighbor_degree is not None:
