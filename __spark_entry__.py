@@ -1196,7 +1196,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer ORDER BY up LIMIT 20"),
         "math_functions": (
             "SELECT round(sqrt(o_totalprice), 4) AS sq, "
-            "CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS fl, "
+            "floor(o_totalprice / 1000.0) AS fl, "
             "round(abs(o_totalprice - 150000.0), 2) AS dist "
             "FROM orders ORDER BY sq LIMIT 25"),
         "list_functions": (

@@ -150,6 +150,28 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             if et is not None and not isinstance(et, T.NullType):
                 break
         return T.ArrayType(et or T.LongType())
+    if isinstance(expr, E.Subscript):
+        # chained subscripts ({a: {b: 7}}['a']['b']) need the owner
+        # subscript's type so the inner lookup picks the struct branch.
+        # plan_const, not E.Lit: literal->parameter extraction rewrites
+        # the index to a bound $__lit parameter.
+        k = plan_const(expr.index, ctx)
+        key = k if isinstance(k, str) else None
+        if isinstance(expr.owner, E.MapLit) and key is not None:
+            for k, v in expr.owner.items:
+                if k == key:
+                    return spark_dtype(v, ctx)
+            return T.NullType()
+        ot = spark_dtype(expr.owner, ctx)
+        if isinstance(ot, T.StructType):
+            if key is not None and key in ot.fieldNames():
+                return ot[key].dataType
+            return T.NullType()
+        if isinstance(ot, T.ArrayType):
+            return ot.elementType
+        if isinstance(ot, T.MapType):
+            return ot.valueType
+        return None
     if isinstance(expr, E.ListSlice):
         ot = spark_dtype(expr.owner, ctx)
         return ot if isinstance(ot, T.ArrayType) else T.ArrayType(T.LongType())
@@ -174,7 +196,8 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             return T.LongType()
         if n in ("sum", "min", "max") and expr.args:
             return spark_dtype(expr.args[0], ctx)
-        if n in ("tofloat", "sqrt", "exp", "log", "log10", "avg", "round"):
+        if n in ("tofloat", "sqrt", "exp", "log", "log10", "avg", "round",
+                 "ceil", "floor"):
             return T.DoubleType()
         if n in ("split", "labels", "keys"):
             return T.ArrayType(T.StringType())
@@ -967,8 +990,10 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         "upper": F.upper, "lower": F.lower, "trim": F.trim,
         "ltrim": F.ltrim, "rtrim": F.rtrim, "reverse": F.reverse,
         "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log10": F.log10,
-        "abs": F.abs, "ceil": lambda c: F.ceil(c).cast("long"),
-        "floor": lambda c: F.floor(c).cast("long"),
+        # openCypher floor()/ceil() return FLOAT (TCK MathematicalAcceptance;
+        # caught by the Gherkin harness's typed value comparison)
+        "abs": F.abs, "ceil": lambda c: F.ceil(c).cast("double"),
+        "floor": lambda c: F.floor(c).cast("double"),
         "sign": lambda c: F.signum(c).cast("long"),
         "sin": F.sin, "cos": F.cos, "tan": F.tan, "cot": lambda c: 1.0 / F.tan(c),
         "asin": F.asin, "acos": F.acos, "atan": F.atan,

@@ -1,0 +1,217 @@
+"""Execute TCK scenarios against the engine, with the reference's
+blacklist semantics.
+
+Reference analogue (morpheus-tck/.../TckSparkCypherTest.scala):
+ - whitelisted scenarios MUST pass (:58-67);
+ - blacklisted scenarios are still RUN and must KEEP failing — a passing
+   blacklisted scenario is itself a failure (:70-81);
+ - a per-feature coverage report is computed from the white/black split
+   (:83-105).
+"""
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass
+
+from .gherkin import Scenario, load_features
+from .values import (
+    TckValueError,
+    canon_expected_value,
+    canon_result_value,
+    parse_tck_value,
+)
+
+
+class ScenarioFailure(AssertionError):
+    pass
+
+
+_ERROR_RE = re.compile(
+    r"^an?\s+(\w+)\s+should be raised at\s+(compile time|runtime|any time)"
+    r"\s*:?\s*(\S*)\s*$", re.IGNORECASE)
+_RESULT_RE = re.compile(
+    r"^the result should be(,?\s*in (any )?order)?"
+    r"(,?\s*ignoring element order for lists)?\s*:?\s*$", re.IGNORECASE)
+
+
+def _param_value(v):
+    """Canonical tagged value -> plain Python parameter value."""
+    tag = v[0]
+    if tag == "null":
+        return None
+    if tag in ("bool", "int", "float", "str"):
+        return v[1]
+    if tag == "list":
+        return [_param_value(x) for x in v[1]]
+    if tag == "map":
+        return {k: _param_value(x) for k, x in v[1]}
+    raise TckValueError(f"unsupported parameter value {v!r}")
+
+
+@dataclass
+class _Plan:
+    setup: list
+    query: str | None
+    params: dict
+    expect_error: str | None          # error type name, or None
+    expect_rows: list | None          # table rows (incl. header), or None
+    ordered: bool
+    unordered_lists: bool
+    expect_empty: bool
+
+
+def _interpret(steps) -> _Plan:
+    plan = _Plan([], None, {}, None, None, False, False, False)
+    for step in steps:
+        text = step.text.rstrip(":").strip() if step.docstring is None \
+            else step.text.strip()
+        low = text.lower().rstrip(":")
+        if low in ("an empty graph", "any graph"):
+            continue
+        if low == "having executed" or low == "having defined":
+            plan.setup.append(step.docstring)
+            continue
+        if low == "parameters are" or low == "parameter values are":
+            for row in (step.table or []):
+                plan.params[row[0]] = _param_value(parse_tck_value(row[1]))
+            continue
+        if low == "executing query" or low == "executing control query":
+            plan.query = step.docstring
+            continue
+        if low == "no side effects" or low.startswith("the side effects"):
+            continue                   # read-only engine: nothing mutates
+        m = _ERROR_RE.match(text)
+        if m:
+            plan.expect_error = m.group(1)
+            continue
+        if low == "the result should be empty":
+            plan.expect_empty = True
+            continue
+        m = _RESULT_RE.match(text)
+        if m:
+            plan.ordered = m.group(1) is not None and m.group(2) is None
+            plan.unordered_lists = m.group(3) is not None
+            plan.expect_rows = step.table or []
+            continue
+        raise TckValueError(f"unsupported TCK step: {step.text!r}")
+    return plan
+
+
+_graph_cache: dict = {}
+
+
+def _build_graph(spark, setup: list):
+    from ..graph import PropertyGraph
+    from ..sources.create import graph_from_create
+
+    key = "\n".join(setup)
+    if key not in _graph_cache:
+        if key.strip():
+            _graph_cache[key] = graph_from_create(spark, key)
+        else:
+            _graph_cache[key] = PropertyGraph({}, {}, name="empty")
+    return _graph_cache[key]
+
+
+def run_scenario(spark, scenario: Scenario, background=()) -> None:
+    """Run one scenario; raise ScenarioFailure (or the engine's own error)
+    on mismatch.  Returning normally means the scenario PASSED."""
+    plan = _interpret(list(background) + list(scenario.steps))
+    if plan.query is None:
+        raise TckValueError(f"{scenario}: no 'When executing query' step")
+
+    try:
+        g = _build_graph(spark, plan.setup)
+        res = g.cypher(plan.query, params=plan.params or None)
+        rows = res.to_maps()
+    except Exception:
+        if plan.expect_error:
+            return                      # any engine-raised error satisfies
+        raise
+    if plan.expect_error:
+        raise ScenarioFailure(
+            f"{scenario}: expected {plan.expect_error} but the query "
+            f"succeeded with {len(rows)} rows")
+
+    if plan.expect_empty:
+        if rows:
+            raise ScenarioFailure(f"{scenario}: expected empty result, "
+                                  f"got {len(rows)} rows")
+        return
+    if plan.expect_rows is None:
+        return                          # no assertion step: running is enough
+
+    table = plan.expect_rows
+    header, data = (table[0], table[1:]) if table else ([], [])
+    got_cols = sorted(rows[0].keys()) if rows else None
+    if rows and sorted(header) != got_cols:
+        raise ScenarioFailure(f"{scenario}: columns {got_cols} != expected "
+                              f"{sorted(header)}")
+    order = sorted(range(len(header)), key=lambda k: header[k])
+    want = [tuple(canon_expected_value(parse_tck_value(row[k]),
+                                       plan.unordered_lists)
+                  for k in order) for row in data]
+    got = [tuple(canon_result_value(r[header[k]], plan.unordered_lists)
+                 for k in order) for r in rows]
+    if plan.ordered:
+        if got != want:
+            raise ScenarioFailure(
+                f"{scenario}: ordered mismatch\n got: {got}\nwant: {want}")
+    else:
+        if Counter(got) != Counter(want):
+            miss = Counter(want) - Counter(got)
+            extra = Counter(got) - Counter(want)
+            raise ScenarioFailure(
+                f"{scenario}: bag mismatch\n missing: {dict(miss)}\n "
+                f"unexpected: {dict(extra)}")
+
+
+class TckSuite:
+    """Feature corpus + blacklists (the reference's ``ScenariosFor``)."""
+
+    def __init__(self, features_dir: str, blacklist_files: dict[str, str]):
+        self.features = load_features(features_dir)
+        self.blacklists: dict[str, set] = {}
+        for name, path in blacklist_files.items():
+            with open(path, encoding="utf-8") as f:
+                self.blacklists[name] = {
+                    ln.strip() for ln in f
+                    if ln.strip() and not ln.strip().startswith("//")}
+        self._all_black = set().union(*self.blacklists.values()) \
+            if self.blacklists else set()
+
+    def scenarios(self):
+        for feat in self.features:
+            for sc in feat.scenarios:
+                yield feat, sc
+
+    @property
+    def white_list(self):
+        return [(f, s) for f, s in self.scenarios()
+                if str(s) not in self._all_black]
+
+    @property
+    def black_list(self):
+        return [(f, s) for f, s in self.scenarios()
+                if str(s) in self._all_black]
+
+    def stale_blacklist_entries(self):
+        """Blacklist lines matching no parsed scenario (typos/renames)."""
+        known = {str(s) for _, s in self.scenarios()}
+        return sorted(self._all_black - known)
+
+    def coverage_report(self) -> str:
+        """Per-feature pass coverage, like TckSparkCypherTest.scala:83-105."""
+        white = Counter(f.name for f, _ in self.white_list)
+        black = Counter(f.name for f, _ in self.black_list)
+        lines = ["TCK coverage (whitelisted / total per feature):"]
+        for feat in sorted(set(white) | set(black)):
+            w, b = white.get(feat, 0), black.get(feat, 0)
+            lines.append(f"  {feat}: {w}/{w + b} ({100.0 * w / (w + b):.1f}%)")
+        tw, tb = sum(white.values()), sum(black.values())
+        lines.append(f"overall: {tw}/{tw + tb} "
+                     f"({100.0 * tw / max(tw + tb, 1):.1f}%)")
+        for name, entries in sorted(self.blacklists.items()):
+            lines.append(f"blacklist {name}: {len(entries)} entries")
+        return "\n".join(lines)

@@ -1,0 +1,45 @@
+Feature: MapAcceptance
+
+  Scenario: Map literal access by key
+    Given any graph
+    When executing query:
+      """
+      RETURN {a: 1}['b'] AS miss, {a: 1}['a'] AS hit, {a: 1}.a AS dot
+      """
+    Then the result should be, in any order:
+      | miss | hit | dot |
+      | null | 1   | 1   |
+    And no side effects
+
+  Scenario: Nested map literals
+    Given any graph
+    When executing query:
+      """
+      RETURN {outer: {inner: 7}}['outer']['inner'] AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 7 |
+    And no side effects
+
+  Scenario: Returning a map literal
+    Given any graph
+    When executing query:
+      """
+      RETURN {name: 'x', nums: [1, 2]} AS m
+      """
+    Then the result should be, in any order:
+      | m                          |
+      | {name: 'x', nums: [1, 2]}  |
+    And no side effects
+
+  Scenario: Keys of a map literal include null-valued keys
+    Given any graph
+    When executing query:
+      """
+      RETURN keys({a: 1, b: null}) AS ks
+      """
+    Then the result should be, in any order, ignoring element order for lists:
+      | ks         |
+      | ['a', 'b'] |
+    And no side effects

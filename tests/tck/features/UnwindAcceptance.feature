@@ -1,0 +1,98 @@
+Feature: UnwindAcceptance
+
+  Scenario: Unwind a list literal
+    Given any graph
+    When executing query:
+      """
+      UNWIND [1, 2, 3] AS i RETURN i
+      """
+    Then the result should be, in any order:
+      | i |
+      | 1 |
+      | 2 |
+      | 3 |
+    And no side effects
+
+  Scenario: Unwind null produces no rows
+    Given any graph
+    When executing query:
+      """
+      UNWIND null AS i RETURN i
+      """
+    Then the result should be empty
+    And no side effects
+
+  Scenario: Unwind an empty list produces no rows
+    Given any graph
+    When executing query:
+      """
+      UNWIND [] AS i RETURN i
+      """
+    Then the result should be empty
+    And no side effects
+
+  Scenario: Unwind a range with a step
+    Given any graph
+    When executing query:
+      """
+      UNWIND range(1, 10, 3) AS i RETURN i
+      """
+    Then the result should be, in any order:
+      | i  |
+      | 1  |
+      | 4  |
+      | 7  |
+      | 10 |
+    And no side effects
+
+  Scenario: Nested lists flatten through two unwinds
+    Given any graph
+    When executing query:
+      """
+      UNWIND [[1, 2], [3]] AS xs UNWIND xs AS x RETURN x
+      """
+    Then the result should be, in any order:
+      | x |
+      | 1 |
+      | 2 |
+      | 3 |
+    And no side effects
+
+  Scenario: Unwind keeps duplicates which DISTINCT then removes
+    Given any graph
+    When executing query:
+      """
+      UNWIND [1, 1, 2] AS i RETURN DISTINCT i
+      """
+    Then the result should be, in any order:
+      | i |
+      | 1 |
+      | 2 |
+    And no side effects
+
+  Scenario: Unwind then aggregate
+    Given any graph
+    When executing query:
+      """
+      UNWIND [1, 2, 3, 4] AS i RETURN sum(i) AS s, count(*) AS c
+      """
+    Then the result should be, in any order:
+      | s  | c |
+      | 10 | 4 |
+    And no side effects
+
+  Scenario: Unwind a collected list round-trips
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:W {v: 1}), (:W {v: 2})
+      """
+    When executing query:
+      """
+      MATCH (w:W) WITH collect(w.v) AS vs UNWIND vs AS v RETURN v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 1 |
+      | 2 |
+    And no side effects
