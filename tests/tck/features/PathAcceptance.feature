@@ -1,0 +1,70 @@
+Feature: PathAcceptance
+
+  Background:
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:A {n: 1})-[:R {w: 1}]->(b:B {n: 2}),
+             (b)-[:R {w: 2}]->(c:C {n: 3})
+      """
+
+  Scenario: Length of a named path
+    When executing query:
+      """
+      MATCH p = (a:A)-->(b) RETURN length(p) AS l
+      """
+    Then the result should be, in any order:
+      | l |
+      | 1 |
+    And no side effects
+
+  Scenario: Named path over two hops
+    When executing query:
+      """
+      MATCH p = (:A)-->()-->(c:C) RETURN length(p) AS l, c.n AS n
+      """
+    Then the result should be, in any order:
+      | l | n |
+      | 2 | 3 |
+    And no side effects
+
+  Scenario: Variable length relationship list is bound
+    When executing query:
+      """
+      MATCH (a:A)-[rs:R*1..2]->(x) RETURN size(rs) AS hops, x.n AS n
+      """
+    Then the result should be, in any order:
+      | hops | n |
+      | 1    | 2 |
+      | 2    | 3 |
+    And no side effects
+
+  Scenario: Pattern comprehension collects projected values
+    When executing query:
+      """
+      MATCH (a:A) RETURN [(a)-[:R]->(x) | x.n] AS ns
+      """
+    Then the result should be, in any order:
+      | ns  |
+      | [2] |
+    And no side effects
+
+  Scenario: Pattern comprehension with a predicate
+    When executing query:
+      """
+      MATCH (b:B) RETURN [(b)-[r:R]->(x) WHERE r.w > 1 | x.n] AS ns
+      """
+    Then the result should be, in any order:
+      | ns  |
+      | [3] |
+    And no side effects
+
+  Scenario: Existential subquery syntax is not yet supported
+    When executing query:
+      """
+      MATCH (a:A) WHERE EXISTS { MATCH (a)-->(b) } RETURN a.n AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | 1 |
+    And no side effects
