@@ -78,17 +78,26 @@ def main():
         # warm-up (one-off codegen/JIT that a long-lived cluster job
         # amortizes to nothing); the median of the next `runs` is reported,
         # plus the relative spread so run-to-run noise is visible.
+        # Iterative/persist-heavy graph queries get a second discarded
+        # warm-up: their first post-JIT run still pays one-off shuffle
+        # file + block-manager setup that showed up as r4's 88% spread.
+        warmups = 2 if name in ("pagerank", "triangle_count", "k_core",
+                                "node_similarity",
+                                "personalized_pagerank") else 1
         samples, n = [], 0
-        for i in range(runs + 1):
+        for i in range(runs + warmups):
             t0 = time.time()
             n = len(qs[name](spark, sf_dir).collect())
             dt = time.time() - t0
-            if i > 0:
+            if i >= warmups:
                 samples.append(dt)
             # Drop the run's cache leases NOW: lazy finalization would let
             # cached corpora from prior runs pile up and perturb later
             # timings (spread, not median, but keep the noise down).
             gc.collect()
+        # stragglers (e.g. a lease whose finalizer hasn't run) must not
+        # perturb the NEXT query's samples
+        spark.catalog.clearCache()
         samples.sort()
         med = samples[len(samples) // 2] if len(samples) % 2 else \
             (samples[len(samples) // 2 - 1] + samples[len(samples) // 2]) / 2
@@ -97,11 +106,47 @@ def main():
         print(f"# {name}: median {timings[name]}s over {runs} warm runs "
               f"(spread {spreads[name]:.0%}, {n} rows)", file=sys.stderr)
 
+    # --- sf1-scale spot run (VERDICT r4 #9) ------------------------------
+    # No sf1 parquet ships with the container, so the heavy graph algos run
+    # ONCE on a 10x replication of the sf0.1 co-purchase graph (10 shifted
+    # id spaces — same volume an sf1 derivation would produce).  Single
+    # run, not part of the headline: its job is to catch 100x-shape
+    # regressions (a plan that quietly went quadratic) that sf0.1 hides.
+    sf1_spot = {}
+    if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0":
+        from pyspark.sql import functions as F
+
+        from cypher_for_apache_flink_spark.functions.graph_algos import (
+            k_core, pagerank, triangle_count)
+
+        base = entrymod._copurchase_edges(spark, sf_dir) \
+            .dropDuplicates(["src", "dst"])
+        shift = (base.agg(F.max(F.greatest("src", "dst"))).collect()[0][0]
+                 or 0) + 1
+        big = base
+        for i in range(1, 10):
+            big = big.unionAll(base.select(
+                (F.col("src") + i * shift).alias("src"),
+                (F.col("dst") + i * shift).alias("dst")))
+        big = big.repartition(int(cpus)).persist()
+        n_edges = big.count()
+        for qname, fn in [
+                ("pagerank", lambda: pagerank(big, iterations=3)),
+                ("k_core", lambda: k_core(big, k=4)),
+                ("triangle_count", lambda: triangle_count(big))]:
+            t0 = time.time()
+            fn().collect()
+            sf1_spot[qname] = round(time.time() - t0, 3)
+            print(f"# sf1_spot {qname}: {sf1_spot[qname]}s "
+                  f"({n_edges} edges)", file=sys.stderr)
+        big.unpersist()
+        sf1_spot["n_edges"] = n_edges
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "headline_total", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf,
                       "protocol": f"median_of_{runs}_warm",
-                      "spread": spreads}))
+                      "spread": spreads, "sf1_spot": sf1_spot}))
 
 
 if __name__ == "__main__":
