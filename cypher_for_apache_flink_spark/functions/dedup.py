@@ -308,6 +308,21 @@ def write_fingerprint_index(df: DataFrame, path: str, text_col: str = "text",
      .write.mode("overwrite").partitionBy("__fp_bucket").parquet(path))
 
 
+def append_to_fingerprint_index(df: DataFrame, path: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> None:
+    """Append a (deduped) batch's fingerprints to an existing index:
+    the ingestion loop is ``survivors = dedup_against_index(batch)`` then
+    ``append_to_fingerprint_index(survivors)`` — only the touched bucket
+    directories gain a new file, the rest of the index is untouched (no
+    rewrite, no read)."""
+    from .text import fingerprint
+    fp = fingerprint(F.col(text_col))
+    (df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"),
+               F.substring(fp, 1, 2).alias("__fp_bucket"))
+     .write.mode("append").partitionBy("__fp_bucket").parquet(path))
+
+
 def dedup_against_index(spark, docs: DataFrame, path: str,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

@@ -93,3 +93,30 @@ def test_fingerprint_index_prunes_partitions(spark, tmp_path):
     # the index scan must carry a dynamic partition-pruning filter
     assert "dynamicpruning" in plan.lower()
     assert out.collect() == []
+
+
+def test_fingerprint_index_append_ingestion_loop(spark, tmp_path):
+    """The incremental-ingestion loop: dedup a batch against the index,
+    append the survivors' fingerprints, and the NEXT batch dedups against
+    the union — only touched bucket directories gain files."""
+    import os
+
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        append_to_fingerprint_index, dedup_against_index,
+        write_fingerprint_index)
+    corpus = spark.createDataFrame(
+        [(1, "seed one"), (2, "seed two")], "doc_id long, text string")
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(corpus, path)
+    batch1 = spark.createDataFrame(
+        [(10, "seed one"), (11, "novel alpha")], "doc_id long, text string")
+    surv1 = dedup_against_index(spark, batch1, path)
+    assert {r.doc_id for r in surv1.collect()} == {11}
+    append_to_fingerprint_index(surv1, path)
+    # batch 2 repeats batch 1's survivor -> dropped against the APPENDED fp
+    batch2 = spark.createDataFrame(
+        [(20, "novel alpha"), (21, "novel beta")], "doc_id long, text string")
+    surv2 = dedup_against_index(spark, batch2, path)
+    assert {r.doc_id for r in surv2.collect()} == {21}
+    # the index stayed partitioned (bucket dirs, not a flat rewrite)
+    assert any(d.startswith("__fp_bucket=") for d in os.listdir(path))
