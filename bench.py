@@ -81,11 +81,13 @@ def main():
         # Iterative/persist-heavy graph queries get a second discarded
         # warm-up: their first post-JIT run still pays one-off shuffle
         # file + block-manager setup that showed up as r4's 88% spread.
-        warmups = 2 if name in ("pagerank", "triangle_count", "k_core",
-                                "node_similarity",
-                                "personalized_pagerank") else 1
+        noisy = name in ("pagerank", "triangle_count", "k_core",
+                         "node_similarity", "personalized_pagerank",
+                         "events_sessions")
+        warmups = 3 if noisy else 1
+        q_runs = runs + 2 if noisy else runs
         samples, n = [], 0
-        for i in range(runs + warmups):
+        for i in range(q_runs + warmups):
             t0 = time.time()
             n = len(qs[name](spark, sf_dir).collect())
             dt = time.time() - t0
@@ -96,15 +98,18 @@ def main():
             # timings (spread, not median, but keep the noise down).
             gc.collect()
         # stragglers (e.g. a lease whose finalizer hasn't run) must not
-        # perturb the NEXT query's samples
+        # perturb the NEXT query's samples; the forced full GC pays the
+        # collection debt of the freed blocks NOW instead of as a major
+        # pause in the middle of the next query's first sample
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         samples.sort()
         med = samples[len(samples) // 2] if len(samples) % 2 else \
             (samples[len(samples) // 2 - 1] + samples[len(samples) // 2]) / 2
         timings[name] = round(med, 3)
         spreads[name] = round((samples[-1] - samples[0]) / med, 3) if med else 0.0
-        print(f"# {name}: median {timings[name]}s over {runs} warm runs "
-              f"(spread {spreads[name]:.0%}, {n} rows)", file=sys.stderr)
+        print(f"# {name}: median {timings[name]}s over {len(samples)} warm "
+              f"runs (spread {spreads[name]:.0%}, {n} rows)", file=sys.stderr)
 
     # --- sf1-scale spot run (VERDICT r4 #9) ------------------------------
     # No sf1 parquet ships with the container, so the heavy graph algos run

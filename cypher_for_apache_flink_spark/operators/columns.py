@@ -236,6 +236,13 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
                 return ot[expr.key].dataType
             except Exception:
                 return None
+        if isinstance(expr.owner, E.Var):
+            hv = ctx.header.var(expr.owner.name)
+            if isinstance(hv, (E.NodeVar, E.RelVar)):
+                # entity in scope but the property column is absent
+                # (e.g. a nonexistent label folded to empty records):
+                # the compiled column is lit(null)
+                return T.NullType()
     return None
 
 
@@ -1211,6 +1218,10 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
         # not null (TCK Aggregation; Spark's SUM returns null there).
         # coalesce with an int literal: Spark coerces 0 up to the sum type.
         out = F.sum_distinct(arg) if expr.distinct else F.sum(arg)
+        if isinstance(spark_dtype(expr.args[0], ctx), T.NullType):
+            # statically-null input: Spark types SUM(NULL) as double;
+            # the TCK zero is an INTEGER
+            return F.coalesce(out.cast("long"), F.lit(0).cast("long"))
         return F.coalesce(out, F.lit(0))
     if n == "avg":
         return F.avg(arg)
