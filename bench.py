@@ -72,7 +72,7 @@ def main():
     qs["scan_nodes"](spark, sf_dir).collect()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    timings, spreads = {}, {}
+    timings, spreads, minmax = {}, {}, {}
     for name in HEADLINE:
         # BASELINE.md §3: warm JVM, median of 5.  Run 0 is a discarded
         # warm-up (one-off codegen/JIT that a long-lived cluster job
@@ -107,9 +107,17 @@ def main():
         med = samples[len(samples) // 2] if len(samples) % 2 else \
             (samples[len(samples) // 2 - 1] + samples[len(samples) // 2]) / 2
         timings[name] = round(med, 3)
-        spreads[name] = round((samples[-1] - samples[0]) / med, 3) if med else 0.0
+        # Dispersion: interquartile range over the median — a single
+        # GC-pause outlier in 5-7 samples dominated the old max-min
+        # spread without saying anything about the median's stability.
+        # The raw max-min stays visible as spread_minmax.
+        iqr = samples[(3 * len(samples)) // 4] - samples[len(samples) // 4]
+        spreads[name] = round(iqr / med, 3) if med else 0.0
+        minmax[name] = round((samples[-1] - samples[0]) / med, 3) \
+            if med else 0.0
         print(f"# {name}: median {timings[name]}s over {len(samples)} warm "
-              f"runs (spread {spreads[name]:.0%}, {n} rows)", file=sys.stderr)
+              f"runs (iqr spread {spreads[name]:.0%}, minmax "
+              f"{minmax[name]:.0%}, {n} rows)", file=sys.stderr)
 
     # --- sf1-scale spot run (VERDICT r4 #9) ------------------------------
     # No sf1 parquet ships with the container, so the heavy graph algos run
@@ -150,8 +158,9 @@ def main():
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "headline_total", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf,
-                      "protocol": f"median_of_{runs}_warm",
-                      "spread": spreads, "sf1_spot": sf1_spot}))
+                      "protocol": f"median_of_{runs}_warm_iqr_spread",
+                      "spread": spreads, "spread_minmax": minmax,
+                      "sf1_spot": sf1_spot}))
 
 
 if __name__ == "__main__":
