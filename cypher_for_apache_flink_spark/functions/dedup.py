@@ -136,7 +136,6 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
 
     The candidate join is on (band_index, band_key) — at 100 TB this is the
     only shuffle and its width is the number of near-dup candidates, not n²."""
-    per_band = num_hashes // bands
     # Shingle once, then derive the signature from the stored array — the
     # projection boundary survives (CollapseProject refuses to duplicate a
     # non-cheap expression referenced num_hashes times), so the tokenize +
@@ -148,21 +147,11 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
     shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("sh0")).cache()
-    sig = shingled.select("doc",
-                          minhash_from_shingles(F.col("sh0"), num_hashes).alias("sig"))
     # Band entries carry ONLY (doc, band, key): at 100 TB the band-bucket
     # shuffle must stay narrow — shingle arrays would multiply its width by
     # bands × doc size.  Shingles are re-attached to the (much smaller)
     # candidate-pair set afterwards.
-    band_entries = sig.select(
-        "doc",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws("|", *[
-                         F.col("sig")[b * per_band + r]
-                         for r in range(per_band)])).alias("key"))
-            for b in range(bands)])).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_entries = _minhash_band_entries(shingled, num_hashes, bands)
     left = band_entries.select(F.col("doc").alias("a"), "band", "key")
     right = band_entries.select(F.col("doc").alias("b"), "band", "key")
     cand = (left.join(right, ["band", "key"])
@@ -355,6 +344,89 @@ def dedup_against_index(spark, docs: DataFrame, path: str,
     out = new.join(pruned.select(F.col("fp").alias("__fp")), "__fp",
                    "left_anti")
     return out.drop("__fp", "__fp_bucket")
+
+
+def _minhash_band_entries(shingled, num_hashes: int, bands: int):
+    """(doc, band, key) band-bucket entries from a (doc, sh0) table —
+    shared by :func:`minhash_lsh_pairs` and the persisted index."""
+    per_band = num_hashes // bands
+    sig = shingled.select(
+        "doc", minhash_from_shingles(F.col("sh0"), num_hashes).alias("sig"))
+    return sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *[
+                         F.col("sig")[b * per_band + r]
+                         for r in range(per_band)])).alias("key"))
+            for b in range(bands)])).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
+def write_minhash_index(df: DataFrame, table: str, n: int = 3,
+                        num_hashes: int = 8, bands: int = 4,
+                        buckets: int = 16, text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Persist the corpus's MinHash LSH state as two BUCKETED tables — the
+    incremental NEAR-dup sibling of :func:`write_fingerprint_index`:
+
+    - ``{table}_bands``: (band, key, doc), bucketed+sorted on (band, key)
+      — the candidate join's index side;
+    - ``{table}_docs``: (doc, sh), bucketed on doc — shingle sets for
+      exact-Jaccard verification of candidates only.
+
+    Bucketing is the 100-TB design: a batch probe joins the band table on
+    (band, key) and the shingle table on doc with NO exchange on the
+    index side — only the (small) batch shuffles into the index layout.
+    """
+    shingled = df.select(F.col(id_col).alias("doc"),
+                         word_shingles(F.col(text_col), n).alias("sh0")) \
+        .cache()
+    entries = _minhash_band_entries(shingled, num_hashes, bands)
+    (entries.write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+     .mode("overwrite").format("parquet").saveAsTable(f"{table}_bands"))
+    (shingled.write.bucketBy(buckets, "doc").sortBy("doc")
+     .mode("overwrite").format("parquet").saveAsTable(f"{table}_docs"))
+    shingled.unpersist()
+
+
+def near_dup_against_index(spark, docs: DataFrame, table: str, n: int = 3,
+                           num_hashes: int = 8, bands: int = 4,
+                           threshold: float = 0.5, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Drop batch documents that are near-duplicates (exact word-n-gram
+    Jaccard >= threshold) of any document in a persisted
+    :func:`write_minhash_index`; returns the surviving rows.
+
+    Candidates come from shared LSH band buckets (same recall contract as
+    :func:`minhash_lsh_pairs`); verification re-attaches the INDEX side's
+    stored shingle sets so the corpus text is never re-read."""
+    batch_sh = docs.select(F.col(id_col).alias("doc"),
+                           word_shingles(F.col(text_col), n).alias("sh0")) \
+        .cache()
+    batch_entries = _minhash_band_entries(batch_sh, num_hashes, bands)
+    idx_bands = spark.table(f"{table}_bands")
+    idx_docs = spark.table(f"{table}_docs")
+    cand = (batch_entries.join(
+        idx_bands.select(F.col("doc").alias("ref"), "band", "key"),
+        ["band", "key"])
+        .select("doc", "ref").dropDuplicates(["doc", "ref"]))
+    cand = (cand
+            .join(batch_sh.select("doc", F.col("sh0").alias("sha")), "doc")
+            .join(idx_docs.select(F.col("doc").alias("ref"),
+                                  F.col("sh0").alias("shb")), "ref"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.col("sha")) + F.size(F.col("shb")) - inter
+    losers = (cand.where(F.round(inter / union, 6) >= threshold)
+              .select("doc").distinct()
+              .withColumnRenamed("doc", id_col))
+    out = docs.join(losers, id_col, "left_anti")
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(batch_sh)
+    out._cypher_cache_lease = lease
+    return out
 
 
 def stream_dedup_against_index(spark, docs: DataFrame, path: str, sink,

@@ -120,3 +120,78 @@ def test_fingerprint_index_append_ingestion_loop(spark, tmp_path):
     assert {r.doc_id for r in surv2.collect()} == {21}
     # the index stayed partitioned (bucket dirs, not a flat rewrite)
     assert any(d.startswith("__fp_bucket=") for d in os.listdir(path))
+
+
+def test_minhash_index_near_dup_ingestion(spark):
+    """Persisted NEAR-dup index: batch docs that share LSH bands with the
+    indexed corpus and verify at Jaccard >= threshold are dropped; the
+    probe joins the bucketed index tables with NO Exchange on the index
+    side (only the batch shuffles into the bucket layout)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        near_dup_against_index, write_minhash_index)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different reference text about spark engines")],
+        "doc_id long, text string")
+    try:
+        write_minhash_index(corpus, "mh_idx", buckets=4)
+        batch = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog today"),
+             (11, "a totally novel document with fresh content words")],
+            "doc_id long, text string")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = near_dup_against_index(spark, batch, "mh_idx",
+                                         threshold=0.5)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert {r.doc_id for r in out.collect()} == {11}
+            # index-side scans are bucketed and read with no Exchange
+            # directly above them
+            assert plan.count("Bucketed: true") == 2, plan
+            lines = plan.splitlines()
+            for i, ln in enumerate(lines):
+                if "Exchange hashpartitioning" in ln and i + 1 < len(lines):
+                    assert "mh_idx" not in lines[i + 1], (ln, lines[i + 1])
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for t in ("mh_idx_bands", "mh_idx_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("/root/repo/spark-warehouse", ignore_errors=True)
+
+
+def test_minhash_index_matches_inmemory_pairs(spark):
+    """The persisted-index probe finds exactly the pairs the in-memory
+    minhash_lsh_pairs finds between batch and corpus (same bands/hashes
+    -> same candidates; same Jaccard verification)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        minhash_lsh_pairs, near_dup_against_index, write_minhash_index)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 60)
+    batch = docs.where(F.col("doc_id") >= 60)
+    try:
+        write_minhash_index(corpus, "mh_idx2", buckets=4)
+        got = near_dup_against_index(spark, batch, "mh_idx2",
+                                     threshold=0.3)
+        got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+        # in-memory truth: pairs over the whole set, batch doc matches a
+        # corpus doc (pairs are a<b and corpus ids are all lower here)
+        pairs = minhash_lsh_pairs(docs, threshold=0.3)
+        dropped = {r.b for r in pairs.collect() if r.a < 60 and r.b >= 60}
+        want_ids = {r.doc_id for r in batch.select("doc_id").collect()} \
+            - dropped
+        assert got_ids == want_ids
+    finally:
+        for t in ("mh_idx2_bands", "mh_idx2_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("/root/repo/spark-warehouse", ignore_errors=True)
