@@ -380,6 +380,24 @@ def _q_cosine_near_dup(spark, sf_dir):
                                  block_col="label")
 
 
+def _q_near_dup_incremental(spark, sf_dir):
+    """Incremental NEAR-dup ingestion: build the bucketed MinHash index
+    for docs < 300, then drop the (overlapping) batch docs >= 250 that
+    verify at Jaccard >= 0.3 against any indexed document.  The probe
+    joins the bucketed band/shingle tables with no index-side exchange."""
+    import hashlib
+
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        near_dup_against_index, write_minhash_index)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"cfas_mh_index_{tag}"
+    write_minhash_index(docs.where(F.col("doc_id") < 300), tbl)
+    batch = docs.where(F.col("doc_id") >= 250)
+    return near_dup_against_index(spark, batch, tbl,
+                                  threshold=0.3).select("doc_id")
+
+
 def _q_cosine_near_dup_lsh(spark, sf_dir):
     """Banded hyperplane-LSH blocking (no label column): the 8-bit
     signature splits into 4 x 2-bit bands and a pair is a candidate when
@@ -774,6 +792,7 @@ _ROUND5_QUERIES = {
         "RETURN percentileDisc(o.o_totalprice, 0.25) AS p25d, "
         "percentileDisc(o.o_totalprice, 0.9) AS p90d"),
     "cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
+    "near_dup_incremental": _q_near_dup_incremental,
 }
 
 
@@ -1526,6 +1545,39 @@ FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
 WHERE len(list_intersect(sa.shl, sb.shl))
       / CAST(len(sa.shl) + len(sb.shl)
              - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) >= 0.3""",
+        # near_dup_incremental: same md5-minhash banding as the Spark
+        # index; a batch doc (>= 250) is dropped when it shares a band
+        # with ANY indexed doc (< 300) and verifies at Jaccard >= 0.3
+        # (overlapping ids self-match at jaccard 1, like the Spark probe)
+        "near_dup_incremental": rf"""
+{_SQL_SHINGLES}, sig AS (
+  SELECT doc_id, [
+    list_min(list_transform(shl, s -> md5(concat('0|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('1|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('2|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('3|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('4|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('5|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('6|', s)))),
+    list_min(list_transform(shl, s -> md5(concat('7|', s))))
+  ] AS sg FROM sh
+), bandkeys AS (
+  SELECT doc_id, b, md5(concat(sg[2*b+1], '|', sg[2*b+2])) AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) bands(b)
+  WHERE sg[1] IS NOT NULL
+), cand AS (
+  SELECT DISTINCT x.doc_id AS ref, y.doc_id AS doc
+  FROM bandkeys x JOIN bandkeys y ON x.b = y.b AND x.key = y.key
+  WHERE x.doc_id < 300 AND y.doc_id >= 250
+), losers AS (
+  SELECT DISTINCT c.doc AS doc_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.ref JOIN sh sb ON sb.doc_id = c.doc
+  WHERE round(len(list_intersect(sa.shl, sb.shl))
+        / CAST(len(sa.shl) + len(sb.shl)
+               - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE), 6) >= 0.3
+)
+SELECT doc_id FROM documents
+WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM losers)""",
         # near_dup_clusters: the jaccard pair set feeds a recursive-CTE
         # min-label reachability closure — the SQL twin of the DataFrame
         # connected-components iteration.
