@@ -737,10 +737,14 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             return F.concat(l, r)
         if _is(lt, T.ArrayType) and _is(rt, T.ArrayType):
             return F.concat(l, r)
+        # list + element appends — but a NULL operand nulls the whole
+        # result (openCypher Add: [1, 2] + null IS null, not [1, 2, null])
         if _is(lt, T.ArrayType):
-            return F.concat(l, F.array(r))
+            return F.when(r.isNull(), F.lit(None)) \
+                .otherwise(F.concat(l, F.array(r)))
         if _is(rt, T.ArrayType):
-            return F.concat(F.array(l), r)
+            return F.when(l.isNull(), F.lit(None)) \
+                .otherwise(F.concat(F.array(l), r))
         return l + r
     if op == "-":
         if is_duration_type(lt) and is_duration_type(rt):
@@ -763,12 +767,34 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             return make_duration(l.getField("months") / r,
                                  l.getField("days") / r,
                                  l.getField("microseconds") / r)
-        # Cypher: integer / integer -> integer (truncating toward zero).
+        # Cypher: integer / integer -> integer (truncating toward zero);
+        # dividing by integer zero is an error (Spark ANSI raises too).
         if _is(lt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)) and \
            _is(rt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
             return (l / r).cast("long")
+        if _is(lt, (T.DoubleType, T.FloatType)) \
+                or _is(rt, (T.DoubleType, T.FloatType)):
+            # FLOAT division follows IEEE 754 (x/0.0 = ±Infinity, 0.0/0.0
+            # = NaN, never an error) — Spark ANSI raises DIVIDE_BY_ZERO,
+            # so the zero-divisor case is decided branch-side.  A null
+            # divisor falls to the otherwise (null / null = null).
+            return F.when(
+                r == 0,
+                F.when(l > 0, F.lit(float("inf")))
+                .when(l < 0, F.lit(float("-inf")))
+                .when(l == 0, F.lit(float("nan")))
+                .otherwise(F.lit(None).cast("double"))) \
+                .otherwise(l.cast("double") / r)
         return l / r
     if op == "%":
+        if _is(lt, (T.DoubleType, T.FloatType)) \
+                or _is(rt, (T.DoubleType, T.FloatType)):
+            # IEEE: x % 0.0 is NaN, not an error
+            return F.when(
+                r == 0,
+                F.when(l.isNotNull(), F.lit(float("nan")))
+                .otherwise(F.lit(None).cast("double"))) \
+                .otherwise(l % r)
         return l % r
     if op == "^":
         return F.pow(l, r)
