@@ -888,9 +888,19 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
              if isinstance(e, E.HasLabel) and e.node == var),
         )
         if not pairs:
-            return F.array().cast("array<string>")
-        return F.array_compact(F.array(
-            *[F.when(F.col(c), F.lit(lbl)) for lbl, c in pairs]))
+            arr = F.array().cast("array<string>")
+        else:
+            # cast: an OPTIONAL MATCH on a schema-unknown label pads the
+            # flag with an untyped null, which CASE WHEN rejects
+            arr = F.array_compact(F.array(
+                *[F.when(F.col(c).cast("boolean"), F.lit(lbl))
+                  for lbl, c in pairs]))
+        idc = ctx.header.get(var)
+        if idc is not None:
+            # labels(null) is null (unmatched OPTIONAL entity)
+            return F.when(F.col(idc).isNull(),
+                          F.lit(None).cast("array<string>")).otherwise(arr)
+        return arr
     if name == "type":
         tc = ctx.header.get(TypeOf(args[0]))
         if tc is None:
@@ -906,15 +916,24 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             ((e.key, ctx.header.col(e)) for e in ctx.header.exprs()
              if isinstance(e, E.Property) and e.owner == var),
         )
+        idc = ctx.header.get(var) if isinstance(var, E.Var) else None
+
+        def _null_guarded(arr):
+            # keys(null) is null (unmatched OPTIONAL entity)
+            if idc is None:
+                return arr
+            return F.when(F.col(idc).isNull(),
+                          F.lit(None).cast("array<string>")).otherwise(arr)
+
         if props:
             # entity: a null-valued property column means "property absent
             # on this element" -> excluded (reference CypherMap semantics)
-            return F.array_compact(F.array(
+            return _null_guarded(F.array_compact(F.array(
                 *[F.when(F.col(c).isNotNull(), F.lit(k))
-                  for k, c in props]))
+                  for k, c in props])))
         if isinstance(var, E.Var) and ctx.header.var(var.name) is not None:
             # entity with no declared properties: keys() = []
-            return F.array().cast("array<string>")
+            return _null_guarded(F.array().cast("array<string>"))
         # map value (literal / projection / nested struct): every key is
         # present even when its value is null (TCK Keys on literal maps)
         t = spark_dtype(args[0], ctx)
@@ -931,8 +950,13 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         )
         # no declared properties -> empty map {} (a zero-field struct is not
         # representable; Morpheus returns an empty CypherMap)
-        return F.struct(*[F.col(c).alias(k) for k, c in props]) if props \
+        out = F.struct(*[F.col(c).alias(k) for k, c in props]) if props \
             else F.create_map()
+        idc = ctx.header.get(var) if isinstance(var, E.Var) else None
+        if idc is not None:
+            # properties(null) is null (unmatched OPTIONAL entity)
+            return F.when(F.col(idc).isNull(), F.lit(None)).otherwise(out)
+        return out
     if name == "exists":
         return a(0).isNotNull()
     if name == "timestamp":
