@@ -68,3 +68,13 @@ Feature: PathAcceptance
       | n |
       | 1 |
     And no side effects
+
+  Scenario: Direct property access on an indexed path element
+    When executing query:
+      """
+      MATCH p = (a:A)-->(b) RETURN nodes(p)[0].n AS r
+      """
+    Then the result should be, in any order:
+      | r |
+      | 1 |
+    And no side effects
