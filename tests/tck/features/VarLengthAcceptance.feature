@@ -64,3 +64,13 @@ Feature: VarLengthAcceptance
       | 'a' |
       | 'b' |
     And no side effects
+
+  Scenario: Property access on members of a bound relationship list
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[rs:K*2..2]->(t) RETURN [r IN rs | r.w] AS ws
+      """
+    Then the result should be, in any order:
+      | ws     |
+      | [1, 2] |
+    And no side effects
