@@ -101,7 +101,7 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         v = ctx.params[expr.name]
         if isinstance(v, dict):
             return T.StructType([T.StructField(k, T.NullType())
-                                 for k in v])
+                                 for k in sorted(v)])
         if isinstance(v, bool):
             return T.BooleanType()
         if isinstance(v, int):
@@ -130,7 +130,7 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         return None
     if isinstance(expr, E.MapLit):
         return T.StructType([T.StructField(k, T.NullType())
-                             for k, _ in expr.items])
+                             for k, _ in sorted(expr.items)])
     if isinstance(expr, E.MapProjection):
         # mirror the compile: .* props first, explicit items override
         fields: dict = {}
@@ -142,7 +142,7 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         for k, _ in expr.items:
             fields[k] = None
         return T.StructType([T.StructField(k, T.NullType())
-                             for k in fields])
+                             for k in sorted(fields)])
     if isinstance(expr, E.ListLit):
         et = None
         for it in expr.items:
@@ -228,6 +228,8 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             if isinstance(t, (T.StringType, T.ArrayType, T.DoubleType)):
                 return t
         return lt or rt
+    if isinstance(expr, E.Neg):
+        return spark_dtype(expr.child, ctx)
     if isinstance(expr, E.Property):
         # Unresolved property on a map/struct column.
         ot = spark_dtype(expr.owner, ctx)
@@ -254,7 +256,9 @@ def _param_lit(v) -> Column:
     """Parameter value -> Column: dict params become struct literals (map
     access `$m.key` then compiles to getField), lists of dicts recurse."""
     if isinstance(v, dict):
-        return F.struct(*[_param_lit(x).alias(k) for k, x in v.items()])
+        # sorted like MapLit: map equality is key-order-blind
+        return F.struct(*[_param_lit(x).alias(k)
+                          for k, x in sorted(v.items())])
     if isinstance(v, (list, tuple)) and any(isinstance(x, dict) for x in v):
         return F.array(*[_param_lit(x) for x in v])
     return F.lit(v)
@@ -405,7 +409,11 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         return F.array(*[to_column(i, ctx) for i in expr.items])
 
     if isinstance(expr, E.MapLit):
-        return F.struct(*[to_column(v, ctx).alias(k) for k, v in expr.items])
+        # SORTED field order: Cypher map equality ignores declaration
+        # order ({a: 1, b: 2} = {b: 2, a: 1}), but Spark struct equality
+        # is positional — a canonical key order makes them agree
+        return F.struct(*[to_column(v, ctx).alias(k)
+                          for k, v in sorted(expr.items)])
 
     if isinstance(expr, E.MapProjection):
         # n {.name, alias: expr, .*} — explicit items win over .* expansion
@@ -421,7 +429,8 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
             fields[k] = to_column(v, ctx)
         if not fields:
             return F.struct(F.lit(None).alias("__empty"))
-        return F.struct(*[c.alias(k) for k, c in fields.items()])
+        # canonical key order, like MapLit (map equality is order-blind)
+        return F.struct(*[c.alias(k) for k, c in sorted(fields.items())])
 
     if isinstance(expr, E.Property):
         return _property(expr, ctx)
@@ -447,6 +456,11 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         return ~to_column(expr.child, ctx)
 
     if isinstance(expr, E.Neg):
+        if is_duration_type(spark_dtype(expr.child, ctx)):
+            c = to_column(expr.child, ctx)
+            return make_duration(-c.getField("months"),
+                                 -c.getField("days"),
+                                 -c.getField("microseconds"))
         return -to_column(expr.child, ctx)
 
     if isinstance(expr, E.IsNull):
@@ -536,6 +550,13 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
             init = init.cast(lst_t.elementType)
         elem_t = lst_t.elementType if isinstance(lst_t, T.ArrayType) else None
         acc_t = spark_dtype(expr.init, ctx)
+        if isinstance(expr.init, E.ListLit) and not expr.init.items \
+                and elem_t is not None:
+            # reduce(acc = [], ...): a bare [] is VOID-typed, which
+            # aggregate() rejects; type it from the list being reduced
+            # (the accumulator is a collector in this idiom)
+            acc_t = T.ArrayType(elem_t)
+            init = init.cast(acc_t)
         tctx = ctx.with_local_types(**{expr.acc: acc_t, expr.var: elem_t})
         return F.aggregate(
             lst, init,
@@ -700,13 +721,22 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
         # results).  A null operand still nulls either form (3VL).  The
         # static guard also keeps Spark's ANSI cast from turning
         # `4 < 'string'` into a runtime crash.
-        if not _comparable(spark_dtype(expr.lhs, ctx),
-                           spark_dtype(expr.rhs, ctx)):
+        ldt, rdt = spark_dtype(expr.lhs, ctx), spark_dtype(expr.rhs, ctx)
+        if not _comparable(ldt, rdt):
             if op in ("=", "<>"):
                 return F.when(l.isNull() | r.isNull(),
                               F.lit(None).cast("boolean")) \
                     .otherwise(F.lit(op == "<>"))
             return F.lit(None).cast("boolean")
+        if op in ("=", "<>") and _is(ldt, T.StructType) \
+                and _is(rdt, T.StructType) \
+                and ldt.fieldNames() != rdt.fieldNames():
+            # maps with different key sets are decidedly unequal — Spark
+            # struct equality is positional and ignores field names (or
+            # rejects different widths at analysis)
+            return F.when(l.isNull() | r.isNull(),
+                          F.lit(None).cast("boolean")) \
+                .otherwise(F.lit(op == "<>"))
     if op == "=":
         return l == r
     if op == "<>":
@@ -1177,6 +1207,20 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         if isinstance(ts_v, str):
             return F.to_timestamp(F.lit(ts_v.replace("T", " ")))
         return F.to_timestamp(F.translate(a(0), "T", " "))
+    if name in ("date.truncate", "datetime.truncate",
+                "localdatetime.truncate"):
+        # temporal truncation to a unit boundary (the reference's
+        # TemporalUdfs truncate family); ISO weeks start Monday, which is
+        # also Spark's date_trunc('week') anchor
+        unit = plan_const(args[0], ctx)
+        if not isinstance(unit, str):
+            raise ValueError(f"{name} unit must be a string literal")
+        u = unit.lower()
+        if u not in ("year", "quarter", "month", "week", "day", "hour",
+                     "minute", "second", "millisecond", "microsecond"):
+            raise ValueError(f"unsupported truncation unit {unit!r}")
+        out = F.date_trunc(u, a(1).cast("timestamp"))
+        return out.cast("date") if name == "date.truncate" else out
     if name in ("duration.between", "duration.indays", "duration.inmonths",
                 "duration.inseconds"):
         # TemporalTests.scala duration.between family.  Calendar-correct

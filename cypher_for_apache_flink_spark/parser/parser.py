@@ -40,7 +40,9 @@ _TOKEN_RE = re.compile(r"""
 
 # Dotted function names parsed as one call (TemporalTests.scala's
 # duration.between family).
-_NAMESPACED_FUNCS = {"duration.between", "duration.indays", "duration.inmonths",
+_NAMESPACED_FUNCS = {"date.truncate", "datetime.truncate",
+                     "localdatetime.truncate",
+                     "duration.between", "duration.indays", "duration.inmonths",
                      "duration.inseconds"}
 
 _KEYWORDS = {

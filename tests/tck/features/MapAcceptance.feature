@@ -43,3 +43,28 @@ Feature: MapAcceptance
       | ks         |
       | ['a', 'b'] |
     And no side effects
+
+  Scenario: Map equality ignores key declaration order
+    Given any graph
+    When executing query:
+      """
+      RETURN {a: 1, b: 2} = {b: 2, a: 1} AS eq,
+             {a: 1} = {b: 1} AS diff,
+             {a: 1} = {a: 1, b: 2} AS subset,
+             {a: 1, b: 2} = {a: 1, b: 3} AS vals
+      """
+    Then the result should be, in any order:
+      | eq   | diff  | subset | vals  |
+      | true | false | false  | false |
+    And no side effects
+
+  Scenario: Reduce can collect into an empty list accumulator
+    Given any graph
+    When executing query:
+      """
+      RETURN reduce(acc = [], x IN [1, 2] | acc + x) AS r
+      """
+    Then the result should be, in any order:
+      | r      |
+      | [1, 2] |
+    And no side effects

@@ -67,3 +67,27 @@ Feature: TemporalAcceptance
       | s                |
       | 'P1Y2M3DT4H5M6S' |
     And no side effects
+
+  Scenario: Truncating temporals to unit boundaries
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(datetime.truncate('month',
+                      localdatetime('2024-03-15T10:30:00'))) AS m,
+             toString(date.truncate('week', date('2024-03-15'))) AS w
+      """
+    Then the result should be, in any order:
+      | m                     | w            |
+      | '2024-03-01 00:00:00' | '2024-03-11' |
+    And no side effects
+
+  Scenario: Negated durations shift the other way
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(date('2020-01-02') + -duration('P1D')) AS r
+      """
+    Then the result should be, in any order:
+      | r            |
+      | '2020-01-01' |
+    And no side effects
