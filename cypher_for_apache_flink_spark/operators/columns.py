@@ -571,6 +571,11 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         raise ValueError("count(*) outside aggregation context")
 
     if isinstance(expr, E.PatternPredicate):
+        # the flag-column materialization stores the POSITIVE form; a
+        # negated instance (RETURN NOT exists(...)) negates its flag
+        c = ctx.header.get(E.PatternPredicate(expr.pattern))
+        if c is not None:
+            return ~F.col(c) if expr.negated else F.col(c)
         raise ValueError("pattern predicate must be planned as a join "
                          "(planner bug: reached expression compiler)")
 

@@ -51,3 +51,15 @@ Feature: PatternSizeAcceptance
       | a    | b     | c    |
       | true | false | true |
     And no side effects
+
+  Scenario: Negated pattern predicate in a projection
+    When executing query:
+      """
+      MATCH (n) RETURN n.name AS n, NOT exists((n)-[:KNOWS]->()) AS sink
+      """
+    Then the result should be, in any order:
+      | n   | sink  |
+      | 'a' | false |
+      | 'b' | false |
+      | 'c' | true  |
+    And no side effects
