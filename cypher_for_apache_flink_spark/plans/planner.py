@@ -1678,7 +1678,24 @@ def _const(expr, params):
         return expr.value
     if isinstance(expr, E.Param):
         return params[expr.name]
-    raise PlanError("SKIP/LIMIT must be a literal or parameter")
+    # constant expressions fold (openCypher allows `LIMIT 1 + 1`,
+    # `SKIP toInteger(...)`-style statically evaluable forms)
+    if isinstance(expr, E.Neg):
+        return -_const(expr.child, params)
+    if isinstance(expr, E.BinOp) and expr.op in ("+", "-", "*", "/", "%"):
+        l, r = _const(expr.lhs, params), _const(expr.rhs, params)
+        if expr.op == "+":
+            return l + r
+        if expr.op == "-":
+            return l - r
+        if expr.op == "*":
+            return l * r
+        if expr.op == "/":
+            return l // r if isinstance(l, int) and isinstance(r, int) \
+                else l / r
+        return l % r
+    raise PlanError("SKIP/LIMIT must be a constant expression "
+                    "(literal / parameter / arithmetic thereof)")
 
 
 def _agg_subexprs(expr: E.Expr) -> list:

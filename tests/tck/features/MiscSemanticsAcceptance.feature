@@ -115,3 +115,19 @@ Feature: MiscSemanticsAcceptance
       | r            |
       | [3, 2, 1, 0] |
     And no side effects
+
+  Scenario: SKIP and LIMIT accept constant expressions
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {x: 1}), (:N {x: 2}), (:N {x: 3}), (:N {x: 4})
+      """
+    When executing query:
+      """
+      MATCH (n:N) RETURN n.x AS x ORDER BY x SKIP 1 + 0 LIMIT 4 / 2
+      """
+    Then the result should be, in order:
+      | x |
+      | 2 |
+      | 3 |
+    And no side effects
