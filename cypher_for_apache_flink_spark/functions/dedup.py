@@ -380,6 +380,22 @@ def write_minhash_index(df: DataFrame, table: str, n: int = 3,
     (band, key) and the shingle table on doc with NO exchange on the
     index side — only the (small) batch shuffles into the index layout.
     """
+    import os
+    import re
+    import shutil
+
+    spark = df.sparkSession
+    warehouse = re.sub("^file:", "",
+                       spark.conf.get("spark.sql.warehouse.dir",
+                                      "spark-warehouse"))
+    for t in (f"{table}_bands", f"{table}_docs"):
+        # a PREVIOUS session's managed table may survive only as a
+        # directory (the in-memory catalog forgets it), which makes
+        # saveAsTable fail with LOCATION_ALREADY_EXISTS — drop both the
+        # catalog entry and the stale location
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t.lower()),
+                      ignore_errors=True)
     shingled = df.select(F.col(id_col).alias("doc"),
                          word_shingles(F.col(text_col), n).alias("sh0")) \
         .cache()
