@@ -323,25 +323,34 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
         bits_per = planes // bands
         mask = (1 << bits_per) - 1
         sig = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            F.col(id_col).alias("id"),
             lsh_signature(F.col(vec_col),
                           _plane_literals(dims, planes, seed)).alias("__sig"))
+        # NARROW band entries (id, band, key) — like minhash_lsh_pairs: a
+        # 100-TB embedding column must not ride the band-bucket shuffle
+        # bands times; vectors re-attach to the (much smaller) distinct
+        # candidate-pair set below
         entries = sig.select(
-            "id", "vec",
+            "id",
             F.explode(F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
                     F.shiftright(F.col("__sig"), b * bits_per)
                     .bitwiseAND(F.lit(mask)).alias("key"))
                 for b in range(bands)])).alias("bk")) \
-            .select("id", "vec", F.col("bk.band").alias("band"),
+            .select("id", F.col("bk.band").alias("band"),
                     F.col("bk.key").alias("key"))
-        left = entries.select(F.col("id").alias("a"),
-                              F.col("vec").alias("va"), "band", "key")
-        right = entries.select(F.col("id").alias("b"),
-                               F.col("vec").alias("vb"), "band", "key")
+        left = entries.select(F.col("id").alias("a"), "band", "key")
+        right = entries.select(F.col("id").alias("b"), "band", "key")
+        vecs = df.select(F.col(id_col).alias("__vid"),
+                         F.col(vec_col).alias("__v"))
         cand = (left.join(right, ["band", "key"])
-                .where(F.col("a") < F.col("b")))
+                .where(F.col("a") < F.col("b"))
+                .select("a", "b").dropDuplicates(["a", "b"])
+                .join(vecs.select(F.col("__vid").alias("a"),
+                                  F.col("__v").alias("va")), "a")
+                .join(vecs.select(F.col("__vid").alias("b"),
+                                  F.col("__v").alias("vb")), "b"))
     return (cand
             .withColumn("cosine", F.round(
                 cosine_sim(F.col("va"), F.col("vb")), 6))
