@@ -123,6 +123,24 @@ class Planner:
             # TabularUnionAll, RelationalOperator.scala:474-480), so
             # `RETURN a, b UNION RETURN b, a` is legal
             by_name = dict(o2)
+            # Columnar limitation (shared with the reference's DataFrame
+            # backend): one column cannot hold mixed type classes, so
+            # `RETURN 1 AS x UNION RETURN 'a' AS x` must be a clear
+            # plan-time error, not an ANSI cast crash at runtime.
+            from ..operators.columns import _comparable
+            t1 = dict(zip(recs.df.select(
+                *[c for _, c in outs]).columns,
+                [f.dataType for f in recs.df.select(
+                    *[c for _, c in outs]).schema.fields]))
+            for n2, c2 in o2:
+                dt2 = r2.df.schema[c2].dataType
+                c1 = dict(outs)[n2]
+                if not _comparable(t1.get(c1), dt2):
+                    raise PlanError(
+                        f"UNION column {n2!r} has incompatible types "
+                        f"across parts ({t1.get(c1).simpleString()} vs "
+                        f"{dt2.simpleString()}); a columnar engine cannot "
+                        "box mixed-type columns")
             rename = {by_name[n1]: c1 for n1, c1 in outs}
             df2 = r2.df.select(*[F.col(c).alias(rename.get(c, c))
                                  for c in r2.df.columns])

@@ -44,3 +44,26 @@ Feature: UnionAcceptance
       | 'a'  |
       | 'b'  |
     And no side effects
+
+  Scenario: Union of mixed-type columns
+    When executing query:
+      """
+      RETURN 1 AS x
+      UNION
+      RETURN 'a' AS x
+      """
+    Then the result should be, in any order:
+      | x   |
+      | 1   |
+      | 'a' |
+    And no side effects
+
+  Scenario: Union column type mismatch raises a clear plan error
+    When executing query:
+      """
+      RETURN 1 AS x
+      UNION
+      RETURN 'a' AS x
+      """
+    Then a SyntaxError should be raised at compile time: IncompatibleUnionTypes
+    And no side effects
