@@ -459,6 +459,33 @@ class Planner:
             for p in preds[1:]:
                 folded = E.BinOp(op, folded, p)
             return E.Not(folded) if e.kind == "none" else folded
+        if isinstance(e, E.Subscript):
+            # nodes(p)[0] / relationships(p)[-1] over a FIXED path is the
+            # statically-known element var — direct element reads, so
+            # nodes(p)[0].prop works without boxed entity values.  The
+            # index may be an auto-extracted $__lit parameter; planning
+            # runs per execution (only the AST skeleton is cached), so
+            # resolving it here is safe.
+            elems = self._path_elements_of(e.owner)
+            if elems is not None:
+                def static_ix(ix):
+                    if isinstance(ix, E.Neg):
+                        inner = static_ix(ix.child)
+                        return -inner if isinstance(inner, int) else None
+                    if isinstance(ix, E.Lit):
+                        v = ix.value
+                    elif isinstance(ix, E.Param):
+                        v = self.params.get(ix.name)
+                    else:
+                        return None
+                    return v if isinstance(v, int) \
+                        and not isinstance(v, bool) else None
+
+                i = static_ix(e.index)
+                if i is not None:
+                    if -len(elems) <= i < len(elems):
+                        return elems[i]
+                    return E.Lit(None)
         return e
 
     def _name_pattern(self, part: A.PatternPart) -> A.PatternPart:

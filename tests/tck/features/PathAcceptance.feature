@@ -78,3 +78,15 @@ Feature: PathAcceptance
       | r |
       | 1 |
     And no side effects
+
+  Scenario: Indexed path elements support negative and out-of-range indexes
+    When executing query:
+      """
+      MATCH p = (:A)-->()-->(c:C)
+      RETURN nodes(p)[-1].n AS last, relationships(p)[0].w AS w0,
+             nodes(p)[9] IS NULL AS oob
+      """
+    Then the result should be, in any order:
+      | last | w0 | oob  |
+      | 3    | 1  | true |
+    And no side effects
