@@ -423,8 +423,8 @@ class Planner:
         access on the lambda variable reads the already-bound element
         columns (no join).  The reference gets this through its boxed
         value runtime; a columnar engine unrolls it at plan time.
-        Var-length paths keep the id-array form (property access there
-        raises the instructive startNode/endNode error)."""
+        Var-length paths materialize through a posexplode + entity-scan
+        join instead (_materialize_rel_list_lambdas)."""
         e = _map_subexprs(e, self._rewrite_path_lambdas)   # bottom-up
         if isinstance(e, E.ListComprehension):
             elems = self._path_elements_of(e.list_expr)
@@ -1169,6 +1169,8 @@ class Planner:
             else:
                 plain.append(c)
         if plain:
+            for c in plain:
+                records = self._materialize_rel_list_lambdas(records, c)
             ctx = self.ctx(records)
             cond = None
             for c in plain:
@@ -1301,6 +1303,120 @@ class Planner:
                     if c != marker})
         return Records(self.session, h.added(pc, outc), df)
 
+    def _materialize_rel_list_lambdas(self, records: Records, expr):
+        """``[r IN rs | body]`` where ``rs`` is a bound var-length
+        relationship list (id array): posexplode the DISTINCT id lists,
+        join the relationship scan, evaluate the body per element, and
+        re-collect in position order — joined back on the id-list column
+        itself (equal lists give equal results, so the list is a valid
+        key).  The reference's boxed value runtime reads rel values
+        directly (and blacklists much of this family); the columnar
+        engine materializes the join once per distinct list."""
+        comps = []
+
+        def collect(e):
+            if isinstance(e, (E.ListComprehension, E.ListPredicate)) \
+                    and self._entity_list_kind(records, e.list_expr) \
+                    and e not in comps:
+                comps.append(e)
+            for ch in e.children() if isinstance(e, E.Expr) else ():
+                collect(ch)
+        collect(expr)
+        for comp in comps:
+            records = self._materialize_one_rel_list(records, comp)
+        return records
+
+    def _entity_list_kind(self, records: Records, le) -> str | None:
+        """'rel'/'node' when ``le`` is an entity-id-list source a lambda
+        can be materialized over: a bound var-length rel variable, or
+        nodes(p)/relationships(p) of a VAR-LENGTH named path (fixed paths
+        unroll in _rewrite_path_lambdas instead)."""
+        if isinstance(le, E.Var) and not isinstance(le, E.NodeVar) \
+                and records.header.get(E.ListRelVar(le.name)) is not None:
+            return "rel"
+        if isinstance(le, E.FuncCall) \
+                and le.name in ("nodes", "relationships") \
+                and len(le.args) == 1 and isinstance(le.args[0], E.Var):
+            entry = self._paths.get(le.args[0].name)
+            if entry is not None and entry[2] \
+                    and records.header.var(le.args[0].name) is not None:
+                return "rel" if le.name == "relationships" else "node"
+        return None
+
+    def _materialize_one_rel_list(self, records: Records, comp) -> Records:
+        from ..operators.records import scan_nodes, scan_rels
+
+        kind = self._entity_list_kind(records, comp.list_expr)
+        le = comp.list_expr
+        if isinstance(le, E.Var):
+            lcol = records.header.get(E.ListRelVar(le.name))
+        else:
+            # nodes(p)/relationships(p): the id array is a path-struct field
+            pv = records.header.var(le.args[0].name)
+            field = "rels" if le.name == "relationships" else "nodes"
+            tmp = f"__rlsrc_{self.fresh_name()}"
+            records = Records(
+                self.session, records.header.added(E.Var(tmp), tmp),
+                records.df.withColumn(
+                    tmp, F.col(records.header.col(pv)).getField(field)))
+            lcol = tmp
+        elem = f"__rle_{self.fresh_name()}"
+        if kind == "rel":
+            relrec = scan_rels(self.session, self.graph, elem)
+            rid = relrec.header.col(E.RelVar(elem))
+            evar = E.RelVar(elem)
+        else:
+            relrec = scan_nodes(self.session, self.graph, elem, frozenset())
+            rid = relrec.header.col(E.NodeVar(elem))
+            evar = E.NodeVar(elem)
+        lk, pos, val, out = (f"__rl_{self.fresh_name()}" for _ in range(4))
+        lists = records.df.select(F.col(lcol).alias(lk)).dropDuplicates()
+        ex = lists.select(lk, F.posexplode(F.col(lk)).alias(pos, "__rid"))
+        joined = ex.join(relrec.df, F.col("__rid") == F.col(rid), "inner")
+        rctx = ExprContext(relrec.header, joined, self.params)
+        is_pred = isinstance(comp, E.ListPredicate)
+        if is_pred:
+            if comp.kind not in ("any", "all", "none"):
+                raise PlanError(
+                    f"{comp.kind}() over a var-length entity list is not "
+                    "supported (any/all/none are)")
+            body = _subst_local(comp.where, comp.var, evar)
+        else:
+            body = comp.projection if comp.projection is not None \
+                else E.LocalVar(comp.var)
+            body = _subst_local(body, comp.var, evar)
+            if comp.where is not None:
+                joined = joined.where(to_column(
+                    _subst_local(comp.where, comp.var, evar), rctx))
+        pairs = joined.select(F.col(lk), F.col(pos),
+                              to_column(body, rctx).alias(val))
+        agg = pairs.groupBy(lk).agg(
+            F.array_sort(F.collect_list(F.struct(pos, val))).alias("__pv"))
+        res = agg.select(lk, F.transform(
+            F.col("__pv"), lambda s: s.getField(val)).alias(out))
+        elem_t = res.schema[out].dataType.simpleString()
+        df = records.df.join(
+            res, records.df[lcol].eqNullSafe(res[lk]), "left").drop(lk)
+        # an empty list (or all members filtered) has no exploded rows:
+        # the result is [] there, not null
+        df = df.withColumn(out, F.when(
+            F.col(lcol).isNotNull(),
+            F.coalesce(F.col(out), F.array().cast(elem_t))))
+        if is_pred:
+            # collect_list drops null predicate values — Cypher 3VL needs
+            # them (any([null]) is null), so nulls were collected as part
+            # of the struct; fold with exists/forall (both 3VL-correct)
+            arr = F.col(out)
+            if comp.kind == "any":
+                folded = F.exists(arr, lambda x: x)
+            elif comp.kind == "all":
+                folded = F.forall(arr, lambda x: x)
+            else:
+                folded = ~F.exists(arr, lambda x: x)
+            df = df.withColumn(out, folded)
+        return Records(self.session,
+                       records.header.added(comp, out), df)
+
     def _rel_uniqueness(self, records: Records, rel_vars) -> Records:
         """Cypher edge-uniqueness within one MATCH: pairwise distinct rels
         (cheap non-shuffling filters; skipped when type sets are provably
@@ -1372,6 +1488,11 @@ class Planner:
                 new_items.append(A.ProjectionItem(
                     resolve_vars(e, records.header), it.alias))
             items = new_items
+        # [r IN rs | body] over a bound var-length relationship list
+        # materializes via posexplode + rel-scan join (see
+        # _materialize_rel_list_lambdas)
+        for it in items:
+            records = self._materialize_rel_list_lambdas(records, it.expr)
 
         has_agg = any(E.is_aggregation(it.expr) for it in items)
         if has_agg:

@@ -73,4 +73,19 @@ Feature: VarLengthAcceptance
     Then the result should be, in any order:
       | ws     |
       | [1, 2] |
+      | [1, 1] |
+    And no side effects
+
+  Scenario: Quantifiers and comprehensions over var-length path elements
+    When executing query:
+      """
+      MATCH p = (a:V {n: 'a'})-[:K*1..2]->(t)
+      WHERE all(r IN relationships(p) WHERE r.w >= 1)
+      RETURN t.n AS t, [x IN nodes(p) | x.n] AS ns
+      """
+    Then the result should be, in any order:
+      | t   | ns              |
+      | 'b' | ['a', 'b']      |
+      | 'c' | ['a', 'b', 'c'] |
+      | 'd' | ['a', 'b', 'd'] |
     And no side effects
