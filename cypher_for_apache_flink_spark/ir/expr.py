@@ -306,10 +306,12 @@ class PatternPredicate(Expr):
     """``WHERE (a)-[:T]->(b)`` pattern-as-predicate; planned as a semi/anti
     join (reference: extractSubqueryFromPatternExpression +
     RelationalPlanner.scala:224-246).  ``pattern`` is a frozen parser-AST
-    PatternPart."""
+    PatternPart.  ``where`` carries the inner predicate of an
+    ``EXISTS { MATCH ... WHERE ... }`` existential subquery."""
 
     pattern: object
     negated: bool = False
+    where: object = None
 
 
 @dataclass(frozen=True)

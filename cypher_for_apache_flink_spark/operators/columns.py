@@ -573,7 +573,8 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
     if isinstance(expr, E.PatternPredicate):
         # the flag-column materialization stores the POSITIVE form; a
         # negated instance (RETURN NOT exists(...)) negates its flag
-        c = ctx.header.get(E.PatternPredicate(expr.pattern))
+        c = ctx.header.get(E.PatternPredicate(expr.pattern,
+                                              where=expr.where))
         if c is not None:
             return ~F.col(c) if expr.negated else F.col(c)
         raise ValueError("pattern predicate must be planned as a join "

@@ -812,6 +812,21 @@ class Parser:
 
     def parse_exists(self):
         self.eat_kw("exists")
+        if self.opt_punct("{"):
+            # existential subquery: EXISTS { [MATCH] pattern [WHERE expr] }
+            # (GQL / Cypher-10 form; same plan as the exists() pattern
+            # predicate, with the inner WHERE carried along)
+            if self.at_kw("match"):
+                self.next()
+            part = self.parse_pattern_part()
+            if self.peek().kind == "PUNCT" and self.peek().text == ",":
+                self.err("EXISTS { } supports a single pattern")
+            where = None
+            if self.at_kw("where"):
+                self.next()
+                where = self.parse_expr()
+            self.eat_punct("}")
+            return E.PatternPredicate(part, where=where)
         self.eat_punct("(")
         save = self.pos
         try:

@@ -1199,7 +1199,7 @@ class Planner:
     def _pattern_join(self, records: Records, pp: E.PatternPredicate,
                       how: str) -> Records:
         inner = self._subplanner()
-        clause = A.MatchClause((pp.pattern,), None, False)
+        clause = A.MatchClause((pp.pattern,), pp.where, False)
         rhs = inner.plan_match(None, clause,
                                id_only=self._shared_pattern_vars(records, clause))
         self._anon = inner._anon
@@ -1220,8 +1220,9 @@ class Planner:
 
         def collect(e):
             if isinstance(e, E.PatternPredicate):
-                if E.PatternPredicate(e.pattern) not in patterns:
-                    patterns.append(E.PatternPredicate(e.pattern))
+                pos = E.PatternPredicate(e.pattern, where=e.where)
+                if pos not in patterns:
+                    patterns.append(pos)
             if isinstance(e, E.PatternComprehension) and e not in comps:
                 comps.append(e)
             for ch in e.children() if isinstance(e, E.Expr) else ():
@@ -1233,7 +1234,7 @@ class Planner:
 
         for pos_pp in patterns:
             inner = self._subplanner()
-            pclause = A.MatchClause((pos_pp.pattern,), None, False)
+            pclause = A.MatchClause((pos_pp.pattern,), pos_pp.where, False)
             rhs = inner.plan_match(
                 None, pclause,
                 id_only=self._shared_pattern_vars(records, pclause))

@@ -59,7 +59,7 @@ Feature: PathAcceptance
       | [3] |
     And no side effects
 
-  Scenario: Existential subquery syntax is not yet supported
+  Scenario: Existential subquery
     When executing query:
       """
       MATCH (a:A) WHERE EXISTS { MATCH (a)-->(b) } RETURN a.n AS n
@@ -67,6 +67,31 @@ Feature: PathAcceptance
     Then the result should be, in any order:
       | n |
       | 1 |
+    And no side effects
+
+  Scenario: Existential subquery with an inner WHERE
+    When executing query:
+      """
+      MATCH (n)
+      WHERE EXISTS { (n)-[r:R]->(x) WHERE r.w > 1 }
+      RETURN n.n AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | 2 |
+    And no side effects
+
+  Scenario: Negated existential subquery in a projection
+    When executing query:
+      """
+      MATCH (n)
+      RETURN n.n AS n, NOT EXISTS { MATCH (n)-->() } AS sink
+      """
+    Then the result should be, in any order:
+      | n | sink  |
+      | 1 | false |
+      | 2 | false |
+      | 3 | true  |
     And no side effects
 
   Scenario: Direct property access on an indexed path element
