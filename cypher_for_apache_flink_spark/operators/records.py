@@ -213,11 +213,17 @@ def empty_records(session, header: Header) -> Records:
 # RelationalPlanner.scala:524-545, TabularUnionAll :451)
 # ---------------------------------------------------------------------------
 
-def join_records(lhs: Records, rhs: Records, pairs, how: str = "inner") -> Records:
+def join_records(lhs: Records, rhs: Records, pairs, how: str = "inner",
+                 extra_cond=None) -> Records:
     """Join on (lhs_expr, rhs_expr) pairs.  Always rename-before-join so the
     two plans never share column names (Catalyst ambiguity discipline —
     SURVEY §4.3); rhs join columns are dropped afterwards and their exprs
-    remapped onto the lhs columns."""
+    remapped onto the lhs columns.
+
+    ``extra_cond(merged_header) -> Column`` contributes additional join
+    predicates compiled against the post-rename merged header — used for
+    correlated OPTIONAL MATCH predicates, which must null-pad (join
+    condition) rather than drop rows (post-join filter)."""
     lcols = [lhs.header.col(le) for le, _ in pairs]
     rcols = [rhs.header.col(re_) for _, re_ in pairs]
 
@@ -232,12 +238,17 @@ def join_records(lhs: Records, rhs: Records, pairs, how: str = "inner") -> Recor
         rdf = rdf.select(*[F.col(c).alias(rename.get(c, c)) for c in rhs.df.columns])
     rheader = rhs.header.renamed(rename)
 
-    if pairs:
+    if pairs or extra_cond is not None:
         cond = None
         for lc, rc in zip(lcols, rcols):
             rc2 = rename.get(rc, rc)
             term = F.col(lc) == F.col(rc2)
             cond = term if cond is None else (cond & term)
+        if extra_cond is not None:
+            # lhs entries win key collisions (shared vars resolve left)
+            merged = Header({**rheader.mapping, **lhs.header.mapping})
+            ec = extra_cond(merged)
+            cond = ec if cond is None else (cond & ec)
         joined = lhs.df.join(rdf, cond, how)
     else:
         joined = lhs.df.crossJoin(rdf) if how == "cross" else \

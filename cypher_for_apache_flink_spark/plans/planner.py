@@ -1140,6 +1140,49 @@ class Planner:
     # -- OPTIONAL MATCH (planOptional — RelationalPlanner.scala:298-330)
     def plan_optional(self, records: Records, clause: A.MatchClause) -> Records:
         inner = self._subplanner()
+        # Correlated predicates — inline property maps or WHERE conjuncts
+        # referencing outer NON-pattern variables (`OPTIONAL MATCH
+        # (v:V {n: nm})` after an UNWIND) — cannot be planned inside the
+        # rhs subplan (the outer var is not in its scope); they move into
+        # the LEFT JOIN condition, where failing them null-pads the row
+        # instead of dropping it (OPTIONAL semantics).
+        pat_vars = {el.var for part in clause.patterns
+                    for el in part.elements if el.var}
+        outer_free = {v.name for v in records.header.vars()} - pat_vars
+
+        def is_corr(e):
+            names: set = set()
+            _expr_var_names(e, names)
+            return bool(names & outer_free)
+
+        corr: list = []
+        new_parts = []
+        for part in clause.patterns:
+            els = list(part.elements)
+            for i, el in enumerate(els):
+                lift = [(k, v) for k, v in el.props if is_corr(v)]
+                if not lift or getattr(el, "var_length", None):
+                    continue      # var-length maps filter EVERY hop inside
+                var = el.var or self.fresh_name()
+                els[i] = dataclasses.replace(
+                    el, var=var,
+                    props=tuple((k, v) for k, v in el.props
+                                if not is_corr(v)))
+                for k, v in lift:
+                    corr.append(E.BinOp("=", E.Property(E.Var(var), k), v))
+            new_parts.append(dataclasses.replace(part, elements=tuple(els)))
+        where = clause.where
+        if where is not None:
+            keep_where = None
+            for c in E.split_conjunctions(where):
+                if is_corr(c):
+                    corr.append(c)
+                else:
+                    keep_where = c if keep_where is None \
+                        else E.BinOp("AND", keep_where, c)
+            where = keep_where
+        clause = dataclasses.replace(clause, patterns=tuple(new_parts),
+                                     where=where)
         # Shared vars are joined by id and their rhs copies dropped — the
         # rhs may bind them straight to rel endpoint columns (scan elision).
         rhs = inner.plan_match(None, dataclasses.replace(clause, optional=False),
@@ -1153,7 +1196,20 @@ class Planner:
         # No shared variables → cartesian left join (all combinations, or one
         # null-padded row when the rhs is empty).
         pairs = [(records.header.var(n), rhs.header.var(n)) for n in shared]
-        return join_records(records, rhs, pairs, how="left")
+        extra = None
+        if corr:
+            params = self.params
+
+            def extra_cond(merged, _corr=tuple(corr)):
+                ctx = ExprContext(merged, records.df, params)
+                col = None
+                for c in _corr:
+                    cc = to_column(resolve_vars(c, merged), ctx)
+                    col = cc if col is None else (col & cc)
+                return col
+            extra = extra_cond
+        return join_records(records, rhs, pairs, how="left",
+                            extra_cond=extra)
 
     # -- predicates -----------------------------------------------------
     def apply_predicates(self, records: Records, conjuncts) -> Records:

@@ -66,3 +66,30 @@ Feature: OptionalMatchAcceptance
       | 'b' | 'c'  |
       | 'c' | null |
     And no side effects
+
+  Scenario: Optional match property map referencing an outer variable
+    When executing query:
+      """
+      UNWIND ['a', 'zz'] AS nm
+      OPTIONAL MATCH (v:P {name: nm})
+      RETURN nm, v.name AS vn
+      """
+    Then the result should be, in any order:
+      | nm   | vn   |
+      | 'a'  | 'a'  |
+      | 'zz' | null |
+    And no side effects
+
+  Scenario: Optional match WHERE referencing an outer non-pattern variable
+    When executing query:
+      """
+      MATCH (a:P {name: 'a'})
+      UNWIND [0, 1] AS t
+      OPTIONAL MATCH (a)-[r:KNOWS]->(y) WHERE id(r) >= t
+      RETURN t, y.name AS y
+      """
+    Then the result should be, in any order:
+      | t | y   |
+      | 0 | 'b' |
+      | 1 | 'b' |
+    And no side effects
