@@ -1655,15 +1655,28 @@ WITH ranked AS (
 SELECT doc_id, source FROM ranked
 WHERE rk <= CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
             WHEN 'src2' THEN 25 ELSE 0 END""",
+        # two-level packing twin (functions/sampling.py pack_sequences):
+        # per-part token totals -> n_shards, md5-hex60 shard, window per
+        # (part, shard).  Same md5-substring shard value in both engines.
         "pack_sequences": rf"""
 WITH t AS (
   SELECT doc_id, lang AS part, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
-  FROM documents)
-SELECT doc_id, part, n_tokens,
-  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+  FROM documents),
+tot AS (
+  SELECT part, greatest(1, CAST(ceil(sum(n_tokens) / 64000000.0) AS BIGINT))
+         AS n_shards
+  FROM t GROUP BY part),
+s AS (
+  SELECT doc_id, part, n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % n_shards AS shard
+  FROM t JOIN tot USING (part))
+SELECT doc_id, part, n_tokens, shard,
+  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY part, shard
+       ORDER BY doc_id
        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
        AS BIGINT) AS bin
-FROM t""",
+FROM s""",
         "contamination_check": rf"""
 {_SQL_SHINGLES}, bsh AS (
   SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id < 50

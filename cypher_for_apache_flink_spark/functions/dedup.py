@@ -11,6 +11,15 @@ Scale design (100 TB corpora):
 Hashing is md5 (available verbatim in DuckDB) so the oracle can mirror the
 exact candidate generation; min-hashes compare md5 hex strings
 lexicographically, avoiding any engine-specific integer hash.
+
+**BEHAVIOR CHANGE (round 5)**: ``ngram_jaccard_pairs.max_shingle_freq`` and
+``node-similarity``-style neighbor caps default to ``DEFAULT_SKEW_CAP``
+(10,000) instead of ``None``.  A pair whose ONLY shared blocking keys are
+more frequent than the cap is no longer emitted — on web-scale corpora
+those keys are stopword-grade and the uncapped join is a power-law
+scale-killer, but small-corpus callers wanting the exact unbounded join
+must now pass ``max_shingle_freq=None`` explicitly (README "Switching from
+the reference" carries the same note).
 """
 
 from __future__ import annotations

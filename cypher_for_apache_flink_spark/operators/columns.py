@@ -813,11 +813,17 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             # FLOAT division follows IEEE 754 (x/0.0 = ±Infinity, 0.0/0.0
             # = NaN, never an error) — Spark ANSI raises DIVIDE_BY_ZERO,
             # so the zero-divisor case is decided branch-side.  A null
-            # divisor falls to the otherwise (null / null = null).
+            # divisor falls to the otherwise (null / null = null).  The
+            # Infinity sign honors the divisor's sign BIT: x / -0.0 is
+            # -(x / 0.0) (ADVICE r5 — `r == 0` also matches -0.0, whose
+            # only portable detector is its string rendering "-0.0").
+            neg_zero_div = r.cast("string").startswith("-")
             return F.when(
                 r == 0,
-                F.when(l > 0, F.lit(float("inf")))
-                .when(l < 0, F.lit(float("-inf")))
+                F.when(l > 0, F.when(neg_zero_div, F.lit(float("-inf")))
+                       .otherwise(F.lit(float("inf"))))
+                .when(l < 0, F.when(neg_zero_div, F.lit(float("inf")))
+                      .otherwise(F.lit(float("-inf"))))
                 .when(l == 0, F.lit(float("nan")))
                 .otherwise(F.lit(None).cast("double"))) \
                 .otherwise(l.cast("double") / r)

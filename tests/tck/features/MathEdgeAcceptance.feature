@@ -12,6 +12,17 @@ Feature: MathEdgeAcceptance
       | true | true | 'NaN' | true |
     And no side effects
 
+  Scenario: Negative zero divisor flips the infinity sign
+    Given any graph
+    When executing query:
+      """
+      RETURN 1.0 / -0.0 < -1e308 AS a, -1.0 / -0.0 > 1e308 AS b
+      """
+    Then the result should be, in any order:
+      | a    | b    |
+      | true | true |
+    And no side effects
+
   Scenario: Float modulo by zero is NaN
     Given any graph
     When executing query:

@@ -152,3 +152,63 @@ def test_sample_weighted_plan_is_topk(spark):
     out = sample_weighted(docs, n=10, weight_col="n_chars")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_two_level_bounds_window_tasks(docs):
+    """VERDICT r5 #1: with one dominant partition, the packing window splits
+    it into ceil(part_tokens / target) hash shards — no single task ever
+    sorts a whole language."""
+    import math
+    from collections import defaultdict
+
+    out = pack_sequences(docs, budget=100,
+                         target_partition_tokens=500).collect()
+    part_tokens, shards = defaultdict(int), defaultdict(set)
+    for r in out:
+        part_tokens[r.part] += r.n_tokens
+        shards[r.part].add(r.shard)
+    assert any(len(s) > 1 for s in shards.values())  # sharding kicked in
+    for p, shset in shards.items():
+        n_shards = max(1, math.ceil(part_tokens[p] / 500))
+        assert all(0 <= s < n_shards for s in shset), (p, shset, n_shards)
+    # contiguous fill holds WITHIN each (part, shard)
+    by = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r.part, r.shard, r.doc_id)):
+        by[(r.part, r.shard)].append(r)
+    for rows in by.values():
+        cum = 0
+        for r in rows:
+            assert r.bin == cum // 100
+            cum += r.n_tokens
+
+
+def test_pack_sequences_window_never_partitions_raw_part_alone(docs):
+    """Plan gate (VERDICT r5 #1): the default plan's window spec partitions
+    on (part, shard), never the raw low-cardinality part column alone."""
+    import re
+
+    plan = (pack_sequences(docs, budget=100)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "shard" in spec, spec
+
+
+def test_pack_sequences_shard_matches_duckdb(spark):
+    """The md5-hex60 shard is engine-portable: DuckDB computes the identical
+    shard for every id (same reproducibility contract as hash_hex)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    ids = spark.range(100).select(F.col("id").alias("doc_id"))
+    hash60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+    got = {r.doc_id: r.s for r in
+           ids.select("doc_id", F.pmod(hash60, F.lit(7)).alias("s"))
+           .collect()}
+    want = dict(duckdb.sql(
+        "SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 7 FROM range(100) t(i)").fetchall())
+    assert got == want
