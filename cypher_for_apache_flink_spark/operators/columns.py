@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..errors import PlanError
 from ..ir import expr as E
 from .header import Header, TypeOf
 
@@ -209,11 +210,13 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         if n == "tail" and expr.args:
             at = spark_dtype(expr.args[0], ctx)
             return at if isinstance(at, T.ArrayType) else None
-        if n == "date":
+        if n in ("date", "date.truncate"):
             return T.DateType()
-        if n in ("datetime", "localdatetime"):
+        if n in ("datetime", "localdatetime", "datetime.truncate",
+                 "localdatetime.truncate"):
             return T.TimestampType()
-        if n == "duration":
+        if n in ("duration", "duration.between", "duration.indays",
+                 "duration.inmonths", "duration.inseconds"):
             return DURATION_TYPE
         return None
     if isinstance(expr, E.BinOp) and expr.op in ("+", "-", "*", "/", "%", "^"):
@@ -338,16 +341,22 @@ def parse_iso_duration(text: str):
     if _ISO_DURATION is None:
         _ISO_DURATION = re.compile(
             r"^(?P<sign>-)?P(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?"
-            r"(?:(?P<d>\d+)D)?(?:T(?:(?P<h>\d+)H)?(?:(?P<mi>\d+)M)?"
-            r"(?:(?P<s>\d+(?:\.\d+)?)S)?)?$")
+            r"(?:(?P<d>\d+(?:[.,]\d+)?)D)?(?:T(?:(?P<h>\d+(?:[.,]\d+)?)H)?"
+            r"(?:(?P<mi>\d+(?:[.,]\d+)?)M)?"
+            r"(?:(?P<s>\d+(?:[.,]\d+)?)S)?)?$")
     m = _ISO_DURATION.match(text.strip())
     if not m or text.strip() in ("P", "-P"):
         raise ValueError(f"invalid ISO-8601 duration {text!r}")
-    g = {k: v for k, v in m.groupdict().items() if v}
+    g = {k: v.replace(",", ".") for k, v in m.groupdict().items() if v}
     sign = -1 if "sign" in g else 1
     months = int(g.get("y", 0)) * 12 + int(g.get("mo", 0))
-    days = int(g.get("w", 0)) * 7 + int(g.get("d", 0))
-    micros = (int(g.get("h", 0)) * 3600 + int(g.get("mi", 0)) * 60) * _US_PER_SEC
+    # a fractional day/hour/minute (allowed on the smallest given unit,
+    # comma or dot per ISO-8601) cascades into the microsecond field
+    d_f = float(g.get("d", 0))
+    days = int(g.get("w", 0)) * 7 + int(d_f)
+    micros = round((d_f - int(d_f)) * 86_400 * _US_PER_SEC)
+    micros += round((float(g.get("h", 0)) * 3600
+                     + float(g.get("mi", 0)) * 60) * _US_PER_SEC)
     micros += round(float(g.get("s", 0)) * _US_PER_SEC)
     return sign * months, sign * days, sign * micros
 
@@ -395,11 +404,11 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         raise KeyError(f"unbound local variable {expr.name}")
 
     if isinstance(expr, E.Var):
-        raise KeyError(f"variable {expr.name!r} not in scope (header miss)")
+        raise PlanError(f"variable {expr.name!r} not in scope (header miss)")
 
     if isinstance(expr, E.Param):
         if expr.name not in ctx.params:
-            raise KeyError(f"missing query parameter ${expr.name}")
+            raise PlanError(f"missing query parameter ${expr.name}")
         return _param_lit(ctx.params[expr.name])
 
     if isinstance(expr, E.Lit):
@@ -568,7 +577,7 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         return _function(expr, ctx)
 
     if isinstance(expr, E.CountStar):
-        raise ValueError("count(*) outside aggregation context")
+        raise PlanError("count(*) outside aggregation context")
 
     if isinstance(expr, E.PatternPredicate):
         # the flag-column materialization stores the POSITIVE form; a
@@ -1079,6 +1088,10 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             return F.when(dur.isNull(), F.lit(None).cast("string")) \
                 .when(body == "", F.lit("PT0S")) \
                 .otherwise(F.concat(F.lit("P"), body))
+        if _is(t, T.TimestampType):
+            # Cypher ISO rendering: 'T' separator (Spark's cast uses ' ')
+            from .temporal import iso_datetime_string
+            return iso_datetime_string(a(0))
         return a(0).cast("string")
     if name == "toboolean":
         return a(0).try_cast("boolean")
@@ -1187,22 +1200,43 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         return F.greatest(*all_cols())
 
     # --- temporal constructors (struct-free: DateType/TimestampType) ----
+    def _temporal_base(map_lit, m, _ctx):
+        """Select-form base: {date: d} / {datetime: dt} component source."""
+        for k in ("datetime", "localdatetime", "date"):
+            if k in m:
+                return m[k]
+        return None
+
     if name == "date":
         if not args:
             return F.current_date()
         if isinstance(args[0], E.MapLit):
-            # date({year, month, day}) component constructor
-            # (TemporalTests.scala map-form scenarios)
-            m = {k: to_column(v, ctx) for k, v in args[0].items}
-            return F.make_date(m.get("year", F.lit(1)),
-                               m.get("month", F.lit(1)),
-                               m.get("day", F.lit(1)))
+            from .temporal import date_from_map
+            m = {k.lower(): to_column(v, ctx) for k, v in args[0].items}
+            base = _temporal_base(args[0], m, ctx)
+            if base is not None:
+                # select form: date({date: d[, day: ...]}) — unmentioned
+                # components come from the source temporal
+                return F.make_date(
+                    m.get("year", F.year(base)),
+                    m.get("month", F.month(base)),
+                    m.get("day", F.dayofmonth(base)))
+            return date_from_map(m)
+        d_v = plan_const(args[0], ctx)
+        if isinstance(d_v, str):
+            # all Cypher literal forms (week/quarter/ordinal/compact)
+            # parse at plan time — the query carries a constant
+            from .temporal import parse_date_string
+            return F.lit(parse_date_string(d_v))
+        if _is(spark_dtype(args[0], ctx), (T.TimestampType, T.DateType)):
+            return a(0).cast("date")
         return F.to_date(a(0))
     if name in ("datetime", "localdatetime"):
         if not args:
             return F.current_timestamp()
         arg = args[0]
         if isinstance(arg, E.MapLit):
+            from .temporal import date_from_map
             m = {k.lower(): to_column(v, ctx) for k, v in arg.items}
             if "epochmillis" in m:
                 return F.timestamp_millis(m["epochmillis"].cast("long"))
@@ -1211,13 +1245,34 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             sec = m.get("second", F.lit(0)).cast("double") + \
                 m.get("microsecond", F.lit(0)).cast("double") / 1e6 + \
                 m.get("millisecond", F.lit(0)).cast("double") / 1e3
+            base = _temporal_base(arg, m, ctx)
+            if base is not None:
+                # select form: components default from the base temporal
+                bts = base.cast("timestamp")
+                if not ({"second", "millisecond", "microsecond"} & set(m)):
+                    sec = F.second(bts).cast("double") + \
+                        (F.unix_micros(bts) % 1_000_000).cast("double") / 1e6
+                return F.make_timestamp(
+                    m.get("year", F.year(bts)),
+                    m.get("month", F.month(bts)),
+                    m.get("day", F.dayofmonth(bts)),
+                    m.get("hour", F.hour(bts)),
+                    m.get("minute", F.minute(bts)), sec)
+            if {"week", "quarter", "ordinalday"} & set(m):
+                d = date_from_map(m)
+                return F.make_timestamp(
+                    F.year(d), F.month(d), F.dayofmonth(d),
+                    m.get("hour", F.lit(0)), m.get("minute", F.lit(0)), sec)
             return F.make_timestamp(
                 m.get("year", F.lit(1)), m.get("month", F.lit(1)),
                 m.get("day", F.lit(1)), m.get("hour", F.lit(0)),
                 m.get("minute", F.lit(0)), sec)
         ts_v = plan_const(arg, ctx)
         if isinstance(ts_v, str):
-            return F.to_timestamp(F.lit(ts_v.replace("T", " ")))
+            from .temporal import parse_localdatetime_string
+            return F.lit(parse_localdatetime_string(ts_v))
+        if _is(spark_dtype(arg, ctx), (T.TimestampType, T.DateType)):
+            return a(0).cast("timestamp")
         return F.to_timestamp(F.translate(a(0), "T", " "))
     if name in ("date.truncate", "datetime.truncate",
                 "localdatetime.truncate"):
@@ -1228,10 +1283,36 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         if not isinstance(unit, str):
             raise ValueError(f"{name} unit must be a string literal")
         u = unit.lower()
-        if u not in ("year", "quarter", "month", "week", "day", "hour",
-                     "minute", "second", "millisecond", "microsecond"):
+        src = a(1).cast("timestamp")
+        if u in ("millennium", "century", "decade"):
+            span = {"millennium": 1000, "century": 100, "decade": 10}[u]
+            y = F.year(src)
+            out = F.make_date(y - y % span, F.lit(1), F.lit(1)) \
+                .cast("timestamp")
+        elif u == "weekyear":
+            # first day (Monday) of week 1 of the ISO week-based year
+            wy = F.year(F.date_add(src.cast("date"), 3 - F.weekday(src)))
+            jan4 = F.make_date(wy, F.lit(1), F.lit(4))
+            out = F.date_sub(jan4, F.weekday(jan4)).cast("timestamp")
+        elif u in ("year", "quarter", "month", "week", "day", "hour",
+                   "minute", "second", "millisecond", "microsecond"):
+            out = F.date_trunc(u, src)
+        else:
             raise ValueError(f"unsupported truncation unit {unit!r}")
-        out = F.date_trunc(u, a(1).cast("timestamp"))
+        if len(args) > 2 and isinstance(args[2], E.MapLit):
+            # component overrides applied to the truncated value, e.g.
+            # datetime.truncate('month', d, {day: 5})
+            ov = {k.lower(): to_column(v, ctx) for k, v in args[2].items}
+            sec = F.second(out).cast("double")
+            if {"second", "millisecond", "microsecond"} & set(ov):
+                sec = ov.get("second", F.lit(0)).cast("double") + \
+                    ov.get("microsecond", F.lit(0)).cast("double") / 1e6 + \
+                    ov.get("millisecond", F.lit(0)).cast("double") / 1e3
+            out = F.make_timestamp(
+                ov.get("year", F.year(out)), ov.get("month", F.month(out)),
+                ov.get("day", F.dayofmonth(out)),
+                ov.get("hour", F.hour(out)), ov.get("minute", F.minute(out)),
+                sec)
         return out.cast("date") if name == "date.truncate" else out
     if name in ("duration.between", "duration.indays", "duration.inmonths",
                 "duration.inseconds"):
@@ -1239,25 +1320,33 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         # decomposition: whole months first (anchored re-add, so Jan 31 ->
         # Feb 28 counts as one month), whole days of the remainder, then the
         # microsecond tail.
-        ats = a(0).cast("timestamp")
-        bts = a(1).cast("timestamp")
+        raw_a, raw_b = a(0).cast("timestamp"), a(1).cast("timestamp")
+        # Cypher truncates toward zero with ALL components sharing the
+        # span's sign: decompose |span| on the sorted pair, then negate
+        # every component when b < a.
+        neg = raw_b < raw_a
+        ats = F.when(neg, raw_b).otherwise(raw_a)
+        bts = F.when(neg, raw_a).otherwise(raw_b)
+        sign = F.when(neg, F.lit(-1)).otherwise(F.lit(1)).cast("long")
         us_day = F.lit(86_400_000_000)
         if name == "duration.inseconds":
             return make_duration(F.lit(0), F.lit(0),
-                                 F.unix_micros(bts) - F.unix_micros(ats))
+                                 sign * (F.unix_micros(bts)
+                                         - F.unix_micros(ats)))
         if name == "duration.indays":
             dd = F.floor((F.unix_micros(bts) - F.unix_micros(ats)) / us_day)
-            return make_duration(F.lit(0), dd.cast("long"), F.lit(0))
+            return make_duration(F.lit(0), sign * dd.cast("long"), F.lit(0))
         raw_mo = (F.year(bts) - F.year(ats)) * 12 + (F.month(bts) - F.month(ats))
         mo = F.when(F.timestamp_add("MONTH", raw_mo.cast("int"), ats) > bts,
                     raw_mo - 1).otherwise(raw_mo)
         if name == "duration.inmonths":
-            return make_duration(mo.cast("long"), F.lit(0), F.lit(0))
+            return make_duration(sign * mo.cast("long"), F.lit(0), F.lit(0))
         anchor = F.timestamp_add("MONTH", mo.cast("int"), ats)
         us = F.unix_micros(bts) - F.unix_micros(anchor)
         dd = F.floor(us / us_day)
-        return make_duration(mo.cast("long"), dd.cast("long"),
-                             (us - dd.cast("long") * us_day).cast("long"))
+        return make_duration(sign * mo.cast("long"), sign * dd.cast("long"),
+                             sign * (us - dd.cast("long") * us_day)
+                             .cast("long"))
     if name == "duration":
         arg = args[0]
         dur_v = plan_const(arg, ctx)
@@ -1272,18 +1361,34 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                 if kl not in _DURATION_MAP_KEYS:
                     raise ValueError(f"unknown duration component {k!r}")
                 field, factor = _DURATION_MAP_KEYS[kl]
+                vc = to_column(v, ctx)
+                if _is(spark_dtype(v, ctx), (T.DoubleType, T.FloatType)):
+                    # Cypher allows fractional components; a day-grain
+                    # fraction cascades into the microsecond field
+                    # ({days: 1.5} = 1 day + 12h), time-grain fractions
+                    # round to whole microseconds.
+                    if field == "days":
+                        whole = F.floor(vc).cast("long")
+                        parts["days"] = parts["days"] + whole * F.lit(factor)
+                        parts["microseconds"] = parts["microseconds"] + \
+                            F.round((vc - whole) * factor * _US_PER_DAY) \
+                            .cast("long")
+                        continue
+                    if field == "microseconds":
+                        parts[field] = parts[field] + \
+                            F.round(vc * factor).cast("long")
+                        continue
                 # long arithmetic: int32 literals overflow at
                 # minutes >= ~36 (35.8 * 60_000_000 > 2^31)
                 parts[field] = parts[field] + (
-                    to_column(v, ctx).cast("long")
-                    * F.lit(factor).cast("long"))
+                    vc.cast("long") * F.lit(factor).cast("long"))
             return make_duration(parts["months"], parts["days"],
                                  parts["microseconds"])
         raise ValueError("duration() takes an ISO-8601 string literal or a "
                          "map of components")
 
     if name in E.AGG_FUNCS:
-        raise ValueError(f"aggregate {name}() used outside aggregation context")
+        raise PlanError(f"aggregate {name}() used outside aggregation context")
 
     raise NotImplementedError(f"function {name}()")
 

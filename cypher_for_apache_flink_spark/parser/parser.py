@@ -16,10 +16,9 @@ import re
 
 from ..ir import expr as E
 from . import ast as A
+from ..errors import CypherSyntaxError
 
-
-class CypherSyntaxError(Exception):
-    pass
+__all__ = ["CypherSyntaxError", "parse"]
 
 
 # ---------------------------------------------------------------------------

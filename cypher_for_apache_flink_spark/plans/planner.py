@@ -40,8 +40,7 @@ from ..parser import ast as A
 _VLEN_FIXPOINT_CAP = 64
 
 
-class PlanError(Exception):
-    pass
+from ..errors import PlanError  # noqa: E402  (re-export, was local)
 
 
 def _text(expr: E.Expr) -> str:

@@ -59,6 +59,8 @@ class _Plan:
     ordered: bool
     unordered_lists: bool
     expect_empty: bool
+    error_phase: str | None = None    # "compile time" / "runtime" / "any time"
+    error_detail: str | None = None   # TCK detail code (recorded, not matched)
 
 
 def _interpret(steps) -> _Plan:
@@ -84,6 +86,8 @@ def _interpret(steps) -> _Plan:
         m = _ERROR_RE.match(text)
         if m:
             plan.expect_error = m.group(1)
+            plan.error_phase = m.group(2).lower()
+            plan.error_detail = m.group(3) or None
             continue
         if low == "the result should be empty":
             plan.expect_empty = True
@@ -114,21 +118,76 @@ def _build_graph(spark, setup: list):
     return _graph_cache[key]
 
 
+# TCK error-type name -> engine exception class names that legitimately
+# report it.  The openCypher TCK files "semantic" violations (undefined
+# variables, nested aggregation...) under SyntaxError, so plan-time
+# PlanError qualifies for both.  Runtime kinds map to the Spark-raised
+# classes the engine lets propagate (captured py4j exceptions keep their
+# JVM simple names as the Python class name).
+_ERROR_CLASSES = {
+    "syntaxerror": {"CypherSyntaxError", "PlanError", "DdlError"},
+    "semanticerror": {"CypherSyntaxError", "PlanError", "DdlError"},
+    "typeerror": {"PlanError", "AnalysisException", "TypeError",
+                  "SparkRuntimeException", "PySparkTypeError"},
+    "argumenterror": {"PlanError", "ValueError", "IllegalArgumentException",
+                      "AnalysisException"},
+    "arithmeticerror": {"ArithmeticException", "SparkArithmeticException",
+                        "PySparkArithmeticException", "ZeroDivisionError"},
+    "parametermissing": {"PlanError", "KeyError"},
+}
+
+
+class HarnessError(Exception):
+    """A failure in the harness itself (graph build, value grammar) —
+    never satisfies an expected-error step (ADVICE r5: a broken fixture
+    must not count as a SemanticErrorAcceptance pass)."""
+
+
+def _error_matches(exc: BaseException, kind: str) -> bool:
+    allowed = _ERROR_CLASSES.get(kind.lower())
+    if allowed is None:                 # unknown kind: any ENGINE error
+        return True
+    return any(c.__name__ in allowed for c in type(exc).__mro__)
+
+
 def run_scenario(spark, scenario: Scenario, background=()) -> None:
     """Run one scenario; raise ScenarioFailure (or the engine's own error)
-    on mismatch.  Returning normally means the scenario PASSED."""
+    on mismatch.  Returning normally means the scenario PASSED.
+
+    Expected-error steps assert like the reference's tck-api runner: the
+    raised error must be an ENGINE error of the declared TCK type, in the
+    declared phase (compile time = while planning ``cypher()``; runtime =
+    while materializing).  Harness-side errors (graph build, TCK value
+    grammar) always propagate as failures.
+    """
     plan = _interpret(list(background) + list(scenario.steps))
     if plan.query is None:
         raise TckValueError(f"{scenario}: no 'When executing query' step")
 
-    try:
+    try:                                # harness territory: never "expected"
         g = _build_graph(spark, plan.setup)
+    except Exception as e:
+        raise HarnessError(f"{scenario}: graph setup failed: {e}") from e
+
+    phase, rows = "compile time", None
+    try:
         res = g.cypher(plan.query, params=plan.params or None)
+        phase = "runtime"
         rows = res.to_maps()
-    except Exception:
-        if plan.expect_error:
-            return                      # any engine-raised error satisfies
-        raise
+    except TckValueError:
+        raise                           # harness value-grammar bug
+    except Exception as e:
+        if not plan.expect_error:
+            raise
+        if not _error_matches(e, plan.expect_error):
+            raise ScenarioFailure(
+                f"{scenario}: expected a {plan.expect_error} but got "
+                f"{type(e).__name__}: {e}") from e
+        if plan.error_phase not in (None, "any time", phase):
+            raise ScenarioFailure(
+                f"{scenario}: expected {plan.expect_error} at "
+                f"{plan.error_phase} but it was raised at {phase}") from e
+        return
     if plan.expect_error:
         raise ScenarioFailure(
             f"{scenario}: expected {plan.expect_error} but the query "

@@ -214,7 +214,10 @@ def canon_result_value(v, unordered_lists: bool = False):
         return ("float", norm_float(v))
     if isinstance(v, str):
         return ("str", v)
-    if isinstance(v, (datetime.date, datetime.datetime, datetime.timedelta)):
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        # Cypher/TCK ISO rendering: 'T'-separated datetimes (str() uses ' ')
+        return ("str", v.isoformat())
+    if isinstance(v, datetime.timedelta):
         return ("str", str(v))
     if isinstance(v, dict):
         if set(v) in ({"id", "labels", "properties"},

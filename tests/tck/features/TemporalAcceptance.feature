@@ -78,7 +78,7 @@ Feature: TemporalAcceptance
       """
     Then the result should be, in any order:
       | m                     | w            |
-      | '2024-03-01 00:00:00' | '2024-03-11' |
+      | '2024-03-01T00:00:00' | '2024-03-11' |
     And no side effects
 
   Scenario: Negated durations shift the other way

@@ -14,7 +14,7 @@ HERE = os.path.dirname(__file__)
 FEATURES = os.path.join(HERE, "tck", "features")
 BLACKLISTS = {
     name: os.path.join(HERE, "tck", "blacklists", f"{name}_blacklist")
-    for name in ("failing", "wont_fix", "temporal")
+    for name in ("failing", "wont_fix", "temporal", "failure_reporting")
     if os.path.exists(
         os.path.join(HERE, "tck", "blacklists", f"{name}_blacklist"))
 }

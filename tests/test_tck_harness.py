@@ -204,3 +204,73 @@ def test_suite_stale_blacklist_detection(tmp_path):
     assert [s.name for _, s in suite.black_list] == ["Real"]
     assert suite.white_list == []
     assert "X: 0/1" in suite.coverage_report()
+
+
+def test_wrong_error_type_is_a_failure(spark):
+    """ADVICE r5: an expected-error step is satisfied only by an ENGINE
+    error of the declared TCK kind — a TypeError-shaped exception must not
+    pass a SyntaxError assertion (the reference's failure_reporting
+    category, TckSparkCypherTest.scala:51-55)."""
+    import pytest
+
+    from cypher_for_apache_flink_spark.tck.runner import (
+        ScenarioFailure, run_scenario)
+    feat = parse_feature(textwrap.dedent("""\
+        Feature: E
+          Scenario: S
+            Given any graph
+            When executing query:
+              \"\"\"
+              RETURN 1 / 0 AS x
+              \"\"\"
+            Then a SyntaxError should be raised at compile time: Nope
+        """))
+    # the engine raises an ArithmeticError at runtime -> both the kind and
+    # the phase mismatch must surface as a ScenarioFailure, not a pass
+    with pytest.raises(ScenarioFailure, match="expected a SyntaxError"):
+        run_scenario(spark, feat.scenarios[0])
+
+
+def test_harness_error_never_satisfies_expected_error(spark):
+    """A broken fixture (graph setup failure) must not count as the
+    scenario's expected error (ADVICE r5 medium)."""
+    import pytest
+
+    from cypher_for_apache_flink_spark.tck.runner import (
+        HarnessError, run_scenario)
+    feat = parse_feature(textwrap.dedent("""\
+        Feature: E
+          Scenario: S
+            Given an empty graph
+            And having executed:
+              \"\"\"
+              THIS IS NOT CYPHER AT ALL (((
+              \"\"\"
+            When executing query:
+              \"\"\"
+              RETURN 1 AS x
+              \"\"\"
+            Then a SyntaxError should be raised at compile time: Nope
+        """))
+    with pytest.raises(HarnessError):
+        run_scenario(spark, feat.scenarios[0])
+
+
+def test_error_phase_mismatch_is_a_failure(spark):
+    """A runtime error must not satisfy a compile-time expectation."""
+    import pytest
+
+    from cypher_for_apache_flink_spark.tck.runner import (
+        ScenarioFailure, run_scenario)
+    feat = parse_feature(textwrap.dedent("""\
+        Feature: E
+          Scenario: S
+            Given any graph
+            When executing query:
+              \"\"\"
+              RETURN 1 / 0 AS x
+              \"\"\"
+            Then a ArithmeticError should be raised at compile time: DivideByZero
+        """))
+    with pytest.raises(ScenarioFailure, match="raised at runtime"):
+        run_scenario(spark, feat.scenarios[0])
