@@ -227,6 +227,9 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             return rt
         if is_duration_type(rt) and _is(lt, (T.DateType, T.TimestampType)):
             return lt
+        if is_duration_type(lt) or is_duration_type(rt):
+            # duration ± duration, duration * n, duration / n stay durations
+            return lt if is_duration_type(lt) else rt
         for t in (lt, rt):
             if isinstance(t, (T.StringType, T.ArrayType, T.DoubleType)):
                 return t
@@ -1071,14 +1074,19 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                                                F.lit(unit))) \
                     .otherwise(F.lit(""))
 
+            # the fraction renders as absolute digits; a pure sub-second
+            # negative ("-0.5S") needs an explicit "-0" whole part
+            sec_str = F.when((sec_i == 0) & (frac < 0), F.lit("-0")) \
+                .otherwise(sec_i.cast("string"))
             secs = F.when(
                 (sec_i == 0) & (frac == 0), F.lit("")).otherwise(
                 F.concat(
-                    sec_i.cast("string"),
+                    sec_str,
                     F.when(frac != 0, F.concat(
                         F.lit("."),
-                        F.regexp_replace(F.lpad(frac.cast("string"), 6, "0"),
-                                         r"0+$", ""))).otherwise(F.lit("")),
+                        F.regexp_replace(
+                            F.lpad(F.abs(frac).cast("string"), 6, "0"),
+                            r"0+$", ""))).otherwise(F.lit("")),
                     F.lit("S")))
             time_part = F.concat(part(h, "H"), part(mi, "M"), secs)
             body = F.concat(part(y, "Y"), part(rm, "M"), part(dd, "D"),
@@ -1207,12 +1215,26 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                 return m[k]
         return None
 
+    _DATE_KEYS = {"year", "month", "day", "week", "dayofweek", "quarter",
+                  "dayofquarter", "ordinalday", "date", "datetime",
+                  "localdatetime"}
+    _DT_KEYS = _DATE_KEYS | {"hour", "minute", "second", "millisecond",
+                             "microsecond", "epochmillis", "epochseconds"}
+
+    def _check_temporal_keys(m, allowed, fn):
+        for k in m:
+            if k not in allowed:
+                # unknown components (typos, nanosecond precision, time
+                # zones) must raise, not silently drop
+                raise ValueError(f"unsupported {fn}() component {k!r}")
+
     if name == "date":
         if not args:
             return F.current_date()
         if isinstance(args[0], E.MapLit):
             from .temporal import date_from_map
             m = {k.lower(): to_column(v, ctx) for k, v in args[0].items}
+            _check_temporal_keys(m, _DATE_KEYS, "date")
             base = _temporal_base(args[0], m, ctx)
             if base is not None:
                 # select form: date({date: d[, day: ...]}) — unmentioned
@@ -1238,6 +1260,7 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         if isinstance(arg, E.MapLit):
             from .temporal import date_from_map
             m = {k.lower(): to_column(v, ctx) for k, v in arg.items}
+            _check_temporal_keys(m, _DT_KEYS, name)
             if "epochmillis" in m:
                 return F.timestamp_millis(m["epochmillis"].cast("long"))
             if "epochseconds" in m:
@@ -1247,10 +1270,17 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                 m.get("millisecond", F.lit(0)).cast("double") / 1e3
             base = _temporal_base(arg, m, ctx)
             if base is not None:
-                # select form: components default from the base temporal
+                # select form: components default from the base temporal;
+                # sub-second overrides keep the base's whole seconds, an
+                # explicit second resets the fraction
                 bts = base.cast("timestamp")
-                if not ({"second", "millisecond", "microsecond"} & set(m)):
-                    sec = F.second(bts).cast("double") + \
+                sec = m.get("second", F.second(bts)).cast("double")
+                if {"millisecond", "microsecond"} & set(m):
+                    sec = sec + \
+                        m.get("microsecond", F.lit(0)).cast("double") / 1e6 \
+                        + m.get("millisecond", F.lit(0)).cast("double") / 1e3
+                elif "second" not in m:
+                    sec = sec + \
                         (F.unix_micros(bts) % 1_000_000).cast("double") / 1e6
                 return F.make_timestamp(
                     m.get("year", F.year(bts)),
@@ -1303,9 +1333,16 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             # component overrides applied to the truncated value, e.g.
             # datetime.truncate('month', d, {day: 5})
             ov = {k.lower(): to_column(v, ctx) for k, v in args[2].items}
-            sec = F.second(out).cast("double")
-            if {"second", "millisecond", "microsecond"} & set(ov):
-                sec = ov.get("second", F.lit(0)).cast("double") + \
+            bad = set(ov) - {"year", "month", "day", "hour", "minute",
+                             "second", "millisecond", "microsecond"}
+            if bad:
+                raise ValueError(
+                    f"unsupported truncate override component(s) {bad}")
+            # each field overrides independently: {microsecond: 42} keeps
+            # the truncated value's whole seconds
+            sec = ov.get("second", F.second(out)).cast("double")
+            if {"millisecond", "microsecond"} & set(ov):
+                sec = sec + \
                     ov.get("microsecond", F.lit(0)).cast("double") / 1e6 + \
                     ov.get("millisecond", F.lit(0)).cast("double") / 1e3
             out = F.make_timestamp(
@@ -1321,6 +1358,13 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         # Feb 28 counts as one month), whole days of the remainder, then the
         # microsecond tail.
         raw_a, raw_b = a(0).cast("timestamp"), a(1).cast("timestamp")
+
+        def _guard(dur_col):
+            # null input propagates a NULL duration, not a struct of nulls
+            # (which would render as a map instead of null)
+            return F.when(raw_a.isNull() | raw_b.isNull(),
+                          F.lit(None).cast(DURATION_TYPE)).otherwise(dur_col)
+
         # Cypher truncates toward zero with ALL components sharing the
         # span's sign: decompose |span| on the sorted pair, then negate
         # every component when b < a.
@@ -1330,26 +1374,32 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         sign = F.when(neg, F.lit(-1)).otherwise(F.lit(1)).cast("long")
         us_day = F.lit(86_400_000_000)
         if name == "duration.inseconds":
-            return make_duration(F.lit(0), F.lit(0),
-                                 sign * (F.unix_micros(bts)
-                                         - F.unix_micros(ats)))
+            return _guard(make_duration(F.lit(0), F.lit(0),
+                                        sign * (F.unix_micros(bts)
+                                                - F.unix_micros(ats))))
         if name == "duration.indays":
             dd = F.floor((F.unix_micros(bts) - F.unix_micros(ats)) / us_day)
-            return make_duration(F.lit(0), sign * dd.cast("long"), F.lit(0))
+            return _guard(make_duration(F.lit(0), sign * dd.cast("long"),
+                                        F.lit(0)))
         raw_mo = (F.year(bts) - F.year(ats)) * 12 + (F.month(bts) - F.month(ats))
         mo = F.when(F.timestamp_add("MONTH", raw_mo.cast("int"), ats) > bts,
                     raw_mo - 1).otherwise(raw_mo)
         if name == "duration.inmonths":
-            return make_duration(sign * mo.cast("long"), F.lit(0), F.lit(0))
+            return _guard(make_duration(sign * mo.cast("long"), F.lit(0),
+                                        F.lit(0)))
         anchor = F.timestamp_add("MONTH", mo.cast("int"), ats)
         us = F.unix_micros(bts) - F.unix_micros(anchor)
         dd = F.floor(us / us_day)
-        return make_duration(sign * mo.cast("long"), sign * dd.cast("long"),
-                             sign * (us - dd.cast("long") * us_day)
-                             .cast("long"))
+        return _guard(make_duration(
+            sign * mo.cast("long"), sign * dd.cast("long"),
+            sign * (us - dd.cast("long") * us_day).cast("long")))
     if name == "duration":
         arg = args[0]
         dur_v = plan_const(arg, ctx)
+        if dur_v is None:
+            # a plan-time-constant null (plan_const uses a distinct
+            # sentinel for "not constant"): duration(null) -> null
+            return F.lit(None).cast(DURATION_TYPE)
         if isinstance(dur_v, str):
             mo, dd, us = parse_iso_duration(dur_v)
             return make_duration(F.lit(mo), F.lit(dd), F.lit(us))

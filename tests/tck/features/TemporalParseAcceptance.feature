@@ -1,0 +1,243 @@
+Feature: TemporalParseAcceptance
+
+  Scenario: Should parse date from string #1
+    Given any graph
+    When executing query:
+      """
+      RETURN date('1984-10-11') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11' |
+    And no side effects
+
+  Scenario: Should parse date from string #2
+    Given any graph
+    When executing query:
+      """
+      RETURN date('19841011') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11' |
+    And no side effects
+
+  Scenario: Should parse date from string #3
+    Given any graph
+    When executing query:
+      """
+      RETURN date('1984-10') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-01' |
+    And no side effects
+
+  Scenario: Should parse date from string #4
+    Given any graph
+    When executing query:
+      """
+      RETURN date('1984-W28-3') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11' |
+    And no side effects
+
+  Scenario: Should parse date from string #5
+    Given any graph
+    When executing query:
+      """
+      RETURN date('1984W283') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11' |
+    And no side effects
+
+  Scenario: Should parse date from string #6
+    Given any graph
+    When executing query:
+      """
+      RETURN date('1984-W28') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-09' |
+    And no side effects
+
+  Scenario: Should parse date from string #7
+    Given any graph
+    When executing query:
+      """
+      RETURN date('1984-202') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-20' |
+    And no side effects
+
+  Scenario: Should parse date from string #8
+    Given any graph
+    When executing query:
+      """
+      RETURN date('1984202') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-20' |
+    And no side effects
+
+  Scenario: Should parse date from string #9
+    Given any graph
+    When executing query:
+      """
+      RETURN date('1984') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-01-01' |
+    And no side effects
+
+  Scenario: Should parse local date time from string #1
+    Given any graph
+    When executing query:
+      """
+      RETURN localdatetime('1984-10-11T12:31:14') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14' |
+    And no side effects
+
+  Scenario: Should parse local date time from string #2
+    Given any graph
+    When executing query:
+      """
+      RETURN localdatetime('1984-10-11T12:31') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:00' |
+    And no side effects
+
+  Scenario: Should parse local date time from string #3
+    Given any graph
+    When executing query:
+      """
+      RETURN localdatetime('1984-10-11T12') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00' |
+    And no side effects
+
+  Scenario: Should parse local date time from string #4
+    Given any graph
+    When executing query:
+      """
+      RETURN localdatetime('1984-10-11T12:31:14.645') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14.645000' |
+    And no side effects
+
+  Scenario: Should parse duration from string #1
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1Y')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1Y' |
+    And no side effects
+
+  Scenario: Should parse duration from string #2
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1M')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1M' |
+    And no side effects
+
+  Scenario: Should parse duration from string #3
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1W')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P7D' |
+    And no side effects
+
+  Scenario: Should parse duration from string #4
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1D')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1D' |
+    And no side effects
+
+  Scenario: Should parse duration from string #5
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('PT1H')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1H' |
+    And no side effects
+
+  Scenario: Should parse duration from string #6
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('PT1M')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1M' |
+    And no side effects
+
+  Scenario: Should parse duration from string #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('PT0.75S')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0.75S' |
+    And no side effects
+
+  Scenario: Should parse time from string #1
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12:31:14') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14Z' |
+    And no side effects
+
+  Scenario: Should parse time from string #2
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12:31') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:00Z' |
+    And no side effects

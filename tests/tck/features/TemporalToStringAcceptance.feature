@@ -1,0 +1,155 @@
+Feature: TemporalToStringAcceptance
+
+  Scenario: Should serialize date #1
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(date('1984-10-11')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11' |
+    And no side effects
+
+  Scenario: Should serialize local date time #1
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(localdatetime('1984-10-11T12:31:14.645876')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14.645876' |
+    And no side effects
+
+  Scenario: Should serialize local date time #2
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(localdatetime('1984-10-11T12:31:14')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14' |
+    And no side effects
+
+  Scenario: Should serialize duration #1
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1Y')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1Y' |
+    And no side effects
+
+  Scenario: Should serialize duration #2
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1M')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1M' |
+    And no side effects
+
+  Scenario: Should serialize duration #3
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1D')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1D' |
+    And no side effects
+
+  Scenario: Should serialize duration #4
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('PT1H')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1H' |
+    And no side effects
+
+  Scenario: Should serialize duration #5
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('PT1M')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1M' |
+    And no side effects
+
+  Scenario: Should serialize duration #6
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('PT1S')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1S' |
+    And no side effects
+
+  Scenario: Should serialize duration #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('PT0.5S')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0.5S' |
+    And no side effects
+
+  Scenario: Should serialize duration #8
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1Y2M3DT4H5M6.789S')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1Y2M3DT4H5M6.789S' |
+    And no side effects
+
+  Scenario: Should serialize duration #9
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('-P1Y')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P-1Y' |
+    And no side effects
+
+  Scenario: Should serialize duration #10
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('PT0S')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should serialize duration #11
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1W')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P7D' |
+    And no side effects

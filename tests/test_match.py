@@ -283,7 +283,8 @@ def test_construct_var_length_raises(spark, triangle_chain):
 
 
 def test_unbound_variable_has_clear_error(triangle_chain):
-    with pytest.raises(KeyError, match="not in scope"):
+    from cypher_for_apache_flink_spark.errors import PlanError
+    with pytest.raises(PlanError, match="not in scope"):
         triangle_chain.cypher("RETURN nope").collect()
 
 
