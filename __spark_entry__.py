@@ -869,19 +869,35 @@ _DEFERRED_VARIANTS = [
 ]
 
 
+# Queries whose implementation changed in round 6 and therefore MUST be
+# inside the driver-recorded window this round (ADVICE r5 medium:
+# rotated-out refactors rely on stale rows): pack_sequences (two-level
+# shard rewrite — already in the pipeline block below), the temporal
+# parse/render surface (plan-time date/datetime literal parsing, ISO
+# toString, sign-correct duration.between), and the IEEE division family.
+_ROUND6_CHANGED = ["duration_shift", "duration_accessors", "math_functions",
+                   "percentile_disc_global"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness for the first 50 entries only.
-    # Round-5 rotation (VERDICT r4 #3): the 43 entries that were OUTSIDE
-    # the r4 window (_EXTRA_QUERIES + _DEFERRED_VARIANTS) come first, plus
-    # the new round-5 queries — the union of the r4 and r5 driver rows
-    # then covers every declared query.  The r4-recorded pipeline/Cypher
-    # entries follow (still oracle-checkable via tools/check_oracle.py).
-    out = dict(_EXTRA_QUERIES)
+    # Round-6 rotation (VERDICT r5 #5): alternate halves — the r4-recorded
+    # pipeline/Cypher entries (deferred through r5, now two rounds stale)
+    # lead, together with _ROUND6_CHANGED; the r5-recorded entries follow
+    # (still oracle-checkable via tools/check_oracle.py).  The r5+r6 union
+    # again covers all declared queries.
+    full = dict(_EXTRA_QUERIES)
     for name in _DEFERRED_VARIANTS:
-        out[name] = _CYPHER_QUERIES[name]
-    out.update(_ROUND5_QUERIES)
-    out.update(_PIPELINE_QUERIES)
+        full[name] = _CYPHER_QUERIES[name]
+    full.update(_ROUND5_QUERIES)
+    full.update(_PIPELINE_QUERIES)
     for name, fn in _CYPHER_QUERIES.items():
+        if name not in full:
+            full[name] = fn
+    r5_window = list(full)[:50]
+    window = [n for n in full if n not in r5_window] + _ROUND6_CHANGED
+    out = {name: full[name] for name in window}
+    for name, fn in full.items():
         if name not in out:
             out[name] = fn
     return out

@@ -465,6 +465,12 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         return _binop(expr, ctx)
 
     if isinstance(expr, E.Not):
+        cdt = spark_dtype(expr.child, ctx)
+        if cdt is not None and not _is(cdt, (T.BooleanType, T.NullType)):
+            # NOT of a statically non-boolean value is a user type error
+            # (TCK "Failing when using NOT on string literal")
+            raise PlanError(f"NOT expects a boolean, "
+                            f"got {cdt.simpleString()}")
         return ~to_column(expr.child, ctx)
 
     if isinstance(expr, E.Neg):
@@ -540,6 +546,11 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         return _slice(expr, ctx)
 
     if isinstance(expr, E.ListComprehension):
+        if (expr.projection is not None
+                and E.is_aggregation(expr.projection)) or \
+                (expr.where is not None and E.is_aggregation(expr.where)):
+            # TCK: aggregation inside a list comprehension is invalid
+            raise PlanError("aggregation inside a list comprehension")
         return _list_comprehension(expr, ctx)
 
     if isinstance(expr, E.ListPredicate):
@@ -700,6 +711,11 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
         return (l & ~r) | (~l & r)
 
     if op == "IN":
+        rdt = spark_dtype(expr.rhs, ctx)
+        if rdt is not None and not _is(rdt, (T.ArrayType, T.NullType)):
+            # IN on a non-list literal/expression is a user type error
+            # (TCK SemanticErrorAcceptance "Failing when using IN on ...")
+            raise PlanError(f"IN expects a list, got {rdt.simpleString()}")
         r = to_column(expr.rhs, ctx)
         # x IN [] is false even for null x (openCypher); array_contains
         # otherwise matches Cypher's 3VL exactly (null value or unmatched
@@ -714,6 +730,13 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             .otherwise(F.array_contains(r, l))
 
     if op in ("STARTS WITH", "ENDS WITH", "CONTAINS"):
+        # openCypher (TCK StartsWithAcceptance "Handling non-string
+        # operands"): a statically non-string operand makes the whole
+        # predicate null, never false
+        for side in (expr.lhs, expr.rhs):
+            st = spark_dtype(side, ctx)
+            if st is not None and not _is(st, (T.StringType, T.NullType)):
+                return F.lit(None).cast("boolean")
         l, r = to_column(expr.lhs, ctx), to_column(expr.rhs, ctx)
         if op == "STARTS WITH":
             return l.startswith(r)
@@ -958,7 +981,7 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name == "type":
         tc = ctx.header.get(TypeOf(args[0]))
         if tc is None:
-            raise KeyError(f"type() of non-relationship {args[0]!r}")
+            raise PlanError(f"type() of non-relationship {args[0]!r}")
         return F.col(tc)
     if name == "startnode":
         return F.col(ctx.header.col(E.StartNode(args[0])))
@@ -1042,18 +1065,23 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         p = int(plan_const(args[1], ctx))
         s = int(plan_const(args[2], ctx)) if len(args) > 2 else 0
         return a(0).cast(f"decimal({p},{s})")
-    if name == "tointeger":
+    if name in ("tointeger", "tofloat"):
+        t = spark_dtype(args[0], ctx)
+        if t is not None and not _is(t, (T.StringType, T.NullType)) \
+                and not isinstance(t, T.NumericType):
+            # openCypher (TCK TypeConversionFunctions): toInteger/toFloat
+            # accept only strings and numbers — booleans, lists, maps and
+            # entities are a type error
+            raise PlanError(f"{name}() expects a string or number, "
+                            f"got {t.simpleString()}")
         src = a(0)
-        if _is(spark_dtype(args[0], ctx), T.StringType):
+        if t is None or _is(t, T.StringType):
             # Cypher: unparseable strings -> null (try_cast is a Column
-            # method, not an F function)
-            return src.try_cast("double").cast("long")
-        return src.cast("long")
-    if name == "tofloat":
-        src = a(0)
-        if _is(spark_dtype(args[0], ctx), T.StringType):
-            return src.try_cast("double")
-        return src.cast("double")
+            # method, not an F function); unknown static type gets the
+            # same forgiving path
+            dbl = src.try_cast("double")
+            return dbl.cast("long") if name == "tointeger" else dbl
+        return src.cast("long" if name == "tointeger" else "double")
     if name == "tostring":
         t = spark_dtype(args[0], ctx)
         if is_duration_type(t):
@@ -1102,6 +1130,13 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             return iso_datetime_string(a(0))
         return a(0).cast("string")
     if name == "toboolean":
+        t = spark_dtype(args[0], ctx)
+        if t is not None and not _is(t, (T.BooleanType, T.StringType,
+                                         T.NullType)):
+            # openCypher (TCK TypeConversionFunctions "`toBoolean()` on
+            # invalid types"): only strings and booleans convert
+            raise PlanError(f"toBoolean() expects a string or boolean, "
+                            f"got {t.simpleString()}")
         return a(0).try_cast("boolean")
 
     # --- strings --------------------------------------------------------
@@ -1178,6 +1213,12 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             return F.lit(None).cast("long")
         if _is(t, T.StringType):
             return F.length(a(0)).cast("long")
+        if isinstance(args[0], (E.NodeVar,)) or (
+                t is not None and not _is(t, T.ArrayType)):
+            # size()/length() of a node or other non-collection is a
+            # user type error (TCK SemanticErrorAcceptance)
+            raise PlanError(f"{name}() expects a list, string or path, "
+                            f"got {args[0]!r}")
         return F.size(a(0)).cast("long")
     if name == "head":
         if _is(spark_dtype(args[0], ctx), T.NullType):
@@ -1440,7 +1481,7 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name in E.AGG_FUNCS:
         raise PlanError(f"aggregate {name}() used outside aggregation context")
 
-    raise NotImplementedError(f"function {name}()")
+    raise PlanError(f"unknown function {name}()")
 
 
 # ---------------------------------------------------------------------------
@@ -1453,6 +1494,15 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
         return F.count(F.lit(1))
     if not isinstance(expr, E.FuncCall) or expr.name not in E.AGG_FUNCS:
         raise ValueError(f"not an aggregator: {expr!r}")
+
+    def _nondet(e):
+        if isinstance(e, E.FuncCall) and e.name == "rand":
+            return True
+        return any(_nondet(c) for c in e.children())
+
+    if any(_nondet(a_) for a_ in expr.args):
+        # TCK SyntaxErrorAcceptance: rand() inside an aggregation
+        raise PlanError(f"non-deterministic rand() inside {expr.name}()")
     arg = to_column(expr.args[0], ctx)
     n = expr.name
     # Duration aggregates = component-wise column aggregation, no UDAF

@@ -112,6 +112,10 @@ class Planner:
         where outputs = [(friendly_name, physical_col), ...].  ``initial``
         is an optional driving table already in scope."""
         recs, outs = self.plan_single(query.parts[0], initial)
+        if len(set(query.union_alls)) > 1:
+            # TCK MiscellaneousErrorAcceptance: mixing UNION and UNION ALL
+            # in one query is invalid
+            raise PlanError("cannot mix UNION and UNION ALL")
         for part, is_all in zip(query.parts[1:], query.union_alls):
             r2, o2 = Planner(self.session, self.graph, self.params).plan_single(
                 part, initial)
@@ -157,8 +161,17 @@ class Planner:
         # expression, label, property map, or CONSTRUCT in the query needs
         # only its id — its scan join can be elided even though it is named.
         query_refs = _query_var_refs(q)
+        after_optional = False
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):
+                if clause.optional:
+                    after_optional = True
+                elif after_optional:
+                    # TCK: MATCH cannot follow OPTIONAL MATCH in the same
+                    # scope (a WITH resets it)
+                    raise PlanError(
+                        "MATCH cannot follow OPTIONAL MATCH; "
+                        "introduce a WITH between them")
                 records = self.plan_match(records, clause,
                                           query_refs=query_refs)
             elif isinstance(clause, A.UnwindClause):
@@ -184,6 +197,7 @@ class Planner:
                                   self.session.spark.range(0).select())
                 outputs = []
             elif isinstance(clause, (A.WithClause, A.ReturnClause)):
+                after_optional = False      # WITH opens a new match scope
                 records, outs = self.plan_projection(records, clause)
                 if isinstance(clause, A.ReturnClause):
                     outputs = outs
@@ -237,6 +251,33 @@ class Planner:
             for el in part.elements[1::2] if el.var_length}
 
         bound = {v.name for v in records.header.vars()} if records is not None else set()
+
+        # ---- pattern variable validation (TCK Semantic/Misc errors) ----
+        seen_rel_vars: set = set()
+        for _, rp, _ in rels:
+            rv = rp.var
+            if rv is None or rv.startswith("_a"):
+                continue
+            if rv in seen_rel_vars:
+                raise PlanError(f"relationship variable {rv!r} bound more "
+                                "than once in the same pattern")
+            seen_rel_vars.add(rv)
+            if rv in node_labels:
+                raise PlanError(f"variable {rv!r} used as both node and "
+                                "relationship in one pattern")
+        if records is not None:
+            for n in node_labels:
+                v = records.header.var(n)
+                if v is not None and not isinstance(v, E.NodeVar):
+                    raise PlanError(f"variable {n!r} is already bound to a "
+                                    "non-node value and cannot be a node "
+                                    "pattern")
+            for rv in seen_rel_vars:
+                v = records.header.var(rv)
+                if v is not None and \
+                        not isinstance(v, (E.RelVar, E.ListRelVar)):
+                    raise PlanError(f"variable {rv!r} is already bound to "
+                                    "a non-relationship value")
 
         # Label constraints on already-bound variables cannot prune the scan
         # (the var is not rescanned) — re-apply them as HasLabel predicates,
@@ -1530,10 +1571,30 @@ class Planner:
             for v in records.header.vars():
                 if not v.name.startswith("_a") and not v.name.startswith("__"):
                     items.append(A.ProjectionItem(v, v.name))
+            if not items and not clause.items:
+                # TCK MiscellaneousErrorAcceptance: RETURN * with no
+                # variables in scope is a plan-time error
+                raise PlanError("RETURN * is not allowed when there are "
+                                "no variables in scope")
         for it in clause.items:
+            if isinstance(clause, A.WithClause) and it.alias is None \
+                    and not isinstance(it.expr, E.Var):
+                # TCK MiscellaneousErrorAcceptance NoExpressionAlias:
+                # WITH requires every non-variable expression to be aliased
+                raise PlanError("expression in WITH must be aliased "
+                                "(use AS)")
             items.append(A.ProjectionItem(
                 resolve_vars(self._rewrite_path_lambdas(it.expr),
                              records.header), it.alias))
+        seen_aliases = set()
+        for it in items:
+            if it.alias is None:        # auto-named from the expression
+                continue
+            if it.alias in seen_aliases:
+                # TCK: multiple columns with the same name
+                raise PlanError(f"multiple result columns named "
+                                f"{it.alias!r}")
+            seen_aliases.add(it.alias)
 
         # exists((a)-->(b)) in a projection compiles via the same flag-column
         # materialization as nested WHERE pattern predicates.
@@ -1823,10 +1884,27 @@ class Planner:
                 df = df.drop(*tmp)
         skip = getattr(clause, "skip", None)
         limit = getattr(clause, "limit", None)
+
+        def _count_arg(e, kw):
+            # TCK SemanticErrorAcceptance: SKIP/LIMIT take a non-negative
+            # integer constant — negative, fractional or non-constant
+            # arguments are plan-time errors
+            try:
+                v = _const(e, self.params)
+            except Exception:
+                raise PlanError(f"{kw} expects a constant expression")
+            if isinstance(v, float) or not isinstance(v, int) \
+                    or isinstance(v, bool):
+                raise PlanError(f"{kw} expects an integer, got {v!r}")
+            if v < 0:
+                raise PlanError(f"{kw} expects a non-negative integer, "
+                                f"got {v}")
+            return v
+
         if skip is not None:
-            df = df.offset(int(_const(skip, self.params)))
+            df = df.offset(_count_arg(skip, "SKIP"))
         if limit is not None:
-            df = df.limit(int(_const(limit, self.params)))
+            df = df.limit(_count_arg(limit, "LIMIT"))
         return out.with_df(df)
 
 

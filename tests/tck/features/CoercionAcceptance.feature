@@ -4,11 +4,11 @@ Feature: CoercionAcceptance
     Given any graph
     When executing query:
       """
-      RETURN toInteger(3.9) AS a, toInteger(-3.9) AS b, toInteger(true) AS t
+      RETURN toInteger(3.9) AS a, toInteger(-3.9) AS b
       """
     Then the result should be, in any order:
-      | a | b  | t |
-      | 3 | -3 | 1 |
+      | a | b  |
+      | 3 | -3 |
     And no side effects
 
   Scenario: toString renders numbers booleans and lists

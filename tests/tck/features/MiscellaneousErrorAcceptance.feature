@@ -1,0 +1,82 @@
+Feature: MiscellaneousErrorAcceptance
+
+  Scenario: Failing on aggregation in WHERE
+    Given any graph
+    When executing query:
+      """
+      MATCH (a) WHERE count(a) > 10 RETURN a
+      """
+    Then a SyntaxError should be raised at compile time: InvalidAggregation
+    And no side effects
+
+  Scenario: Failing on aggregation in ORDER BY after RETURN
+    Given any graph
+    When executing query:
+      """
+      MATCH (n) RETURN n.prop1 AS p ORDER BY max(n.prop2)
+      """
+    Then a SyntaxError should be raised at compile time: InvalidAggregation
+    And no side effects
+
+  Scenario: Failing when not aliasing expressions in WITH
+    Given any graph
+    When executing query:
+      """
+      MATCH (a) WITH a, count(*) RETURN a
+      """
+    Then a SyntaxError should be raised at compile time: NoExpressionAlias
+    And no side effects
+
+  Scenario: Failing when using undefined variable in pattern
+    Given any graph
+    When executing query:
+      """
+      MATCH (a)-[:KNOWS]->(b {name: missing}) RETURN b
+      """
+    Then a SyntaxError should be raised at compile time: UndefinedVariable
+    And no side effects
+
+  Scenario: Failing when using a list as a node
+    Given any graph
+    When executing query:
+      """
+      WITH [1, 2, 3] AS list MATCH (list)-[:REL]->() RETURN 1 AS one
+      """
+    Then a SyntaxError should be raised at compile time: VariableTypeConflict
+    And no side effects
+
+  Scenario: Failing when UNION has different columns
+    Given any graph
+    When executing query:
+      """
+      RETURN 1 AS a UNION RETURN 2 AS b
+      """
+    Then a SyntaxError should be raised at compile time: DifferentColumnsInUnion
+    And no side effects
+
+  Scenario: Failing when mixing UNION and UNION ALL
+    Given any graph
+    When executing query:
+      """
+      RETURN 1 AS a UNION RETURN 2 AS a UNION ALL RETURN 3 AS a
+      """
+    Then a SyntaxError should be raised at compile time: InvalidClauseComposition
+    And no side effects
+
+  Scenario: Failing when multiple columns have the same name
+    Given any graph
+    When executing query:
+      """
+      RETURN 1 AS a, 2 AS a
+      """
+    Then a SyntaxError should be raised at compile time: ColumnNameConflict
+    And no side effects
+
+  Scenario: Failing when using RETURN * without variables in scope
+    Given any graph
+    When executing query:
+      """
+      MATCH () RETURN *
+      """
+    Then a SyntaxError should be raised at compile time: NoVariablesInScope
+    And no side effects

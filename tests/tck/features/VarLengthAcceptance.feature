@@ -89,3 +89,181 @@ Feature: VarLengthAcceptance
       | 'c' | ['a', 'b', 'c'] |
       | 'd' | ['a', 'b', 'd'] |
     And no side effects
+
+  Scenario: Handling unbounded variable length match
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*]->(t) RETURN t.n AS t
+      """
+    Then the result should be, in any order:
+      | t   |
+      | 'b' |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling explicitly unbounded variable length match
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*..]->(t) RETURN t.n AS t
+      """
+    Then the result should be, in any order:
+      | t   |
+      | 'b' |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling lower bounded variable length match 1
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*1..]->(t) RETURN t.n AS t
+      """
+    Then the result should be, in any order:
+      | t   |
+      | 'b' |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling lower bounded variable length match 2
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*2..]->(t) RETURN t.n AS t
+      """
+    Then the result should be, in any order:
+      | t   |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling lower bounded variable length match 3
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*3..]->(t) RETURN t.n AS t
+      """
+    Then the result should be empty
+    And no side effects
+
+  Scenario: Handling a variable length relationship and a standard relationship in chain, zero length 1
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*0..0]->(b)-[:K]->(c) RETURN c.n AS c
+      """
+    Then the result should be, in any order:
+      | c   |
+      | 'b' |
+    And no side effects
+
+  Scenario: Handling a variable length relationship and a standard relationship in chain, zero length 2
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K]->(b)-[:K*0..0]->(c) RETURN c.n AS c
+      """
+    Then the result should be, in any order:
+      | c   |
+      | 'b' |
+    And no side effects
+
+  Scenario: Handling a variable length relationship and a standard relationship in chain, single length 1
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*1..1]->(b)-[:K]->(c) RETURN c.n AS c
+      """
+    Then the result should be, in any order:
+      | c   |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling a variable length relationship and a standard relationship in chain, single length 2
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K]->(b)-[:K*1..1]->(c) RETURN c.n AS c
+      """
+    Then the result should be, in any order:
+      | c   |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling a variable length relationship and a standard relationship in chain, longer 1
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*1..2]->(b)-[:K]->(c) RETURN c.n AS c
+      """
+    Then the result should be, in any order:
+      | c   |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling a variable length relationship and a standard relationship in chain, longer 2
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K]->(x)-[:K*1..2]->(c) RETURN c.n AS c
+      """
+    Then the result should be, in any order:
+      | c   |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling a variable length relationship and a standard relationship in chain, longer 3
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*0..2]->(x)-[:K]->(c) RETURN c.n AS c
+      """
+    Then the result should be, in any order:
+      | c   |
+      | 'b' |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling mixed relationship patterns and directions 1
+    When executing query:
+      """
+      MATCH (x)<-[:K*1..2]-(a:V {n: 'a'}) RETURN x.n AS x
+      """
+    Then the result should be, in any order:
+      | x   |
+      | 'b' |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling mixed relationship patterns and directions 2
+    When executing query:
+      """
+      MATCH (c:V {n: 'c'})<-[:K*1..2]-(x) RETURN x.n AS x
+      """
+    Then the result should be, in any order:
+      | x   |
+      | 'a' |
+      | 'b' |
+    And no side effects
+
+  Scenario: Handling mixed relationship patterns 1
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*0..1]->(x)-[:K*1..1]->(t) RETURN t.n AS t
+      """
+    Then the result should be, in any order:
+      | t   |
+      | 'b' |
+      | 'c' |
+      | 'd' |
+    And no side effects
+
+  Scenario: Handling mixed relationship patterns 2
+    When executing query:
+      """
+      MATCH (a:V {n: 'a'})-[:K*1..1]->(x)-[:K*0..2]->(t) RETURN t.n AS t
+      """
+    Then the result should be, in any order:
+      | t   |
+      | 'b' |
+      | 'c' |
+      | 'd' |
+    And no side effects

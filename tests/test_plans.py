@@ -149,14 +149,20 @@ def test_sampling_filters_are_shuffle_free(spark):
 
 
 def test_pack_sequences_single_partition_window(spark):
-    """Sequence packing is ONE window over the partition column — exactly
-    one Exchange (hashpartitioning on the part key), no global sort."""
+    """Legacy single-level packing (target_partition_tokens=None) is ONE
+    window over the partition column — exactly one Exchange, no global
+    sort.  The default two-level plan adds only the tiny per-part totals
+    aggregation (broadcast back), still no range/global sort."""
     from cypher_for_apache_flink_spark.functions.sampling import pack_sequences
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    out = pack_sequences(docs, budget=512)
+    out = pack_sequences(docs, budget=512, target_partition_tokens=None)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Exchange rangepartitioning" not in plan  # no global sort
+    default = pack_sequences(docs, budget=512)
+    dplan = default._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in dplan
+    assert "BroadcastExchange" in dplan  # totals join stays broadcast
 
 
 def test_pattern_comprehension_plan_is_grouped_join(g):

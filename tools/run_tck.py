@@ -21,7 +21,7 @@ def main():
         else os.path.join(here, "features")
     blacklists = {
         name: os.path.join(here, "blacklists", f"{name}_blacklist")
-        for name in ("failing", "wont_fix", "temporal")
+        for name in ("failing", "wont_fix", "temporal", "failure_reporting")
         if os.path.exists(os.path.join(here, "blacklists",
                                        f"{name}_blacklist"))}
 
