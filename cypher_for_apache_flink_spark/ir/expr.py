@@ -46,6 +46,13 @@ class ListRelVar(Var):
 
 
 @dataclass(frozen=True)
+class ListNodeVar(Var):
+    """A variable bound to a LIST of nodes (``collect(n)``, ``nodes(p)``
+    carried through WITH); its column stores the array of node ids.  The
+    renderer hydrates ids back into full entities (session.to_maps)."""
+
+
+@dataclass(frozen=True)
 class Param(Expr):
     """Query parameter (Expr.scala:96)."""
 

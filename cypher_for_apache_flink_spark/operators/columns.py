@@ -177,7 +177,14 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         ot = spark_dtype(expr.owner, ctx)
         return ot if isinstance(ot, T.ArrayType) else T.ArrayType(T.LongType())
     if isinstance(expr, E.ListComprehension):
-        return T.ArrayType(T.LongType())
+        st = spark_dtype(expr.list_expr, ctx)
+        et = st.elementType if isinstance(st, T.ArrayType) else None
+        if expr.projection is not None:
+            pt = spark_dtype(expr.projection,
+                             ctx.with_local_types(**{expr.var: et}))
+            return T.ArrayType(pt if pt is not None else T.NullType())
+        return T.ArrayType(et) if et is not None \
+            else T.ArrayType(T.NullType())
     if isinstance(expr, E.CaseExpr):
         # type of the first branch that resolves (branches are coerced to a
         # common type at execution anyway)
@@ -298,6 +305,37 @@ def _type_class(dt):
 def _comparable(lt, rt) -> bool:
     a, b = _type_class(lt), _type_class(rt)
     return a is None or b is None or a == b
+
+
+def _eq3(l: Column, r: Column, lt, rt) -> Column:
+    """Cypher 3VL equality as a Column, recursive over list element types.
+
+    openCypher list equality (TCK ListOperations): different lengths are
+    decidedly FALSE even with nulls present; any decidedly-unequal element
+    pair is FALSE; otherwise a null element makes the answer NULL; all
+    pairs equal is TRUE.  Spark's own array equality treats nulls as equal
+    (``array(1,null) = array(1,null)`` is true), so lists need an explicit
+    zip_with fold.  Scalars keep Spark's comparison (already 3VL), with
+    incomparable static type classes decided (1 = '1' is false, not null).
+    """
+    if not _comparable(lt, rt) or (
+            _is(lt, T.StructType) and _is(rt, T.StructType)
+            and not (is_duration_type(lt) and is_duration_type(rt))
+            and lt.fieldNames() != rt.fieldNames()):
+        # decidedly unequal type classes / key sets; null operands still null
+        return F.when(l.isNull() | r.isNull(),
+                      F.lit(None).cast("boolean")).otherwise(F.lit(False))
+    if _is(lt, T.ArrayType) and _is(rt, T.ArrayType):
+        et_l, et_r = lt.elementType, rt.elementType
+        z = F.zip_with(l, r, lambda a, b: _eq3(a, b, et_l, et_r))
+        return (F.when(l.isNull() | r.isNull(), F.lit(None).cast("boolean"))
+                .when(F.size(l) != F.size(r), F.lit(False))
+                .when(F.coalesce(F.array_contains(z, F.lit(False)),
+                                 F.lit(False)), F.lit(False))
+                .when(F.exists(z, lambda x: x.isNull()),
+                      F.lit(None).cast("boolean"))
+                .otherwise(F.lit(True)))
+    return l == r
 
 
 # ---------------------------------------------------------------------------
@@ -717,17 +755,29 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             # (TCK SemanticErrorAcceptance "Failing when using IN on ...")
             raise PlanError(f"IN expects a list, got {rdt.simpleString()}")
         r = to_column(expr.rhs, ctx)
-        # x IN [] is false even for null x (openCypher); array_contains
-        # otherwise matches Cypher's 3VL exactly (null value or unmatched
-        # null member -> null).
+        # x IN [] is false even for null x (openCypher).
         if isinstance(expr.lhs, E.Lit) and expr.lhs.value is None:
-            # a bare NULL needle is VOID-typed, which array_contains
-            # rejects at analysis; the 3VL answer needs no lookup anyway
+            # a bare NULL needle is VOID-typed, which comparison rejects
+            # at analysis; the 3VL answer needs no lookup anyway
             return F.when(F.size(r) == 0, F.lit(False)) \
                 .otherwise(F.lit(None).cast("boolean"))
         l = to_column(expr.lhs, ctx)
-        return F.when(F.size(r) == 0, F.lit(False)) \
-            .otherwise(F.array_contains(r, l))
+        # OR-fold of 3VL element equality (TCK ListOperations): any true
+        # -> true, else any null/unknown -> null, else false.  Needed over
+        # plain array_contains for nested-list needles with null elements
+        # (Spark equality would treat the nulls as equal) and for
+        # incomparable element types (decided false, not an analysis
+        # error).
+        ldt = spark_dtype(expr.lhs, ctx)
+        et = rdt.elementType if _is(rdt, T.ArrayType) else None
+        z = F.transform(r, lambda e: _eq3(l, e, ldt, et))
+        return (F.when(r.isNull(), F.lit(None).cast("boolean"))
+                .when(F.size(r) == 0, F.lit(False))
+                .when(F.coalesce(F.array_contains(z, F.lit(True)),
+                                 F.lit(False)), F.lit(True))
+                .when(F.exists(z, lambda x: x.isNull()),
+                      F.lit(None).cast("boolean"))
+                .otherwise(F.lit(False)))
 
     if op in ("STARTS WITH", "ENDS WITH", "CONTAINS"):
         # openCypher (TCK StartsWithAcceptance "Handling non-string
@@ -763,25 +813,14 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
         # static guard also keeps Spark's ANSI cast from turning
         # `4 < 'string'` into a runtime crash.
         ldt, rdt = spark_dtype(expr.lhs, ctx), spark_dtype(expr.rhs, ctx)
+        if op in ("=", "<>"):
+            # _eq3 folds in decided-inequality for incomparable type
+            # classes / differing map key sets, and the recursive null-
+            # aware list comparison (TCK ListOperations)
+            eq = _eq3(l, r, ldt, rdt)
+            return eq if op == "=" else ~eq
         if not _comparable(ldt, rdt):
-            if op in ("=", "<>"):
-                return F.when(l.isNull() | r.isNull(),
-                              F.lit(None).cast("boolean")) \
-                    .otherwise(F.lit(op == "<>"))
             return F.lit(None).cast("boolean")
-        if op in ("=", "<>") and _is(ldt, T.StructType) \
-                and _is(rdt, T.StructType) \
-                and ldt.fieldNames() != rdt.fieldNames():
-            # maps with different key sets are decidedly unequal — Spark
-            # struct equality is positional and ignores field names (or
-            # rejects different widths at analysis)
-            return F.when(l.isNull() | r.isNull(),
-                          F.lit(None).cast("boolean")) \
-                .otherwise(F.lit(op == "<>"))
-    if op == "=":
-        return l == r
-    if op == "<>":
-        return l != r
     if op == "<":
         return l < r
     if op == "<=":

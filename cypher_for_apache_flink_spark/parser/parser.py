@@ -864,13 +864,27 @@ class Parser:
                 _localize(proj, var) if proj is not None else None)
         self.pos = save
         self.eat_punct("[")
-        # [ (a)-[:T]->(b) WHERE pred | proj ]  — pattern comprehension.
+        # [ (a)-[:T]->(b) WHERE pred | proj ]  — pattern comprehension,
+        # optionally with a named-path binder ``[p = (a)-->(b) | p]``.
         # A parenthesized scalar like [(1), (2)] also starts with '(' but
         # fails the pattern parse (or lacks the mandatory '|'), so it falls
         # through to the list literal.
-        if self.at_punct("("):
+        t = self.peek()
+        named_comp = (t.kind in ("IDENT", "KW")
+                      and self.peek(1).kind == "PUNCT"
+                      and self.peek(1).text == "="
+                      and self.peek(2).kind == "PUNCT"
+                      and self.peek(2).text == "(")
+        if self.at_punct("(") or named_comp:
             try:
+                path_name = None
+                if named_comp:
+                    path_name = t.raw if t.kind == "KW" else t.text
+                    self.next()
+                    self.next()
                 part = self.parse_pattern_part()
+                if path_name is not None:
+                    part = dataclasses.replace(part, path_var=path_name)
                 if len(part.elements) > 1:
                     where = None
                     if self.at_kw("where"):

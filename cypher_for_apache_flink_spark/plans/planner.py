@@ -1423,6 +1423,27 @@ class Planner:
             records = self._materialize_one_rel_list(records, comp)
         return records
 
+    def _entity_list_key(self, expr, name: str) -> "E.Var | None":
+        """Typed header key when a projected ``expr`` evaluates to a list of
+        ENTITY IDS — ``collect()`` over a node/rel variable, or
+        ``nodes()/relationships()`` of a named path.  The typed key survives
+        WITH carries (``_typed_var``) so ``to_maps`` can hydrate the ids
+        back into full entities and UNWIND can re-join the entity scan."""
+        if isinstance(expr, E.FuncCall) and expr.name == "collect" \
+                and len(expr.args) == 1:
+            a0 = expr.args[0]
+            if isinstance(a0, E.NodeVar):
+                return E.ListNodeVar(name)
+            if isinstance(a0, E.RelVar) and not isinstance(a0, E.ListRelVar):
+                return E.ListRelVar(name)
+        if isinstance(expr, E.FuncCall) \
+                and expr.name in ("nodes", "relationships") \
+                and len(expr.args) == 1 and isinstance(expr.args[0], E.Var) \
+                and expr.args[0].name in self._paths:
+            return E.ListRelVar(name) if expr.name == "relationships" \
+                else E.ListNodeVar(name)
+        return None
+
     def _entity_list_kind(self, records: Records, le) -> str | None:
         """'rel'/'node' when ``le`` is an entity-id-list source a lambda
         can be materialized over: a bound var-length rel variable, or
@@ -1431,6 +1452,9 @@ class Planner:
         if isinstance(le, E.Var) and not isinstance(le, E.NodeVar) \
                 and records.header.get(E.ListRelVar(le.name)) is not None:
             return "rel"
+        if isinstance(le, E.Var) \
+                and records.header.get(E.ListNodeVar(le.name)) is not None:
+            return "node"
         if isinstance(le, E.FuncCall) \
                 and le.name in ("nodes", "relationships") \
                 and len(le.args) == 1 and isinstance(le.args[0], E.Var):
@@ -1446,7 +1470,9 @@ class Planner:
         kind = self._entity_list_kind(records, comp.list_expr)
         le = comp.list_expr
         if isinstance(le, E.Var):
-            lcol = records.header.get(E.ListRelVar(le.name))
+            lcol = records.header.get(E.ListRelVar(le.name)) \
+                if kind == "rel" \
+                else records.header.get(E.ListNodeVar(le.name))
         else:
             # nodes(p)/relationships(p): the id array is a path-struct field
             pv = records.header.var(le.args[0].name)
@@ -1549,7 +1575,37 @@ class Planner:
             df = self.session.spark.range(1).select()
             records = Records(self.session, Header({}), df)
         ctx = self.ctx(records)
-        lst = to_column(resolve_vars(clause.expr, records.header), ctx)
+        resolved = resolve_vars(clause.expr, records.header)
+        lst = to_column(resolved, ctx)
+        # UNWIND over a list of ENTITY IDS (collect(n), var-length rels,
+        # nodes(p)/relationships(p)): explode the ids, then re-join the
+        # entity scan so the unwound variable is a full node/rel again.
+        ekind = None
+        if isinstance(resolved, E.Var):
+            if records.header.get(E.ListNodeVar(resolved.name)) is not None:
+                ekind = "node"
+            elif records.header.get(E.ListRelVar(resolved.name)) is not None:
+                ekind = "rel"
+        elif isinstance(resolved, E.FuncCall) \
+                and resolved.name in ("nodes", "relationships") \
+                and len(resolved.args) == 1 \
+                and isinstance(resolved.args[0], E.Var) \
+                and resolved.args[0].name in self._paths:
+            ekind = "rel" if resolved.name == "relationships" else "node"
+        if ekind is not None and self.graph is not None:
+            from ..operators.records import scan_nodes, scan_rels
+            ids = f"__uw_{self.fresh_name()}"
+            df = records.df.select("*", F.explode(lst).alias(ids))
+            if ekind == "node":
+                scan = scan_nodes(self.session, self.graph, clause.alias)
+                idcol = scan.header.col(E.NodeVar(clause.alias))
+            else:
+                scan = scan_rels(self.session, self.graph, clause.alias)
+                idcol = scan.header.col(E.RelVar(clause.alias))
+            joined = df.join(scan.df, F.col(ids) == F.col(idcol),
+                             "inner").drop(ids)
+            return Records(self.session, records.header.merged(scan.header),
+                           joined)
         # UNWIND null produces no rows (openCypher); Spark's explode rejects
         # the untyped NULL literal, so give it a concrete array type first.
         if isinstance(records.df.select(lst.alias("_u")).schema[0].dataType,
@@ -1668,7 +1724,7 @@ class Planner:
             else:
                 phys = _fresh_phys(var, taken)
                 new_cols.append((to_column(it.expr, ctx), phys))
-                new_header[var] = phys
+                new_header[self._entity_list_key(it.expr, name) or var] = phys
                 outputs.append((name, phys))
 
         df = records.df
@@ -1695,60 +1751,81 @@ class Planner:
         agg_item_cols = {}
         pdisc_map: dict = {}   # percentileDisc call -> result column name
         post_items = []        # (rewritten expr, phys) projected after joins
-        for it in items:
+        ordered = [None] * len(items)   # (name, phys), original item order
+        group_expr_map = {}    # grouping item expr -> its group column
+        # Pass 1 — grouping items (non-aggregate) define the keys first so
+        # mixed aggregate items can reference them post-agg.
+        for idx, it in enumerate(items):
+            if E.is_aggregation(it.expr):
+                continue
             name = it.alias or _text(it.expr)
             var = E.Var(name)
-            if E.is_aggregation(it.expr):
-                subs = _agg_subexprs(it.expr)
-                if any(isinstance(a, E.FuncCall) and a.name == "percentiledisc"
-                       for a in subs):
-                    # percentileDisc compiles to a two-pass rank plan (see
-                    # _percentile_disc_table), not a groupBy aggregate:
-                    # replace each aggregator subtree with a placeholder
-                    # column and defer any outer expression past the join.
-                    mapping = {}
-                    for sub in subs:
-                        if isinstance(sub, E.FuncCall) and \
-                                sub.name == "percentiledisc":
-                            if sub not in pdisc_map:
-                                pdisc_map[sub] = _fresh_phys(
-                                    E.Var(f"__pdisc_{len(pdisc_map)}"), taken)
-                            ph = pdisc_map[sub]
-                        else:
-                            ph = _fresh_phys(E.Var(f"__agg_{len(aggs)}"), taken)
-                            aggs.append(
-                                to_column(sub, ctx.with_agg()).alias(ph))
-                        mapping[sub] = E.Var(ph)
-                    rewritten = _substitute(it.expr, mapping)
-                    if isinstance(rewritten, E.Var):
-                        phys = rewritten.name
-                    else:
-                        phys = _fresh_phys(var, taken)
-                        post_items.append((rewritten, phys))
-                    new_header[var] = phys
-                    outputs.append((name, phys))
-                    agg_item_cols[it.expr] = phys
-                    continue
+            if isinstance(it.expr, E.Var) and header.get(it.expr) is not None:
+                src = it.expr
+                tgt = _typed_var(src, name)
+                for e in header.owned_by(src):
+                    c = header.col(e)
+                    new_header[_retarget(e, src, tgt)] = c
+                    group_cols.append(c)
+                ordered[idx] = (name, header.col(src))
+                group_expr_map[src] = header.col(src)
+            else:
+                phys = _fresh_phys(var, taken)
+                pre_cols.append((to_column(it.expr, ctx), phys))
+                group_cols.append(phys)
+                new_header[self._entity_list_key(it.expr, name) or var] = phys
+                ordered[idx] = (name, phys)
+                group_expr_map[it.expr] = phys
+        # Pass 2 — aggregate items.  A mixed expression (aggregates nested
+        # inside maps/arithmetic, or percentileDisc anywhere) is rewritten:
+        # each aggregator subtree becomes a placeholder aggregate column,
+        # each subexpression that equals a grouping item resolves to its
+        # group column, and the remainder is projected after the groupBy
+        # (TCK AggregationAcceptance "Handle subexpression in aggregation
+        # also occurring as standalone expression with nested aggregation
+        # in a literal map").
+        for idx, it in enumerate(items):
+            if not E.is_aggregation(it.expr):
+                continue
+            _check_no_agg_in_lambda(it.expr)
+            name = it.alias or _text(it.expr)
+            var = E.Var(name)
+            subs = _agg_subexprs(it.expr)
+            has_pdisc = any(isinstance(a, E.FuncCall)
+                            and a.name == "percentiledisc" for a in subs)
+            if not has_pdisc and len(subs) == 1 and subs[0] == it.expr:
+                # the item IS a single aggregate call: emit it directly
                 phys = _fresh_phys(var, taken)
                 aggs.append(to_column(it.expr, ctx.with_agg()).alias(phys))
-                new_header[var] = phys
-                outputs.append((name, phys))
+                new_header[self._entity_list_key(it.expr, name) or var] = phys
+                ordered[idx] = (name, phys)
                 agg_item_cols[it.expr] = phys
-            else:
-                if isinstance(it.expr, E.Var) and header.get(it.expr) is not None:
-                    src = it.expr
-                    tgt = _typed_var(src, name)
-                    for e in header.owned_by(src):
-                        c = header.col(e)
-                        new_header[_retarget(e, src, tgt)] = c
-                        group_cols.append(c)
-                    outputs.append((name, header.col(src)))
+                continue
+            mapping = {}
+            for sub in subs:
+                if isinstance(sub, E.FuncCall) and \
+                        sub.name == "percentiledisc":
+                    if sub not in pdisc_map:
+                        pdisc_map[sub] = _fresh_phys(
+                            E.Var(f"__pdisc_{len(pdisc_map)}"), taken)
+                    ph = pdisc_map[sub]
                 else:
-                    phys = _fresh_phys(var, taken)
-                    pre_cols.append((to_column(it.expr, ctx), phys))
-                    group_cols.append(phys)
-                    new_header[var] = phys
-                    outputs.append((name, phys))
+                    ph = _fresh_phys(E.Var(f"__agg_{len(aggs)}"), taken)
+                    aggs.append(
+                        to_column(sub, ctx.with_agg()).alias(ph))
+                mapping[sub] = E.Var(ph)
+            for gexpr, gphys in group_expr_map.items():
+                mapping.setdefault(gexpr, E.Var(gphys))
+            rewritten = _substitute(it.expr, mapping)
+            if isinstance(rewritten, E.Var):
+                phys = rewritten.name
+            else:
+                phys = _fresh_phys(var, taken)
+                post_items.append((rewritten, phys))
+            new_header[var] = phys
+            ordered[idx] = (name, phys)
+            agg_item_cols[it.expr] = phys
+        outputs.extend(o for o in ordered if o is not None)
 
         df = records.df
         if pre_cols:
@@ -1998,6 +2075,24 @@ def _const(expr, params):
                     "(literal / parameter / arithmetic thereof)")
 
 
+def _check_no_agg_in_lambda(e: E.Expr) -> None:
+    """TCK SemanticErrorAcceptance InvalidAggregation: an aggregator may
+    not appear inside a list comprehension / quantifier / reduce body —
+    the lambda variable is per-element, an aggregate is per-group."""
+    if isinstance(e, E.ListComprehension):
+        if (e.projection is not None and E.is_aggregation(e.projection)) \
+                or (e.where is not None and E.is_aggregation(e.where)):
+            raise PlanError("aggregation inside a list comprehension")
+    if isinstance(e, E.ListPredicate) and getattr(e, "where", None) is not None \
+            and E.is_aggregation(e.where):
+        raise PlanError("aggregation inside a list predicate")
+    if isinstance(e, E.ListReduce) and (
+            E.is_aggregation(e.step) or E.is_aggregation(e.init)):
+        raise PlanError("aggregation inside reduce()")
+    for c in e.children():
+        _check_no_agg_in_lambda(c)
+
+
 def _agg_subexprs(expr: E.Expr) -> list:
     """Maximal aggregator subexpressions of an aggregation item."""
     out = []
@@ -2056,11 +2151,21 @@ def _substitute(e: E.Expr, mapping: dict) -> E.Expr:
             if nv is not v:
                 changes[f.name] = nv
         elif isinstance(v, tuple):
-            nv = tuple(_substitute(x, mapping) if isinstance(x, E.Expr) else x
-                       for x in v)
+            nv = tuple(_subst_item(x, mapping) for x in v)
             if nv != v:
                 changes[f.name] = nv
     return dataclasses.replace(e, **changes) if changes else e
+
+
+def _subst_item(x, mapping: dict):
+    """Substitute inside tuple fields, descending into nested tuples —
+    MapLit.items holds (key, Expr) pairs, CaseExpr.alternatives holds
+    (when, then) pairs."""
+    if isinstance(x, E.Expr):
+        return _substitute(x, mapping)
+    if isinstance(x, tuple):
+        return tuple(_subst_item(y, mapping) for y in x)
+    return x
 
 
 def _fresh_phys(var: E.Var, taken: set) -> str:
@@ -2086,6 +2191,8 @@ def _typed_var(src: E.Var, name: str) -> E.Var:
         return E.NodeVar(name)
     if isinstance(src, E.ListRelVar):
         return E.ListRelVar(name)
+    if isinstance(src, E.ListNodeVar):
+        return E.ListNodeVar(name)
     if isinstance(src, E.RelVar):
         return E.RelVar(name)
     return E.Var(name)

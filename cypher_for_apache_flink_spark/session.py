@@ -37,10 +37,13 @@ class CypherResult:
     ending in RETURN GRAPH set ``graph`` instead (empty table)."""
 
     def __init__(self, records, outputs, graph: PropertyGraph | None = None,
-                 cache_lease=None):
+                 cache_lease=None, source_graph: PropertyGraph | None = None):
         self.records = records
         self.outputs = outputs
         self.graph = graph
+        # the graph the query ran against — lets to_maps() hydrate RETURNed
+        # path values (node/rel id arrays) into full entities
+        self.source_graph = source_graph
         # planner caches (var-length slim edges/frontiers) stay alive while
         # this result or any DataFrame taken from it is reachable, then
         # auto-unpersist (cache.py); release() frees them eagerly.
@@ -96,7 +99,16 @@ class CypherResult:
                 continue
             seen.add(name)
             v = h.var(name)
-            if isinstance(v, E.NodeVar) or (
+            if isinstance(v, (E.ListNodeVar, E.ListRelVar)) \
+                    and self.source_graph is not None:
+                # a list of entity ids (var-length rels, collect(n),
+                # nodes(p)/relationships(p)): hydrate ids into entities
+                plans.append((
+                    name,
+                    "node_list" if isinstance(v, E.ListNodeVar)
+                    else "rel_list", None))
+                sel.append(F.col(phys).alias(name))
+            elif isinstance(v, E.NodeVar) or (
                     isinstance(v, E.Var) and not isinstance(v, E.RelVar)
                     and v is not None and any(
                         isinstance(e, E.HasLabel) and e.node == v
@@ -125,16 +137,47 @@ class CypherResult:
                 sel += [F.col(c).alias(f"__p_{name}_{i}")
                         for i, (_, c) in enumerate(props)]
             else:
-                plans.append((name, "scalar", None))
+                dt = dict(self.records.df.dtypes).get(phys)
+                path_dt = "struct<nodes:array<bigint>,rels:array<bigint>>"
+                if dt == path_dt and self.source_graph is not None:
+                    # a named path: hydrate its id arrays into entities
+                    plans.append((name, "path", None))
+                elif dt == f"array<{path_dt}>" \
+                        and self.source_graph is not None:
+                    # a collected list of paths (pattern comprehension)
+                    plans.append((name, "path_list", None))
+                else:
+                    plans.append((name, "scalar", None))
                 sel.append(F.col(phys).alias(name))
 
         rows = self.records.df.select(*sel).collect()
+        node_lu, rel_lu = self._path_entity_lookup(plans, rows)
         out = []
         for r in rows:
             d = {}
             for name, kind, extra in plans:
                 if kind == "scalar":
                     d[name] = r[name]
+                elif kind == "path":
+                    p = r[name]
+                    d[name] = None if p is None else {
+                        "nodes": [node_lu.get(i) for i in p["nodes"]],
+                        "rels": [rel_lu.get(i) for i in p["rels"]],
+                    }
+                elif kind == "path_list":
+                    arr = r[name]
+                    d[name] = None if arr is None else [
+                        {"nodes": [node_lu.get(i) for i in p["nodes"]],
+                         "rels": [rel_lu.get(i) for i in p["rels"]]}
+                        for p in arr]
+                elif kind == "node_list":
+                    arr = r[name]
+                    d[name] = None if arr is None else \
+                        [node_lu.get(i) for i in arr]
+                elif kind == "rel_list":
+                    arr = r[name]
+                    d[name] = None if arr is None else \
+                        [rel_lu.get(i) for i in arr]
                 elif kind == "node":
                     labels, props = extra
                     d[name] = {
@@ -158,6 +201,56 @@ class CypherResult:
                     }
             out.append(d)
         return out
+
+    def _path_entity_lookup(self, plans, rows):
+        """id -> entity dicts for every node/rel id referenced by a path
+        column in ``rows``.  Driver-side and bounded by the (already
+        collected) result size; the per-table probes are id-IN-set filtered
+        scans."""
+        hydrated = ("path", "path_list", "node_list", "rel_list")
+        if not any(kind in hydrated for _, kind, _ in plans):
+            return {}, {}
+        node_ids, rel_ids = set(), set()
+        for r in rows:
+            for name, kind, _ in plans:
+                if kind not in hydrated or r[name] is None:
+                    continue
+                if kind == "path":
+                    node_ids.update(r[name]["nodes"])
+                    rel_ids.update(r[name]["rels"])
+                elif kind == "path_list":
+                    for p in r[name]:
+                        node_ids.update(p["nodes"])
+                        rel_ids.update(p["rels"])
+                elif kind == "node_list":
+                    node_ids.update(i for i in r[name] if i is not None)
+                else:
+                    rel_ids.update(i for i in r[name] if i is not None)
+        g = self.source_graph
+        node_lu, rel_lu = {}, {}
+        if node_ids:
+            for combo, df in g.node_tables.items():
+                hit = df.where(F.col("id").isin(*node_ids)).collect()
+                for row in hit:
+                    d = row.asDict()
+                    ent = node_lu.setdefault(d["id"], {
+                        "id": d["id"], "labels": set(), "properties": {}})
+                    ent["labels"] |= set(combo)
+                    ent["properties"].update(
+                        {k: v for k, v in d.items()
+                         if k != "id" and v is not None})
+        if rel_ids:
+            for rtype, df in g.rel_tables.items():
+                hit = df.where(F.col("id").isin(*rel_ids)).collect()
+                for row in hit:
+                    d = row.asDict()
+                    rel_lu[d["id"]] = {
+                        "id": d["id"], "source": d["source"],
+                        "target": d["target"], "type": rtype,
+                        "properties": {k: v for k, v in d.items()
+                                       if k not in ("id", "source", "target")
+                                       and v is not None}}
+        return node_lu, rel_lu
 
     def cache(self) -> "CypherResult":
         """Persist the underlying table (reference: Cache operator /
@@ -272,7 +365,8 @@ class CypherSession:
                 driving_table)
         records, outputs = planner.plan(ast, initial)
         return CypherResult(records, outputs, graph=planner.result_graph,
-                            cache_lease=planner.cache_lease)
+                            cache_lease=planner.cache_lease,
+                            source_graph=graph)
 
     def _catalog_statement(self, stmt, params) -> "CypherResult":
         """CATALOG CREATE GRAPH name { inner query } / CATALOG DELETE GRAPH

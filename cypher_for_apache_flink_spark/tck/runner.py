@@ -70,6 +70,10 @@ def _interpret(steps) -> _Plan:
             else step.text.strip()
         low = text.lower().rstrip(":")
         if low in ("an empty graph", "any graph"):
+            # a scenario-level Given RESETS the fixture — it replaces any
+            # Background graph rather than stacking on top of it (Gherkin
+            # Backgrounds run first, so scenario setup starts fresh here)
+            plan.setup = []
             continue
         if low == "having executed" or low == "having defined":
             plan.setup.append(step.docstring)

@@ -220,6 +220,20 @@ def canon_result_value(v, unordered_lists: bool = False):
     if isinstance(v, datetime.timedelta):
         return ("str", str(v))
     if isinstance(v, dict):
+        if set(v) == {"nodes", "rels"}:
+            # hydrated path (CypherResult.to_maps): infer each step's
+            # direction by matching the rel's endpoints against the node
+            # sequence, mirroring the <(...)-[...]->(...)> grammar
+            nodes = [canon_result_value(n, unordered_lists)
+                     for n in v["nodes"]]
+            items = [nodes[0]] if nodes else []
+            for i, rel in enumerate(v["rels"]):
+                rc = canon_result_value(rel, unordered_lists)
+                here = v["nodes"][i]["id"] if v["nodes"][i] else None
+                direction = ">" if rel and rel["source"] == here else "<"
+                items.append((direction, rc))
+                items.append(nodes[i + 1])
+            return ("path", tuple(items))
         if set(v) in ({"id", "labels", "properties"},
                       {"id", "source", "target", "type", "properties"}) \
                 and v["id"] is None:

@@ -133,3 +133,103 @@ Feature: AggregationAcceptance
       | lo  | hi  |
       | 'a' | 'c' |
     And no side effects
+
+  Scenario: Handle aggregation on functions
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:L), (b1), (b2), (a)-[:A]->(b1), (a)-[:A]->(b2)
+      """
+    When executing query:
+      """
+      MATCH p = (a:L)-[*]->(b)
+      RETURN b, avg(length(p)) AS avg
+      """
+    Then the result should be, in any order:
+      | b  | avg |
+      | () | 1.0 |
+      | () | 1.0 |
+    And no side effects
+
+  Scenario: Aggregates in aggregates
+    Given any graph
+    When executing query:
+      """
+      RETURN count(count(*)) AS c
+      """
+    Then a SyntaxError should be raised at compile time: NestedAggregation
+    And no side effects
+
+  Scenario: Multiple aggregates on same variable
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN count(n) AS a, collect(n) AS b
+      """
+    Then the result should be, in any order:
+      | a | b    |
+      | 1 | [()] |
+    And no side effects
+
+  Scenario: Aggregation of named paths
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:A), (b:B), (c:C), (d:D), (e:E), (f:F),
+             (a)-[:R]->(b), (c)-[:R]->(d), (d)-[:R]->(e), (e)-[:R]->(f)
+      """
+    When executing query:
+      """
+      MATCH p = (a)-[*]->(b)
+      RETURN collect(length(p)) AS paths, length(p) AS l
+      ORDER BY l
+      """
+    Then the result should be, ignoring element order for lists:
+      | paths        | l |
+      | [1, 1, 1, 1] | 1 |
+      | [2, 2]       | 2 |
+      | [3]          | 3 |
+    And no side effects
+
+  Scenario: Aggregation with `min()`
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:T {name: 'a'}), (b:T {name: 'b'}), (c:T {name: 'c'}),
+             (a)-[:R]->(b), (b)-[:R]->(c)
+      """
+    When executing query:
+      """
+      MATCH p = (a:T {name: 'a'})-[:R*]->(other:T)
+      WHERE other <> a
+      WITH a, other, min(length(p)) AS len
+      RETURN a.name AS name, collect(other.name) AS others, len
+      """
+    Then the result should be, ignoring element order for lists:
+      | name | others     | len |
+      | 'a'  | ['b']      | 1   |
+      | 'a'  | ['c']      | 2   |
+    And no side effects
+
+  Scenario: Handle subexpression in aggregation also occurring as standalone expression with nested aggregation in a literal map
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A), (:B {prop: 42})
+      """
+    When executing query:
+      """
+      MATCH (a:A), (b:B)
+      RETURN coalesce(a.prop, b.prop) AS foo,
+             b.prop AS bar,
+             {y: count(b)} AS baz
+      """
+    Then the result should be, in any order:
+      | foo | bar | baz    |
+      | 42  | 42  | {y: 1} |
+    And no side effects

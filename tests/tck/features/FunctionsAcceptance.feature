@@ -132,3 +132,57 @@ Feature: FunctionsAcceptance
       | m                      |
       | {name: 'a', num: 1}    |
     And no side effects
+
+  Scenario: Functions should return null if they get path containing unbound
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Start)
+      """
+    When executing query:
+      """
+      MATCH (a:Start)
+      OPTIONAL MATCH p = (a)-[r]->()
+      RETURN length(nodes(p)) AS nodes, length(relationships(p)) AS rels,
+             type(r) AS t
+      """
+    Then the result should be, in any order:
+      | nodes | rels | t    |
+      | null  | null | null |
+    And no side effects
+
+  Scenario: `type()` handling Any type
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A)-[:T1]->(:B), (:B)-[:T2]->(:C)
+      """
+    When executing query:
+      """
+      MATCH ()-[r]->()
+      WITH r AS anything
+      RETURN type(anything) AS t
+      """
+    Then the result should be, in any order:
+      | t    |
+      | 'T1' |
+      | 'T2' |
+    And no side effects
+
+  Scenario: `labels()` should accept type Any
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Foo), (:Foo:Bar)
+      """
+    When executing query:
+      """
+      MATCH (a)
+      WITH a AS anything
+      RETURN labels(anything) AS l
+      """
+    Then the result should be, ignoring element order for lists:
+      | l              |
+      | ['Foo']        |
+      | ['Foo', 'Bar'] |
+    And no side effects

@@ -130,3 +130,408 @@ Feature: ListOperations
       | xs        | second |
       | [1, 2, 3] | 2      |
     And no side effects
+
+  Scenario: IN should return true when types of LHS and RHS match - singleton list
+    Given any graph
+    When executing query:
+      """
+      RETURN 1 IN [1] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should return true when types of LHS and RHS match - list
+    Given any graph
+    When executing query:
+      """
+      RETURN 3 IN [1, 2, 3] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should return false when matching a number with a string
+    Given any graph
+    When executing query:
+      """
+      RETURN 1 IN ['1', '2'] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: IN should return false when matching a number with a string - list version
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] IN [['1', '2']] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: IN should return true when LHS and RHS contain a nested list
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1, 2, 3]] IN [[[1, 2, 3]], [[4]]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should return true when LHS and RHS contain a nested list - singleton version
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1, 2, 3]] IN [[[1, 2, 3]]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should return true when LHS and RHS contain nested lists
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1, 2], [3, 4]] IN [[[5, 6]], [[1, 2], [3, 4]]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should return true when LHS and RHS contain nested list with multiple empty lists
+    Given any graph
+    When executing query:
+      """
+      RETURN [[], []] IN [[[5]], [[], []]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should return true when both LHS and RHS contain a nested list alongside a scalar element
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1, 2], [3]] IN [[[1, 2], [3]]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should work with an empty list when comparing nested lists
+    Given any graph
+    When executing query:
+      """
+      RETURN [] IN [[]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should work with an empty list in the presence of other list elements: matching
+    Given any graph
+    When executing query:
+      """
+      RETURN [] IN [[1], []] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN with different length lists should return false
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] IN [[1, 2, 3]] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: IN should return false if different length lists compared, even if the extra element is null
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] IN [[1, 2, null]] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: IN should return false if different length lists with nested elements compared, even if the extra element is null
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1, 2], [3]] IN [[[1, 2], [3], null]] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: IN should return false when order of elements in LHS list and RHS list don't match
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] IN [[2, 1]] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: IN should return null if comparison with null is required
+    Given any graph
+    When executing query:
+      """
+      RETURN 4 IN [1, 2, null] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | null |
+    And no side effects
+
+  Scenario: IN should return null if comparison with null is required, list version
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] IN [[null, 2]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | null |
+    And no side effects
+
+  Scenario: IN should return null if comparison with null is required, list version 2
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] IN [[3], [1, null]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | null |
+    And no side effects
+
+  Scenario: IN should return null if LHS and RHS are null - list version
+    Given any graph
+    When executing query:
+      """
+      RETURN [null] IN [[null]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | null |
+    And no side effects
+
+  Scenario: IN should return null when comparing two so-called identical lists where one element is null
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, null] IN [[1, null]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | null |
+    And no side effects
+
+  Scenario: IN should return true if correct list found despite other lists having nulls
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] IN [[null, 3], [1, 2]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: IN should return true if correct list found despite null being another element within containing list
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] IN [null, [1, 2]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects
+
+  Scenario: Equality between list and literal should return false
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] = 'foo' AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: Equality of nested lists of different length should return false despite nulls
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1]] = [[1], [null]] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: Equality between different lists with null should return false
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] = [null, 'foo'] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: Equality between almost equal lists with null should return null
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2] = [null, 2] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | null |
+    And no side effects
+
+  Scenario: Equality between different nested lists with null should return false
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1, 2], [1, 3]] = [[1, 2], [null, 9]] AS r
+      """
+    Then the result should be, in any order:
+      | r     |
+      | false |
+    And no side effects
+
+  Scenario: Equality between almost equal nested lists with null should return null
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1, 2], [1, 3]] = [[1, 2], [null, 3]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | null |
+    And no side effects
+
+  Scenario: Collect and filter using a list comprehension
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Person {name: 'Apa'}), (:Person {name: 'Bob'})
+      """
+    When executing query:
+      """
+      MATCH (n:Person)
+      WITH collect(n.name) AS names
+      RETURN [name IN names WHERE name CONTAINS 'p'] AS narrow
+      """
+    Then the result should be, in any order:
+      | narrow  |
+      | ['Apa'] |
+    And no side effects
+
+  Scenario: Collect and extract using a list comprehension
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Person {name: 'Apa'}), (:Person {name: 'Bob'})
+      """
+    When executing query:
+      """
+      MATCH (n:Person)
+      WITH collect(n.name) AS names
+      RETURN [name IN names | name + '!'] AS escalated
+      """
+    Then the result should be, in any order:
+      | escalated         |
+      | ['Apa!', 'Bob!']  |
+    And no side effects
+
+  Scenario: Returning nested expressions based on list property
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {list: [1, 2, 3]})
+      """
+    When executing query:
+      """
+      MATCH (n:N)
+      RETURN size(n.list) AS s, n.list[0] AS first, tail(n.list) AS rest
+      """
+    Then the result should be, in any order:
+      | s | first | rest   |
+      | 3 | 1     | [2, 3] |
+    And no side effects
+
+  Scenario: List slice with negative range
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2, 3][-3..-1] AS r
+      """
+    Then the result should be, in any order:
+      | r      |
+      | [1, 2] |
+    And no side effects
+
+  Scenario: List slice with invalid range
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2, 3][3..1] AS r
+      """
+    Then the result should be, in any order:
+      | r  |
+      | [] |
+    And no side effects
+
+  Scenario: List slice with exceeding range
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2, 3][1..10] AS r
+      """
+    Then the result should be, in any order:
+      | r      |
+      | [2, 3] |
+    And no side effects
+
+  Scenario: List slice with parameterised invalid range
+    Given any graph
+    And parameters are:
+      | from | 3 |
+      | to   | 1 |
+    When executing query:
+      """
+      RETURN [1, 2, 3][$from..$to] AS r
+      """
+    Then the result should be, in any order:
+      | r  |
+      | [] |
+    And no side effects

@@ -107,3 +107,15 @@ Feature: NullAcceptance
       | c   | x    |
       | 'c' | null |
     And no side effects
+
+  Scenario: Property existence check on null node
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (n:Missing)
+      RETURN n.prop IS NULL AS isNull
+      """
+    Then the result should be, in any order:
+      | isNull |
+      | true   |
+    And no side effects

@@ -93,3 +93,109 @@ Feature: OptionalMatchAcceptance
       | 0 | 'b' |
       | 1 | 'b' |
     And no side effects
+
+  Scenario: Named paths in optional matches
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:A)-[:X]->(b:B)
+      """
+    When executing query:
+      """
+      MATCH (a:A)
+      OPTIONAL MATCH p = (a)-[:Y]->(b:B)
+      RETURN p
+      """
+    Then the result should be, in any order:
+      | p    |
+      | null |
+    And no side effects
+
+  Scenario: Named paths inside optional matches with node predicates
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:A {name: 'A'}), (b:B {name: 'B'})
+      """
+    When executing query:
+      """
+      MATCH (a:A), (b:B)
+      OPTIONAL MATCH p = (a)-[:X]->(b)
+      RETURN p
+      """
+    Then the result should be, in any order:
+      | p    |
+      | null |
+    And no side effects
+
+  Scenario: Variable length optional relationships
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (s:Single), (a:A), (b:B), (c:C),
+             (s)-[:REL]->(a), (s)-[:REL]->(b), (a)-[:REL]->(c), (b)-[:LOOP]->(b)
+      """
+    When executing query:
+      """
+      MATCH (a:Single)
+      OPTIONAL MATCH (a)-[*]->(b)
+      RETURN b.nonexistent AS b, labels(b) AS l
+      """
+    Then the result should be, in any order:
+      | b    | l     |
+      | null | ['A'] |
+      | null | ['B'] |
+      | null | ['B'] |
+      | null | ['C'] |
+    And no side effects
+
+  Scenario: Variable length optional relationships with length predicates
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (s:Single), (a:A), (b:B), (s)-[:REL]->(a), (a)-[:REL]->(b)
+      """
+    When executing query:
+      """
+      MATCH (a:Single)
+      OPTIONAL MATCH (a)-[*3..]->(b)
+      RETURN labels(b) AS l
+      """
+    Then the result should be, in any order:
+      | l    |
+      | null |
+    And no side effects
+
+  Scenario: Variable length optional relationships with bound nodes
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (s:Single), (c:C), (s)-[:REL]->(:A)-[:REL]->(c)
+      """
+    When executing query:
+      """
+      MATCH (a:Single), (x:C)
+      OPTIONAL MATCH (a)-[*]->(x)
+      RETURN labels(x) AS l
+      """
+    Then the result should be, in any order:
+      | l     |
+      | ['C'] |
+    And no side effects
+
+  Scenario: Variable length optional relationships with bound nodes, no matches
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:Single), (x:C)
+      """
+    When executing query:
+      """
+      MATCH (a:Single), (x:C)
+      OPTIONAL MATCH p = (a)-[*]->(x)
+      RETURN p
+      """
+    Then the result should be, in any order:
+      | p    |
+      | null |
+    And no side effects

@@ -115,3 +115,20 @@ Feature: PathAcceptance
       | last | w0 | oob  |
       | 3    | 1  | true |
     And no side effects
+
+  Scenario: Direction of traversed relationship is not significant for path equality, simple
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (n:A)-[:T]->(n)
+      """
+    When executing query:
+      """
+      MATCH p1 = (:A)-->()
+      MATCH p2 = (:A)<--()
+      RETURN p1 = p2 AS e
+      """
+    Then the result should be, in any order:
+      | e    |
+      | true |
+    And no side effects

@@ -1,0 +1,123 @@
+Feature: ReturnAcceptance2
+
+  Scenario: Return all variables
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Start)-[:T]->()
+      """
+    When executing query:
+      """
+      MATCH p = (a:Start)-->(b) RETURN *
+      """
+    Then the result should be, in any order:
+      | a        | b  | p                    |
+      | (:Start) | () | <(:Start)-[:T]->()>  |
+    And no side effects
+
+  Scenario: Concatenating and returning the size of literal lists
+    Given any graph
+    When executing query:
+      """
+      RETURN size([[], []] + [[]]) AS l
+      """
+    Then the result should be, in any order:
+      | l |
+      | 3 |
+    And no side effects
+
+  Scenario: Returning nested expressions based on list property
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {list: [1, 2, 3]})
+      """
+    When executing query:
+      """
+      MATCH (n:N)
+      RETURN tail(tail(n.list)) AS t, size(tail(n.list)) AS s
+      """
+    Then the result should be, in any order:
+      | t   | s |
+      | [3] | 2 |
+    And no side effects
+
+  Scenario: Arithmetic expressions should propagate null values
+    Given any graph
+    When executing query:
+      """
+      RETURN 1 + (2 - (3 * (4 / (5 ^ (6 % null))))) AS a
+      """
+    Then the result should be, in any order:
+      | a    |
+      | null |
+    And no side effects
+
+  Scenario: Projecting an arithmetic expression with aggregation
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:X {id: 42})
+      """
+    When executing query:
+      """
+      MATCH (a:X)
+      RETURN a.id AS id, count(a) + 3 AS count
+      """
+    Then the result should be, in any order:
+      | id | count |
+      | 42 | 4     |
+    And no side effects
+
+  Scenario: Multiple aliasing and backreferencing
+    Given any graph
+    When executing query:
+      """
+      WITH 1 AS a, 2 AS b
+      WITH a AS b, b AS tmp
+      WITH b AS a, tmp AS c
+      RETURN a, c
+      """
+    Then the result should be, in any order:
+      | a | c |
+      | 1 | 2 |
+    And no side effects
+
+  Scenario: Concatenating lists of same type
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 10, 100] + [4, 5] AS foo
+      """
+    Then the result should be, in any order:
+      | foo               |
+      | [1, 10, 100, 4, 5] |
+    And no side effects
+
+  Scenario: Appending lists of same type
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 10, 100] + 4 AS foo
+      """
+    Then the result should be, in any order:
+      | foo              |
+      | [1, 10, 100, 4]  |
+    And no side effects
+
+  Scenario: Limiting amount of rows when there are fewer left than the LIMIT argument
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:X {id: 1}), (:X {id: 2}), (:X {id: 3})
+      """
+    When executing query:
+      """
+      MATCH (p:X) RETURN p.id AS id ORDER BY id LIMIT 10
+      """
+    Then the result should be, in order:
+      | id |
+      | 1  |
+      | 2  |
+      | 3  |
+    And no side effects

@@ -96,3 +96,41 @@ Feature: UnwindAcceptance
       | 1 |
       | 2 |
     And no side effects
+
+  Scenario: Unwinding a collected expression
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:E {row: 1}), (:E {row: 2})
+      """
+    When executing query:
+      """
+      MATCH (row:E)
+      WITH collect(row.row) AS rows
+      UNWIND rows AS x
+      RETURN x
+      """
+    Then the result should be, in any order:
+      | x |
+      | 1 |
+      | 2 |
+    And no side effects
+
+  Scenario: Unwind does not remove variables from scope
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (s:S {name: 's'})-[:X]->(:X {name: 'x'}), (s)-[:Y]->(:Y {name: 'y'})
+      """
+    When executing query:
+      """
+      MATCH (a:S)-[:X]->(b1)
+      WITH a, collect(b1.name) AS bees
+      UNWIND bees AS b2
+      MATCH (a)-[:Y]->(c)
+      RETURN b2 AS b, c.name AS c
+      """
+    Then the result should be, in any order:
+      | b   | c   |
+      | 'x' | 'y' |
+    And no side effects

@@ -92,3 +92,23 @@ Feature: WithAcceptance
       | n |
       | 3 |
     And no side effects
+
+  Scenario: A simple pattern with one bound endpoint
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'a'})-[:REL]->(:B {name: 'b'})
+      """
+    When executing query:
+      """
+      MATCH (a:A)-[r:REL]->(b:B)
+      WITH a AS b, b AS tmp, r AS r
+      WITH b AS a, r
+      LIMIT 1
+      MATCH (a)-[r]->(b)
+      RETURN a.name AS a, b.name AS b
+      """
+    Then the result should be, in any order:
+      | a   | b   |
+      | 'a' | 'b' |
+    And no side effects
