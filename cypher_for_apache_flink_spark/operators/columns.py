@@ -225,6 +225,10 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
         if n in ("duration", "duration.between", "duration.indays",
                  "duration.inmonths", "duration.inseconds"):
             return DURATION_TYPE
+        if n in ("time", "time.truncate"):
+            return TIME_TYPE
+        if n in ("localtime", "localtime.truncate"):
+            return LOCALTIME_TYPE
         return None
     if isinstance(expr, E.BinOp) and expr.op in ("+", "-", "*", "/", "%", "^"):
         lt = spark_dtype(expr.lhs, ctx)
@@ -234,6 +238,13 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             return rt
         if is_duration_type(rt) and _is(lt, (T.DateType, T.TimestampType)):
             return lt
+        # time/localtime ± duration stays a time of day
+        if is_duration_type(rt) and (is_time_type(lt)
+                                     or is_localtime_type(lt)):
+            return lt
+        if is_duration_type(lt) and (is_time_type(rt)
+                                     or is_localtime_type(rt)):
+            return rt
         if is_duration_type(lt) or is_duration_type(rt):
             # duration ± duration, duration * n, duration / n stay durations
             return lt if is_duration_type(lt) else rt
@@ -295,6 +306,10 @@ def _type_class(dt):
         return "temporal"
     if is_duration_type(dt):
         return "duration"
+    if is_time_type(dt):
+        return "time"
+    if is_localtime_type(dt):
+        return "localtime"
     if isinstance(dt, T.ArrayType):
         return "list"
     if isinstance(dt, (T.StructType, T.MapType)):
@@ -372,6 +387,80 @@ def duration_estimate_us(d: Column) -> Column:
             + d.getField("microseconds"))
 
 
+# ---------------------------------------------------------------------------
+# Time / LocalTime (beyond-reference surface: the reference blacklists its
+# whole temporal TCK corpus — morpheus-tck/src/test/resources/
+# temporal_blacklist — and has no TimeType either).  A time of day is a
+# microsecond-of-day long; TIME additionally carries a fixed UTC offset in
+# microseconds (Z = 0; named zones are unsupported).  Field-name-tagged
+# structs like durations, so every operation is plain column arithmetic.
+# ---------------------------------------------------------------------------
+
+TIME_FIELDS = ("time_us", "tz_us")
+TIME_TYPE = T.StructType([T.StructField(f, T.LongType())
+                          for f in TIME_FIELDS])
+LOCALTIME_FIELDS = ("localtime_us",)
+LOCALTIME_TYPE = T.StructType([T.StructField("localtime_us", T.LongType())])
+
+
+def is_time_type(t) -> bool:
+    return isinstance(t, T.StructType) and \
+        tuple(f.name for f in t.fields) == TIME_FIELDS
+
+
+def is_localtime_type(t) -> bool:
+    return isinstance(t, T.StructType) and \
+        tuple(f.name for f in t.fields) == LOCALTIME_FIELDS
+
+
+def make_time(us, tz_us) -> Column:
+    return F.struct(us.cast("long").alias("time_us"),
+                    tz_us.cast("long").alias("tz_us"))
+
+
+def make_localtime(us) -> Column:
+    return F.struct(us.cast("long").alias("localtime_us"))
+
+
+def time_of_day_us(col: Column, dtype) -> Column:
+    """Microsecond-of-day of a TIME / LOCALTIME / timestamp column."""
+    if is_time_type(dtype):
+        return col.getField("time_us")
+    if is_localtime_type(dtype):
+        return col.getField("localtime_us")
+    ts = col.cast("timestamp")
+    return F.unix_micros(ts) - F.unix_micros(F.to_timestamp(F.to_date(ts)))
+
+
+def time_string(us: Column, tz_us: Column | None) -> Column:
+    """Cypher ``toString()`` rendering of a time of day: HH:MM:SS with the
+    fraction only when non-zero; TIME appends 'Z' or ±HH:MM[:SS]."""
+    def p2(v):
+        return F.lpad(v.cast("long").cast("string"), 2, "0")
+
+    h = F.floor(us / 3_600_000_000)
+    mi = F.floor(us / 60_000_000) % 60
+    sec = F.floor(us / 1_000_000) % 60
+    frac = us % 1_000_000
+    out = F.concat(p2(h), F.lit(":"), p2(mi), F.lit(":"), p2(sec),
+                   F.when(frac != 0, F.concat(
+                       F.lit("."),
+                       F.regexp_replace(
+                           F.lpad(frac.cast("string"), 6, "0"),
+                           r"0+$", ""))).otherwise(F.lit("")))
+    if tz_us is None:
+        return out
+    a = F.abs(tz_us)
+    off = F.concat(
+        F.when(tz_us < 0, F.lit("-")).otherwise(F.lit("+")),
+        p2(F.floor(a / 3_600_000_000)), F.lit(":"),
+        p2(F.floor(a / 60_000_000) % 60),
+        F.when(a % 60_000_000 != 0,
+               F.concat(F.lit(":"), p2(F.floor(a / 1_000_000) % 60)))
+        .otherwise(F.lit("")))
+    return F.concat(out, F.when(tz_us == 0, F.lit("Z")).otherwise(off))
+
+
 _ISO_DURATION = None
 
 
@@ -429,6 +518,21 @@ def _shift_temporal(col: Column, ctype, dur: Column, sign: int) -> Column:
     shifted = F.to_timestamp(F.add_months(date_part, m.cast("int")))
     return F.timestamp_micros(
         F.unix_micros(shifted) + tod_us + d * F.lit(_US_PER_DAY) + us)
+
+
+def _shift_time(col: Column, ctype, dur: Column, sign: int) -> Column:
+    """time/localtime ± duration: only the duration's sub-day (microsecond)
+    component moves a clock value — calendar components are no-ops on a
+    time of day (months shift no clock; whole days wrap to the same time)
+    — and the result wraps modulo 24h (Cypher time arithmetic)."""
+    us = F.pmod(time_of_day_us(col, ctype)
+                + dur.getField("microseconds") * sign, F.lit(_US_PER_DAY))
+    out_t = TIME_TYPE if is_time_type(ctype) else LOCALTIME_TYPE
+    out = make_time(us, col.getField("tz_us")) if is_time_type(ctype) \
+        else make_localtime(us)
+    # a null operand yields a NULL time, not a struct of null fields
+    return F.when(col.isNull() | dur.isNull(),
+                  F.lit(None).cast(out_t)).otherwise(out)
 
 
 def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
@@ -715,6 +819,35 @@ def _property(expr: E.Property, ctx: ExprContext) -> Column:
         if k in accessors:
             return accessors[k]
         raise ValueError(f"unknown duration accessor .{key}")
+    if is_time_type(owner_t) or is_localtime_type(owner_t):
+        c = to_column(expr.owner, ctx)
+        us = time_of_day_us(c, owner_t)
+        k = key.lower()
+        clock = {
+            "hour": F.floor(us / 3_600_000_000).cast("long"),
+            "minute": (F.floor(us / 60_000_000) % 60).cast("long"),
+            "second": (F.floor(us / 1_000_000) % 60).cast("long"),
+            "millisecond": (F.floor(us / 1000) % 1000).cast("long"),
+            "microsecond": (us % 1_000_000).cast("long"),
+        }
+        if k in clock:
+            return clock[k]
+        if is_time_type(owner_t):
+            tz = c.getField("tz_us")
+            if k == "offsetseconds":
+                return F.floor(tz / 1_000_000).cast("long")
+            if k == "offsetminutes":
+                return F.floor(tz / 60_000_000).cast("long")
+            if k in ("offset", "timezone"):
+                a = F.abs(tz)
+                return F.when(tz == 0, F.lit("Z")).otherwise(F.concat(
+                    F.when(tz < 0, F.lit("-")).otherwise(F.lit("+")),
+                    F.lpad(F.floor(a / 3_600_000_000).cast("string"),
+                           2, "0"),
+                    F.lit(":"),
+                    F.lpad((F.floor(a / 60_000_000) % 60).cast("string"),
+                           2, "0")))
+        raise ValueError(f"unknown time accessor .{key}")
     if _is(owner_t, T.StructType):
         return to_column(expr.owner, ctx).getField(key)
     if _is(owner_t, T.MapType):
@@ -821,6 +954,12 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             return eq if op == "=" else ~eq
         if not _comparable(ldt, rdt):
             return F.lit(None).cast("boolean")
+        if is_time_type(ldt) and is_time_type(rdt):
+            # TIME orders by instant: local clock minus UTC offset
+            l = l.getField("time_us") - l.getField("tz_us")
+            r = r.getField("time_us") - r.getField("tz_us")
+        elif is_localtime_type(ldt) and is_localtime_type(rdt):
+            l, r = l.getField("localtime_us"), r.getField("localtime_us")
     if op == "<":
         return l < r
     if op == "<=":
@@ -843,6 +982,12 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             return _shift_temporal(l, lt, r, 1)
         if is_duration_type(lt) and _is(rt, (T.DateType, T.TimestampType)):
             return _shift_temporal(r, rt, l, 1)
+        if (is_time_type(lt) or is_localtime_type(lt)) \
+                and is_duration_type(rt):
+            return _shift_time(l, lt, r, 1)
+        if is_duration_type(lt) and (is_time_type(rt)
+                                     or is_localtime_type(rt)):
+            return _shift_time(r, rt, l, 1)
         if _is(lt, T.StringType) or _is(rt, T.StringType):
             return F.concat(l, r)
         if _is(lt, T.ArrayType) and _is(rt, T.ArrayType):
@@ -864,6 +1009,9 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
                 l.getField("microseconds") - r.getField("microseconds"))
         if _is(lt, (T.DateType, T.TimestampType)) and is_duration_type(rt):
             return _shift_temporal(l, lt, r, -1)
+        if (is_time_type(lt) or is_localtime_type(lt)) \
+                and is_duration_type(rt):
+            return _shift_time(l, lt, r, -1)
         return l - r
     if op == "*":
         if is_duration_type(lt) or is_duration_type(rt):
@@ -1163,6 +1311,12 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             return F.when(dur.isNull(), F.lit(None).cast("string")) \
                 .when(body == "", F.lit("PT0S")) \
                 .otherwise(F.concat(F.lit("P"), body))
+        if is_time_type(t) or is_localtime_type(t):
+            c = a(0)
+            return F.when(c.isNull(), F.lit(None).cast("string")) \
+                .otherwise(time_string(
+                    time_of_day_us(c, t),
+                    c.getField("tz_us") if is_time_type(t) else None))
         if _is(t, T.TimestampType):
             # Cypher ISO rendering: 'T' separator (Spark's cast uses ' ')
             from .temporal import iso_datetime_string
@@ -1299,7 +1453,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                   "dayofquarter", "ordinalday", "date", "datetime",
                   "localdatetime"}
     _DT_KEYS = _DATE_KEYS | {"hour", "minute", "second", "millisecond",
-                             "microsecond", "epochmillis", "epochseconds"}
+                             "microsecond", "epochmillis", "epochseconds",
+                             "time", "localtime"}
 
     def _check_temporal_keys(m, allowed, fn):
         for k in m:
@@ -1333,6 +1488,124 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         if _is(spark_dtype(args[0], ctx), (T.TimestampType, T.DateType)):
             return a(0).cast("date")
         return F.to_date(a(0))
+    if name in ("time", "localtime"):
+        is_t = name == "time"
+        out_t = TIME_TYPE if is_t else LOCALTIME_TYPE
+
+        def mk(us, tz):
+            return make_time(us, tz) if is_t else make_localtime(us)
+
+        _TIME_KEYS = {"hour", "minute", "second", "millisecond",
+                      "microsecond", "time", "localtime", "datetime",
+                      "localdatetime"} | ({"timezone"} if is_t else set())
+        if not args:
+            now = F.current_timestamp()
+            return mk(time_of_day_us(now, T.TimestampType()), F.lit(0))
+        arg = args[0]
+        if isinstance(arg, E.MapLit):
+            from .temporal import parse_tz_offset
+            m = {k.lower(): to_column(v, ctx) for k, v in arg.items}
+            mexpr = {k.lower(): v for k, v in arg.items}
+            _check_temporal_keys(m, _TIME_KEYS, name)
+            tz = F.lit(0)
+            if "timezone" in mexpr:
+                tz_v = plan_const(mexpr["timezone"], ctx)
+                if not isinstance(tz_v, str):
+                    raise ValueError(f"{name}() timezone must be a string "
+                                     f"literal")
+                tz = F.lit(parse_tz_offset(tz_v))
+            base = base_e = None
+            for bk in ("time", "localtime", "datetime", "localdatetime"):
+                if bk in m:
+                    base, base_e = m[bk], mexpr[bk]
+                    break
+            if base is not None:
+                # select form: unmentioned components come from the base;
+                # an explicit second resets the fraction, sub-second
+                # overrides replace it
+                bt = spark_dtype(base_e, ctx)
+                bus = time_of_day_us(base, bt)
+                h = m.get("hour", F.floor(bus / 3_600_000_000))
+                mi = m.get("minute", F.floor(bus / 60_000_000) % 60)
+                sec = m.get("second", F.floor(bus / 1_000_000) % 60)
+                if {"millisecond", "microsecond"} & set(m):
+                    frac = m.get("millisecond", F.lit(0)).cast("long") \
+                        * 1000 + m.get("microsecond", F.lit(0)).cast("long")
+                elif "second" in m:
+                    frac = F.lit(0)
+                else:
+                    frac = bus % 1_000_000
+                if is_t and "timezone" not in mexpr:
+                    tz = base.getField("tz_us") if is_time_type(bt) \
+                        else F.lit(0)
+                us = (h.cast("long") * 3_600_000_000
+                      + mi.cast("long") * 60_000_000
+                      + sec.cast("long") * 1_000_000 + frac)
+                return F.when(base.isNull(), F.lit(None).cast(out_t)) \
+                    .otherwise(mk(us, tz))
+            frac = m.get("millisecond", F.lit(0)).cast("long") * 1000 \
+                + m.get("microsecond", F.lit(0)).cast("long")
+            us = (m.get("hour", F.lit(0)).cast("long") * 3_600_000_000
+                  + m.get("minute", F.lit(0)).cast("long") * 60_000_000
+                  + m.get("second", F.lit(0)).cast("long") * 1_000_000
+                  + frac)
+            return mk(us, tz)
+        t_v = plan_const(arg, ctx)
+        if t_v is None and isinstance(arg, (E.Lit, E.Param)):
+            return F.lit(None).cast(out_t)    # time(null) -> null
+        if isinstance(t_v, str):
+            from .temporal import parse_time_string
+            us_v, off = parse_time_string(t_v)
+            if not is_t and off is not None:
+                raise ValueError("localtime() string must not carry a "
+                                 "timezone offset")
+            return mk(F.lit(us_v), F.lit(off or 0))
+        at = spark_dtype(arg, ctx)
+        if is_time_type(at) or is_localtime_type(at) \
+                or _is(at, (T.TimestampType, T.DateType)):
+            # conversion between time kinds / time part of a datetime
+            c = a(0)
+            tz = c.getField("tz_us") if is_time_type(at) else F.lit(0)
+            return F.when(c.isNull(), F.lit(None).cast(out_t)) \
+                .otherwise(mk(time_of_day_us(c, at), tz))
+        raise ValueError(f"cannot construct {name}() from this argument")
+    if name in ("time.truncate", "localtime.truncate"):
+        is_t = name.startswith("time")
+        out_t = TIME_TYPE if is_t else LOCALTIME_TYPE
+        unit = plan_const(args[0], ctx)
+        if not isinstance(unit, str):
+            raise ValueError(f"{name} unit must be a string literal")
+        u = unit.lower()
+        spans = {"day": _US_PER_DAY, "hour": 3_600_000_000,
+                 "minute": 60_000_000, "second": 1_000_000,
+                 "millisecond": 1000, "microsecond": 1}
+        if u not in spans:
+            raise ValueError(f"unsupported truncation unit {unit!r}")
+        src = a(1)
+        st = spark_dtype(args[1], ctx)
+        us = time_of_day_us(src, st)
+        us = us - us % F.lit(spans[u])
+        if len(args) > 2 and isinstance(args[2], E.MapLit):
+            ov = {k.lower(): to_column(v, ctx) for k, v in args[2].items}
+            bad = set(ov) - {"hour", "minute", "second", "millisecond",
+                             "microsecond"}
+            if bad:
+                raise ValueError(
+                    f"unsupported truncate override component(s) {bad}")
+            # independent overrides, like the datetime truncate family
+            h = ov.get("hour", F.floor(us / 3_600_000_000))
+            mi = ov.get("minute", F.floor(us / 60_000_000) % 60)
+            sec = ov.get("second", F.floor(us / 1_000_000) % 60)
+            frac = us % 1_000_000
+            if {"millisecond", "microsecond"} & set(ov):
+                frac = ov.get("millisecond", F.lit(0)).cast("long") * 1000 \
+                    + ov.get("microsecond", F.lit(0)).cast("long")
+            us = (h.cast("long") * 3_600_000_000
+                  + mi.cast("long") * 60_000_000
+                  + sec.cast("long") * 1_000_000 + frac)
+        tz = src.getField("tz_us") if is_time_type(st) else F.lit(0)
+        out = make_time(us, tz) if is_t else make_localtime(us)
+        return F.when(src.isNull(), F.lit(None).cast(out_t)).otherwise(out)
     if name in ("datetime", "localdatetime"):
         if not args:
             return F.current_timestamp()
@@ -1340,11 +1613,41 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         if isinstance(arg, E.MapLit):
             from .temporal import date_from_map
             m = {k.lower(): to_column(v, ctx) for k, v in arg.items}
+            mexpr = {k.lower(): v for k, v in arg.items}
             _check_temporal_keys(m, _DT_KEYS, name)
             if "epochmillis" in m:
                 return F.timestamp_millis(m["epochmillis"].cast("long"))
             if "epochseconds" in m:
                 return F.timestamp_seconds(m["epochseconds"])
+            tkey = "time" if "time" in m \
+                else ("localtime" if "localtime" in m else None)
+            if tkey is not None:
+                # {date: d, time: t[, overrides]}: date part from the date
+                # base / components, clock from the time base; explicit
+                # second resets the fraction (select semantics)
+                tt = spark_dtype(mexpr[tkey], ctx)
+                tus = time_of_day_us(m[tkey], tt)
+                base = _temporal_base(arg, m, ctx)
+                if base is not None:
+                    d = base.cast("date")
+                elif {"week", "quarter", "ordinalday"} & set(m):
+                    d = date_from_map(m)
+                else:
+                    d = F.make_date(m.get("year", F.lit(1)),
+                                    m.get("month", F.lit(1)),
+                                    m.get("day", F.lit(1)))
+                h = m.get("hour", F.floor(tus / 3_600_000_000))
+                mi = m.get("minute", F.floor(tus / 60_000_000) % 60)
+                sec = m.get("second",
+                            F.floor(tus / 1_000_000) % 60).cast("double")
+                if {"millisecond", "microsecond"} & set(m):
+                    sec = sec + \
+                        m.get("microsecond", F.lit(0)).cast("double") / 1e6 \
+                        + m.get("millisecond", F.lit(0)).cast("double") / 1e3
+                elif "second" not in m:
+                    sec = sec + (tus % 1_000_000).cast("double") / 1e6
+                return F.make_timestamp(F.year(d), F.month(d),
+                                        F.dayofmonth(d), h, mi, sec)
             sec = m.get("second", F.lit(0)).cast("double") + \
                 m.get("microsecond", F.lit(0)).cast("double") / 1e6 + \
                 m.get("millisecond", F.lit(0)).cast("double") / 1e3
@@ -1414,10 +1717,19 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             # datetime.truncate('month', d, {day: 5})
             ov = {k.lower(): to_column(v, ctx) for k, v in args[2].items}
             bad = set(ov) - {"year", "month", "day", "hour", "minute",
-                             "second", "millisecond", "microsecond"}
+                             "second", "millisecond", "microsecond",
+                             "dayofweek"}
             if bad:
                 raise ValueError(
                     f"unsupported truncate override component(s) {bad}")
+            if "dayofweek" in ov:
+                # only meaningful on a week boundary (Neo4j semantics):
+                # shift the truncated Monday to the requested ISO weekday
+                if u not in ("week", "weekyear"):
+                    raise ValueError("dayOfWeek override requires week "
+                                     "truncation")
+                out = F.timestamp_add(
+                    "DAY", (ov["dayofweek"].cast("int") - 1), out)
             # each field overrides independently: {microsecond: 42} keeps
             # the truncated value's whole seconds
             sec = ov.get("second", F.second(out)).cast("double")
@@ -1437,7 +1749,19 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         # decomposition: whole months first (anchored re-add, so Jan 31 ->
         # Feb 28 counts as one month), whole days of the remainder, then the
         # microsecond tail.
-        raw_a, raw_b = a(0).cast("timestamp"), a(1).cast("timestamp")
+        def _between_ts(i):
+            # a TIME/LOCALTIME operand anchors its instant on the epoch
+            # day, so the decomposition below yields pure clock components
+            t = spark_dtype(args[i], ctx)
+            c = a(i)
+            if is_time_type(t):
+                return F.timestamp_micros(c.getField("time_us")
+                                          - c.getField("tz_us"))
+            if is_localtime_type(t):
+                return F.timestamp_micros(c.getField("localtime_us"))
+            return c.cast("timestamp")
+
+        raw_a, raw_b = _between_ts(0), _between_ts(1)
 
         def _guard(dur_col):
             # null input propagates a NULL duration, not a struct of nulls

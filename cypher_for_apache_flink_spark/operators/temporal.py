@@ -85,6 +85,7 @@ def parse_date_string(s: str) -> datetime.date:
 
 _TIME_RE = re.compile(
     r"^(\d{2})(?::?(\d{2}))?(?::?(\d{2}))?(?:[.,](\d{1,9}))?$")
+_OFFSET_RE = re.compile(r"^([+-])(\d{2})(?::?(\d{2}))?(?::?(\d{2}))?$")
 
 
 def parse_time_parts(s: str):
@@ -94,7 +95,44 @@ def parse_time_parts(s: str):
         raise ValueError(f"invalid time string {s!r}")
     h, mi, sec, frac = m.groups()
     us = int((frac or "0").ljust(6, "0")[:6])
+    if int(h) > 23 or int(mi or 0) > 59 or int(sec or 0) > 59:
+        raise ValueError(f"invalid time string {s!r}")
     return int(h), int(mi or 0), int(sec or 0), us
+
+
+def parse_tz_offset(s: str) -> int:
+    """UTC-offset string ('Z' | ±HH[:MM[:SS]], compact allowed) ->
+    offset microseconds."""
+    t = s.strip()
+    if t in ("Z", "z"):
+        return 0
+    m = _OFFSET_RE.match(t)
+    if not m:
+        raise ValueError(f"invalid timezone offset {s!r}")
+    sign = -1 if m.group(1) == "-" else 1
+    secs = (int(m.group(2)) * 3600 + int(m.group(3) or 0) * 60
+            + int(m.group(4) or 0))
+    return sign * secs * 1_000_000
+
+
+def parse_time_string(s: str):
+    """Cypher time/localtime literal -> (microsecond-of-day, offset_us).
+
+    ``offset_us`` is None when the string carries no zone designator
+    (``localtime`` form); 'Z' and ±HH:MM[: SS] offsets are supported —
+    named zones are not (no TZ database semantics in the engine).
+    """
+    t = s.strip()
+    off = None
+    if t.endswith(("Z", "z")):
+        off, t = 0, t[:-1]
+    else:
+        for i, ch in enumerate(t):
+            if ch in "+-":
+                off, t = parse_tz_offset(t[i:]), t[:i]
+                break
+    h, mi, sec, us = parse_time_parts(t)
+    return ((h * 3600 + mi * 60 + sec) * 1_000_000 + us), off
 
 
 def parse_localdatetime_string(s: str) -> datetime.datetime:

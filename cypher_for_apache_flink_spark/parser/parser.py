@@ -41,6 +41,7 @@ _TOKEN_RE = re.compile(r"""
 # duration.between family).
 _NAMESPACED_FUNCS = {"date.truncate", "datetime.truncate",
                      "localdatetime.truncate",
+                     "time.truncate", "localtime.truncate",
                      "duration.between", "duration.indays", "duration.inmonths",
                      "duration.inseconds"}
 

@@ -32,6 +32,30 @@ _CATALOG_VIEW_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+def _pytime(v):
+    """Row with a TIME/LOCALTIME struct signature -> ``datetime.time``
+    (recursing into lists); everything else passes through."""
+    import datetime as _dt
+
+    from pyspark.sql import Row
+    if isinstance(v, Row):
+        f = tuple(v.__fields__)
+        if f == ("time_us", "tz_us") and v.time_us is not None:
+            us = v.time_us
+            return _dt.time(
+                us // 3_600_000_000, us // 60_000_000 % 60,
+                us // 1_000_000 % 60, us % 1_000_000,
+                tzinfo=_dt.timezone(_dt.timedelta(microseconds=v.tz_us)))
+        if f == ("localtime_us",) and v.localtime_us is not None:
+            us = v.localtime_us
+            return _dt.time(us // 3_600_000_000, us // 60_000_000 % 60,
+                            us // 1_000_000 % 60, us % 1_000_000)
+        return v
+    if isinstance(v, list):
+        return [_pytime(x) for x in v]
+    return v
+
+
 class CypherResult:
     """Lazy query result; ``df`` has user-facing column names.  Queries
     ending in RETURN GRAPH set ``graph`` instead (empty table)."""
@@ -157,7 +181,7 @@ class CypherResult:
             d = {}
             for name, kind, extra in plans:
                 if kind == "scalar":
-                    d[name] = r[name]
+                    d[name] = _pytime(r[name])
                 elif kind == "path":
                     p = r[name]
                     d[name] = None if p is None else {

@@ -214,6 +214,23 @@ def canon_result_value(v, unordered_lists: bool = False):
         return ("float", norm_float(v))
     if isinstance(v, str):
         return ("str", v)
+    if isinstance(v, datetime.time):
+        # Cypher time rendering: HH:MM:SS with the fraction only when
+        # non-zero (trailing zeros trimmed); UTC offset renders as 'Z'
+        s = f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}"
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        if v.tzinfo is not None:
+            off = v.utcoffset()
+            total = int(off.total_seconds())
+            if total == 0:
+                s += "Z"
+            else:
+                sign, a = ("-", -total) if total < 0 else ("+", total)
+                s += f"{sign}{a // 3600:02d}:{a // 60 % 60:02d}"
+                if a % 60:
+                    s += f":{a % 60:02d}"
+        return ("str", s)
     if isinstance(v, (datetime.date, datetime.datetime)):
         # Cypher/TCK ISO rendering: 'T'-separated datetimes (str() uses ' ')
         return ("str", v.isoformat())
