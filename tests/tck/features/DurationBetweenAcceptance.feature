@@ -66,6 +66,215 @@ Feature: DurationBetweenAcceptance
       | 'P1YT4M50S' |
     And no side effects
 
+  Scenario: Should compute duration between two temporals #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localtime('12:00:00'), localtime('13:30:15'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1H30M15S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #8
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localtime('23:00:00'), localtime('01:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-22H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #9
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(time('12:00:00Z'), time('13:00:00+01:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #10
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(time('09:00:00-05:00'), time('15:00:00Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #11
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(date('2018-01-01'), date('2018-12-31'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P11M30D' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #12
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(date('1999-12-31'), date('2000-01-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1D' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #13
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(date('2016-02-29'), date('2017-03-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1Y1D' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #14
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localdatetime('2018-01-31T23:00:00'), localdatetime('2018-02-01T01:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT2H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #15
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localdatetime('2000-01-01T00:00:00'), localdatetime('2000-01-01T00:00:00.000001'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0.000001S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #16
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(date('1900-01-01'), date('2000-01-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P100Y' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #17
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localdatetime('1984-10-11T12:31:14'), date('2015-06-24'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P30Y8M12DT11H28M46S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #18
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localdatetime('2015-06-24T12:16:48'), localdatetime('2015-06-24T12:16:48'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #19
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localtime('00:00:00'), localtime('23:59:59.999999'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT23H59M59.999999S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #20
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(time('18:45:00+14:00'), time('06:15:30.5+01:00:30'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT30M0.5S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #21
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(date('2021-03-01'), date('2021-02-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P-1M' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #22
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localdatetime('2019-05-06T07:08:09.1'), localdatetime('2019-05-06T07:08:09.05'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-0.05S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #23
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(date('1969-07-20'), localdatetime('1969-07-21T02:56:15'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1DT2H56M15S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #24
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localdatetime('2024-01-01T00:00:00'), localdatetime('2023-12-31T23:59:59'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-1S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals #25
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(time('00:00:00Z'), time('00:00:00.000001Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0.000001S' |
+    And no side effects
+
   Scenario: Should compute duration between two temporals in months #1
     Given any graph
     When executing query:
@@ -130,6 +339,171 @@ Feature: DurationBetweenAcceptance
     Then the result should be, in any order:
       | d |
       | 'P1Y' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(localtime('12:00:00'), localtime('13:30:15'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #8
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(localtime('23:00:00'), localtime('01:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #9
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(time('12:00:00Z'), time('13:00:00+01:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #10
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(time('09:00:00-05:00'), time('15:00:00Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #11
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(date('2018-01-01'), date('2018-12-31'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P11M' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #12
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(date('1999-12-31'), date('2000-01-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #13
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(date('2016-02-29'), date('2017-03-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1Y' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #14
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(localdatetime('2018-01-31T23:00:00'), localdatetime('2018-02-01T01:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #15
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(localdatetime('2000-01-01T00:00:00'), localdatetime('2000-01-01T00:00:00.000001'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #16
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(date('1900-01-01'), date('2000-01-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P100Y' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #17
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(localdatetime('1984-10-11T12:31:14'), date('2015-06-24'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P30Y8M' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #18
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(localdatetime('2015-06-24T12:16:48'), localdatetime('2015-06-24T12:16:48'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #19
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(localtime('00:00:00'), localtime('23:59:59.999999'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #20
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(time('18:45:00+14:00'), time('06:15:30.5+01:00:30'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in months #21
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(date('2021-03-01'), date('2021-02-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P-1M' |
     And no side effects
 
   Scenario: Should compute duration between two temporals in days #1
@@ -198,6 +572,171 @@ Feature: DurationBetweenAcceptance
       | 'P366D' |
     And no side effects
 
+  Scenario: Should compute duration between two temporals in days #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(localtime('12:00:00'), localtime('13:30:15'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #8
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(localtime('23:00:00'), localtime('01:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #9
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(time('12:00:00Z'), time('13:00:00+01:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #10
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(time('09:00:00-05:00'), time('15:00:00Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #11
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(date('2018-01-01'), date('2018-12-31'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P364D' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #12
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(date('1999-12-31'), date('2000-01-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1D' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #13
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(date('2016-02-29'), date('2017-03-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P366D' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #14
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(localdatetime('2018-01-31T23:00:00'), localdatetime('2018-02-01T01:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #15
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(localdatetime('2000-01-01T00:00:00'), localdatetime('2000-01-01T00:00:00.000001'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #16
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(date('1900-01-01'), date('2000-01-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P36524D' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #17
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(localdatetime('1984-10-11T12:31:14'), date('2015-06-24'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P11212D' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #18
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(localdatetime('2015-06-24T12:16:48'), localdatetime('2015-06-24T12:16:48'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #19
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(localtime('00:00:00'), localtime('23:59:59.999999'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #20
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(time('18:45:00+14:00'), time('06:15:30.5+01:00:30'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in days #21
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(date('2021-03-01'), date('2021-02-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P-28D' |
+    And no side effects
+
   Scenario: Should compute duration between two temporals in seconds #1
     Given any graph
     When executing query:
@@ -264,6 +803,215 @@ Feature: DurationBetweenAcceptance
       | 'PT8784H4M50S' |
     And no side effects
 
+  Scenario: Should compute duration between two temporals in seconds #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localtime('12:00:00'), localtime('13:30:15'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1H30M15S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #8
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localtime('23:00:00'), localtime('01:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-22H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #9
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(time('12:00:00Z'), time('13:00:00+01:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #10
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(time('09:00:00-05:00'), time('15:00:00Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #11
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(date('2018-01-01'), date('2018-12-31'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT8736H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #12
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(date('1999-12-31'), date('2000-01-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT24H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #13
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(date('2016-02-29'), date('2017-03-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT8784H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #14
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2018-01-31T23:00:00'), localdatetime('2018-02-01T01:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT2H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #15
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2000-01-01T00:00:00'), localdatetime('2000-01-01T00:00:00.000001'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0.000001S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #16
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(date('1900-01-01'), date('2000-01-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT876576H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #17
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('1984-10-11T12:31:14'), date('2015-06-24'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT269099H28M46S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #18
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2015-06-24T12:16:48'), localdatetime('2015-06-24T12:16:48'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #19
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localtime('00:00:00'), localtime('23:59:59.999999'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT23H59M59.999999S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #20
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(time('18:45:00+14:00'), time('06:15:30.5+01:00:30'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT30M0.5S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #21
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(date('2021-03-01'), date('2021-02-01'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-672H' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #22
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2019-05-06T07:08:09.1'), localdatetime('2019-05-06T07:08:09.05'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-0.05S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #23
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(date('1969-07-20'), localdatetime('1969-07-21T02:56:15'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT26H56M15S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #24
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2024-01-01T00:00:00'), localdatetime('2023-12-31T23:59:59'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-1S' |
+    And no side effects
+
+  Scenario: Should compute duration between two temporals in seconds #25
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(time('00:00:00Z'), time('00:00:00.000001Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0.000001S' |
+    And no side effects
+
   Scenario: Should compute negative duration between in big units #1
     Given any graph
     When executing query:
@@ -308,6 +1056,17 @@ Feature: DurationBetweenAcceptance
       | 'P-1Y-1D' |
     And no side effects
 
+  Scenario: Should compute negative duration between in big units #5
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inMonths(localdatetime('2015-06-24T12:00:00'), localdatetime('2014-05-23T11:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P-1Y-1M' |
+    And no side effects
+
   Scenario: Should compute durations with no difference #1
     Given any graph
     When executing query:
@@ -335,6 +1094,28 @@ Feature: DurationBetweenAcceptance
     When executing query:
       """
       RETURN toString(duration.inSeconds(date('1984-10-11'), date('1984-10-11'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute durations with no difference #4
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(time('12:00:00Z'), time('12:00:00Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0S' |
+    And no side effects
+
+  Scenario: Should compute durations with no difference #5
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localtime('12:31:14'), localtime('12:31:14'))) AS d
       """
     Then the result should be, in any order:
       | d |
@@ -471,4 +1252,125 @@ Feature: DurationBetweenAcceptance
     Then the result should be, in any order:
       | d |
       | 'PT-1.5S' |
+    And no side effects
+
+  Scenario: Should handle when seconds and subseconds have different signs #3
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2015-06-24T11:59:59.5'), localdatetime('2015-06-24T12:00:00'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT0.5S' |
+    And no side effects
+
+  Scenario: Should handle when seconds and subseconds have different signs #4
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2015-06-24T11:59:58.7'), localdatetime('2015-06-24T12:00:00.2'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1.5S' |
+    And no side effects
+
+  Scenario: Should handle when seconds and subseconds have different signs #5
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(time('12:00:00Z'), time('11:59:59.5Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-0.5S' |
+    And no side effects
+
+  Scenario: Should handle when seconds and subseconds have different signs #6
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(time('12:00:00.2Z'), time('11:59:58.7Z'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-1.5S' |
+    And no side effects
+
+  Scenario: Should handle when seconds and subseconds have different signs #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localtime('12:00:00'), localtime('11:59:59.5'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-0.5S' |
+    And no side effects
+
+  Scenario: Should handle when seconds and subseconds have different signs #8
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localtime('12:00:00.2'), localtime('11:59:58.7'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-1.5S' |
+    And no side effects
+
+  Scenario: Should handle when seconds and subseconds have different signs #9
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2015-06-24T12:00:01.1'), localdatetime('2015-06-24T11:59:59.9'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-1.2S' |
+    And no side effects
+
+  Scenario: Should handle when seconds and subseconds have different signs #10
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(localdatetime('2015-06-24T11:59:59.9'), localdatetime('2015-06-24T12:00:01.1'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1.2S' |
+    And no side effects
+
+  Scenario: Should handle large durations
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(date('1000-01-01'), date('3000-12-31'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P2000Y11M30D' |
+    And no side effects
+
+  Scenario: Should handle large durations in seconds
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(date('1000-01-01'), date('3000-12-31'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT17540376H' |
+    And no side effects
+
+  Scenario: Should compute duration between if they differ only by a fraction of a second and the first comes after the second.
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(localdatetime('2015-06-24T12:00:00.5'), localdatetime('2015-06-24T12:00:00.2'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-0.3S' |
     And no side effects

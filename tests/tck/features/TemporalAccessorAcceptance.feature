@@ -1,6 +1,6 @@
 Feature: TemporalAccessorAcceptance
 
-  Scenario: Should provide accessors for date #1
+  Scenario: Should provide accessors for date
     Given any graph
     When executing query:
       """
@@ -11,7 +11,7 @@ Feature: TemporalAccessorAcceptance
       | 1984 | 10 | 11 | 1984 | 41 | 4 | 285 | 4 | 11 |
     And no side effects
 
-  Scenario: Should provide accessors for local date time #1
+  Scenario: Should provide accessors for local date time
     Given any graph
     When executing query:
       """
@@ -22,7 +22,40 @@ Feature: TemporalAccessorAcceptance
       | 12 | 31 | 14 | 645 | 645876 |
     And no side effects
 
-  Scenario: Should provide accessors for duration #1
+  Scenario: Should provide accessors for date time
+    Given any graph
+    When executing query:
+      """
+      WITH datetime('1984-10-11T12:31:14.645876') AS d RETURN d.hour AS h, d.minute AS mi, d.second AS s, d.millisecond AS ms, d.microsecond AS us
+      """
+    Then the result should be, in any order:
+      | h | mi | s | ms | us |
+      | 12 | 31 | 14 | 645 | 645876 |
+    And no side effects
+
+  Scenario: Should provide accessors for time
+    Given any graph
+    When executing query:
+      """
+      WITH time('12:31:14.645876+01:30') AS d RETURN d.hour AS h, d.minute AS mi, d.second AS s, d.millisecond AS ms, d.microsecond AS us, d.offset AS o, d.offsetMinutes AS om, d.offsetSeconds AS os
+      """
+    Then the result should be, in any order:
+      | h | mi | s | ms | us | o | om | os |
+      | 12 | 31 | 14 | 645 | 645876 | '+01:30' | 90 | 5400 |
+    And no side effects
+
+  Scenario: Should provide accessors for local time
+    Given any graph
+    When executing query:
+      """
+      WITH localtime('12:31:14.645876') AS d RETURN d.hour AS h, d.minute AS mi, d.second AS s, d.millisecond AS ms, d.microsecond AS us
+      """
+    Then the result should be, in any order:
+      | h | mi | s | ms | us |
+      | 12 | 31 | 14 | 645 | 645876 |
+    And no side effects
+
+  Scenario: Should provide accessors for duration
     Given any graph
     When executing query:
       """

@@ -66,6 +66,39 @@ Feature: TemporalArithmeticAcceptance
       | 'P1M-40D' |
     And no side effects
 
+  Scenario: Should add or subtract durations #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1Y') + duration('-P2M')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P10M' |
+    And no side effects
+
+  Scenario: Should add or subtract durations #8
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('-PT30M') + duration('PT1H')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT30M' |
+    And no side effects
+
+  Scenario: Should add or subtract durations #9
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration('P1DT12H') - duration('PT36H')) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1DT-24H' |
+    And no side effects
+
   Scenario: Should multiply or divide durations by numbers #1
     Given any graph
     When executing query:
@@ -99,7 +132,7 @@ Feature: TemporalArithmeticAcceptance
       | 'PT1H30M' |
     And no side effects
 
-  Scenario: Should add or subtract duration to or from date #1
+  Scenario: Should add or subtract duration to or from date #2
     Given any graph
     When executing query:
       """
@@ -110,7 +143,7 @@ Feature: TemporalArithmeticAcceptance
       | '1985-12-14' |
     And no side effects
 
-  Scenario: Should add or subtract duration to or from date #2
+  Scenario: Should add or subtract duration to or from date #3
     Given any graph
     When executing query:
       """
@@ -154,24 +187,101 @@ Feature: TemporalArithmeticAcceptance
       | '2020-02-29T00:00:00' |
     And no side effects
 
+  Scenario: Should add or subtract duration to or from date time #1
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-10-11T12:31:14') + duration('P1Y2M3DT4H5M6S') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1985-12-14T16:36:20' |
+    And no side effects
+
+  Scenario: Should add or subtract duration to or from date time #2
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-10-11T12:31:14') - duration('PT13H') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-10T23:31:14' |
+    And no side effects
+
+  Scenario: Should add or subtract duration to or from date time #3
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('2020-02-29T12:00:00') + duration('P1Y') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2021-02-28T12:00:00' |
+    And no side effects
+
   Scenario: Should add or subtract duration to or from time #1
     Given any graph
     When executing query:
       """
-      RETURN time({hour: 12}) + duration('PT1H') AS t
+      RETURN time('12:00Z') + duration('PT1H') AS t
       """
     Then the result should be, in any order:
       | t |
       | '13:00:00Z' |
     And no side effects
 
+  Scenario: Should add or subtract duration to or from time #2
+    Given any graph
+    When executing query:
+      """
+      RETURN time('23:30+01:00') + duration('PT45M') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '00:15:00+01:00' |
+    And no side effects
+
+  Scenario: Should add or subtract duration to or from time #3
+    Given any graph
+    When executing query:
+      """
+      RETURN time('06:15:30.5Z') - duration('P1DT2H') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '04:15:30.5Z' |
+    And no side effects
+
   Scenario: Should add or subtract duration to or from local time #1
     Given any graph
     When executing query:
       """
-      RETURN localtime({hour: 12}) - duration('PT1H') AS t
+      RETURN localtime('12:00') - duration('PT1H') AS t
       """
     Then the result should be, in any order:
       | t |
       | '11:00:00' |
+    And no side effects
+
+  Scenario: Should add or subtract duration to or from local time #2
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('23:59:59') + duration('PT2S') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '00:00:01' |
+    And no side effects
+
+  Scenario: Should add or subtract duration to or from local time #3
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('12:31:14') + duration('P1YT30M') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '13:01:14' |
     And no side effects

@@ -1,6 +1,171 @@
 Feature: TemporalCreateAcceptance
 
-  Scenario: Should construct week date #1
+  Scenario: Should construct week datetime #1
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 3, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-07T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct week datetime #2
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 3, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-07T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #3
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 3}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-07T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #4
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 1, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-05T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct week datetime #5
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 1, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-05T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #6
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 1}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-05T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #7
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2015, week: 1, dayOfWeek: 4, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2015-01-01T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct week datetime #8
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2015, week: 1, dayOfWeek: 4, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2015-01-01T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #9
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2015, week: 1, dayOfWeek: 4}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2015-01-01T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #10
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, week: 52, dayOfWeek: 7, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-12-31T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct week datetime #11
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, week: 52, dayOfWeek: 7, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-12-31T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #12
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, week: 52, dayOfWeek: 7}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-12-31T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #13
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2017, week: 1, dayOfWeek: 1, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2017-01-02T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct week datetime #14
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2017, week: 1, dayOfWeek: 1, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2017-01-02T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct week datetime #15
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2017, week: 1, dayOfWeek: 1}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2017-01-02T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct week date #13
     Given any graph
     When executing query:
       """
@@ -11,7 +176,7 @@ Feature: TemporalCreateAcceptance
       | '1984-03-07' |
     And no side effects
 
-  Scenario: Should construct week date #2
+  Scenario: Should construct week date #14
     Given any graph
     When executing query:
       """
@@ -22,7 +187,7 @@ Feature: TemporalCreateAcceptance
       | '1984-03-05' |
     And no side effects
 
-  Scenario: Should construct week date #3
+  Scenario: Should construct week date #15
     Given any graph
     When executing query:
       """
@@ -33,7 +198,7 @@ Feature: TemporalCreateAcceptance
       | '2015-01-01' |
     And no side effects
 
-  Scenario: Should construct week localdatetime #1
+  Scenario: Should construct week localdatetime #13
     Given any graph
     When executing query:
       """
@@ -44,7 +209,7 @@ Feature: TemporalCreateAcceptance
       | '1984-03-07T12:31:14' |
     And no side effects
 
-  Scenario: Should construct week localdatetime #2
+  Scenario: Should construct week localdatetime #14
     Given any graph
     When executing query:
       """
@@ -55,7 +220,7 @@ Feature: TemporalCreateAcceptance
       | '1984-03-07T12:00:00' |
     And no side effects
 
-  Scenario: Should construct week localdatetime #3
+  Scenario: Should construct week localdatetime #15
     Given any graph
     When executing query:
       """
@@ -99,7 +264,7 @@ Feature: TemporalCreateAcceptance
       | '1984-10-11T12:31:14.645876' |
     And no side effects
 
-  Scenario: Should construct local date time #4
+  Scenario: Should construct local date time #10
     Given any graph
     When executing query:
       """
@@ -110,7 +275,7 @@ Feature: TemporalCreateAcceptance
       | '1984-10-11T12:00:00' |
     And no side effects
 
-  Scenario: Should construct local date time #5
+  Scenario: Should construct local date time #17
     Given any graph
     When executing query:
       """
@@ -121,7 +286,7 @@ Feature: TemporalCreateAcceptance
       | '1984-10-11T00:00:00' |
     And no side effects
 
-  Scenario: Should construct local date time #6
+  Scenario: Should construct local date time #24
     Given any graph
     When executing query:
       """
@@ -130,6 +295,622 @@ Feature: TemporalCreateAcceptance
     Then the result should be, in any order:
       | d |
       | '1984-10-11T12:31:14.645876' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #1
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #2
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #3
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #4
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #5
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, millisecond: 645}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14.645000' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #6
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, microsecond: 645876}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14.645876' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #7
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 3}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-07T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #8
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 3, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-07T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #9
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, week: 10, dayOfWeek: 3, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-03-07T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #10
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, quarter: 3, dayOfQuarter: 45}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-08-14T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #11
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, quarter: 3, dayOfQuarter: 45, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-08-14T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #12
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, quarter: 3, dayOfQuarter: 45, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-08-14T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #13
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, ordinalDay: 202}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-20T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #14
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, ordinalDay: 202, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-20T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #15
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, ordinalDay: 202, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-20T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #16
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #17
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #18
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 12, minute: 31}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:31:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #19
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #20
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 12, minute: 31, second: 14, millisecond: 645}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:31:14.645000' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #21
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 12, minute: 31, second: 14, microsecond: 645876}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:31:14.645876' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #22
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, week: 9, dayOfWeek: 2}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #23
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, week: 9, dayOfWeek: 2, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #24
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, week: 9, dayOfWeek: 2, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #25
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, quarter: 1, dayOfQuarter: 60}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #26
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, quarter: 1, dayOfQuarter: 60, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #27
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, quarter: 1, dayOfQuarter: 60, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #28
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, ordinalDay: 60}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T00:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #29
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, ordinalDay: 60, hour: 12}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:00:00' |
+    And no side effects
+
+  Scenario: Should construct date time with default time zone #30
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, ordinalDay: 60, hour: 12, minute: 31, second: 14}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T12:31:14' |
+    And no side effects
+
+  Scenario: Should construct time #1
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, minute: 31, second: 14}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14Z' |
+    And no side effects
+
+  Scenario: Should construct time #2
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:00:00Z' |
+    And no side effects
+
+  Scenario: Should construct time #3
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, minute: 31}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:00Z' |
+    And no side effects
+
+  Scenario: Should construct time #4
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, minute: 31, second: 14, millisecond: 645}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645Z' |
+    And no side effects
+
+  Scenario: Should construct time #5
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, minute: 31, second: 14, microsecond: 645876}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645876Z' |
+    And no side effects
+
+  Scenario: Should construct time #6
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, minute: 31, second: 14, millisecond: 645, microsecond: 876}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645876Z' |
+    And no side effects
+
+  Scenario: Should construct time #7
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, timezone: '+01:00'}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:00:00+01:00' |
+    And no side effects
+
+  Scenario: Should construct time #8
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, minute: 31, second: 14, timezone: '+01:00'}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14+01:00' |
+    And no side effects
+
+  Scenario: Should construct time #9
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, timezone: '-08:00'}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:00:00-08:00' |
+    And no side effects
+
+  Scenario: Should construct time #10
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 0}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '00:00:00Z' |
+    And no side effects
+
+  Scenario: Should construct time #11
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 23, minute: 59, second: 59, millisecond: 999, microsecond: 999}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '23:59:59.999999Z' |
+    And no side effects
+
+  Scenario: Should construct time #12
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, minute: 31, second: 14, microsecond: 645876, timezone: '+05:45'}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645876+05:45' |
+    And no side effects
+
+  Scenario: Should construct time #13
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 6, second: 5}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '06:00:05Z' |
+    And no side effects
+
+  Scenario: Should construct time #14
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, minute: 0, second: 0, timezone: 'Z'}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:00:00Z' |
+    And no side effects
+
+  Scenario: Should construct local time #1
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime({hour: 12, minute: 31, second: 14}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14' |
+    And no side effects
+
+  Scenario: Should construct local time #2
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime({hour: 12}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:00:00' |
+    And no side effects
+
+  Scenario: Should construct local time #3
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime({hour: 12, minute: 31}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:00' |
+    And no side effects
+
+  Scenario: Should construct local time #4
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime({hour: 12, minute: 31, second: 14, millisecond: 645}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645' |
+    And no side effects
+
+  Scenario: Should construct local time #5
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime({hour: 12, minute: 31, second: 14, microsecond: 645876}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645876' |
+    And no side effects
+
+  Scenario: Should construct local time #6
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime({hour: 12, minute: 31, second: 14, millisecond: 645, microsecond: 876}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645876' |
+    And no side effects
+
+  Scenario: Should construct local time #7
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime({hour: 23, minute: 59, second: 59, millisecond: 999, microsecond: 999}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '23:59:59.999999' |
+    And no side effects
+
+  Scenario: Should construct temporal with time offset with second precision #1
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12:31:14+01:00:30') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14+01:00:30' |
+    And no side effects
+
+  Scenario: Should construct temporal with time offset with second precision #2
+    Given any graph
+    When executing query:
+      """
+      RETURN time({hour: 12, timezone: '+01:00:30'}) AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:00:00+01:00:30' |
+    And no side effects
+
+  Scenario: Should construct temporal with time offset with second precision #3
+    Given any graph
+    When executing query:
+      """
+      RETURN time('06:15:30.5+01:00:30') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '06:15:30.5+01:00:30' |
+    And no side effects
+
+  Scenario: Should construct temporal with time offset with second precision #4
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12:31:14-00:00:30') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14-00:00:30' |
+    And no side effects
+
+  Scenario: Should construct date time from epoch
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({epochSeconds: 416779254}) AS a, datetime({epochMillis: 416779254645}) AS b
+      """
+    Then the result should be, in any order:
+      | a | b |
+      | '1983-03-17T20:00:54' | '1983-03-17T20:00:54.645000' |
     And no side effects
 
   Scenario: Should construct date #1
@@ -308,7 +1089,7 @@ Feature: TemporalCreateAcceptance
       | 'P1DT12H' |
     And no side effects
 
-  Scenario: Should propagate null #1
+  Scenario: Should propagate null #2
     Given any graph
     When executing query:
       """
@@ -319,7 +1100,7 @@ Feature: TemporalCreateAcceptance
       | true |
     And no side effects
 
-  Scenario: Should propagate null #2
+  Scenario: Should propagate null #3
     Given any graph
     When executing query:
       """
@@ -330,7 +1111,7 @@ Feature: TemporalCreateAcceptance
       | true |
     And no side effects
 
-  Scenario: Should propagate null #3
+  Scenario: Should propagate null #4
     Given any graph
     When executing query:
       """
@@ -341,7 +1122,29 @@ Feature: TemporalCreateAcceptance
       | true |
     And no side effects
 
-  Scenario: Should propagate null #4
+  Scenario: Should propagate null #5
+    Given any graph
+    When executing query:
+      """
+      RETURN time(null) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #6
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime(null) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #7
     Given any graph
     When executing query:
       """
@@ -352,48 +1155,136 @@ Feature: TemporalCreateAcceptance
       | true |
     And no side effects
 
-  Scenario: Should construct time #1
+  Scenario: Should propagate null #8
     Given any graph
     When executing query:
       """
-      RETURN time({hour: 12, minute: 31, second: 14}) AS t
+      RETURN date.truncate('year', null) IS NULL AS n
       """
     Then the result should be, in any order:
-      | t |
-      | '12:31:14Z' |
+      | n |
+      | true |
     And no side effects
 
-  Scenario: Should construct time #2
+  Scenario: Should propagate null #9
     Given any graph
     When executing query:
       """
-      RETURN time({hour: 12}) AS t
+      RETURN localdatetime.truncate('day', null) IS NULL AS n
       """
     Then the result should be, in any order:
-      | t |
-      | '12:00:00Z' |
+      | n |
+      | true |
     And no side effects
 
-  Scenario: Should construct local time #1
+  Scenario: Should propagate null #10
     Given any graph
     When executing query:
       """
-      RETURN localtime({hour: 12, minute: 31, second: 14}) AS t
+      RETURN datetime.truncate('day', null) IS NULL AS n
       """
     Then the result should be, in any order:
-      | t |
-      | '12:31:14' |
+      | n |
+      | true |
     And no side effects
 
-  Scenario: Should construct local time #2
+  Scenario: Should propagate null #11
     Given any graph
     When executing query:
       """
-      RETURN localtime({hour: 12}) AS t
+      RETURN time.truncate('minute', null) IS NULL AS n
       """
     Then the result should be, in any order:
-      | t |
-      | '12:00:00' |
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #12
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime.truncate('minute', null) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #14
+    Given any graph
+    When executing query:
+      """
+      RETURN date({date: null}) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #15
+    Given any graph
+    When executing query:
+      """
+      RETURN localdatetime({datetime: null}) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #16
+    Given any graph
+    When executing query:
+      """
+      RETURN time({time: null}) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #17
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime({time: null}) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #18
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({date: null}) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #19
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(time(null)) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
+    And no side effects
+
+  Scenario: Should propagate null #20
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration(null)) IS NULL AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | true |
     And no side effects
 
   Scenario: Should construct date time with named time zone #1

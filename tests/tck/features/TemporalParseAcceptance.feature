@@ -143,6 +143,94 @@ Feature: TemporalParseAcceptance
       | '1984-10-11T12:31:14.645000' |
     And no side effects
 
+  Scenario: Should parse date time from string #1
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-10-11T12:31:14') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14' |
+    And no side effects
+
+  Scenario: Should parse date time from string #2
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-10-11T12:31') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:00' |
+    And no side effects
+
+  Scenario: Should parse date time from string #3
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('19841011T123114') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14' |
+    And no side effects
+
+  Scenario: Should parse date time from string #4
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-W28-3T12:31') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:31:00' |
+    And no side effects
+
+  Scenario: Should parse date time from string #5
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-202T12') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-20T12:00:00' |
+    And no side effects
+
+  Scenario: Should parse date time from string #6
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-Q3-45T12:31:14') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-08-14T12:31:14' |
+    And no side effects
+
+  Scenario: Should parse date time from string #7
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-10-11T12:31:14.645') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14.645000' |
+    And no side effects
+
+  Scenario: Should parse date time from string #8
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-10-11T12:31:14.645876') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14.645876' |
+    And no side effects
+
   Scenario: Should parse duration from string #1
     Given any graph
     When executing query:
@@ -240,4 +328,147 @@ Feature: TemporalParseAcceptance
     Then the result should be, in any order:
       | t |
       | '12:31:00Z' |
+    And no side effects
+
+  Scenario: Should parse time from string #3
+    Given any graph
+    When executing query:
+      """
+      RETURN time('1231') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:00Z' |
+    And no side effects
+
+  Scenario: Should parse time from string #4
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:00:00Z' |
+    And no side effects
+
+  Scenario: Should parse time from string #5
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12:31:14.645') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645Z' |
+    And no side effects
+
+  Scenario: Should parse time from string #6
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12:31:14Z') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14Z' |
+    And no side effects
+
+  Scenario: Should parse time from string #7
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12:31:14+01:00') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14+01:00' |
+    And no side effects
+
+  Scenario: Should parse time from string #8
+    Given any graph
+    When executing query:
+      """
+      RETURN time('12:31:14.645876-05:30') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645876-05:30' |
+    And no side effects
+
+  Scenario: Should parse local time from string #1
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('12:31:14') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14' |
+    And no side effects
+
+  Scenario: Should parse local time from string #2
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('12:31') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:00' |
+    And no side effects
+
+  Scenario: Should parse local time from string #3
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('1231') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:00' |
+    And no side effects
+
+  Scenario: Should parse local time from string #4
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('12') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:00:00' |
+    And no side effects
+
+  Scenario: Should parse local time from string #5
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('12:31:14.645') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645' |
+    And no side effects
+
+  Scenario: Should parse local time from string #6
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('12:31:14.645876') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '12:31:14.645876' |
+    And no side effects
+
+  Scenario: Should parse local time from string #7
+    Given any graph
+    When executing query:
+      """
+      RETURN localtime('00:00') AS t
+      """
+    Then the result should be, in any order:
+      | t |
+      | '00:00:00' |
     And no side effects

@@ -1,6 +1,6 @@
 Feature: TemporalToStringAcceptance
 
-  Scenario: Should serialize date #1
+  Scenario: Should serialize date
     Given any graph
     When executing query:
       """
@@ -11,26 +11,48 @@ Feature: TemporalToStringAcceptance
       | '1984-10-11' |
     And no side effects
 
-  Scenario: Should serialize local date time #1
+  Scenario: Should serialize local date time
     Given any graph
     When executing query:
       """
-      RETURN toString(localdatetime('1984-10-11T12:31:14.645876')) AS d
+      RETURN toString(localdatetime('1984-10-11T12:31:14.645876')) AS a, toString(localdatetime('1984-10-11T12:31:14')) AS b
       """
     Then the result should be, in any order:
-      | d |
-      | '1984-10-11T12:31:14.645876' |
+      | a | b |
+      | '1984-10-11T12:31:14.645876' | '1984-10-11T12:31:14' |
     And no side effects
 
-  Scenario: Should serialize local date time #2
+  Scenario: Should serialize date time
     Given any graph
     When executing query:
       """
-      RETURN toString(localdatetime('1984-10-11T12:31:14')) AS d
+      RETURN toString(datetime('1984-10-11T12:31:14.645')) AS d
       """
     Then the result should be, in any order:
       | d |
-      | '1984-10-11T12:31:14' |
+      | '1984-10-11T12:31:14.645' |
+    And no side effects
+
+  Scenario: Should serialize time
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(time('12:31:14.645+01:00')) AS a, toString(time('12:31:14Z')) AS b
+      """
+    Then the result should be, in any order:
+      | a | b |
+      | '12:31:14.645+01:00' | '12:31:14Z' |
+    And no side effects
+
+  Scenario: Should serialize local time
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(localtime('12:31:14.645')) AS a, toString(localtime('12:31')) AS b
+      """
+    Then the result should be, in any order:
+      | a | b |
+      | '12:31:14.645' | '12:31:00' |
     And no side effects
 
   Scenario: Should serialize duration #1

@@ -1,4 +1,4 @@
-"""Generate the temporal TCK feature corpus (VERDICT r5 #1/#8).
+"""Generate the temporal TCK feature corpus (VERDICT r5 #1/#8, r6 #1/#4).
 
 The published openCypher TCK is not available offline, so these feature
 files are authored here with the SAME feature/scenario names the
@@ -9,11 +9,15 @@ passes is surface the reference lacks.
 
 Expectations are computed with an INDEPENDENT Python-stdlib
 implementation of the Cypher temporal semantics (datetime/isocalendar
-arithmetic) — not by running the engine — so the corpus is a genuine
-oracle.  Scenarios for surface the engine intentionally lacks (time /
-localtime types, time zones, nanosecond precision, dayOfWeek truncate
-overrides) are still emitted and belong in
-tests/tck/blacklists/temporal_blacklist.
+arithmetic plus an integer microsecond-of-day model for time values) —
+not by running the engine — so the corpus is a genuine oracle.
+Scenarios for surface the engine intentionally lacks (zoned datetimes:
+named or offset time zones on datetime values) are still emitted and
+belong in tests/tck/blacklists/temporal_blacklist.  Families that cannot
+be authored honestly are skipped, not faked: the ``Should store *``
+families need CREATE (read-only engine) and ``durations at daylight
+saving time day`` / ``serialize timezones correctly`` need a TZ
+database.
 
 Run:  python tools/gen_temporal_tck.py   (rewrites tests/tck/features/
 Temporal*.feature and DurationBetweenAcceptance.feature)
@@ -46,7 +50,9 @@ def between(a: dtm.datetime, b: dtm.datetime, unit: str = "between"):
     sign = 1 if b >= a else -1
     lo, hi = (a, b) if b >= a else (b, a)
     if unit == "seconds":
-        us = round((hi - lo).total_seconds() * US)
+        # exact integer microseconds (total_seconds() loses precision on
+        # millennium spans: floats run out of bits past ~2^53 us)
+        us = (hi - lo) // dtm.timedelta(microseconds=1)
         return 0, 0, sign * us
     if unit == "days":
         days = (hi - lo) // dtm.timedelta(days=1)
@@ -65,8 +71,6 @@ def between(a: dtm.datetime, b: dtm.datetime, unit: str = "between"):
 
 def iso_dur(months: int, days: int, us: int) -> str:
     """Cypher duration rendering (components keep their own signs)."""
-    y, mo = int(months / 12) if months < 0 else months // 12, None
-    # toward-zero split of months into Y / M
     y = -((-months) // 12) if months < 0 else months // 12
     mo = months - y * 12
     h = -((-us) // 3_600_000_000) if us < 0 else us // 3_600_000_000
@@ -115,8 +119,7 @@ def truncate(dt: dtm.datetime, unit: str,
     elif u == "year":
         out = dtm.datetime(dt.year, 1, 1)
     elif u == "weekyear":
-        wy = (dt.date() + dtm.timedelta(days=3 - dt.weekday())).year \
-            if isinstance(dt, dtm.datetime) else dt
+        wy = (dt.date() + dtm.timedelta(days=3 - dt.weekday())).year
         wd = week_date(wy, 1, 1)
         out = dtm.datetime(wd.year, wd.month, wd.day)
     elif u == "quarter":
@@ -141,9 +144,15 @@ def truncate(dt: dtm.datetime, unit: str,
     else:
         raise ValueError(unit)
     if ov:
+        ov = dict(ov)
+        if "dayOfWeek" in ov:
+            out = out + dtm.timedelta(days=ov.pop("dayOfWeek") - 1)
         us = out.microsecond
         if {"second", "millisecond", "microsecond"} & set(ov):
             us = ov.get("millisecond", 0) * 1000 + ov.get("microsecond", 0)
+            if "second" in ov and not (
+                    {"millisecond", "microsecond"} & set(ov)):
+                us = 0
         out = out.replace(
             year=ov.get("year", out.year), month=ov.get("month", out.month),
             day=ov.get("day", out.day), hour=ov.get("hour", out.hour),
@@ -154,8 +163,6 @@ def truncate(dt: dtm.datetime, unit: str,
 
 def date_plus(d: dtm.date, months: int, days: int, us: int,
               sub: bool = False) -> dtm.date:
-    """Cypher date ± duration: month shift (clamped) then whole days;
-    sub-day components drop for DateType."""
     if sub:
         months, days, us = -months, -days, -us
     base = dtm.datetime(d.year, d.month, d.day)
@@ -170,6 +177,54 @@ def ldt_plus(d: dtm.datetime, months: int, days: int, us: int,
     return add_months(d, months) + dtm.timedelta(days=days, microseconds=us)
 
 
+# --- independent time-of-day model (microsecond-of-day + fixed offset) -----
+
+def t_us(h, mi=0, s=0, us=0) -> int:
+    return ((h * 3600 + mi * 60 + s) * US) + us
+
+
+def off_us(h, mi=0, s=0) -> int:
+    sign = -1 if h < 0 or (h == 0 and (mi < 0 or s < 0)) else 1
+    return sign * ((abs(h) * 3600 + abs(mi) * 60 + abs(s)) * US)
+
+
+def t_render(us: int, off: int | None = None) -> str:
+    """Cypher rendering: HH:MM:SS[.ffffff]; TIME appends Z / ±HH:MM[:SS]."""
+    s = f"{us // 3_600_000_000:02d}:{us // 60_000_000 % 60:02d}" \
+        f":{us // US % 60:02d}"
+    if us % US:
+        s += ("." + f"{us % US:06d}").rstrip("0")
+    if off is None:
+        return s
+    if off == 0:
+        return s + "Z"
+    sign, a = ("-", -off) if off < 0 else ("+", off)
+    a //= US
+    s += f"{sign}{a // 3600:02d}:{a // 60 % 60:02d}"
+    if a % 60:
+        s += f":{a % 60:02d}"
+    return s
+
+
+def t_trunc(us: int, unit: str, ov: dict | None = None) -> int:
+    spans = {"day": US_DAY, "hour": 3_600_000_000, "minute": 60_000_000,
+             "second": US, "millisecond": 1000, "microsecond": 1}
+    us = us - us % spans[unit]
+    if ov:
+        h = ov.get("hour", us // 3_600_000_000)
+        mi = ov.get("minute", us // 60_000_000 % 60)
+        s = ov.get("second", us // US % 60)
+        frac = us % US
+        if {"millisecond", "microsecond"} & set(ov):
+            frac = ov.get("millisecond", 0) * 1000 + ov.get("microsecond", 0)
+        us = t_us(h, mi, s, frac)
+    return us
+
+
+def t_shift(us: int, dur_us: int) -> int:
+    return (us + dur_us) % US_DAY
+
+
 def q(s) -> str:
     return f"'{s}'"
 
@@ -180,6 +235,12 @@ def ds(d: dtm.date) -> str:
 
 def ts(d: dtm.datetime) -> str:
     return q(d.isoformat())
+
+
+def map_lit(ov: dict) -> str:
+    return "{" + ", ".join(
+        f"{k}: {q(v) if isinstance(v, str) else v}"
+        for k, v in ov.items()) + "}"
 
 
 # --- scenario assembly ------------------------------------------------------
@@ -210,17 +271,463 @@ def render_feature(name: str, scenarios: list) -> str:
     return "\n".join(lines)
 
 
-def main():
-    features = {}
+def expect_count(sc, n, family):
+    if len(sc) != n:
+        raise AssertionError(f"{family}: generated {len(sc)}, expected {n}")
+    return sc
 
-    # ---------------- TemporalCreateAcceptance -----------------------------
+
+# ---------------------------------------------------------------------------
+# family builders
+# ---------------------------------------------------------------------------
+
+DT_UNITS = ["millennium", "century", "decade", "year", "weekYear",
+            "quarter", "month", "week", "day", "hour", "minute", "second",
+            "millisecond", "microsecond"]
+DATE_UNITS = DT_UNITS[:8]
+T_UNITS = ["day", "hour", "minute", "second", "millisecond", "microsecond"]
+
+LDT_BASES = [
+    dtm.datetime(2017, 11, 11, 12, 31, 14, 645876),
+    dtm.datetime(1984, 10, 11, 12, 31, 14, 645000),
+    dtm.datetime(2000, 2, 29, 23, 59, 59, 999999),
+    dtm.datetime(1969, 7, 20, 20, 17, 40),
+    dtm.datetime(2024, 1, 1, 0, 0, 0, 1),
+]
+DT_BASES = LDT_BASES + [
+    dtm.datetime(1901, 12, 14, 3, 3, 3, 300000),
+    dtm.datetime(2345, 6, 7, 8, 9, 10),
+]
+DATE_BASES = [
+    dtm.date(1984, 10, 11), dtm.date(2000, 2, 29), dtm.date(2017, 11, 11),
+    dtm.date(1969, 7, 20), dtm.date(2024, 12, 31), dtm.date(1901, 1, 1),
+]
+# (us, off) pairs; off is the fixed UTC offset in microseconds
+TIME_BASES = [
+    (t_us(12, 31, 14, 645876), 0),
+    (t_us(12, 31, 14, 645000), off_us(1)),
+    (t_us(12, 31, 14), off_us(-5, 30)),
+    (t_us(23, 59, 59, 999999), 0),
+    (t_us(0, 0), 0),
+    (t_us(6, 15, 30, 500000), off_us(1, 0, 30)),
+    (t_us(18, 45), off_us(14)),
+]
+LT_BASES = [
+    t_us(12, 31, 14, 645876), t_us(12, 31, 14, 645000), t_us(12, 31, 14),
+    t_us(23, 59, 59, 999999), t_us(0, 0), t_us(6, 15, 30, 500000),
+]
+
+
+def gen_truncate():
     sc = []
-    wk = [  # (map text, expected date)
-        ("{year: 1984, week: 10, dayOfWeek: 3}", week_date(1984, 10, 3)),
-        ("{year: 1984, week: 10}", week_date(1984, 10, 1)),
-        ("{year: 2015, week: 1, dayOfWeek: 4}", week_date(2015, 1, 4)),
+
+    def dt_family(label, fn, bases, n_units, ovs, total):
+        fam = []
+        i = 0
+        for b in bases:
+            for u in DT_UNITS[:n_units]:
+                i += 1
+                want = truncate(b, u)
+                lit = f"{fn}('{b.isoformat()}')"
+                exp = ds(want.date()) if fn == "date" else ts(want)
+                fam.append(scenario(
+                    f"Should truncate {label} #{i}",
+                    f"RETURN {fn}.truncate('{u}', {lit}) AS d",
+                    ["d"], [exp]))
+        for u, ov in ovs:
+            i += 1
+            b = bases[0]
+            want = truncate(b, u, ov)
+            lit = f"{fn}('{b.isoformat()}')"
+            exp = ds(want.date()) if fn == "date" else ts(want)
+            fam.append(scenario(
+                f"Should truncate {label} #{i}",
+                f"RETURN {fn}.truncate('{u}', {lit}, {map_lit(ov)}) AS d",
+                ["d"], [exp]))
+        return expect_count(fam, total, f"truncate {label}")
+
+    sc += dt_family("localdatetime", "localdatetime", LDT_BASES, 14, [
+        ("month", {"day": 5}), ("day", {"hour": 10}),
+        ("week", {"dayOfWeek": 2}), ("second", {"microsecond": 42}),
+    ], 74)
+    sc += dt_family("datetime", "datetime", DT_BASES, 14, [
+        ("month", {"day": 5}), ("year", {"month": 2}),
+        ("day", {"hour": 10}), ("week", {"dayOfWeek": 3}),
+        ("second", {"microsecond": 42}), ("minute", {"second": 30}),
+        ("hour", {"minute": 59}),
+    ], 105)
+
+    # date truncation (date-typed bases and output)
+    fam = []
+    i = 0
+    for b in DATE_BASES:
+        for u in DATE_UNITS:
+            i += 1
+            want = truncate(dtm.datetime(b.year, b.month, b.day), u).date()
+            fam.append(scenario(
+                f"Should truncate date #{i}",
+                f"RETURN date.truncate('{u}', date('{b.isoformat()}')) AS d",
+                ["d"], [ds(want)]))
+    for u, ov in [("year", {"month": 2}), ("month", {"day": 5}),
+                  ("week", {"dayOfWeek": 2})]:
+        i += 1
+        b = DATE_BASES[0]
+        want = truncate(dtm.datetime(b.year, b.month, b.day), u, ov).date()
+        fam.append(scenario(
+            f"Should truncate date #{i}",
+            f"RETURN date.truncate('{u}', date('{b.isoformat()}'), "
+            f"{map_lit(ov)}) AS d",
+            ["d"], [ds(want)]))
+    sc += expect_count(fam, 51, "truncate date")
+
+    # time truncation (offset survives truncation)
+    fam = []
+    i = 0
+    for us, off in TIME_BASES:
+        for u in T_UNITS:
+            i += 1
+            fam.append(scenario(
+                f"Should truncate time #{i}",
+                f"RETURN time.truncate('{u.lower()}', "
+                f"time('{t_render(us, off)}')) AS t",
+                ["t"], [q(t_render(t_trunc(us, u), off))]))
+    t_ovs = [("minute", {"second": 30}), ("hour", {"minute": 59}),
+             ("second", {"millisecond": 2}),
+             ("second", {"microsecond": 42}), ("day", {"hour": 5}),
+             ("minute", {"second": 1, "millisecond": 1})]
+    for u, ov in t_ovs:
+        i += 1
+        us, off = TIME_BASES[0]
+        fam.append(scenario(
+            f"Should truncate time #{i}",
+            f"RETURN time.truncate('{u}', time('{t_render(us, off)}'), "
+            f"{map_lit(ov)}) AS t",
+            ["t"], [q(t_render(t_trunc(us, u, ov), off))]))
+    sc += expect_count(fam, 48, "truncate time")
+
+    fam = []
+    i = 0
+    for us in LT_BASES:
+        for u in T_UNITS:
+            i += 1
+            fam.append(scenario(
+                f"Should truncate localtime #{i}",
+                f"RETURN localtime.truncate('{u.lower()}', "
+                f"localtime('{t_render(us)}')) AS t",
+                ["t"], [q(t_render(t_trunc(us, u)))]))
+    for u, ov in t_ovs + [("hour", {"minute": 1, "second": 2}),
+                          ("microsecond", {"hour": 1})]:
+        i += 1
+        us = LT_BASES[0]
+        fam.append(scenario(
+            f"Should truncate localtime #{i}",
+            f"RETURN localtime.truncate('{u}', "
+            f"localtime('{t_render(us)}'), {map_lit(ov)}) AS t",
+            ["t"], [q(t_render(t_trunc(us, u, ov)))]))
+    sc += expect_count(fam, 44, "truncate localtime")
+    return sc
+
+
+def gen_select():
+    sc = []
+    # sources rendered as (cypher-literal, oracle date / datetime / (us,off))
+    D1 = dtm.date(1984, 10, 11)
+    L1 = dtm.datetime(1984, 10, 11, 12, 31, 14, 645000)
+    L2 = dtm.datetime(2017, 3, 5, 6, 7, 8)
+    DATE_SRC = [(f"date('{D1.isoformat()}')", "date", D1),
+                (f"localdatetime('{L1.isoformat()}')", "datetime", L1),
+                (f"datetime('{L2.isoformat()}')", "datetime", L2)]
+
+    # --- Should select date #1-21 (3 sources x 7 override sets) ----------
+    OVS = [{}, {"day": 28}, {"year": 1990}, {"month": 5},
+           {"year": 2000, "month": 2}, {"day": 1},
+           {"year": 1990, "month": 12, "day": 24}]
+    fam, i = [], 0
+    for lit, key, src in DATE_SRC:
+        d0 = src if isinstance(src, dtm.date) and not isinstance(
+            src, dtm.datetime) else src.date()
+        for ov in OVS:
+            i += 1
+            want = dtm.date(ov.get("year", d0.year),
+                            ov.get("month", d0.month), ov.get("day", d0.day))
+            items = {key: "dd", **ov}
+            mp = "{" + ", ".join(
+                f"{k}: {v}" for k, v in items.items()) + "}"
+            fam.append(scenario(
+                f"Should select date #{i}",
+                f"WITH {lit} AS dd RETURN date({mp}) AS d",
+                ["d"], [ds(want)]))
+    sc += expect_count(fam, 21, "select date")
+
+    # --- Should select date into date time #1-12 -------------------------
+    TIMESETS = [{"hour": 10, "minute": 10, "second": 10}, {"hour": 12}, {},
+                {"hour": 23, "minute": 59, "second": 59, "millisecond": 999}]
+    fam, i = [], 0
+    for b in [dtm.date(1984, 10, 11), dtm.date(2000, 2, 29),
+              dtm.date(2017, 3, 5)]:
+        for tset in TIMESETS:
+            i += 1
+            want = dtm.datetime(
+                b.year, b.month, b.day, tset.get("hour", 0),
+                tset.get("minute", 0), tset.get("second", 0),
+                tset.get("millisecond", 0) * 1000)
+            items = {"date": "dd", **tset}
+            mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+            fam.append(scenario(
+                f"Should select date into date time #{i}",
+                f"WITH date('{b.isoformat()}') AS dd "
+                f"RETURN datetime({mp}) AS d",
+                ["d"], [ts(want)]))
+    sc += expect_count(fam, 12, "select date into date time")
+
+    # --- Should select date into local date time #1-6 --------------------
+    fam, i = [], 0
+    for b in [dtm.date(1984, 10, 11), dtm.date(1990, 6, 15)]:
+        for tset in [{"hour": 10, "minute": 10, "second": 10}, {},
+                     {"day": 28, "hour": 10}]:
+            i += 1
+            want = dtm.datetime(
+                b.year, b.month, tset.get("day", b.day),
+                tset.get("hour", 0), tset.get("minute", 0),
+                tset.get("second", 0))
+            items = {"date": "dd", **tset}
+            mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+            fam.append(scenario(
+                f"Should select date into local date time #{i}",
+                f"WITH date('{b.isoformat()}') AS dd "
+                f"RETURN localdatetime({mp}) AS d",
+                ["d"], [ts(want)]))
+    sc += expect_count(fam, 6, "select date into local date time")
+
+    # --- datetime re-selects ---------------------------------------------
+    def dt_reselect(base: dtm.datetime, ov: dict) -> dtm.datetime:
+        us = base.microsecond
+        if {"millisecond", "microsecond"} & set(ov):
+            us = ov.get("millisecond", 0) * 1000 + ov.get("microsecond", 0)
+        elif "second" in ov:
+            us = 0
+        return dtm.datetime(
+            ov.get("year", base.year), ov.get("month", base.month),
+            ov.get("day", base.day), ov.get("hour", base.hour),
+            ov.get("minute", base.minute), ov.get("second", base.second),
+            us)
+
+    B = dtm.datetime(1984, 10, 11, 12, 31, 14, 645000)
+    RESEL = [{}, {"minute": 0}, {"day": 28, "second": 42}, {"year": 1990},
+             {"hour": 6}, {"millisecond": 2}]
+    fam, i = [], 0
+    for ov in RESEL:
+        i += 1
+        items = {"datetime": "dd", **ov}
+        mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+        fam.append(scenario(
+            f"Should select datetime into local date time #{i}",
+            f"WITH localdatetime('{B.isoformat()}') AS dd "
+            f"RETURN localdatetime({mp}) AS d",
+            ["d"], [ts(dt_reselect(B, ov))]))
+    sc += expect_count(fam, 6, "select datetime into local date time")
+
+    fam, i = [], 0
+    for ov in RESEL + [{"month": 1}, {"second": 3, "microsecond": 4},
+                       {"year": 2001, "hour": 1}, {"minute": 59}]:
+        i += 1
+        items = {"datetime": "dd", **ov}
+        mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+        fam.append(scenario(
+            f"Should datetime into date time #{i}",
+            f"WITH datetime('{B.isoformat()}') AS dd "
+            f"RETURN datetime({mp}) AS d",
+            ["d"], [ts(dt_reselect(B, ov))]))
+    sc += expect_count(fam, 10, "datetime into date time")
+
+    # --- Should select time #1-20 / local time #1-12 ---------------------
+    def t_select(bus: int, boff: int | None, ov: dict,
+                 out_time: bool) -> tuple:
+        """(us, off) after select; mirrors the engine's select form."""
+        h = ov.get("hour", bus // 3_600_000_000)
+        mi = ov.get("minute", bus // 60_000_000 % 60)
+        s = ov.get("second", bus // US % 60)
+        if {"millisecond", "microsecond"} & set(ov):
+            frac = ov.get("millisecond", 0) * 1000 + ov.get("microsecond", 0)
+        elif "second" in ov:
+            frac = 0
+        else:
+            frac = bus % US
+        if not out_time:
+            return t_us(h, mi, s, frac), None
+        if "timezone" in ov:
+            tz = ov["timezone"]
+            sign = -1 if tz.startswith("-") else 1
+            parts = [int(x) for x in tz.lstrip("+-").split(":")]
+            while len(parts) < 3:
+                parts.append(0)
+            o = sign * (parts[0] * 3600 + parts[1] * 60 + parts[2]) * US
+        else:
+            o = boff if boff is not None else 0
+        return t_us(h, mi, s, frac), o
+
+    TB = t_us(12, 31, 14, 645000)
+    # (base literal, base us, base offset or None, allowed overrides)
+    T_SRC = [
+        (f"time('{t_render(TB, off_us(1))}')", TB, off_us(1)),
+        (f"localtime('{t_render(TB)}')", TB, None),
+        ("localdatetime('1984-10-11T12:31:14.645')", TB, None),
+        ("datetime('1984-10-11T12:31:14.645')", TB, None),
     ]
-    for i, (mp, want) in enumerate(wk, 1):
+    fam, i = [], 0
+    for lit, bus, boff in T_SRC:
+        key = "time"
+        ovsets = [{}, {"minute": 5}, {"second": 2}, {"hour": 1},
+                  {"microsecond": 7} if boff is not None
+                  else {"timezone": "+01:00"}]
+        for ov in ovsets:
+            i += 1
+            us, o = t_select(bus, boff, ov, out_time=True)
+            items = {key: "tt", **ov}
+            mp = "{" + ", ".join(
+                f"{k}: {q(v) if k == 'timezone' else v}"
+                for k, v in items.items()) + "}"
+            fam.append(scenario(
+                f"Should select time #{i}",
+                f"WITH {lit} AS tt RETURN time({mp}) AS t",
+                ["t"], [q(t_render(us, o))]))
+    sc += expect_count(fam, 20, "select time")
+
+    fam, i = [], 0
+    for lit, bus, boff in T_SRC:
+        for ov in [{}, {"minute": 5}, {"second": 2, "millisecond": 2}]:
+            i += 1
+            us, _ = t_select(bus, boff, ov, out_time=False)
+            items = {"time": "tt", **ov}
+            mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+            fam.append(scenario(
+                f"Should select local time #{i}",
+                f"WITH {lit} AS tt RETURN localtime({mp}) AS t",
+                ["t"], [q(t_render(us))]))
+    sc += expect_count(fam, 12, "select local time")
+
+    # --- time into (local) date time: explicit date components + clock ---
+    def dt_from_time(y, mo, dd, bus, ov) -> dtm.datetime:
+        h = ov.get("hour", bus // 3_600_000_000)
+        mi = ov.get("minute", bus // 60_000_000 % 60)
+        s = ov.get("second", bus // US % 60)
+        if {"millisecond", "microsecond"} & set(ov):
+            frac = ov.get("millisecond", 0) * 1000 + ov.get("microsecond", 0)
+        elif "second" in ov:
+            frac = 0
+        else:
+            frac = bus % US
+        return dtm.datetime(y, mo, dd, h, mi, s, frac)
+
+    T2_SRC = [(f"time('{t_render(TB, 0)}')", TB),
+              (f"localtime('{t_render(TB)}')", TB)]
+    fam, i = [], 0
+    for lit, bus in T2_SRC:
+        for (y, mo, dd), ov in [
+                ((1984, 10, 11), {}), ((1984, 10, 11), {"second": 42}),
+                ((2000, 2, 29), {"millisecond": 2}),
+                ((2017, 3, 5), {"hour": 6, "minute": 7}),
+                ((1984, 10, 11), {"minute": 0}),
+                ((1999, 12, 31), {"microsecond": 123}),
+                ((2024, 1, 1), {"hour": 0}),
+                ((1984, 10, 11), {"second": 1, "millisecond": 1})]:
+            i += 1
+            items = {"year": y, "month": mo, "day": dd, "time": "tt", **ov}
+            mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+            fam.append(scenario(
+                f"Should select time into date time #{i}",
+                f"WITH {lit} AS tt RETURN datetime({mp}) AS d",
+                ["d"], [ts(dt_from_time(y, mo, dd, bus, ov))]))
+    sc += expect_count(fam, 16, "select time into date time")
+
+    fam, i = [], 0
+    for lit, bus in T2_SRC:
+        for (y, mo, dd), ov in [
+                ((1984, 10, 11), {}), ((1984, 10, 11), {"second": 42}),
+                ((2000, 2, 29), {"millisecond": 2}),
+                ((2017, 3, 5), {"hour": 6, "minute": 7})]:
+            i += 1
+            items = {"year": y, "month": mo, "day": dd, "time": "tt", **ov}
+            mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+            fam.append(scenario(
+                f"Should select time into local date time #{i}",
+                f"WITH {lit} AS tt RETURN localdatetime({mp}) AS d",
+                ["d"], [ts(dt_from_time(y, mo, dd, bus, ov))]))
+    sc += expect_count(fam, 8, "select time into local date time")
+
+    # --- date and time into (local) date time ----------------------------
+    DA_SRC = [("date('1984-10-11')", "date", dtm.date(1984, 10, 11)),
+              ("localdatetime('2017-03-05T23:00:00')", "localdatetime",
+               dtm.date(2017, 3, 5)),
+              ("datetime('2000-02-29T01:02:03')", "datetime",
+               dtm.date(2000, 2, 29))]
+    TI_SRC = [(f"time('{t_render(TB, 0)}')", TB),
+              (f"localtime('{t_render(TB)}')", TB),
+              ("localdatetime('1999-01-01T12:31:14.645')", TB),
+              ("datetime('1999-01-01T12:31:14.645')", TB)]
+    OV4 = [{}, {"second": 42}, {"millisecond": 2},
+           {"hour": 6, "minute": 7}]
+    fam, i = [], 0
+    for dlit, dkey, dval in DA_SRC:
+        for tlit, bus in TI_SRC:
+            for ov in OV4:
+                i += 1
+                want = dt_from_time(dval.year, dval.month, dval.day, bus, ov)
+                items = {dkey: "dd", "time": "tt", **ov}
+                mp = "{" + ", ".join(
+                    f"{k}: {v}" for k, v in items.items()) + "}"
+                fam.append(scenario(
+                    f"Should select date and time into date time #{i}",
+                    f"WITH {dlit} AS dd, {tlit} AS tt "
+                    f"RETURN datetime({mp}) AS d",
+                    ["d"], [ts(want)]))
+    sc += expect_count(fam, 48, "select date and time into date time")
+
+    fam, i = [], 0
+    for dlit, dkey, dval in DA_SRC:
+        for tlit, bus in TI_SRC:
+            for ov in [{}, {"second": 42}]:
+                i += 1
+                want = dt_from_time(dval.year, dval.month, dval.day, bus, ov)
+                items = {dkey: "dd", "time": "tt", **ov}
+                mp = "{" + ", ".join(
+                    f"{k}: {v}" for k, v in items.items()) + "}"
+                fam.append(scenario(
+                    f"Should select date and time into local date time "
+                    f"#{i}",
+                    f"WITH {dlit} AS dd, {tlit} AS tt "
+                    f"RETURN localdatetime({mp}) AS d",
+                    ["d"], [ts(want)]))
+    sc += expect_count(fam, 24, "select date and time into local date time")
+    return sc
+
+
+def gen_create():
+    sc = []
+
+    # --- published week families ----------------------------------------
+    WK5 = [(1984, 10, 3), (1984, 10, 1), (2015, 1, 4), (2000, 52, 7),
+           (2017, 1, 1)]
+    TSETS = [{"hour": 12, "minute": 31, "second": 14}, {"hour": 12}, {}]
+    fam, i = [], 0
+    for y, w, dw in WK5:
+        for tset in TSETS:
+            i += 1
+            d = week_date(y, w, dw)
+            want = dtm.datetime(d.year, d.month, d.day,
+                                tset.get("hour", 0), tset.get("minute", 0),
+                                tset.get("second", 0))
+            items = {"year": y, "week": w, "dayOfWeek": dw, **tset}
+            mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+            fam.append(scenario(f"Should construct week datetime #{i}",
+                                f"RETURN datetime({mp}) AS d",
+                                ["d"], [ts(want)]))
+    sc += expect_count(fam, 15, "construct week datetime")
+
+    wk = [("{year: 1984, week: 10, dayOfWeek: 3}", week_date(1984, 10, 3)),
+          ("{year: 1984, week: 10}", week_date(1984, 10, 1)),
+          ("{year: 2015, week: 1, dayOfWeek: 4}", week_date(2015, 1, 4))]
+    for i, (mp, want) in enumerate(wk, 13):     # published indexes 13-15
         sc.append(scenario(f"Should construct week date #{i}",
                            f"RETURN date({mp}) AS d", ["d"], [ds(want)]))
     wkdt = [
@@ -232,10 +739,12 @@ def main():
         ("{year: 1984, week: 10, dayOfWeek: 3}",
          dtm.datetime(*week_date(1984, 10, 3).timetuple()[:3])),
     ]
-    for i, (mp, want) in enumerate(wkdt, 1):
+    for i, (mp, want) in enumerate(wkdt, 13):   # published indexes 13-15
         sc.append(scenario(f"Should construct week localdatetime #{i}",
                            f"RETURN localdatetime({mp}) AS d",
                            ["d"], [ts(want)]))
+
+    # --- local date time: published indexes {1, 2, 3, 10, 17, 24} --------
     ldt = [
         ("{year: 1984, month: 10, day: 11, hour: 12, minute: 31, "
          "second: 14}", dtm.datetime(1984, 10, 11, 12, 31, 14)),
@@ -252,34 +761,163 @@ def main():
          "second: 14, millisecond: 645, microsecond: 876}",
          dtm.datetime(1984, 10, 11, 12, 31, 14, 645876)),
     ]
-    for i, (mp, want) in enumerate(ldt, 1):
+    for i, (mp, want) in zip([1, 2, 3, 10, 17, 24], ldt):
         sc.append(scenario(f"Should construct local date time #{i}",
                            f"RETURN localdatetime({mp}) AS d",
                            ["d"], [ts(want)]))
-    cal = [
-        ("{year: 1984, month: 10, day: 11}", dtm.date(1984, 10, 11)),
-        ("{year: 1984, month: 10}", dtm.date(1984, 10, 1)),
-        ("{year: 1984}", dtm.date(1984, 1, 1)),
+
+    # --- datetime with the engine's default (absent) zone: #1-30 ---------
+    def mk_dt(items: dict) -> dtm.datetime:
+        if "week" in items:
+            d = week_date(items["year"], items["week"],
+                          items.get("dayOfWeek", 1))
+        elif "quarter" in items:
+            d = (dtm.date(items["year"], (items["quarter"] - 1) * 3 + 1, 1)
+                 + dtm.timedelta(days=items.get("dayOfQuarter", 1) - 1))
+        elif "ordinalDay" in items:
+            d = (dtm.date(items["year"], 1, 1)
+                 + dtm.timedelta(days=items["ordinalDay"] - 1))
+        else:
+            d = dtm.date(items["year"], items.get("month", 1),
+                         items.get("day", 1))
+        return dtm.datetime(
+            d.year, d.month, d.day, items.get("hour", 0),
+            items.get("minute", 0), items.get("second", 0),
+            items.get("millisecond", 0) * 1000
+            + items.get("microsecond", 0))
+
+    fam, i = [], 0
+    for (y, mo, dd, wk_, dw, qq, dq, od) in [
+            (1984, 10, 11, 10, 3, 3, 45, 202),
+            (2000, 2, 29, 9, 2, 1, 60, 60)]:
+        forms = [
+            {"year": y, "month": mo, "day": dd},
+            {"year": y, "month": mo, "day": dd, "hour": 12},
+            {"year": y, "month": mo, "day": dd, "hour": 12, "minute": 31},
+            {"year": y, "month": mo, "day": dd, "hour": 12, "minute": 31,
+             "second": 14},
+            {"year": y, "month": mo, "day": dd, "hour": 12, "minute": 31,
+             "second": 14, "millisecond": 645},
+            {"year": y, "month": mo, "day": dd, "hour": 12, "minute": 31,
+             "second": 14, "microsecond": 645876},
+            {"year": y, "week": wk_, "dayOfWeek": dw},
+            {"year": y, "week": wk_, "dayOfWeek": dw, "hour": 12},
+            {"year": y, "week": wk_, "dayOfWeek": dw, "hour": 12,
+             "minute": 31, "second": 14},
+            {"year": y, "quarter": qq, "dayOfQuarter": dq},
+            {"year": y, "quarter": qq, "dayOfQuarter": dq, "hour": 12},
+            {"year": y, "quarter": qq, "dayOfQuarter": dq, "hour": 12,
+             "minute": 31, "second": 14},
+            {"year": y, "ordinalDay": od},
+            {"year": y, "ordinalDay": od, "hour": 12},
+            {"year": y, "ordinalDay": od, "hour": 12, "minute": 31,
+             "second": 14},
+        ]
+        for items in forms:
+            i += 1
+            mp = "{" + ", ".join(f"{k}: {v}" for k, v in items.items()) + "}"
+            fam.append(scenario(
+                f"Should construct date time with default time zone #{i}",
+                f"RETURN datetime({mp}) AS d", ["d"], [ts(mk_dt(items))]))
+    sc += expect_count(fam, 30, "construct datetime default zone")
+
+    # --- time / local time maps ------------------------------------------
+    def mk_t(items: dict):
+        us = t_us(items.get("hour", 0), items.get("minute", 0),
+                  items.get("second", 0),
+                  items.get("millisecond", 0) * 1000
+                  + items.get("microsecond", 0))
+        tzs = items.get("timezone")
+        if tzs in (None, "Z"):
+            return us, 0
+        sign = -1 if tzs.startswith("-") else 1
+        parts = [int(x) for x in tzs.lstrip("+-").split(":")]
+        while len(parts) < 3:
+            parts.append(0)
+        return us, sign * (parts[0] * 3600 + parts[1] * 60 + parts[2]) * US
+
+    T_MAPS = [
+        {"hour": 12, "minute": 31, "second": 14},
+        {"hour": 12},
+        {"hour": 12, "minute": 31},
+        {"hour": 12, "minute": 31, "second": 14, "millisecond": 645},
+        {"hour": 12, "minute": 31, "second": 14, "microsecond": 645876},
+        {"hour": 12, "minute": 31, "second": 14, "millisecond": 645,
+         "microsecond": 876},
+        {"hour": 12, "timezone": "+01:00"},
+        {"hour": 12, "minute": 31, "second": 14, "timezone": "+01:00"},
+        {"hour": 12, "timezone": "-08:00"},
+        {"hour": 0},
+        {"hour": 23, "minute": 59, "second": 59, "millisecond": 999,
+         "microsecond": 999},
+        {"hour": 12, "minute": 31, "second": 14, "microsecond": 645876,
+         "timezone": "+05:45"},
+        {"hour": 6, "second": 5},
+        {"hour": 12, "minute": 0, "second": 0, "timezone": "Z"},
     ]
+    fam = []
+    for i, items in enumerate(T_MAPS, 1):
+        us, off = mk_t(items)
+        fam.append(scenario(f"Should construct time #{i}",
+                            f"RETURN time({map_lit(items)}) AS t",
+                            ["t"], [q(t_render(us, off))]))
+    sc += expect_count(fam, 14, "construct time")
+    fam = []
+    for i, items in enumerate(T_MAPS[:6] + [T_MAPS[10]], 1):
+        us, _ = mk_t(items)
+        fam.append(scenario(f"Should construct local time #{i}",
+                            f"RETURN localtime({map_lit(items)}) AS t",
+                            ["t"], [q(t_render(us))]))
+    sc += expect_count(fam, 7, "construct local time")
+
+    # --- second-precision offsets #1-4 -----------------------------------
+    sp = [
+        ("time('12:31:14+01:00:30')", t_render(t_us(12, 31, 14),
+                                               off_us(1, 0, 30))),
+        ("time({hour: 12, timezone: '+01:00:30'})",
+         t_render(t_us(12), off_us(1, 0, 30))),
+        ("time('06:15:30.5+01:00:30')", t_render(t_us(6, 15, 30, 500000),
+                                                 off_us(1, 0, 30))),
+        ("time('12:31:14-00:00:30')", t_render(t_us(12, 31, 14),
+                                               -30 * US)),
+    ]
+    for i, (expr, want) in enumerate(sp, 1):
+        sc.append(scenario(
+            f"Should construct temporal with time offset with second "
+            f"precision #{i}",
+            f"RETURN {expr} AS t", ["t"], [q(want)]))
+
+    # --- epoch construction (session zone is UTC in this container) ------
+    e1 = dtm.datetime.utcfromtimestamp(416779254)
+    e2 = dtm.datetime.utcfromtimestamp(416779254) + dtm.timedelta(
+        microseconds=645000)
+    sc.append(scenario(
+        "Should construct date time from epoch",
+        "RETURN datetime({epochSeconds: 416779254}) AS a, "
+        "datetime({epochMillis: 416779254645}) AS b",
+        ["a", "b"], [ts(e1), ts(e2)]))
+
+    # --- calendar / quarter / ordinal date extras (engine-authored) ------
+    cal = [("{year: 1984, month: 10, day: 11}", dtm.date(1984, 10, 11)),
+           ("{year: 1984, month: 10}", dtm.date(1984, 10, 1)),
+           ("{year: 1984}", dtm.date(1984, 1, 1))]
     for i, (mp, want) in enumerate(cal, 1):
         sc.append(scenario(f"Should construct date #{i}",
                            f"RETURN date({mp}) AS d", ["d"], [ds(want)]))
-    qd = [
-        ("{year: 1984, quarter: 3, dayOfQuarter: 45}",
-         dtm.date(1984, 7, 1) + dtm.timedelta(days=44)),
-        ("{year: 1984, quarter: 3}", dtm.date(1984, 7, 1)),
-    ]
+    qd = [("{year: 1984, quarter: 3, dayOfQuarter: 45}",
+           dtm.date(1984, 7, 1) + dtm.timedelta(days=44)),
+          ("{year: 1984, quarter: 3}", dtm.date(1984, 7, 1))]
     for i, (mp, want) in enumerate(qd, 1):
         sc.append(scenario(f"Should construct quarter date #{i}",
                            f"RETURN date({mp}) AS d", ["d"], [ds(want)]))
-    od = [
-        ("{year: 1984, ordinalDay: 202}",
-         dtm.date(1984, 1, 1) + dtm.timedelta(days=201)),
-        ("{year: 1984, ordinalDay: 1}", dtm.date(1984, 1, 1)),
-    ]
+    od = [("{year: 1984, ordinalDay: 202}",
+           dtm.date(1984, 1, 1) + dtm.timedelta(days=201)),
+          ("{year: 1984, ordinalDay: 1}", dtm.date(1984, 1, 1))]
     for i, (mp, want) in enumerate(od, 1):
         sc.append(scenario(f"Should construct ordinal date #{i}",
                            f"RETURN date({mp}) AS d", ["d"], [ds(want)]))
+
+    # --- durations #1-9 ---------------------------------------------------
     dur = [
         ("{years: 1, months: 2, days: 3, hours: 4, minutes: 5, seconds: 6}",
          (14, 3, 4 * 3600 * US + 5 * 60 * US + 6 * US)),
@@ -293,28 +931,35 @@ def main():
         ("{microseconds: 1500000}", (0, 0, 1_500_000)),
         ("{days: 1.5}", (0, 1, 12 * 3600 * US)),
     ]
-    for i, (mp, (mo, dd, us)) in enumerate(dur, 1):
+    for i, (mp, (mo, dd2, us)) in enumerate(dur, 1):
         sc.append(scenario(f"Should construct duration #{i}",
                            f"RETURN toString(duration({mp})) AS d",
-                           ["d"], [q(iso_dur(mo, dd, us))]))
-    for i, expr in enumerate(["date(null)", "localdatetime(null)",
-                              "datetime(null)", "duration(null)"], 1):
+                           ["d"], [q(iso_dur(mo, dd2, us))]))
+
+    # --- null propagation: published indexes {2..12, 14..20} -------------
+    null_exprs = [
+        "date(null)", "localdatetime(null)", "datetime(null)",
+        "time(null)", "localtime(null)", "duration(null)",
+        "date.truncate('year', null)",
+        "localdatetime.truncate('day', null)",
+        "datetime.truncate('day', null)",
+        "time.truncate('minute', null)",
+        "localtime.truncate('minute', null)",
+        "date({date: null})",
+        "localdatetime({datetime: null})",
+        "time({time: null})",
+        "localtime({time: null})",
+        "datetime({date: null})",
+        "toString(time(null))",
+        "toString(duration(null))",
+    ]
+    idx = [2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18, 19, 20]
+    for i, expr in zip(idx, null_exprs):
         sc.append(scenario(f"Should propagate null #{i}",
                            f"RETURN {expr} IS NULL AS n", ["n"], ["true"]))
-    # intentionally-unsupported surface: time / localtime types, zones
+
+    # intentionally-unsupported surface: zoned datetimes
     # (these scenarios belong in temporal_blacklist)
-    sc.append(scenario("Should construct time #1",
-                       "RETURN time({hour: 12, minute: 31, second: 14}) "
-                       "AS t", ["t"], [q("12:31:14Z")]))
-    sc.append(scenario("Should construct time #2",
-                       "RETURN time({hour: 12}) AS t", ["t"],
-                       [q("12:00:00Z")]))
-    sc.append(scenario("Should construct local time #1",
-                       "RETURN localtime({hour: 12, minute: 31, "
-                       "second: 14}) AS t", ["t"], [q("12:31:14")]))
-    sc.append(scenario("Should construct local time #2",
-                       "RETURN localtime({hour: 12}) AS t", ["t"],
-                       [q("12:00:00")]))
     sc.append(scenario(
         "Should construct date time with named time zone #1",
         "RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, "
@@ -325,125 +970,326 @@ def main():
         "RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, "
         "timezone: '+01:00'}) AS d",
         ["d"], [q("1984-10-11T12:00:00+01:00")]))
-    features["TemporalCreateAcceptance"] = sc
+    return sc
 
-    # ---------------- TemporalTruncateAcceptance ---------------------------
-    sc = []
-    base = dtm.datetime(2017, 11, 11, 12, 31, 14, 645876)
-    base_q = "localdatetime('2017-11-11T12:31:14.645876')"
-    units = ["millennium", "century", "decade", "year", "weekYear",
-             "quarter", "month", "week", "day", "hour", "minute", "second",
-             "millisecond", "microsecond"]
-    n = 0
-    for u in units:
-        n += 1
-        want = truncate(base, u)
-        sc.append(scenario(
-            f"Should truncate localdatetime #{n}",
-            f"RETURN localdatetime.truncate('{u}', {base_q}) AS d",
-            ["d"], [ts(want)]))
-    for u, ov, ovtxt in [
-            ("month", {"day": 5}, "{day: 5}"),
-            ("year", {"month": 2}, "{month: 2}"),
-            ("day", {"hour": 10}, "{hour: 10}"),
-            ("second", {"microsecond": 42}, "{microsecond: 42}")]:
-        n += 1
-        want = truncate(base, u, ov)
-        sc.append(scenario(
-            f"Should truncate localdatetime #{n}",
-            f"RETURN localdatetime.truncate('{u}', {base_q}, {ovtxt}) AS d",
-            ["d"], [ts(want)]))
-    # unsupported override component (Neo4j allows dayOfWeek)
-    n += 1
-    sc.append(scenario(
-        f"Should truncate localdatetime #{n}",
-        f"RETURN localdatetime.truncate('week', {base_q}, "
-        "{dayOfWeek: 2}) AS d",
-        ["d"], [ts(truncate(base, "week") + dtm.timedelta(days=1))]))
-    dbase = dtm.datetime(1984, 10, 11)
-    for i, u in enumerate(["millennium", "century", "decade", "year",
-                           "weekYear", "quarter", "month", "week"], 1):
-        want = truncate(dbase, u).date()
-        sc.append(scenario(
-            f"Should truncate date #{i}",
-            f"RETURN date.truncate('{u}', date('1984-10-11')) AS d",
-            ["d"], [ds(want)]))
-    for i in (1, 2):
-        sc.append(scenario(
-            f"Should truncate time #{i}",
-            "RETURN time.truncate('minute', time({hour: 12, minute: 31, "
-            "second: 14})) AS t", ["t"], [q("12:31:00Z")]))
-        sc.append(scenario(
-            f"Should truncate localtime #{i}",
-            "RETURN localtime.truncate('minute', localtime({hour: 12, "
-            "minute: 31, second: 14})) AS t", ["t"], [q("12:31:00")]))
-    features["TemporalTruncateAcceptance"] = sc
 
-    # ---------------- TemporalSelectAcceptance -----------------------------
+def gen_parse():
     sc = []
-    sel_date = [
-        ("WITH date('1984-10-11') AS dd RETURN date({date: dd}) AS d",
-         dtm.date(1984, 10, 11)),
-        ("WITH localdatetime('1984-10-11T12:31:14') AS dd "
-         "RETURN date({date: dd}) AS d", dtm.date(1984, 10, 11)),
-        ("WITH date('1984-10-11') AS dd RETURN date({date: dd, day: 28}) "
-         "AS d", dtm.date(1984, 10, 28)),
-        ("WITH localdatetime('1984-10-11T12:31:14') AS dd "
-         "RETURN date({date: dd, year: 1990}) AS d", dtm.date(1990, 10, 11)),
-        ("WITH localdatetime('1984-10-11T12:31:14') AS dd "
-         "RETURN date({datetime: dd}) AS d", dtm.date(1984, 10, 11)),
-        ("WITH date('1984-10-11') AS dd RETURN date({date: dd, month: 5}) "
-         "AS d", dtm.date(1984, 5, 11)),
-    ]
-    for i, (qq, want) in enumerate(sel_date, 1):
-        sc.append(scenario(f"Should select date #{i}", qq, ["d"],
-                           [ds(want)]))
-    sel_dldt = [
-        ("WITH date('1984-10-11') AS dd "
-         "RETURN localdatetime({date: dd, hour: 10, minute: 10, "
-         "second: 10}) AS d", dtm.datetime(1984, 10, 11, 10, 10, 10)),
-        ("WITH date('1984-10-11') AS dd "
-         "RETURN localdatetime({date: dd}) AS d", dtm.datetime(1984, 10, 11)),
-        ("WITH date('1984-10-11') AS dd "
-         "RETURN localdatetime({date: dd, day: 28, hour: 10}) AS d",
-         dtm.datetime(1984, 10, 28, 10)),
-        ("WITH date('1984-10-11') AS dd "
-         "RETURN localdatetime({date: dd, year: 1990}) AS d",
-         dtm.datetime(1990, 10, 11)),
-    ]
-    for i, (qq, want) in enumerate(sel_dldt, 1):
-        sc.append(scenario(f"Should select date into local date time #{i}",
-                           qq, ["d"], [ts(want)]))
-    sel_dtldt = [
-        ("WITH localdatetime('1984-10-11T12:31:14.645') AS dd "
-         "RETURN localdatetime({datetime: dd}) AS d",
-         dtm.datetime(1984, 10, 11, 12, 31, 14, 645000)),
-        ("WITH localdatetime('1984-10-11T12:31:14.645') AS dd "
-         "RETURN localdatetime({datetime: dd, minute: 0}) AS d",
-         dtm.datetime(1984, 10, 11, 12, 0, 14, 645000)),
-        ("WITH localdatetime('1984-10-11T12:31:14.645') AS dd "
-         "RETURN localdatetime({datetime: dd, day: 28, second: 42}) AS d",
-         dtm.datetime(1984, 10, 28, 12, 31, 42)),
-        ("WITH localdatetime('1984-10-11T12:31:14.645') AS dd "
-         "RETURN localdatetime({datetime: dd, year: 1990}) AS d",
-         dtm.datetime(1990, 10, 11, 12, 31, 14, 645000)),
-    ]
-    for i, (qq, want) in enumerate(sel_dtldt, 1):
-        sc.append(scenario(f"Should select datetime into local date time "
-                           f"#{i}", qq, ["d"], [ts(want)]))
-    for i, qq in enumerate([
-            "RETURN time({time: localtime({hour: 12})}) AS t",
-            "WITH localtime({hour: 12}) AS tt "
-            "RETURN localtime({time: tt, minute: 5}) AS t"], 1):
-        sc.append(scenario(f"Should select time #{i}", qq, ["t"],
-                           [q("12:00:00Z") if i == 1 else q("12:05:00")]))
-    features["TemporalSelectAcceptance"] = sc
+    dstr = [("1984-10-11", dtm.date(1984, 10, 11)),
+            ("19841011", dtm.date(1984, 10, 11)),
+            ("1984-10", dtm.date(1984, 10, 1)),
+            ("1984-W28-3", week_date(1984, 28, 3)),
+            ("1984W283", week_date(1984, 28, 3)),
+            ("1984-W28", week_date(1984, 28, 1)),
+            ("1984-202", dtm.date(1984, 1, 1) + dtm.timedelta(days=201)),
+            ("1984202", dtm.date(1984, 1, 1) + dtm.timedelta(days=201)),
+            ("1984", dtm.date(1984, 1, 1))]
+    for i, (s, want) in enumerate(dstr, 1):
+        sc.append(scenario(f"Should parse date from string #{i}",
+                           f"RETURN date('{s}') AS d", ["d"], [ds(want)]))
+    ldts = [("1984-10-11T12:31:14", dtm.datetime(1984, 10, 11, 12, 31, 14)),
+            ("1984-10-11T12:31", dtm.datetime(1984, 10, 11, 12, 31)),
+            ("1984-10-11T12", dtm.datetime(1984, 10, 11, 12)),
+            ("1984-10-11T12:31:14.645",
+             dtm.datetime(1984, 10, 11, 12, 31, 14, 645000))]
+    for i, (s, want) in enumerate(ldts, 1):
+        sc.append(scenario(
+            f"Should parse local date time from string #{i}",
+            f"RETURN localdatetime('{s}') AS d", ["d"], [ts(want)]))
+    dts = [("1984-10-11T12:31:14", dtm.datetime(1984, 10, 11, 12, 31, 14)),
+           ("1984-10-11T12:31", dtm.datetime(1984, 10, 11, 12, 31)),
+           ("19841011T123114", dtm.datetime(1984, 10, 11, 12, 31, 14)),
+           ("1984-W28-3T12:31", dtm.datetime(
+               *week_date(1984, 28, 3).timetuple()[:3], 12, 31)),
+           ("1984-202T12", dtm.datetime(1984, 7, 20, 12)),
+           ("1984-Q3-45T12:31:14", dtm.datetime(1984, 8, 14, 12, 31, 14)),
+           ("1984-10-11T12:31:14.645",
+            dtm.datetime(1984, 10, 11, 12, 31, 14, 645000)),
+           ("1984-10-11T12:31:14.645876",
+            dtm.datetime(1984, 10, 11, 12, 31, 14, 645876))]
+    for i, (s, want) in enumerate(dts, 1):
+        sc.append(scenario(
+            f"Should parse date time from string #{i}",
+            f"RETURN datetime('{s}') AS d", ["d"], [ts(want)]))
+    pdur = [("P1Y", (12, 0, 0)), ("P1M", (1, 0, 0)), ("P1W", (0, 7, 0)),
+            ("P1D", (0, 1, 0)), ("PT1H", (0, 0, 3600 * US)),
+            ("PT1M", (0, 0, 60 * US)), ("PT0.75S", (0, 0, 750000))]
+    for i, (s, (mo, dd, us)) in enumerate(pdur, 1):
+        sc.append(scenario(f"Should parse duration from string #{i}",
+                           f"RETURN toString(duration('{s}')) AS d",
+                           ["d"], [q(iso_dur(mo, dd, us))]))
+    tstr = [("12:31:14", t_us(12, 31, 14), 0),
+            ("12:31", t_us(12, 31), 0),
+            ("1231", t_us(12, 31), 0),
+            ("12", t_us(12), 0),
+            ("12:31:14.645", t_us(12, 31, 14, 645000), 0),
+            ("12:31:14Z", t_us(12, 31, 14), 0),
+            ("12:31:14+01:00", t_us(12, 31, 14), off_us(1)),
+            ("12:31:14.645876-05:30", t_us(12, 31, 14, 645876),
+             off_us(-5, 30))]
+    for i, (s, us, off) in enumerate(tstr, 1):
+        sc.append(scenario(f"Should parse time from string #{i}",
+                           f"RETURN time('{s}') AS t", ["t"],
+                           [q(t_render(us, off))]))
+    ltstr = [("12:31:14", t_us(12, 31, 14)), ("12:31", t_us(12, 31)),
+             ("1231", t_us(12, 31)), ("12", t_us(12)),
+             ("12:31:14.645", t_us(12, 31, 14, 645000)),
+             ("12:31:14.645876", t_us(12, 31, 14, 645876)),
+             ("00:00", 0)]
+    for i, (s, us) in enumerate(ltstr, 1):
+        sc.append(scenario(f"Should parse local time from string #{i}",
+                           f"RETURN localtime('{s}') AS t", ["t"],
+                           [q(t_render(us))]))
+    return sc
 
-    # ---------------- DurationBetweenAcceptance ----------------------------
+
+def gen_tostring():
+    sc = [
+        scenario("Should serialize date",
+                 "RETURN toString(date('1984-10-11')) AS d", ["d"],
+                 [q("1984-10-11")]),
+        scenario("Should serialize local date time",
+                 "RETURN toString(localdatetime('1984-10-11T12:31:14.645"
+                 "876')) AS a, toString(localdatetime('1984-10-11T12:31:14'"
+                 ")) AS b",
+                 ["a", "b"], [q("1984-10-11T12:31:14.645876"),
+                              q("1984-10-11T12:31:14")]),
+        scenario("Should serialize date time",
+                 "RETURN toString(datetime('1984-10-11T12:31:14.645')) "
+                 "AS d", ["d"], [q("1984-10-11T12:31:14.645")]),
+        scenario("Should serialize time",
+                 "RETURN toString(time('12:31:14.645+01:00')) AS a, "
+                 "toString(time('12:31:14Z')) AS b",
+                 ["a", "b"], [q("12:31:14.645+01:00"), q("12:31:14Z")]),
+        scenario("Should serialize local time",
+                 "RETURN toString(localtime('12:31:14.645')) AS a, "
+                 "toString(localtime('12:31')) AS b",
+                 ["a", "b"], [q("12:31:14.645"), q("12:31:00")]),
+    ]
+    durs = ["P1Y", "P1M", "P1D", "PT1H", "PT1M", "PT1S", "PT0.5S",
+            "P1Y2M3DT4H5M6.789S", "-P1Y", "PT0S", "P1W"]
+    import re as _re
+    for i, s in enumerate(durs, 1):
+        mm = _re.match(r"^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?"
+                       r"(?:(\d+(?:\.\d+)?)D)?"
+                       r"(?:T(?:(\d+(?:\.\d+)?)H)?(?:(\d+(?:\.\d+)?)M)?"
+                       r"(?:(\d+(?:\.\d+)?)S)?)?$", s)
+        sgn = -1 if mm.group(1) else 1
+        mo = sgn * (int(mm.group(2) or 0) * 12 + int(mm.group(3) or 0))
+        dd = sgn * (int(mm.group(4) or 0) * 7 + int(float(mm.group(5) or 0)))
+        us = sgn * round((float(mm.group(6) or 0) * 3600
+                          + float(mm.group(7) or 0) * 60
+                          + float(mm.group(8) or 0)) * US)
+        sc.append(scenario(f"Should serialize duration #{i}",
+                           f"RETURN toString(duration('{s}')) AS d",
+                           ["d"], [q(iso_dur(mo, dd, us))]))
+    return sc
+
+
+def gen_accessors():
+    d0 = dtm.date(1984, 10, 11)
+    date_cols = (["y", "mo", "dd", "wy", "w", "dow", "od", "qq", "doq"],
+                 ["1984", "10", "11", str(d0.isocalendar()[0]),
+                  str(d0.isocalendar()[1]), str(d0.isoweekday()),
+                  str(d0.timetuple().tm_yday), "4",
+                  str((d0 - dtm.date(1984, 10, 1)).days + 1)])
+    date_q = ("d.year AS y, d.month AS mo, d.day AS dd, d.weekYear AS wy, "
+              "d.week AS w, d.dayOfWeek AS dow, d.ordinalDay AS od, "
+              "d.quarter AS qq, d.dayOfQuarter AS doq")
+    clock_q = ("d.hour AS h, d.minute AS mi, d.second AS s, "
+               "d.millisecond AS ms, d.microsecond AS us")
+    clock_v = (["h", "mi", "s", "ms", "us"],
+               ["12", "31", "14", "645", "645876"])
+    sc = [
+        scenario("Should provide accessors for date",
+                 f"WITH date('1984-10-11') AS d RETURN {date_q}",
+                 *date_cols),
+        scenario("Should provide accessors for local date time",
+                 "WITH localdatetime('1984-10-11T12:31:14.645876') AS d "
+                 f"RETURN {clock_q}", *clock_v),
+        scenario("Should provide accessors for date time",
+                 "WITH datetime('1984-10-11T12:31:14.645876') AS d "
+                 f"RETURN {clock_q}", *clock_v),
+        scenario("Should provide accessors for time",
+                 "WITH time('12:31:14.645876+01:30') AS d "
+                 f"RETURN {clock_q}, d.offset AS o, d.offsetMinutes AS om, "
+                 "d.offsetSeconds AS os",
+                 clock_v[0] + ["o", "om", "os"],
+                 clock_v[1] + [q("+01:30"), "90", "5400"]),
+        scenario("Should provide accessors for local time",
+                 "WITH localtime('12:31:14.645876') AS d "
+                 f"RETURN {clock_q}", *clock_v),
+        scenario("Should provide accessors for duration",
+                 "WITH duration('P1Y5M26DT20H15M12.345S') AS d "
+                 "RETURN d.years AS y, d.months AS mo, d.monthsOfYear AS "
+                 "moy, d.weeks AS w, d.days AS dd, d.hours AS h, "
+                 "d.minutesOfHour AS mih, d.seconds AS s, "
+                 "d.millisecondsOfSecond AS ms",
+                 ["y", "mo", "moy", "w", "dd", "h", "mih", "s", "ms"],
+                 ["1", "17", "5", "3", "26", "20", "15",
+                  str(20 * 3600 + 15 * 60 + 12), "345"]),
+    ]
+    return sc
+
+
+def gen_arithmetic():
     sc = []
+    addsub = [
+        ("duration('P1Y2M') + duration('P3M4D')", iso_dur(17, 4, 0)),
+        ("duration('P1Y2M') - duration('P3M')", iso_dur(11, 0, 0)),
+        ("duration('PT10H') + duration('PT5H30M')",
+         iso_dur(0, 0, 15 * 3600 * US + 30 * 60 * US)),
+        ("duration('PT10H') - duration('PT12H')",
+         iso_dur(0, 0, -2 * 3600 * US)),
+        ("duration('P1D') + duration('PT25H')",
+         iso_dur(0, 1, 25 * 3600 * US)),
+        ("duration('P1M') - duration('P40D')", iso_dur(1, -40, 0)),
+        ("duration('P1Y') + duration('-P2M')", iso_dur(10, 0, 0)),
+        ("duration('-PT30M') + duration('PT1H')",
+         iso_dur(0, 0, 30 * 60 * US)),
+        ("duration('P1DT12H') - duration('PT36H')",
+         iso_dur(0, 1, -24 * 3600 * US)),
+    ]
+    for i, (expr, want) in enumerate(addsub, 1):
+        sc.append(scenario(f"Should add or subtract durations #{i}",
+                           f"RETURN toString({expr}) AS d", ["d"],
+                           [q(want)]))
+    muldiv = [
+        ("duration('P2M4DT6H') * 2", iso_dur(4, 8, 12 * 3600 * US)),
+        ("duration('P4M8DT12H') / 2", iso_dur(2, 4, 6 * 3600 * US)),
+        ("3 * duration('PT30M')", iso_dur(0, 0, 90 * 60 * US)),
+    ]
+    for i, (expr, want) in enumerate(muldiv, 1):
+        sc.append(scenario(
+            f"Should multiply or divide durations by numbers #{i}",
+            f"RETURN toString({expr}) AS d", ["d"], [q(want)]))
+    dat = [
+        ("date('1984-10-11') + duration('P1Y2M3D')",
+         date_plus(dtm.date(1984, 10, 11), 14, 3, 0)),
+        ("date('1984-10-11') - duration('P1Y2M3D')",
+         date_plus(dtm.date(1984, 10, 11), 14, 3, 0, sub=True)),
+    ]
+    for i, (expr, want) in enumerate(dat, 2):   # published indexes 2-3
+        sc.append(scenario(
+            f"Should add or subtract duration to or from date #{i}",
+            f"RETURN {expr} AS d", ["d"], [ds(want)]))
+    ldta = [
+        ("localdatetime('1984-10-11T12:31:14') + duration('P1Y2M3DT4H5M6S')",
+         ldt_plus(dtm.datetime(1984, 10, 11, 12, 31, 14), 14, 3,
+                  (4 * 3600 + 5 * 60 + 6) * US)),
+        ("localdatetime('1984-10-11T12:31:14') - duration('PT13H')",
+         ldt_plus(dtm.datetime(1984, 10, 11, 12, 31, 14), 0, 0,
+                  13 * 3600 * US, sub=True)),
+        ("localdatetime('2020-01-31T00:00:00') + duration('P1M')",
+         ldt_plus(dtm.datetime(2020, 1, 31), 1, 0, 0)),
+    ]
+    for i, (expr, want) in enumerate(ldta, 1):
+        sc.append(scenario(
+            f"Should add or subtract duration to or from local date time "
+            f"#{i}", f"RETURN {expr} AS d", ["d"], [ts(want)]))
+    dta = [
+        ("datetime('1984-10-11T12:31:14') + duration('P1Y2M3DT4H5M6S')",
+         ldt_plus(dtm.datetime(1984, 10, 11, 12, 31, 14), 14, 3,
+                  (4 * 3600 + 5 * 60 + 6) * US)),
+        ("datetime('1984-10-11T12:31:14') - duration('PT13H')",
+         ldt_plus(dtm.datetime(1984, 10, 11, 12, 31, 14), 0, 0,
+                  13 * 3600 * US, sub=True)),
+        ("datetime('2020-02-29T12:00:00') + duration('P1Y')",
+         ldt_plus(dtm.datetime(2020, 2, 29, 12), 12, 0, 0)),
+    ]
+    for i, (expr, want) in enumerate(dta, 1):
+        sc.append(scenario(
+            f"Should add or subtract duration to or from date time #{i}",
+            f"RETURN {expr} AS d", ["d"], [ts(want)]))
+    # time arithmetic: only sub-day duration components move a clock value
+    ta = [
+        ("time('12:00Z') + duration('PT1H')",
+         t_render(t_shift(t_us(12), 3600 * US), 0)),
+        ("time('23:30+01:00') + duration('PT45M')",
+         t_render(t_shift(t_us(23, 30), 45 * 60 * US), off_us(1))),
+        ("time('06:15:30.5Z') - duration('P1DT2H')",
+         t_render(t_shift(t_us(6, 15, 30, 500000), -2 * 3600 * US), 0)),
+    ]
+    for i, (expr, want) in enumerate(ta, 1):
+        sc.append(scenario(
+            f"Should add or subtract duration to or from time #{i}",
+            f"RETURN {expr} AS t", ["t"], [q(want)]))
+    lta = [
+        ("localtime('12:00') - duration('PT1H')",
+         t_render(t_shift(t_us(12), -3600 * US))),
+        ("localtime('23:59:59') + duration('PT2S')",
+         t_render(t_shift(t_us(23, 59, 59), 2 * US))),
+        ("localtime('12:31:14') + duration('P1YT30M')",
+         t_render(t_shift(t_us(12, 31, 14), 30 * 60 * US))),
+    ]
+    for i, (expr, want) in enumerate(lta, 1):
+        sc.append(scenario(
+            f"Should add or subtract duration to or from local time #{i}",
+            f"RETURN {expr} AS t", ["t"], [q(want)]))
+    return sc
+
+
+def gen_comparison():
+    sc = []
+    fams = {
+        "Should compare dates": [
+            ("date('1984-10-11') < date('2015-06-24')", "true"),
+            ("date('2015-06-24') <= date('2015-06-24')", "true")],
+        "Should compare local date times": [
+            ("localdatetime('1984-10-11T12:31:14') < "
+             "localdatetime('1984-10-11T12:31:15')", "true"),
+            ("localdatetime('1984-10-11T12:31:14.645') >= "
+             "localdatetime('1984-10-11T12:31:14.646')", "false")],
+        "Should compare date times": [
+            ("datetime('1984-10-11T12:31:14') < "
+             "datetime('1984-10-12T00:00:00')", "true"),
+            ("datetime('2015-06-24T12:00:00') > "
+             "datetime('2015-06-24T12:00:00.001')", "false")],
+        "Should compare times": [
+            # ordering is by instant: local clock minus UTC offset
+            ("time('12:00+01:00') < time('11:30Z')", "true"),
+            ("time('09:00-05:00') <= time('14:00Z')", "true")],
+        "Should compare local times": [
+            ("localtime('12:00') < localtime('12:01')", "true"),
+            ("localtime('23:59:59.999999') > localtime('23:59:59')",
+             "true")],
+    }
+    for nm, cases in fams.items():
+        for i, (expr, want) in enumerate(cases, 1):
+            sc.append(scenario(f"{nm} #{i}", f"RETURN {expr} AS r",
+                               ["r"], [want]))
+    dureq = [
+        ("duration('PT60S') = duration('PT1M')", "true"),
+        ("duration('P1M') = duration('P30D')", "false"),
+        ("duration('P1Y') = duration('P12M')", "true"),
+        ("duration('P1D') = duration('PT24H')", "false"),
+        ("duration({seconds: 1, milliseconds: 500}) = "
+         "duration({seconds: 1.5})", "true"),
+        ("duration('P1M') <> duration('P2M')", "true"),
+        ("duration('PT1H') = duration('PT3600S')", "true"),
+        ("duration('P1Y') <> duration('P365D')", "true"),
+    ]
+    for i, (expr, want) in enumerate(dureq, 1):
+        sc.append(scenario(f"Should compare durations for equality #{i}",
+                           f"RETURN {expr} AS r", ["r"], [want]))
+    return sc
+
+
+def gen_between():
+    sc = []
+
+    def t_anchor(us, off=None):
+        return dtm.datetime(1970, 1, 1) + dtm.timedelta(
+            microseconds=us - (off or 0))
+
+    def tl(us, off=None):
+        kind = "time" if off is not None else "localtime"
+        return f"{kind}('{t_render(us, off)}')"
+
     d1, d2 = dtm.datetime(1984, 10, 11), dtm.datetime(2015, 6, 24)
     l1 = dtm.datetime(1984, 10, 11, 12, 31, 14, 645876)
     l2 = dtm.datetime(2015, 6, 24, 12, 16, 48, 645876)
+    # 25 pairs: (cypher literal a, literal b, oracle a, oracle b)
     pairs = [
         ("date('1984-10-11')", "date('2015-06-24')", d1, d2),
         ("date('2015-06-24')", "date('1984-10-11')", d2, d1),
@@ -457,18 +1303,66 @@ def main():
          "localdatetime('2016-07-21T21:45:22.142')",
          dtm.datetime(2015, 7, 21, 21, 40, 32, 142000),
          dtm.datetime(2016, 7, 21, 21, 45, 22, 142000)),
+        (tl(t_us(12)), tl(t_us(13, 30, 15)),
+         t_anchor(t_us(12)), t_anchor(t_us(13, 30, 15))),
+        (tl(t_us(23)), tl(t_us(1)), t_anchor(t_us(23)), t_anchor(t_us(1))),
+        (tl(t_us(12), 0), tl(t_us(13), off_us(1)),
+         t_anchor(t_us(12), 0), t_anchor(t_us(13), off_us(1))),
+        (tl(t_us(9), off_us(-5)), tl(t_us(15), 0),
+         t_anchor(t_us(9), off_us(-5)), t_anchor(t_us(15), 0)),
+        ("date('2018-01-01')", "date('2018-12-31')",
+         dtm.datetime(2018, 1, 1), dtm.datetime(2018, 12, 31)),
+        ("date('1999-12-31')", "date('2000-01-01')",
+         dtm.datetime(1999, 12, 31), dtm.datetime(2000, 1, 1)),
+        ("date('2016-02-29')", "date('2017-03-01')",
+         dtm.datetime(2016, 2, 29), dtm.datetime(2017, 3, 1)),
+        ("localdatetime('2018-01-31T23:00:00')",
+         "localdatetime('2018-02-01T01:00:00')",
+         dtm.datetime(2018, 1, 31, 23), dtm.datetime(2018, 2, 1, 1)),
+        ("localdatetime('2000-01-01T00:00:00')",
+         "localdatetime('2000-01-01T00:00:00.000001')",
+         dtm.datetime(2000, 1, 1), dtm.datetime(2000, 1, 1, 0, 0, 0, 1)),
+        ("date('1900-01-01')", "date('2000-01-01')",
+         dtm.datetime(1900, 1, 1), dtm.datetime(2000, 1, 1)),
+        ("localdatetime('1984-10-11T12:31:14')", "date('2015-06-24')",
+         dtm.datetime(1984, 10, 11, 12, 31, 14), d2),
+        ("localdatetime('2015-06-24T12:16:48')",
+         "localdatetime('2015-06-24T12:16:48')",
+         dtm.datetime(2015, 6, 24, 12, 16, 48),
+         dtm.datetime(2015, 6, 24, 12, 16, 48)),
+        (tl(0), tl(t_us(23, 59, 59, 999999)),
+         t_anchor(0), t_anchor(t_us(23, 59, 59, 999999))),
+        (tl(t_us(18, 45), off_us(14)),
+         tl(t_us(6, 15, 30, 500000), off_us(1, 0, 30)),
+         t_anchor(t_us(18, 45), off_us(14)),
+         t_anchor(t_us(6, 15, 30, 500000), off_us(1, 0, 30))),
+        ("date('2021-03-01')", "date('2021-02-01')",
+         dtm.datetime(2021, 3, 1), dtm.datetime(2021, 2, 1)),
+        ("localdatetime('2019-05-06T07:08:09.1')",
+         "localdatetime('2019-05-06T07:08:09.05')",
+         dtm.datetime(2019, 5, 6, 7, 8, 9, 100000),
+         dtm.datetime(2019, 5, 6, 7, 8, 9, 50000)),
+        ("date('1969-07-20')", "localdatetime('1969-07-21T02:56:15')",
+         dtm.datetime(1969, 7, 20), dtm.datetime(1969, 7, 21, 2, 56, 15)),
+        ("localdatetime('2024-01-01T00:00:00')",
+         "localdatetime('2023-12-31T23:59:59')",
+         dtm.datetime(2024, 1, 1), dtm.datetime(2023, 12, 31, 23, 59, 59)),
+        (tl(0, 0), tl(1, 0), t_anchor(0, 0), t_anchor(1, 0)),
     ]
-    for kind, fn in [("", "between"), (" in months", "months"),
-                     (" in days", "days"), (" in seconds", "seconds")]:
-        f = {"between": "between", "months": "inMonths", "days": "inDays",
-             "seconds": "inSeconds"}[fn]
-        for i, (qa, qb, pa, pb) in enumerate(pairs, 1):
-            mo, dd, us = between(pa, pb, "between" if fn == "between"
-                                 else fn)
-            sc.append(scenario(
+    fams = [("", "between", "between", 25),
+            (" in months", "inMonths", "months", 21),
+            (" in days", "inDays", "days", 21),
+            (" in seconds", "inSeconds", "seconds", 25)]
+    for kind, f, unit, count in fams:
+        fam = []
+        for i, (qa, qb, pa, pb) in enumerate(pairs[:count], 1):
+            mo, dd, us = between(pa, pb, unit)
+            fam.append(scenario(
                 f"Should compute duration between two temporals{kind} #{i}",
                 f"RETURN toString(duration.{f}({qa}, {qb})) AS d",
                 ["d"], [q(iso_dur(mo, dd, us))]))
+        sc += expect_count(fam, count, f"between{kind}")
+
     neg = [
         ("date('2015-06-24')", "date('1984-10-11')", d2, d1, "inMonths",
          "months"),
@@ -482,6 +1376,10 @@ def main():
          "localdatetime('2014-06-23T12:00:00')",
          dtm.datetime(2015, 6, 24, 12), dtm.datetime(2014, 6, 23, 12),
          "between", "between"),
+        ("localdatetime('2015-06-24T12:00:00')",
+         "localdatetime('2014-05-23T11:00:00')",
+         dtm.datetime(2015, 6, 24, 12), dtm.datetime(2014, 5, 23, 11),
+         "inMonths", "months"),
     ]
     for i, (qa, qb, pa, pb, f, unit) in enumerate(neg, 1):
         mo, dd, us = between(pa, pb, unit)
@@ -489,14 +1387,18 @@ def main():
             f"Should compute negative duration between in big units #{i}",
             f"RETURN toString(duration.{f}({qa}, {qb})) AS d",
             ["d"], [q(iso_dur(mo, dd, us))]))
-    for i, (qa, f) in enumerate([
-            ("date('1984-10-11')", "between"),
-            ("localdatetime('1984-10-11T12:31:14')", "between"),
-            ("date('1984-10-11')", "inSeconds")], 1):
+
+    nodiff = [("date('1984-10-11')", "between"),
+              ("localdatetime('1984-10-11T12:31:14')", "between"),
+              ("date('1984-10-11')", "inSeconds"),
+              (tl(t_us(12), 0), "between"),
+              (tl(t_us(12, 31, 14)), "inSeconds")]
+    for i, (qa, f) in enumerate(nodiff, 1):
         sc.append(scenario(
             f"Should compute durations with no difference #{i}",
             f"RETURN toString(duration.{f}({qa}, {qa})) AS d",
             ["d"], [q("PT0S")]))
+
     bounds = [
         ("date('2018-01-31')", "date('2018-03-01')",
          dtm.datetime(2018, 1, 31), dtm.datetime(2018, 3, 1)),
@@ -519,12 +1421,14 @@ def main():
             f"Should split between boundaries correctly #{i}",
             f"RETURN toString(duration.between({qa}, {qb})) AS d",
             ["d"], [q(iso_dur(mo, dd, us))]))
+
     for i, f in enumerate(["between", "inMonths", "inDays", "inSeconds"], 1):
         sc.append(scenario(
             f"Should propagate null #{i}",
             f"RETURN duration.{f}(null, date('1984-10-11')) IS NULL AS a, "
             f"duration.{f}(date('1984-10-11'), null) IS NULL AS b",
             ["a", "b"], ["true", "true"]))
+
     subsec = [
         ("localdatetime('2015-06-24T12:00:00')",
          "localdatetime('2015-06-24T11:59:59.5')",
@@ -534,6 +1438,32 @@ def main():
          "localdatetime('2015-06-24T11:59:58.7')",
          dtm.datetime(2015, 6, 24, 12, 0, 0, 200000),
          dtm.datetime(2015, 6, 24, 11, 59, 58, 700000)),
+        ("localdatetime('2015-06-24T11:59:59.5')",
+         "localdatetime('2015-06-24T12:00:00')",
+         dtm.datetime(2015, 6, 24, 11, 59, 59, 500000),
+         dtm.datetime(2015, 6, 24, 12)),
+        ("localdatetime('2015-06-24T11:59:58.7')",
+         "localdatetime('2015-06-24T12:00:00.2')",
+         dtm.datetime(2015, 6, 24, 11, 59, 58, 700000),
+         dtm.datetime(2015, 6, 24, 12, 0, 0, 200000)),
+        (tl(t_us(12), 0), tl(t_us(11, 59, 59, 500000), 0),
+         t_anchor(t_us(12)), t_anchor(t_us(11, 59, 59, 500000))),
+        (tl(t_us(12, 0, 0, 200000), 0), tl(t_us(11, 59, 58, 700000), 0),
+         t_anchor(t_us(12, 0, 0, 200000)),
+         t_anchor(t_us(11, 59, 58, 700000))),
+        (tl(t_us(12)), tl(t_us(11, 59, 59, 500000)),
+         t_anchor(t_us(12)), t_anchor(t_us(11, 59, 59, 500000))),
+        (tl(t_us(12, 0, 0, 200000)), tl(t_us(11, 59, 58, 700000)),
+         t_anchor(t_us(12, 0, 0, 200000)),
+         t_anchor(t_us(11, 59, 58, 700000))),
+        ("localdatetime('2015-06-24T12:00:01.1')",
+         "localdatetime('2015-06-24T11:59:59.9')",
+         dtm.datetime(2015, 6, 24, 12, 0, 1, 100000),
+         dtm.datetime(2015, 6, 24, 11, 59, 59, 900000)),
+        ("localdatetime('2015-06-24T11:59:59.9')",
+         "localdatetime('2015-06-24T12:00:01.1')",
+         dtm.datetime(2015, 6, 24, 11, 59, 59, 900000),
+         dtm.datetime(2015, 6, 24, 12, 0, 1, 100000)),
     ]
     for i, (qa, qb, pa, pb) in enumerate(subsec, 1):
         mo, dd, us = between(pa, pb, "seconds")
@@ -542,211 +1472,55 @@ def main():
             f"signs #{i}",
             f"RETURN toString(duration.inSeconds({qa}, {qb})) AS d",
             ["d"], [q(iso_dur(mo, dd, us))]))
-    features["DurationBetweenAcceptance"] = sc
 
-    # ---------------- TemporalArithmeticAcceptance -------------------------
-    sc = []
-    addsub = [
-        ("duration('P1Y2M') + duration('P3M4D')", iso_dur(17, 4, 0)),
-        ("duration('P1Y2M') - duration('P3M')", iso_dur(11, 0, 0)),
-        ("duration('PT10H') + duration('PT5H30M')",
-         iso_dur(0, 0, 15 * 3600 * US + 30 * 60 * US)),
-        ("duration('PT10H') - duration('PT12H')",
-         iso_dur(0, 0, -2 * 3600 * US)),
-        ("duration('P1D') + duration('PT25H')",
-         iso_dur(0, 1, 25 * 3600 * US)),
-        ("duration('P1M') - duration('P40D')", iso_dur(1, -40, 0)),
-    ]
-    for i, (expr, want) in enumerate(addsub, 1):
-        sc.append(scenario(f"Should add or subtract durations #{i}",
-                           f"RETURN toString({expr}) AS d", ["d"],
-                           [q(want)]))
-    muldiv = [
-        ("duration('P2M4DT6H') * 2", iso_dur(4, 8, 12 * 3600 * US)),
-        ("duration('P4M8DT12H') / 2", iso_dur(2, 4, 6 * 3600 * US)),
-        ("3 * duration('PT30M')", iso_dur(0, 0, 90 * 60 * US)),
-    ]
-    for i, (expr, want) in enumerate(muldiv, 1):
-        sc.append(scenario(
-            f"Should multiply or divide durations by numbers #{i}",
-            f"RETURN toString({expr}) AS d", ["d"], [q(want)]))
-    dat = [
-        ("date('1984-10-11') + duration('P1Y2M3D')",
-         date_plus(dtm.date(1984, 10, 11), 14, 3, 0)),
-        ("date('1984-10-11') - duration('P1Y2M3D')",
-         date_plus(dtm.date(1984, 10, 11), 14, 3, 0, sub=True)),
-    ]
-    for i, (expr, want) in enumerate(dat, 1):
-        sc.append(scenario(
-            f"Should add or subtract duration to or from date #{i}",
-            f"RETURN {expr} AS d", ["d"], [ds(want)]))
-    ldta = [
-        ("localdatetime('1984-10-11T12:31:14') + duration('P1Y2M3DT4H5M6S')",
-         ldt_plus(dtm.datetime(1984, 10, 11, 12, 31, 14), 14, 3,
-                  (4 * 3600 + 5 * 60 + 6) * US)),
-        ("localdatetime('1984-10-11T12:31:14') - duration('PT13H')",
-         ldt_plus(dtm.datetime(1984, 10, 11, 12, 31, 14), 0, 0,
-                  13 * 3600 * US, sub=True)),
-        ("localdatetime('2020-01-31T00:00:00') + duration('P1M')",
-         ldt_plus(dtm.datetime(2020, 1, 31), 1, 0, 0)),
-    ]
-    for i, (expr, want) in enumerate(ldta, 1):
-        sc.append(scenario(
-            f"Should add or subtract duration to or from local date time "
-            f"#{i}", f"RETURN {expr} AS d", ["d"], [ts(want)]))
-    for i, (expr, want) in enumerate([
-            ("time({hour: 12}) + duration('PT1H')", "13:00:00Z"),
-            ("localtime({hour: 12}) - duration('PT1H')", "11:00:00")], 1):
-        nm = ("Should add or subtract duration to or from time" if i == 1
-              else "Should add or subtract duration to or from local time")
-        sc.append(scenario(f"{nm} #1", f"RETURN {expr} AS t", ["t"],
-                           [q(want)]))
-    features["TemporalArithmeticAcceptance"] = sc
+    big_a, big_b = dtm.datetime(1000, 1, 1), dtm.datetime(3000, 12, 31)
+    mo, dd, us = between(big_a, big_b)
+    sc.append(scenario(
+        "Should handle large durations",
+        "RETURN toString(duration.between(date('1000-01-01'), "
+        "date('3000-12-31'))) AS d", ["d"], [q(iso_dur(mo, dd, us))]))
+    mo, dd, us = between(big_a, big_b, "seconds")
+    sc.append(scenario(
+        "Should handle large durations in seconds",
+        "RETURN toString(duration.inSeconds(date('1000-01-01'), "
+        "date('3000-12-31'))) AS d", ["d"], [q(iso_dur(mo, dd, us))]))
 
-    # ---------------- TemporalComparisonAcceptance -------------------------
-    sc = []
-    cmps = [
-        ("date('1984-10-11') < date('2015-06-24')", "true"),
-        ("date('2015-06-24') <= date('2015-06-24')", "true"),
-        ("localdatetime('1984-10-11T12:31:14') < "
-         "localdatetime('1984-10-11T12:31:15')", "true"),
-        ("localdatetime('1984-10-11T12:31:14.645') >= "
-         "localdatetime('1984-10-11T12:31:14.646')", "false"),
-    ]
-    for i, (expr, want) in enumerate(cmps, 1):
-        nm = "Should compare dates" if i <= 2 \
-            else "Should compare local date times"
-        sc.append(scenario(f"{nm} #{(i - 1) % 2 + 1}",
-                           f"RETURN {expr} AS r", ["r"], [want]))
-    dureq = [
-        ("duration('PT60S') = duration('PT1M')", "true"),
-        ("duration('P1M') = duration('P30D')", "false"),
-        ("duration('P1Y') = duration('P12M')", "true"),
-        ("duration('P1D') = duration('PT24H')", "false"),
-        ("duration({seconds: 1, milliseconds: 500}) = "
-         "duration({seconds: 1.5})", "true"),
-        ("duration('P1M') <> duration('P2M')", "true"),
-    ]
-    for i, (expr, want) in enumerate(dureq, 1):
-        sc.append(scenario(f"Should compare durations for equality #{i}",
-                           f"RETURN {expr} AS r", ["r"], [want]))
-    features["TemporalComparisonAcceptance"] = sc
+    mo, dd, us = between(dtm.datetime(2015, 6, 24, 12, 0, 0, 500000),
+                         dtm.datetime(2015, 6, 24, 12, 0, 0, 200000))
+    sc.append(scenario(
+        "Should compute duration between if they differ only by a fraction "
+        "of a second and the first comes after the second.",
+        "RETURN toString(duration.between("
+        "localdatetime('2015-06-24T12:00:00.5'), "
+        "localdatetime('2015-06-24T12:00:00.2'))) AS d",
+        ["d"], [q(iso_dur(mo, dd, us))]))
+    return sc
 
-    # ---------------- TemporalToStringAcceptance ---------------------------
-    sc = [
-        scenario("Should serialize date #1",
-                 "RETURN toString(date('1984-10-11')) AS d", ["d"],
-                 [q("1984-10-11")]),
-        scenario("Should serialize local date time #1",
-                 "RETURN toString(localdatetime('1984-10-11T12:31:14.645"
-                 "876')) AS d", ["d"], [q("1984-10-11T12:31:14.645876")]),
-        scenario("Should serialize local date time #2",
-                 "RETURN toString(localdatetime('1984-10-11T12:31:14')) "
-                 "AS d", ["d"], [q("1984-10-11T12:31:14")]),
-    ]
-    durs = ["P1Y", "P1M", "P1D", "PT1H", "PT1M", "PT1S", "PT0.5S",
-            "P1Y2M3DT4H5M6.789S", "-P1Y", "PT0S", "P1W"]
-    for i, s in enumerate(durs, 1):
-        from_ = s
-        # the renderer re-derives the canonical form
-        import re as _re
-        mm = _re.match(r"^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?"
-                       r"(?:(\d+(?:\.\d+)?)D)?"
-                       r"(?:T(?:(\d+(?:\.\d+)?)H)?(?:(\d+(?:\.\d+)?)M)?"
-                       r"(?:(\d+(?:\.\d+)?)S)?)?$", s)
-        sgn = -1 if mm.group(1) else 1
-        mo = sgn * (int(mm.group(2) or 0) * 12 + int(mm.group(3) or 0))
-        dd = sgn * (int(mm.group(4) or 0) * 7 + int(float(mm.group(5) or 0)))
-        us = sgn * round((float(mm.group(6) or 0) * 3600
-                          + float(mm.group(7) or 0) * 60
-                          + float(mm.group(8) or 0)) * US)
-        sc.append(scenario(f"Should serialize duration #{i}",
-                           f"RETURN toString(duration('{from_}')) AS d",
-                           ["d"], [q(iso_dur(mo, dd, us))]))
-    features["TemporalToStringAcceptance"] = sc
 
-    # ---------------- TemporalAccessorAcceptance ---------------------------
-    sc = [
-        scenario(
-            "Should provide accessors for date #1",
-            "WITH date('1984-10-11') AS d RETURN d.year AS y, d.month AS "
-            "mo, d.day AS dd, d.weekYear AS wy, d.week AS w, d.dayOfWeek "
-            "AS dow, d.ordinalDay AS od, d.quarter AS qq, d.dayOfQuarter "
-            "AS doq",
-            ["y", "mo", "dd", "wy", "w", "dow", "od", "qq", "doq"],
-            ["1984", "10", "11",
-             str(dtm.date(1984, 10, 11).isocalendar()[0]),
-             str(dtm.date(1984, 10, 11).isocalendar()[1]),
-             str(dtm.date(1984, 10, 11).isoweekday()),
-             str(dtm.date(1984, 10, 11).timetuple().tm_yday),
-             "4", str((dtm.date(1984, 10, 11)
-                       - dtm.date(1984, 10, 1)).days + 1)]),
-        scenario(
-            "Should provide accessors for local date time #1",
-            "WITH localdatetime('1984-10-11T12:31:14.645876') AS d "
-            "RETURN d.hour AS h, d.minute AS mi, d.second AS s, "
-            "d.millisecond AS ms, d.microsecond AS us",
-            ["h", "mi", "s", "ms", "us"],
-            ["12", "31", "14", "645", "645876"]),
-        scenario(
-            "Should provide accessors for duration #1",
-            "WITH duration('P1Y5M26DT20H15M12.345S') AS d "
-            "RETURN d.years AS y, d.months AS mo, d.monthsOfYear AS moy, "
-            "d.weeks AS w, d.days AS dd, d.hours AS h, "
-            "d.minutesOfHour AS mih, d.seconds AS s, "
-            "d.millisecondsOfSecond AS ms",
-            ["y", "mo", "moy", "w", "dd", "h", "mih", "s", "ms"],
-            ["1", "17", "5", "3", "26", "20", "15",
-             str(20 * 3600 + 15 * 60 + 12), "345"]),
-    ]
-    features["TemporalAccessorAcceptance"] = sc
-
-    # ---------------- TemporalParseAcceptance ------------------------------
-    sc = []
-    dstr = [("1984-10-11", dtm.date(1984, 10, 11)),
-            ("19841011", dtm.date(1984, 10, 11)),
-            ("1984-10", dtm.date(1984, 10, 1)),
-            ("198410", None),          # ambiguous with ordinal: invalid
-            ("1984-W28-3", week_date(1984, 28, 3)),
-            ("1984W283", week_date(1984, 28, 3)),
-            ("1984-W28", week_date(1984, 28, 1)),
-            ("1984-202", dtm.date(1984, 1, 1) + dtm.timedelta(days=201)),
-            ("1984202", dtm.date(1984, 1, 1) + dtm.timedelta(days=201)),
-            ("1984", dtm.date(1984, 1, 1))]
-    i = 0
-    for s, want in dstr:
-        if want is None:
-            continue
-        i += 1
-        sc.append(scenario(f"Should parse date from string #{i}",
-                           f"RETURN date('{s}') AS d", ["d"], [ds(want)]))
-    ldts = [("1984-10-11T12:31:14", dtm.datetime(1984, 10, 11, 12, 31, 14)),
-            ("1984-10-11T12:31", dtm.datetime(1984, 10, 11, 12, 31)),
-            ("1984-10-11T12", dtm.datetime(1984, 10, 11, 12)),
-            ("1984-10-11T12:31:14.645",
-             dtm.datetime(1984, 10, 11, 12, 31, 14, 645000))]
-    for i, (s, want) in enumerate(ldts, 1):
-        sc.append(scenario(
-            f"Should parse local date time from string #{i}",
-            f"RETURN localdatetime('{s}') AS d", ["d"], [ts(want)]))
-    pdur = [("P1Y", (12, 0, 0)), ("P1M", (1, 0, 0)), ("P1W", (0, 7, 0)),
-            ("P1D", (0, 1, 0)), ("PT1H", (0, 0, 3600 * US)),
-            ("PT1M", (0, 0, 60 * US)), ("PT0.75S", (0, 0, 750000))]
-    for i, (s, (mo, dd, us)) in enumerate(pdur, 1):
-        sc.append(scenario(f"Should parse duration from string #{i}",
-                           f"RETURN toString(duration('{s}')) AS d",
-                           ["d"], [q(iso_dur(mo, dd, us))]))
-    for i, s in enumerate(["12:31:14", "12:31"], 1):
-        sc.append(scenario(f"Should parse time from string #{i}",
-                           f"RETURN time('{s}') AS t", ["t"],
-                           [q(s + ("Z" if len(s) > 5 else ":00Z"))]))
-    features["TemporalParseAcceptance"] = sc
-
+def main():
+    features = {
+        "TemporalTruncateAcceptance": gen_truncate(),
+        "TemporalSelectAcceptance": gen_select(),
+        "TemporalCreateAcceptance": gen_create(),
+        "TemporalParseAcceptance": gen_parse(),
+        "TemporalToStringAcceptance": gen_tostring(),
+        "TemporalAccessorAcceptance": gen_accessors(),
+        "TemporalArithmeticAcceptance": gen_arithmetic(),
+        "TemporalComparisonAcceptance": gen_comparison(),
+        "DurationBetweenAcceptance": gen_between(),
+    }
+    total = 0
     for name, scs in features.items():
+        names = [s[0] for s in scs]
+        if len(names) != len(set(names)):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise AssertionError(f"{name}: duplicate scenarios {dupes}")
         path = os.path.join(OUT, f"{name}.feature")
         with open(path, "w", encoding="utf-8") as f:
             f.write(render_feature(name, scs))
         print(f"wrote {path}: {len(scs)} scenarios")
+        total += len(scs)
+    print(f"total: {total} scenarios")
 
 
 if __name__ == "__main__":
