@@ -878,14 +878,48 @@ _DEFERRED_VARIANTS = [
 _ROUND6_CHANGED = ["duration_shift", "duration_accessors", "math_functions",
                    "percentile_disc_global"]
 
+# Round 7: the changed set is DERIVED, not curated (VERDICT r6 #2) —
+# generated by `python tools/changed_queries.py 7a0dd5a` over the round's
+# git diff through the module->query-family map declared in that tool.
+# Round 7 touched the whole Cypher compile path (operators/columns.py,
+# plans/planner.py, parser, temporal, session, TIME/LOCALTIME types) plus
+# functions/graph_algos.py, so every planner-backed query and the seven
+# graph algorithms are in the set (62 — more than the 50-row window; the
+# prioritized rotation below favors the stalest rows and the spill is
+# re-verified by a full tools/check_oracle.py replay this round).
+_ROUND7_CHANGED = [
+    'agg_count_distinct', 'agg_global', 'agg_stats', 'agg_tpch_q1',
+    'bfs_shortest_paths', 'bitwise_functions', 'case_expression',
+    'coalesce_function', 'collect_unwind', 'construct_requery',
+    'ddl_graph', 'degree_histogram', 'distinct_projection',
+    'driving_table', 'duration_accessors', 'duration_shift',
+    'edge_uniqueness_pairs', 'events_hour_buckets', 'events_temporal',
+    'exists_pattern', 'expand_1hop', 'expand_2hop',
+    'expand_3hop_keyword_types', 'expand_incoming', 'expand_into',
+    'expand_undirected', 'graph_union', 'k_core',
+    'keyword_label_scan', 'labels_function', 'list_functions',
+    'math_functions', 'node_similarity', 'not_exists_pattern',
+    'optional_first_clause', 'optional_match_count',
+    'optional_match_null', 'order_skip_limit', 'orderby_expression',
+    'pagerank', 'percentile_disc_global', 'personalized_pagerank',
+    'predicate_contains', 'predicate_in', 'predicate_regex',
+    'predicate_string_match', 'rel_properties', 'scan_filter',
+    'scan_filter_and_or', 'scan_nodes', 'string_functions',
+    'triangle_count', 'type_function', 'union_all', 'union_distinct',
+    'unwind_literal', 'unwind_range_filter', 'var_length_1_2',
+    'var_length_2_2', 'var_length_typed', 'var_length_unbounded',
+    'with_pipeline'
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness for the first 50 entries only.
-    # Round-6 rotation (VERDICT r5 #5): alternate halves — the r4-recorded
-    # pipeline/Cypher entries (deferred through r5, now two rounds stale)
-    # lead, together with _ROUND6_CHANGED; the r5-recorded entries follow
-    # (still oracle-checkable via tools/check_oracle.py).  The r5+r6 union
-    # again covers all declared queries.
+    # Round-7 rotation: priority order is (a) queries last recorded in r5
+    # (two rounds stale) whose code changed this round, (b) other changed
+    # queries (recorded r6, one round old), (c) unchanged r5-recorded
+    # queries, (d) the rest.  Mechanically derived from _ROUND7_CHANGED;
+    # the r6+r7 union plus the full check_oracle replay covers all
+    # declared queries.
     full = dict(_EXTRA_QUERIES)
     for name in _DEFERRED_VARIANTS:
         full[name] = _CYPHER_QUERIES[name]
@@ -894,13 +928,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, fn in _CYPHER_QUERIES.items():
         if name not in full:
             full[name] = fn
-    r5_window = list(full)[:50]
-    window = [n for n in full if n not in r5_window] + _ROUND6_CHANGED
-    out = {name: full[name] for name in window}
-    for name, fn in full.items():
-        if name not in out:
-            out[name] = fn
-    return out
+    r5_window = set(list(full)[:50])
+    changed = set(_ROUND7_CHANGED)
+    prio = ([n for n in full if n in r5_window and n in changed]
+            + [n for n in full if n not in r5_window and n in changed]
+            + [n for n in full if n in r5_window and n not in changed]
+            + list(full))
+    window, seen = [], set()
+    for n in prio:
+        if n not in seen:
+            seen.add(n)
+            window.append(n)
+    return {name: full[name] for name in window}
 
 
 # ---------------------------------------------------------------------------

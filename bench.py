@@ -254,28 +254,45 @@ def main():
             t0 = time.time()
             minhash_lsh_pairs(d).count()
             sf1_spot[f"minhash_lsh_pairs_{tag}"] = round(time.time() - t0, 3)
-            t0 = time.time()
+            # build and probe timed SEPARATELY (VERDICT r6 #3): the index
+            # build is two bucketed saveAsTable writes with a large fixed
+            # cost, so only the probe alone can certify linear scaling
             tbl = f"cfas_bench_mh_{tag}"
+            t0 = time.time()
             write_minhash_index(d, tbl)
+            sf1_spot[f"near_dup_index_build_{tag}"] = \
+                round(time.time() - t0, 3)
+            t0 = time.time()
             near_dup_against_index(
                 spark, d.where(F.col("doc_id") % 10 == 0), tbl,
                 threshold=0.3).count()
-            sf1_spot[f"near_dup_index_probe_{tag}"] = \
+            sf1_spot[f"near_dup_probe_{tag}"] = \
                 round(time.time() - t0, 3)
             print(f"# sf1_spot minhash {tag}: "
-                  f"{sf1_spot[f'minhash_lsh_pairs_{tag}']}s, index+probe "
-                  f"{sf1_spot[f'near_dup_index_probe_{tag}']}s",
+                  f"{sf1_spot[f'minhash_lsh_pairs_{tag}']}s, index build "
+                  f"{sf1_spot[f'near_dup_index_build_{tag}']}s, probe "
+                  f"{sf1_spot[f'near_dup_probe_{tag}']}s",
                   file=sys.stderr)
         bigd.unpersist()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({"metric": "headline_total", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf,
-                      "protocol": f"median_of_{runs}_warm_iqr_spread",
-                      "protocol_per_query": protocols,
-                      "spread": spreads, "spread_minmax": minmax,
-                      "metrics": metrics,
-                      "sf1_spot": sf1_spot}))
+    payload = {"metric": "headline_total", "value": total,
+               "unit": "sec", "queries": timings, "sf": sf,
+               "protocol": f"median_of_{runs}_warm_iqr_spread",
+               "protocol_per_query": protocols,
+               "spread": spreads, "spread_minmax": minmax,
+               "metrics": metrics,
+               "sf1_spot": sf1_spot}
+    print(json.dumps(payload))
+    # the driver keeps only a tail of stdout, which has truncated the
+    # per-query metrics in past rounds — persist the full payload too so
+    # tools/bench_diff.py can diff rounds (VERDICT r6 #7)
+    self_path = os.environ.get("SPARK_GRAFT_BENCH_SELF",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)),
+                                   "BENCH_LOCAL.json"))
+    with open(self_path, "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

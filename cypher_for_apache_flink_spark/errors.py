@@ -11,11 +11,25 @@ from __future__ import annotations
 
 
 class CypherError(Exception):
-    """Base for every user-facing query error this engine raises."""
+    """Base for every user-facing query error this engine raises.
+
+    ``code`` is the machine-readable TCK detail code (the last token of a
+    TCK error step, e.g. ``VariableAlreadyBound``, ``NestedAggregation``)
+    — the reference surfaces these through the neo4j front end's status
+    codes; here raise sites set them directly and the TCK runner asserts
+    them when a scenario specifies one.
+    """
+
+    def __init__(self, message: str = "", code: str | None = None):
+        super().__init__(message)
+        self.code = code
 
 
 class CypherSyntaxError(CypherError):
     """Query text does not lex/parse (TCK: SyntaxError at compile time)."""
+
+    def __init__(self, message: str = "", code: str | None = "InvalidSyntax"):
+        super().__init__(message, code=code)
 
 
 class PlanError(CypherError):

@@ -387,12 +387,17 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .unionAll(und.select(F.col("v").alias("node"),
                                 F.col("u").alias("nbr")))).persist()
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # deg feeds three consumers (hub filter + both denominator joins) and
+    # wedge_src two (both wedge sides, each paying the broadcast build) —
+    # persisting them evaluates each subtree once per query instead of
+    # per consumer, which also removes the dominant run-to-run timing
+    # spread (VERDICT r6 #5)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).persist()
     wedge_src = adj
     if max_neighbor_degree is not None:
         small = deg.where(F.col("deg") <= max_neighbor_degree) \
             .select(F.col("node").alias("nbr"))
-        wedge_src = adj.join(F.broadcast(small), "nbr")
+        wedge_src = adj.join(F.broadcast(small), "nbr").persist()
     a = wedge_src.select(F.col("node").alias("a"), "nbr")
     b = wedge_src.select(F.col("node").alias("b"), "nbr")
     shared = (a.join(b, "nbr").where(F.col("a") < F.col("b"))
@@ -408,6 +413,9 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     from ..cache import CacheLease
     lease = CacheLease()
     lease.add(adj)
+    lease.add(deg)
+    if wedge_src is not adj:
+        lease.add(wedge_src)
     out._cypher_cache_lease = lease
     return out
 

@@ -549,11 +549,18 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         raise KeyError(f"unbound local variable {expr.name}")
 
     if isinstance(expr, E.Var):
-        raise PlanError(f"variable {expr.name!r} not in scope (header miss)")
+        raise PlanError(f"variable {expr.name!r} not in scope "
+                        "(header miss)", code="UndefinedVariable")
 
     if isinstance(expr, E.Param):
         if expr.name not in ctx.params:
-            raise PlanError(f"missing query parameter ${expr.name}")
+            raise PlanError(
+                f"missing query parameter ${expr.name}",
+                # a parameter named __lit<N><garbage> is the residue of a
+                # malformed numeric literal (literal->param extraction
+                # stops at the valid number prefix): report it as such
+                code="InvalidNumberLiteral"
+                if expr.name.startswith("__lit") else "MissingParameter")
         return _param_lit(ctx.params[expr.name])
 
     if isinstance(expr, E.Lit):
@@ -612,7 +619,8 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
             # NOT of a statically non-boolean value is a user type error
             # (TCK "Failing when using NOT on string literal")
             raise PlanError(f"NOT expects a boolean, "
-                            f"got {cdt.simpleString()}")
+                            f"got {cdt.simpleString()}",
+                            code="InvalidArgumentType")
         return ~to_column(expr.child, ctx)
 
     if isinstance(expr, E.Neg):
@@ -692,7 +700,8 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
                 and E.is_aggregation(expr.projection)) or \
                 (expr.where is not None and E.is_aggregation(expr.where)):
             # TCK: aggregation inside a list comprehension is invalid
-            raise PlanError("aggregation inside a list comprehension")
+            raise PlanError("aggregation inside a list comprehension",
+                            code="InvalidAggregation")
         return _list_comprehension(expr, ctx)
 
     if isinstance(expr, E.ListPredicate):
@@ -733,7 +742,8 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         return _function(expr, ctx)
 
     if isinstance(expr, E.CountStar):
-        raise PlanError("count(*) outside aggregation context")
+        raise PlanError("count(*) outside aggregation context",
+                        code="InvalidAggregation")
 
     if isinstance(expr, E.PatternPredicate):
         # the flag-column materialization stores the POSITIVE form; a
@@ -886,7 +896,8 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
         if rdt is not None and not _is(rdt, (T.ArrayType, T.NullType)):
             # IN on a non-list literal/expression is a user type error
             # (TCK SemanticErrorAcceptance "Failing when using IN on ...")
-            raise PlanError(f"IN expects a list, got {rdt.simpleString()}")
+            raise PlanError(f"IN expects a list, got {rdt.simpleString()}",
+                            code="InvalidArgumentType")
         r = to_column(expr.rhs, ctx)
         # x IN [] is false even for null x (openCypher).
         if isinstance(expr.lhs, E.Lit) and expr.lhs.value is None:
@@ -1168,7 +1179,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name == "type":
         tc = ctx.header.get(TypeOf(args[0]))
         if tc is None:
-            raise PlanError(f"type() of non-relationship {args[0]!r}")
+            raise PlanError(f"type() of non-relationship {args[0]!r}",
+                            code="InvalidArgumentType")
         return F.col(tc)
     if name == "startnode":
         return F.col(ctx.header.col(E.StartNode(args[0])))
@@ -1260,7 +1272,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             # accept only strings and numbers — booleans, lists, maps and
             # entities are a type error
             raise PlanError(f"{name}() expects a string or number, "
-                            f"got {t.simpleString()}")
+                            f"got {t.simpleString()}",
+                            code="InvalidArgumentValue")
         src = a(0)
         if t is None or _is(t, T.StringType):
             # Cypher: unparseable strings -> null (try_cast is a Column
@@ -1329,7 +1342,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             # openCypher (TCK TypeConversionFunctions "`toBoolean()` on
             # invalid types"): only strings and booleans convert
             raise PlanError(f"toBoolean() expects a string or boolean, "
-                            f"got {t.simpleString()}")
+                            f"got {t.simpleString()}",
+                            code="InvalidArgumentValue")
         return a(0).try_cast("boolean")
 
     # --- strings --------------------------------------------------------
@@ -1411,7 +1425,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             # size()/length() of a node or other non-collection is a
             # user type error (TCK SemanticErrorAcceptance)
             raise PlanError(f"{name}() expects a list, string or path, "
-                            f"got {args[0]!r}")
+                            f"got {args[0]!r}",
+                            code="InvalidArgumentType")
         return F.size(a(0)).cast("long")
     if name == "head":
         if _is(spark_dtype(args[0], ctx), T.NullType):
@@ -1842,9 +1857,11 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                          "map of components")
 
     if name in E.AGG_FUNCS:
-        raise PlanError(f"aggregate {name}() used outside aggregation context")
+        raise PlanError(f"aggregate {name}() used outside aggregation "
+                        "context", code="InvalidAggregation")
 
-    raise PlanError(f"unknown function {name}()")
+    raise PlanError(f"unknown function {name}()",
+                    code="UnknownFunction")
 
 
 # ---------------------------------------------------------------------------
@@ -1857,6 +1874,11 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
         return F.count(F.lit(1))
     if not isinstance(expr, E.FuncCall) or expr.name not in E.AGG_FUNCS:
         raise ValueError(f"not an aggregator: {expr!r}")
+    if any(E.is_aggregation(a_) for a_ in expr.args):
+        # TCK NestedAggregation: count(count(*)) etc. — detected here so
+        # the inner aggregate reports nesting, not "outside context"
+        raise PlanError(f"aggregate {expr.name}() contains a nested "
+                        "aggregation", code="NestedAggregation")
 
     def _nondet(e):
         if isinstance(e, E.FuncCall) and e.name == "rand":
@@ -1865,7 +1887,8 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
 
     if any(_nondet(a_) for a_ in expr.args):
         # TCK SyntaxErrorAcceptance: rand() inside an aggregation
-        raise PlanError(f"non-deterministic rand() inside {expr.name}()")
+        raise PlanError(f"non-deterministic rand() inside {expr.name}()",
+                        code="NonConstantExpression")
     arg = to_column(expr.args[0], ctx)
     n = expr.name
     # Duration aggregates = component-wise column aggregation, no UDAF

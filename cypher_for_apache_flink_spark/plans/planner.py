@@ -115,12 +115,15 @@ class Planner:
         if len(set(query.union_alls)) > 1:
             # TCK MiscellaneousErrorAcceptance: mixing UNION and UNION ALL
             # in one query is invalid
-            raise PlanError("cannot mix UNION and UNION ALL")
+            raise PlanError("cannot mix UNION and UNION ALL",
+                                code="InvalidClauseComposition")
         for part, is_all in zip(query.parts[1:], query.union_alls):
             r2, o2 = Planner(self.session, self.graph, self.params).plan_single(
                 part, initial)
             if {n for n, _ in o2} != {n for n, _ in outs}:
-                raise PlanError("UNION parts must have identical column names")
+                raise PlanError("UNION parts must have identical "
+                                "column names",
+                                code="DifferentColumnsInUnion")
             # align by OUTPUT NAME, not position — openCypher unions match
             # columns by name (the reference sorts columns before
             # TabularUnionAll, RelationalOperator.scala:474-480), so
@@ -143,7 +146,8 @@ class Planner:
                         f"UNION column {n2!r} has incompatible types "
                         f"across parts ({t1.get(c1).simpleString()} vs "
                         f"{dt2.simpleString()}); a columnar engine cannot "
-                        "box mixed-type columns")
+                        "box mixed-type columns",
+                        code="IncompatibleUnionTypes")
             rename = {by_name[n1]: c1 for n1, c1 in outs}
             df2 = r2.df.select(*[F.col(c).alias(rename.get(c, c))
                                  for c in r2.df.columns])
@@ -171,7 +175,8 @@ class Planner:
                     # scope (a WITH resets it)
                     raise PlanError(
                         "MATCH cannot follow OPTIONAL MATCH; "
-                        "introduce a WITH between them")
+                        "introduce a WITH between them",
+                        code="InvalidClauseComposition")
                 records = self.plan_match(records, clause,
                                           query_refs=query_refs)
             elif isinstance(clause, A.UnwindClause):
@@ -260,23 +265,26 @@ class Planner:
                 continue
             if rv in seen_rel_vars:
                 raise PlanError(f"relationship variable {rv!r} bound more "
-                                "than once in the same pattern")
+                                "than once in the same pattern",
+                                code="RelationshipUniquenessViolation")
             seen_rel_vars.add(rv)
             if rv in node_labels:
                 raise PlanError(f"variable {rv!r} used as both node and "
-                                "relationship in one pattern")
+                                "relationship in one pattern",
+                                code="VariableTypeConflict")
         if records is not None:
             for n in node_labels:
                 v = records.header.var(n)
                 if v is not None and not isinstance(v, E.NodeVar):
                     raise PlanError(f"variable {n!r} is already bound to a "
                                     "non-node value and cannot be a node "
-                                    "pattern")
+                                    "pattern", code="VariableTypeConflict")
             for rv in seen_rel_vars:
                 v = records.header.var(rv)
                 if v is not None and \
                         not isinstance(v, (E.RelVar, E.ListRelVar)):
-                    raise PlanError(f"variable {rv!r} is already bound to "
+                    raise PlanError(code="VariableTypeConflict", message=
+                                    f"variable {rv!r} is already bound to "
                                     "a non-relationship value")
 
         # Label constraints on already-bound variables cannot prune the scan
@@ -912,7 +920,8 @@ class Planner:
             for i in range(1, len(elems), 2):
                 rp = elems[i]
                 if rp.var_length:
-                    raise PlanError("var-length patterns are not allowed in "
+                    raise PlanError(code="InvalidRelationshipPattern",
+                                    message="var-length patterns are not allowed in "
                                     "CONSTRUCT NEW")
                 if rp.direction == "both":
                     raise PlanError("CONSTRUCT NEW relationships must be "
@@ -1631,14 +1640,15 @@ class Planner:
                 # TCK MiscellaneousErrorAcceptance: RETURN * with no
                 # variables in scope is a plan-time error
                 raise PlanError("RETURN * is not allowed when there are "
-                                "no variables in scope")
+                                "no variables in scope",
+                                code="NoVariablesInScope")
         for it in clause.items:
             if isinstance(clause, A.WithClause) and it.alias is None \
                     and not isinstance(it.expr, E.Var):
                 # TCK MiscellaneousErrorAcceptance NoExpressionAlias:
                 # WITH requires every non-variable expression to be aliased
                 raise PlanError("expression in WITH must be aliased "
-                                "(use AS)")
+                                "(use AS)", code="NoExpressionAlias")
             items.append(A.ProjectionItem(
                 resolve_vars(self._rewrite_path_lambdas(it.expr),
                              records.header), it.alias))
@@ -1649,7 +1659,7 @@ class Planner:
             if it.alias in seen_aliases:
                 # TCK: multiple columns with the same name
                 raise PlanError(f"multiple result columns named "
-                                f"{it.alias!r}")
+                                f"{it.alias!r}", code="ColumnNameConflict")
             seen_aliases.add(it.alias)
 
         # exists((a)-->(b)) in a projection compiles via the same flag-column
@@ -1969,13 +1979,15 @@ class Planner:
             try:
                 v = _const(e, self.params)
             except Exception:
-                raise PlanError(f"{kw} expects a constant expression")
+                raise PlanError(f"{kw} expects a constant expression",
+                                code="NonConstantExpression")
             if isinstance(v, float) or not isinstance(v, int) \
                     or isinstance(v, bool):
-                raise PlanError(f"{kw} expects an integer, got {v!r}")
+                raise PlanError(f"{kw} expects an integer, got {v!r}",
+                                code="InvalidArgumentType")
             if v < 0:
                 raise PlanError(f"{kw} expects a non-negative integer, "
-                                f"got {v}")
+                                f"got {v}", code="NegativeIntegerArgument")
             return v
 
         if skip is not None:
@@ -2072,7 +2084,8 @@ def _const(expr, params):
                 else l / r
         return l % r
     raise PlanError("SKIP/LIMIT must be a constant expression "
-                    "(literal / parameter / arithmetic thereof)")
+                    "(literal / parameter / arithmetic thereof)",
+                    code="NonConstantExpression")
 
 
 def _check_no_agg_in_lambda(e: E.Expr) -> None:
@@ -2082,13 +2095,16 @@ def _check_no_agg_in_lambda(e: E.Expr) -> None:
     if isinstance(e, E.ListComprehension):
         if (e.projection is not None and E.is_aggregation(e.projection)) \
                 or (e.where is not None and E.is_aggregation(e.where)):
-            raise PlanError("aggregation inside a list comprehension")
+            raise PlanError("aggregation inside a list comprehension",
+                            code="InvalidAggregation")
     if isinstance(e, E.ListPredicate) and getattr(e, "where", None) is not None \
             and E.is_aggregation(e.where):
-        raise PlanError("aggregation inside a list predicate")
+        raise PlanError("aggregation inside a list predicate",
+                        code="InvalidAggregation")
     if isinstance(e, E.ListReduce) and (
             E.is_aggregation(e.step) or E.is_aggregation(e.init)):
-        raise PlanError("aggregation inside reduce()")
+        raise PlanError("aggregation inside reduce()",
+                        code="InvalidAggregation")
     for c in e.children():
         _check_no_agg_in_lambda(c)
 

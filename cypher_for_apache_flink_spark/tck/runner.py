@@ -60,7 +60,7 @@ class _Plan:
     unordered_lists: bool
     expect_empty: bool
     error_phase: str | None = None    # "compile time" / "runtime" / "any time"
-    error_detail: str | None = None   # TCK detail code (recorded, not matched)
+    error_detail: str | None = None   # TCK detail code (asserted when given)
 
 
 def _interpret(steps) -> _Plan:
@@ -141,6 +141,25 @@ _ERROR_CLASSES = {
 }
 
 
+# TCK detail codes raised by Spark itself rather than the engine's typed
+# hierarchy — matched by JVM/driver exception class name, since those
+# errors carry no engine `code` attribute.
+_SPARK_DETAIL_CLASSES = {
+    "DivideByZero": {"ArithmeticException", "SparkArithmeticException",
+                     "PySparkArithmeticException", "ZeroDivisionError"},
+}
+
+
+def _detail_matches(exc: BaseException, detail: str) -> bool:
+    code = getattr(exc, "code", None)
+    if code is not None:
+        return code == detail
+    allowed = _SPARK_DETAIL_CLASSES.get(detail)
+    if allowed is None:
+        return False                    # engine error without a code: fail
+    return any(c.__name__ in allowed for c in type(exc).__mro__)
+
+
 class HarnessError(Exception):
     """A failure in the harness itself (graph build, value grammar) —
     never satisfies an expected-error step (ADVICE r5: a broken fixture
@@ -191,6 +210,12 @@ def run_scenario(spark, scenario: Scenario, background=()) -> None:
             raise ScenarioFailure(
                 f"{scenario}: expected {plan.expect_error} at "
                 f"{plan.error_phase} but it was raised at {phase}") from e
+        if plan.error_detail and not _detail_matches(e, plan.error_detail):
+            raise ScenarioFailure(
+                f"{scenario}: expected error detail "
+                f"{plan.error_detail!r} but got "
+                f"code={getattr(e, 'code', None)!r} "
+                f"({type(e).__name__}: {e})") from e
         return
     if plan.expect_error:
         raise ScenarioFailure(
