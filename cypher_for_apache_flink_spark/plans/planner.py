@@ -230,32 +230,45 @@ class Planner:
             return self.plan_optional(records, clause)
 
         # ---- gather pattern info -------------------------------------
+        bound = {v.name for v in records.header.vars()} if records is not None else set()
         node_labels: dict[str, set] = {}
         rels = []       # (src_name, RelPattern(with var), dst_name)
         conjuncts: list = []
         named_parts = []
         for part in clause.patterns:
             named = self._name_pattern(part)
-            named_parts.append(named)
             for np in named.nodes:
                 node_labels.setdefault(np.var, set()).update(np.labels)
                 for k, v in np.props:
                     conjuncts.append(E.BinOp("=", E.Property(E.NodeVar(np.var), k), v))
-            elems = named.elements
+            elems = list(named.elements)
             for i in range(1, len(elems), 2):
                 rp = elems[i]
+                if not rp.var_length and rp.var in bound \
+                        and records is not None \
+                        and isinstance(records.header.var(rp.var), E.RelVar):
+                    # a relationship variable bound by an earlier clause
+                    # re-matches by IDENTITY (openCypher bound-rel
+                    # semantics): scan it under a fresh name and join back
+                    # on rel id — endpoint joins alone would be wrong for
+                    # parallel edges, and a standalone component would
+                    # otherwise cross-join unconstrained
+                    fresh = self.fresh_name()
+                    conjuncts.append(E.BinOp("=", E.RelVar(fresh),
+                                             E.RelVar(rp.var)))
+                    rp = dataclasses.replace(rp, var=fresh)
+                    elems[i] = rp
                 rels.append((elems[i - 1].var, rp, elems[i + 1].var))
                 for k, v in rp.props:
                     if not rp.var_length:
                         conjuncts.append(
                             E.BinOp("=", E.Property(E.RelVar(rp.var), k), v))
+            named_parts.append(A.PatternPart(tuple(elems), named.path_var))
 
         # Var-length rels inside a named path must retain per-hop node ids.
         self._path_rel_vars = {
             el.var for part in named_parts if part.path_var is not None
             for el in part.elements[1::2] if el.var_length}
-
-        bound = {v.name for v in records.header.vars()} if records is not None else set()
 
         # ---- pattern variable validation (TCK Semantic/Misc errors) ----
         seen_rel_vars: set = set()
@@ -861,6 +874,13 @@ class Planner:
         if track_nodes:
             h_out = h_out.added(E.Var(nodes_col), nodes_col)
         out = Records(self.session, h_out, uni)
+        if d in solved:
+            # both endpoints were already bound: the expand must FILTER on
+            # the existing destination binding, not rescan and rebind it
+            # (a rebind silently dropped the constraint — paths ending
+            # anywhere passed)
+            dcol = current.header.col(dv)
+            return out.with_df(out.df.where(F.col(end_col) == F.col(dcol)))
         if d in elidable:
             return out.with_header(out.header.added(dv, end_col))
         dst_scan = scan_nodes(self.session, self.graph, d,
@@ -1986,6 +2006,13 @@ class Planner:
                 raise PlanError(f"{kw} expects an integer, got {v!r}",
                                 code="InvalidArgumentType")
             if v < 0:
+                if isinstance(e, E.Param) and not e.name.startswith("__lit"):
+                    # a negative USER parameter is not a compile error (TCK
+                    # OrderByAcceptance "ORDER BY with negative parameter
+                    # for LIMIT should not generate errors") — it just
+                    # yields nothing / skips nothing; a negative literal
+                    # (reaching here as an extracted __lit param) still is
+                    return 0
                 raise PlanError(f"{kw} expects a non-negative integer, "
                                 f"got {v}", code="NegativeIntegerArgument")
             return v

@@ -380,3 +380,54 @@ def test_named_path_var_length_zero_hop_flipped(triangle_chain):
         "RETURN nodes(p) AS ns, relationships(p) AS rs")
     got = sorted((list(r["ns"]), list(r["rs"])) for r in res.collect())
     assert got == [([4, 5], [105]), ([5], [])]
+
+
+@pytest.fixture(scope="module")
+def chain_xy(spark):
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+    return graph_from_create(
+        spark,
+        "CREATE (a:A {name: 'A'})-[:X {p: 1}]->(b:B {name: 'B'})"
+        "-[:Y {p: 2}]->(c:C {name: 'C'})")
+
+
+def test_bound_rel_rematch_joins_by_id(chain_xy):
+    # a relationship variable bound by an earlier MATCH re-matches by
+    # identity, not by cross product (round-7 fix: fresh endpoints used to
+    # leave the component unconstrained)
+    res = chain_xy.cypher(
+        "MATCH (a)-[r]->(b) MATCH (a2)-[r]->(b2) "
+        "RETURN a2.name AS n, b2.name AS m")
+    assert bag(res) == {("A", "B"): 1, ("B", "C"): 1}
+
+
+def test_bound_rel_rematch_parallel_edges(spark):
+    from cypher_for_apache_flink_spark.sources.create import graph_from_create
+    g = graph_from_create(
+        spark, "CREATE (a:A)-[:T {p: 1}]->(b:B), (a)-[:T {p: 2}]->(b)")
+    # endpoint joins alone would multiply parallel edges 2x2; the rel-id
+    # join keeps each edge matched to itself
+    res = g.cypher("MATCH (a)-[r:T]->(b) MATCH (a)-[r:T]->(b) "
+                   "RETURN r.p AS p")
+    assert bag(res) == {(1,): 1, (2,): 1}
+
+
+def test_var_length_both_endpoints_bound(chain_xy):
+    # both endpoints pre-bound: the expand must filter on the bound
+    # destination (round-7 fix: the dst rescan silently rebound it)
+    res = chain_xy.cypher(
+        "MATCH (a:A), (c:C) MATCH p = (a)-[*1..3]->(c) "
+        "RETURN length(p) AS l")
+    assert bag(res) == {(2,): 1}
+    res2 = chain_xy.cypher(
+        "MATCH (a:A), (c:C) MATCH (a)-[rr]->(c) RETURN rr.p AS p")
+    assert bag(res2) == {}
+
+
+def test_negative_limit_parameter_is_not_an_error(chain_xy):
+    # TCK OrderByAcceptance: a negative USER parameter for LIMIT yields
+    # no rows (literal negatives are still compile errors)
+    res = chain_xy.cypher(
+        "MATCH (n) RETURN n.name AS x ORDER BY x LIMIT $lim",
+        params={"lim": -1})
+    assert bag(res) == {}
