@@ -35,3 +35,24 @@ Feature: Aggregation
       | cd | c | star |
       | 2  | 3 | 4    |
     And no side effects
+  Scenario: `min()` over mixed values
+    Given any graph
+    When executing query:
+      """
+      UNWIND [1, 'a'] AS x RETURN min(x) AS m
+      """
+    Then the result should be, in any order:
+      | m |
+      | 1 |
+    And no side effects
+
+  Scenario: `max()` over mixed values
+    Given any graph
+    When executing query:
+      """
+      UNWIND [1, 'a'] AS x RETURN max(x) AS m
+      """
+    Then the result should be, in any order:
+      | m   |
+      | 'a' |
+    And no side effects

@@ -535,3 +535,13 @@ Feature: ListOperations
       | r  |
       | [] |
     And no side effects
+  Scenario: IN should return true when both LHS and RHS contain nested lists
+    Given any graph
+    When executing query:
+      """
+      RETURN [[1, 2], [3, 4]] IN [[[1, 2], [3, 4]], [[5, 6]]] AS r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | true |
+    And no side effects

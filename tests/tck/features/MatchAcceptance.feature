@@ -289,3 +289,49 @@ Feature: MatchAcceptance
       | <(:A {name: 'A'})-[:KNOWS]->(:B {name: 'B'})> |
       | <(:A {name: 'A'})-[:KNOWS]->(:B {name: 'B'})-[:FRIEND]->(:C {name: 'C'})> |
     And no side effects
+  Scenario: Return relationships by collecting them as a list - undirected
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:A {name: 'A'})-[:T {p: 1}]->(b:B {name: 'B'})-[:T {p: 2}]->(c:C {name: 'C'})
+      """
+    When executing query:
+      """
+      MATCH (b {name: 'B'})-[r*1..1]-(x) RETURN [e IN r | e.p] AS ps
+      """
+    Then the result should be, in any order:
+      | ps  |
+      | [1] |
+      | [2] |
+    And no side effects
+
+  Scenario: Return relationships by collecting them as a list - undirected, starting from one extreme
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:A {name: 'A'})-[:T {p: 1}]->(b:B {name: 'B'})-[:T {p: 2}]->(c:C {name: 'C'})
+      """
+    When executing query:
+      """
+      MATCH (a {name: 'A'})-[r*1..2]-(x) RETURN [e IN r | e.p] AS ps
+      """
+    Then the result should be, in any order:
+      | ps     |
+      | [1]    |
+      | [1, 2] |
+    And no side effects
+
+  Scenario: Return relationships by collecting them as a list - undirected, starting from two extremes
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:A {name: 'A'})-[:T {p: 1}]->(b:B {name: 'B'})-[:T {p: 2}]->(c:C {name: 'C'})
+      """
+    When executing query:
+      """
+      MATCH (a {name: 'A'})-[r*2..2]-(c {name: 'C'}) RETURN [e IN r | e.p] AS ps
+      """
+    Then the result should be, in any order:
+      | ps     |
+      | [1, 2] |
+    And no side effects

@@ -1,0 +1,16 @@
+Feature: OrderByAcceptance
+
+  Scenario: ORDER BY with negative parameter for LIMIT should not generate errors
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({name: 'A'}), ({name: 'B'})
+      """
+    And parameters are:
+      | limit | -1 |
+    When executing query:
+      """
+      MATCH (n) RETURN n.name AS name ORDER BY name LIMIT $limit
+      """
+    Then the result should be empty
+    And no side effects

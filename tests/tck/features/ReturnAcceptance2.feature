@@ -121,3 +121,14 @@ Feature: ReturnAcceptance2
       | 2  |
       | 3  |
     And no side effects
+  Scenario: DISTINCT inside aggregation should work with nested lists of maps in maps
+    Given any graph
+    When executing query:
+      """
+      UNWIND [1, 2] AS i
+      RETURN count(DISTINCT [{a: {b: 1}}, {a: {b: 2}}]) AS c
+      """
+    Then the result should be, in any order:
+      | c |
+      | 1 |
+    And no side effects

@@ -116,3 +116,39 @@ Feature: TypeConversionFunctions
       """
     Then a TypeError should be raised at compile time: InvalidArgumentValue
     And no side effects
+  Scenario: `toInteger()` handling Any type
+    Given any graph
+    When executing query:
+      """
+      UNWIND [{v: '42'}, {v: 42}] AS m RETURN toInteger(m.v) AS x
+      """
+    Then the result should be, in any order:
+      | x  |
+      | 42 |
+      | 42 |
+    And no side effects
+
+  Scenario: `toFloat()` handling Any type
+    Given any graph
+    When executing query:
+      """
+      UNWIND [{v: '0.5'}, {v: 0.5}] AS m RETURN toFloat(m.v) AS x
+      """
+    Then the result should be, in any order:
+      | x   |
+      | 0.5 |
+      | 0.5 |
+    And no side effects
+
+  Scenario: `toString()` should work on Any type
+    Given any graph
+    When executing query:
+      """
+      UNWIND [{v: 1}, {v: 'a'}, {v: true}] AS m RETURN toString(m.v) AS x
+      """
+    Then the result should be, in any order:
+      | x      |
+      | '1'    |
+      | 'a'    |
+      | 'true' |
+    And no side effects
