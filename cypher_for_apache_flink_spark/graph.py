@@ -154,11 +154,13 @@ class PropertyGraph:
         return s
 
     # ------------------------------------------------------------------
-    def cypher(self, query: str, params: dict | None = None):
+    def cypher(self, query: str, params: dict | None = None,
+               procedures=None):
         """Run an openCypher query against this graph (primary entry point;
         reference: PropertyGraph.cypher, PropertyGraph.scala:99)."""
         from .session import CypherSession
-        return CypherSession.for_graph(self).cypher(query, params=params, graph=self)
+        return CypherSession.for_graph(self).cypher(
+            query, params=params, graph=self, procedures=procedures)
 
     def nodes(self, var: str = "n", labels=()) -> DataFrame:
         """Typed node scan (PropertyGraph.scala:69)."""

@@ -94,6 +94,19 @@ class UnwindClause:
 
 
 @dataclass(frozen=True)
+class CallClause:
+    """``CALL ns.proc(args) [YIELD a [AS x], ...]`` — procedure invocation
+    (openCypher ProcedureCallAcceptance; beyond-reference surface — the
+    reference blacklists its whole procedure corpus).  ``args`` is None
+    for the implicit-argument form (bound from query parameters by name);
+    ``yields`` is None when there is no YIELD (standalone or VOID call).
+    """
+    name: str
+    args: tuple | None
+    yields: tuple | None        # ((out_name, alias), ...)
+
+
+@dataclass(frozen=True)
 class FromGraphClause:
     """``FROM GRAPH name`` / ``FROM GRAPH view(args)`` — switch the active
     graph (Cypher 10; reference FromCatalogGraph,

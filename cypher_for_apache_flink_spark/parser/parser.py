@@ -51,7 +51,7 @@ _KEYWORDS = {
     "not", "in", "starts", "ends", "contains", "is", "null", "true", "false",
     "case", "when", "then", "else", "end", "asc", "ascending", "desc",
     "descending", "any", "none", "single", "reduce", "exists", "from",
-    "graph", "construct", "clone", "new", "set",
+    "graph", "construct", "clone", "new", "set", "call", "yield",
 }
 
 
@@ -216,6 +216,9 @@ class Parser:
                                 break
                     self.eat_punct(")")
                 clauses.append(A.FromGraphClause(gname, tuple(gargs)))
+            elif self.at_kw("call"):
+                self.next()
+                clauses.append(self.parse_call())
             elif self.at_kw("construct"):
                 self.next()
                 clauses.append(self.parse_construct())
@@ -231,6 +234,39 @@ class Parser:
         if not clauses:
             self.err("expected a clause")
         return A.SingleQuery(tuple(clauses))
+
+    def parse_call(self) -> A.CallClause:
+        """CALL ns.proc[(arg, ...)] [YIELD out [AS alias], ...]"""
+        name = self.ident()
+        while self.at_punct(".") and self.peek(1).kind in ("IDENT", "KW"):
+            self.next()
+            name += "." + self.ident()
+        args = None
+        if self.at_punct("("):
+            self.next()
+            args = []
+            if not self.at_punct(")"):
+                while True:
+                    args.append(self.parse_expr())
+                    if not self.opt_punct(","):
+                        break
+            self.eat_punct(")")
+            args = tuple(args)
+        yields = None
+        if self.at_kw("yield"):
+            self.next()
+            yields = []
+            while True:
+                out = self.ident()
+                alias = out
+                if self.at_kw("as"):
+                    self.next()
+                    alias = self.ident()
+                yields.append((out, alias))
+                if not self.opt_punct(","):
+                    break
+            yields = tuple(yields)
+        return A.CallClause(name, args, yields)
 
     def ident(self) -> str:
         t = self.peek()

@@ -160,6 +160,7 @@ class Planner:
     def plan_single(self, q: A.SingleQuery, initial: Records | None = None):
         records = initial
         outputs = None
+        call_outputs = None
         pending_construct = None
         # Whole-query variable usage: a node var never referenced by any
         # expression, label, property map, or CONSTRUCT in the query needs
@@ -181,6 +182,16 @@ class Planner:
                                           query_refs=query_refs)
             elif isinstance(clause, A.UnwindClause):
                 records = self.plan_unwind(records, clause)
+            elif isinstance(clause, A.CallClause):
+                if clause.yields is None and len(q.clauses) > 1:
+                    # openCypher: CALL without YIELD is only legal as a
+                    # standalone (whole-query) clause — unless VOID
+                    proc = self.session.procedures.get(clause.name)
+                    if proc is not None and proc.outputs:
+                        raise PlanError(
+                            "in-query CALL requires YIELD",
+                            code="InvalidClauseComposition")
+                records, call_outputs = self.plan_call(records, clause)
             elif isinstance(clause, A.FromGraphClause):
                 # FromCatalogGraph (RelationalOperator.scala:410): switch the
                 # active graph for subsequent clauses; view invocations
@@ -211,12 +222,138 @@ class Planner:
         if pending_construct is not None and self.result_graph is None:
             raise PlanError("CONSTRUCT must be followed by RETURN GRAPH")
         if outputs is None:
+            if call_outputs is not None:
+                # standalone CALL: the procedure's (yielded) columns ARE
+                # the result table, no RETURN required
+                return records, call_outputs
             raise PlanError("query must end with RETURN")
         return records, outputs
 
     # ------------------------------------------------------------------
     # MATCH
     # ------------------------------------------------------------------
+    def plan_call(self, records, clause: A.CallClause):
+        """CALL ns.proc(args) [YIELD ...] — procedure invocation.
+
+        Table-backed procedures (the TCK stub shape, procedures.py) plan
+        as a null-safe equi-join of the record stream against the
+        (broadcastable) procedure relation on the argument columns — no
+        per-row Python, so an in-query CALL over a billion rows is just a
+        broadcast join.  Function-backed procedures require plan-time
+        constant arguments and cross-join their result.  Returns
+        (records, outputs) where outputs lists the yielded columns.
+        """
+        from ..procedures import _SPARK_TYPES
+
+        proc = self.session.procedures.get(clause.name)
+        if proc is None:
+            raise PlanError(f"there is no procedure named {clause.name!r}",
+                            code="ProcedureNotFound")
+        spark = self.session.spark
+        standalone = records is None
+        if records is None:
+            records = Records(self.session, Header({}),
+                              spark.range(1).select())
+
+        # ---- argument expressions ------------------------------------
+        if clause.args is None:
+            # implicit form: arguments bound from query parameters by name
+            arg_exprs = []
+            for nm, _t in proc.inputs:
+                if nm not in self.params:
+                    raise PlanError(
+                        f"missing parameter {nm!r} for implicit procedure "
+                        "argument", code="ParameterMissing")
+                arg_exprs.append(E.Lit(self.params[nm]))
+        else:
+            if len(clause.args) != len(proc.inputs):
+                raise PlanError(
+                    f"procedure {clause.name} expects "
+                    f"{len(proc.inputs)} argument(s), got "
+                    f"{len(clause.args)}", code="InvalidNumberOfArguments")
+            arg_exprs = [resolve_vars(a, records.header)
+                         for a in clause.args]
+
+        # ---- yielded outputs -----------------------------------------
+        declared = {nm for nm, _ in proc.outputs}
+        yields = clause.yields
+        if yields is None:
+            yields = tuple((nm, nm) for nm, _ in proc.outputs)
+        for out, _alias in yields:
+            if out not in declared:
+                raise PlanError(
+                    f"procedure {clause.name} has no output field {out!r}",
+                    code="UnknownProcedureOutput")
+
+        base = self.fresh_name()
+        if not proc.outputs and proc.fn is None:
+            # VOID procedure: executes for its (non-)effect; the record
+            # stream passes through (standalone: empty result)
+            if standalone:
+                return Records(self.session, Header({}),
+                               spark.range(0).select()), []
+            return records, []
+
+        if proc.fn is not None:
+            from ..operators.columns import _NO_CONST, plan_const
+            vals = []
+            for e in arg_exprs:
+                v = plan_const(e, ExprContext(records.header, records.df,
+                                              self.params))
+                if v is _NO_CONST:
+                    raise PlanError(
+                        f"function-backed procedure {clause.name} requires "
+                        "constant arguments")
+                vals.append(v)
+            out_df = proc.fn(spark, *vals)
+            tbl = out_df.toDF(*[f"{base}_{nm}" for nm, _ in proc.outputs])
+            joined = records.df.crossJoin(F.broadcast(tbl)) \
+                if records.df.columns else tbl
+        else:
+            # table-backed: one relation (inputs + outputs), join on args
+            names = [nm for nm, _ in proc.inputs + proc.outputs]
+            schema = proc.spark_schema()
+            if schema is not None:
+                tbl = spark.createDataFrame(list(proc.rows), schema)
+            else:
+                tbl = spark.createDataFrame(list(proc.rows), names)
+            tbl = tbl.toDF(*[f"{base}_{nm}" for nm in names])
+            ctx = ExprContext(records.header, records.df, self.params)
+            df = records.df
+            conds = []
+            for i, ((nm, t), e) in enumerate(zip(proc.inputs, arg_exprs)):
+                st = _SPARK_TYPES.get(t.upper())
+                c = to_column(e, ctx)
+                if st is not None:
+                    # numeric-tower coercion: INTEGER accepts FLOAT values
+                    # and NUMBER accepts both (TCK argument-coercion rows)
+                    c = c.cast(st)
+                df = df.withColumn(f"{base}_arg{i}", c)
+                conds.append(F.col(f"{base}_arg{i}")
+                             .eqNullSafe(F.col(f"{base}_{nm}")))
+            if conds:
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                joined = df.join(F.broadcast(tbl), cond, "inner")
+            elif df.columns:
+                joined = df.crossJoin(F.broadcast(tbl))
+            else:
+                joined = tbl
+            joined = joined.drop(*[f"{base}_arg{i}"
+                                   for i in range(len(proc.inputs))])
+            joined = joined.drop(*[f"{base}_{nm}"
+                                   for nm, _ in proc.inputs])
+
+        h = records.header
+        outs = []
+        for out, alias in yields:
+            h = h.added(E.Var(alias), f"{base}_{out}")
+            outs.append((alias, f"{base}_{out}"))
+        keep = records.df.columns + [f"{base}_{out}" for out, _ in yields]
+        joined = joined.select(*dict.fromkeys(keep))
+        return Records(self.session, h, joined), outs
+
     def plan_match(self, records, clause: A.MatchClause,
                    id_only: frozenset = frozenset(),
                    query_refs=None) -> Records:
@@ -2059,6 +2196,9 @@ def _query_var_refs(q: A.SingleQuery):
                 _expr_var_names(w, refs)
         elif isinstance(clause, A.UnwindClause):
             _expr_var_names(clause.expr, refs)
+        elif isinstance(clause, A.CallClause):
+            for a in clause.args or ():
+                _expr_var_names(a, refs)
         elif isinstance(clause, A.MatchClause):
             if clause.where is not None:
                 _expr_var_names(clause.where, refs)

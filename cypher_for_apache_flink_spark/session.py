@@ -297,6 +297,12 @@ class CypherSession:
         self.catalog: dict[str, PropertyGraph] = {}
         # name -> (param names, body text) graph views (CatalogDDLTests)
         self.views: dict[str, tuple] = {}
+        # name -> procedures.Procedure (CALL ... YIELD ...)
+        self.procedures: dict = {}
+
+    def register_procedure(self, proc) -> None:
+        """Register a :class:`~.procedures.Procedure` for ``CALL``."""
+        self.procedures[proc.name] = proc
 
     @classmethod
     def for_graph(cls, graph: PropertyGraph) -> "CypherSession":
@@ -354,7 +360,8 @@ class CypherSession:
     # -- query ----------------------------------------------------------
     def cypher(self, query: str, params: dict | None = None,
                graph: PropertyGraph | str | None = None,
-               driving_table: DataFrame | None = None) -> CypherResult:
+               driving_table: DataFrame | None = None,
+               procedures=None) -> CypherResult:
         """Run a Cypher query.  ``driving_table`` threads an input DataFrame
         into the plan as the initial scope (reference: DrivingTable leaf —
         LogicalOperator.scala:342, RelationalPlanner.scala:90): each of its
@@ -378,6 +385,9 @@ class CypherSession:
         ast, auto_params = parse_parameterized(query)
         if params:
             auto_params.update(params)
+        if procedures:
+            for p in procedures:
+                self.register_procedure(p)
         planner = Planner(self, graph, auto_params)
         initial = None
         if driving_table is not None:

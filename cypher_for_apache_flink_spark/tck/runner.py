@@ -61,6 +61,7 @@ class _Plan:
     expect_empty: bool
     error_phase: str | None = None    # "compile time" / "runtime" / "any time"
     error_detail: str | None = None   # TCK detail code (asserted when given)
+    procedures: list = None           # [(signature, rows), ...] stubs
 
 
 def _interpret(steps) -> _Plan:
@@ -81,6 +82,15 @@ def _interpret(steps) -> _Plan:
         if low == "parameters are" or low == "parameter values are":
             for row in (step.table or []):
                 plan.params[row[0]] = _param_value(parse_tck_value(row[1]))
+            continue
+        if low.startswith("there exists a procedure"):
+            # "there exists a procedure <signature>:" with a value table
+            # (header row = input names + output names) — registers a
+            # table-backed stub, the TCK's procedure fixture shape
+            sig = text[len("there exists a procedure"):].strip()
+            rows = [tuple(_param_value(parse_tck_value(c)) for c in r)
+                    for r in (step.table or [])[1:]]
+            plan.procedures = (plan.procedures or []) + [(sig, rows)]
             continue
         if low == "executing query" or low == "executing control query":
             plan.query = step.docstring
@@ -192,9 +202,20 @@ def run_scenario(spark, scenario: Scenario, background=()) -> None:
     except Exception as e:
         raise HarnessError(f"{scenario}: graph setup failed: {e}") from e
 
+    procs = None
+    if plan.procedures:
+        from ..procedures import table_procedure
+        try:
+            procs = [table_procedure(sig, rows)
+                     for sig, rows in plan.procedures]
+        except Exception as e:
+            raise HarnessError(
+                f"{scenario}: procedure fixture failed: {e}") from e
+
     phase, rows = "compile time", None
     try:
-        res = g.cypher(plan.query, params=plan.params or None)
+        res = g.cypher(plan.query, params=plan.params or None,
+                       procedures=procs)
         phase = "runtime"
         rows = res.to_maps()
     except TckValueError:
