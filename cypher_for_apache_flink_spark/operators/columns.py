@@ -62,6 +62,19 @@ class ExprContext:
 _NO_CONST = object()
 
 
+def const_number(e, ctx):
+    """plan_const extended over unary minus (a negative literal arrives
+    as Neg(extracted positive literal))."""
+    v = plan_const(e, ctx)
+    if v is not _NO_CONST:
+        return v
+    if isinstance(e, E.Neg):
+        v = plan_const(e.child, ctx)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return -v
+    return _NO_CONST
+
+
 def plan_const(expr: E.Expr, ctx: "ExprContext"):
     """Plan-time-constant value of an expression: a literal, or a parameter
     whose value is bound in this plan (literal->parameter extraction makes
@@ -668,6 +681,26 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         owner = to_column(expr.owner, ctx)
         ot = spark_dtype(expr.owner, ctx)
         idx = to_column(expr.index, ctx)
+        it = spark_dtype(expr.index, ctx)
+        # static index-type checks (TCK ExpressionAcceptance/ListOperations
+        # "Fail ... when attempting to index ..."): maps take string keys,
+        # lists take integer indexes — a columnar engine decides this at
+        # plan time (strictly earlier than the TCK's runtime errors)
+        is_path = _is(ot, T.StructType) \
+            and set(ot.fieldNames()) == {"nodes", "rels"}
+        if (_is(ot, T.MapType) or (_is(ot, T.StructType) and not is_path
+                                   and not is_duration_type(ot))) \
+                and it is not None \
+                and not _is(it, (T.StringType, T.NullType)):
+            raise PlanError("map element access requires a string key, "
+                            f"got {it.simpleString()}",
+                            code="InvalidArgumentType")
+        if _is(ot, T.ArrayType) and it is not None \
+                and not _is(it, (T.ByteType, T.ShortType, T.IntegerType,
+                                 T.LongType, T.NullType)):
+            raise PlanError("list element access requires an integer "
+                            f"index, got {it.simpleString()}",
+                            code="InvalidArgumentType")
         if _is(ot, T.MapType):
             return F.try_element_at(owner, idx)
         key = plan_const(expr.index, ctx)
@@ -1158,6 +1191,17 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         return a(0)  # var column already stores the id
     if name == "labels":
         var = args[0]
+        if isinstance(var, E.Lit) and var.value is None:
+            return F.lit(None).cast("array<string>")
+        _lt = spark_dtype(var, ctx)
+        if isinstance(var, (E.Lit, E.Param)) \
+                or isinstance(var, E.RelVar) \
+                or (_is(_lt, T.StructType)
+                    and set(_lt.fieldNames()) == {"nodes", "rels"}):
+            # literals, relationships and paths have no labels (TCK
+            # FunctionsAcceptance "labels() failing on ...")
+            raise PlanError("labels() expects a node",
+                            code="InvalidArgumentType")
         pairs = sorted(
             ((e.label, ctx.header.col(e)) for e in ctx.header.exprs()
              if isinstance(e, E.HasLabel) and e.node == var),
@@ -1220,6 +1264,21 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         return F.array().cast("array<string>")
     if name == "properties":
         var = args[0]
+        if isinstance(var, E.Lit) and var.value is None:
+            return F.lit(None)
+        _pt = spark_dtype(var, ctx)
+        if not isinstance(var, (E.NodeVar, E.RelVar)) and (
+                (isinstance(var, (E.Lit, E.Param))
+                 and not isinstance(plan_const(var, ctx), dict))
+                or _is(_pt, (T.ArrayType, T.StringType, T.BooleanType))
+                or isinstance(_pt, _NUMERIC_TYPES)):
+            # only nodes, relationships and maps carry properties (TCK
+            # FunctionsAcceptance "properties() failing on ...")
+            raise PlanError("properties() expects a node, relationship "
+                            "or map", code="InvalidArgumentType")
+        if _is(_pt, (T.MapType, T.StructType)) \
+                and not isinstance(var, (E.NodeVar, E.RelVar)):
+            return a(0)         # properties(map) is the map itself
         props = sorted(
             ((e.key, ctx.header.col(e)) for e in ctx.header.exprs()
              if isinstance(e, E.Property) and e.owner == var),
@@ -1234,6 +1293,12 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             return F.when(F.col(idc).isNull(), F.lit(None)).otherwise(out)
         return out
     if name == "exists":
+        if not isinstance(args[0], E.Property):
+            # TCK SemanticErrorAcceptance "Failing when checking existence
+            # of a non-property and non-pattern" (pattern forms are
+            # planned as PatternPredicate before reaching here)
+            raise PlanError("exists() expects a property or a pattern",
+                            code="InvalidArgumentExpression")
         return a(0).isNotNull()
     if name == "timestamp":
         return F.unix_millis(F.current_timestamp())
@@ -1265,6 +1330,11 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         s = int(plan_const(args[2], ctx)) if len(args) > 2 else 0
         return a(0).cast(f"decimal({p},{s})")
     if name in ("tointeger", "tofloat"):
+        if isinstance(args[0], (E.NodeVar, E.RelVar)):
+            # the entity's id column is numeric, but converting an entity
+            # is a type error (TCK "failing on invalid arguments")
+            raise PlanError(f"{name}() expects a string or number, "
+                            "got an entity", code="InvalidArgumentValue")
         t = spark_dtype(args[0], ctx)
         if t is not None and not _is(t, (T.StringType, T.NullType)) \
                 and not isinstance(t, T.NumericType):
@@ -1284,6 +1354,17 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         return src.cast("long" if name == "tointeger" else "double")
     if name == "tostring":
         t = spark_dtype(args[0], ctx)
+        if isinstance(args[0], (E.NodeVar, E.RelVar)) \
+                or _is(t, (T.ArrayType, T.MapType)) \
+                or (_is(t, T.StructType) and not (
+                    is_duration_type(t) or is_time_type(t)
+                    or is_localtime_type(t))):
+            # openCypher (TCK TypeConversionFunctions "failing on invalid
+            # arguments"): toString converts numbers, strings, booleans
+            # and temporal values only
+            raise PlanError(f"toString() expects a number, string, boolean "
+                            f"or temporal value",
+                            code="InvalidArgumentValue")
         if is_duration_type(t):
             # ISO-8601 rendering (neo4j style): P[yY][mM][dD]T[hH][mM][sS],
             # zero components omitted, all-zero -> PT0S
@@ -1414,6 +1495,12 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if name in ("size", "length"):
         t = spark_dtype(args[0], ctx)
         if _is(t, T.StructType) and set(t.fieldNames()) == {"nodes", "rels"}:
+            if name == "size":
+                # size() takes lists and strings; paths use length()
+                # (TCK SemanticErrorAcceptance "Failing for size() on
+                # paths")
+                raise PlanError("size() expects a list or string, got a "
+                                "path", code="InvalidArgumentType")
             # length(path) = number of relationships
             return F.size(a(0).getField("rels")).cast("long")
         if _is(t, T.NullType):
@@ -1933,6 +2020,14 @@ def compile_aggregator(expr: E.Expr, ctx: ExprContext) -> Column:
         return F.stddev_samp(arg)
     if n == "stdevp":
         return F.stddev_pop(arg)
+    if n in ("percentilecont", "percentiledisc"):
+        pv = const_number(expr.args[1], ctx)
+        if isinstance(pv, (int, float)) and not isinstance(pv, bool) \
+                and not 0.0 <= pv <= 1.0:
+            # TCK FunctionsAcceptance "percentileCont()/percentileDisc()
+            # failing on bad arguments": percentile must be in [0, 1]
+            raise PlanError(f"percentile must be between 0.0 and 1.0, "
+                            f"got {pv}", code="NumberOutOfRange")
     if n == "percentilecont":
         # Exact interpolated percentile — built-in since Spark 3.5
         # (the reference needed an O(group)-memory UDAF: PercentileUdafs.scala:41).

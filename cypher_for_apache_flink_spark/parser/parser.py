@@ -55,6 +55,17 @@ _KEYWORDS = {
 }
 
 
+def _finite_float(text: str, pos: int) -> float:
+    """Float literal -> value; overflow to infinity is a user error (TCK
+    SemanticErrorAcceptance FloatingPointOverflow)."""
+    v = float(text)
+    if v in (float("inf"), float("-inf")):
+        raise CypherSyntaxError(
+            f"floating point number is too large at {pos}: {text}",
+            code="FloatingPointOverflow")
+    return v
+
+
 class Tok:
     __slots__ = ("kind", "text", "pos", "raw")
 
@@ -692,7 +703,7 @@ class Parser:
             return E.Lit(int(t.text))
         if t.kind == "FLOAT":
             self.next()
-            return E.Lit(float(t.text))
+            return E.Lit(_finite_float(t.text, t.pos))
         if t.kind == "STRING":
             self.next()
             return E.Lit(_unescape(t.text))
@@ -1017,7 +1028,7 @@ def parameterize(src: str):
         if t.kind == "INT":
             v = int(t.text)
         elif t.kind == "FLOAT":
-            v = float(t.text)
+            v = _finite_float(t.text, t.pos)
         else:
             v = _unescape(t.text)
         name = f"__lit{len(values)}"

@@ -256,6 +256,13 @@ class Planner:
                               spark.range(1).select())
 
         # ---- argument expressions ------------------------------------
+        if clause.args is None and proc.inputs and not standalone:
+            # openCypher: the implicit-argument form is only legal for a
+            # standalone CALL (TCK "fails when trying to pass them
+            # implicitly")
+            raise PlanError(
+                "in-query CALL requires explicit arguments",
+                code="InvalidArgumentPassingMode")
         if clause.args is None:
             # implicit form: arguments bound from query parameters by name
             arg_exprs = []
@@ -284,6 +291,28 @@ class Planner:
                 raise PlanError(
                     f"procedure {clause.name} has no output field {out!r}",
                     code="UnknownProcedureOutput")
+
+        # plan-time type check of constant arguments against the
+        # declared signature (numeric tower collapses: INTEGER and FLOAT
+        # accept each other and NUMBER accepts both)
+        from ..operators.columns import _NO_CONST as _NC, plan_const as _pc
+        _OK = {"INTEGER": (int, float), "FLOAT": (int, float),
+               "NUMBER": (int, float), "STRING": (str,),
+               "BOOLEAN": (bool,)}
+        _ctx0 = ExprContext(records.header, records.df, self.params)
+        for (nm, t), e in zip(proc.inputs, arg_exprs):
+            ok = _OK.get(t.upper())
+            if ok is None:
+                continue
+            v = _pc(e, _ctx0)
+            if v is _NC or v is None:
+                continue
+            if isinstance(v, bool) and bool not in ok or \
+                    not isinstance(v, ok):
+                raise PlanError(
+                    f"procedure {clause.name} argument {nm!r} expects "
+                    f"{t}, got {type(v).__name__}",
+                    code="InvalidArgumentType")
 
         base = self.fresh_name()
         if not proc.outputs and proc.fn is None:
@@ -348,6 +377,11 @@ class Planner:
         h = records.header
         outs = []
         for out, alias in yields:
+            if not standalone and h.var(alias) is not None:
+                # TCK: a yielded name must not shadow a bound variable
+                raise PlanError(
+                    f"variable {alias!r} already bound",
+                    code="VariableAlreadyBound")
             h = h.added(E.Var(alias), f"{base}_{out}")
             outs.append((alias, f"{base}_{out}"))
         keep = records.df.columns + [f"{base}_{out}" for out, _ in yields]
@@ -374,6 +408,11 @@ class Planner:
         named_parts = []
         for part in clause.patterns:
             named = self._name_pattern(part)
+            if named.path_var and named.path_var in bound:
+                # TCK MiscellaneousErrorAcceptance: a named-path variable
+                # cannot be re-bound by a later MATCH
+                raise PlanError(f"path variable {named.path_var!r} already "
+                                "bound", code="VariableAlreadyBound")
             for np in named.nodes:
                 node_labels.setdefault(np.var, set()).update(np.labels)
                 for k, v in np.props:
@@ -381,6 +420,17 @@ class Planner:
             elems = list(named.elements)
             for i in range(1, len(elems), 2):
                 rp = elems[i]
+                if not rp.var_length and rp.var in bound \
+                        and records is not None \
+                        and isinstance(records.header.var(rp.var),
+                                       E.ListRelVar):
+                    # TCK MiscellaneousErrorAcceptance: a var-length
+                    # relationship LIST cannot re-match as a single
+                    # relationship
+                    raise PlanError(
+                        f"variable {rp.var!r} is a variable-length "
+                        "relationship list and cannot be used as a single "
+                        "relationship", code="VariableTypeConflict")
                 if not rp.var_length and rp.var in bound \
                         and records is not None \
                         and isinstance(records.header.var(rp.var), E.RelVar):
@@ -2039,6 +2089,14 @@ class Planner:
         PercentileUdafs.scala:41)."""
         from pyspark.sql import Window
 
+        from ..operators.columns import const_number as _cn
+        pv = _cn(pd_expr.args[1], ctx)
+        if isinstance(pv, (int, float)) and not isinstance(pv, bool) \
+                and not 0.0 <= pv <= 1.0:
+            # TCK FunctionsAcceptance "percentileDisc() failing on bad
+            # arguments": percentile must be in [0, 1]
+            raise PlanError(f"percentile must be between 0.0 and 1.0, "
+                            f"got {pv}", code="NumberOutOfRange")
         arg = to_column(pd_expr.args[0], ctx)
         p = to_column(pd_expr.args[1], ctx)
         base = df.select(*group_cols, arg.alias("__pd_v")) \

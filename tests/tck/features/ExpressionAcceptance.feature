@@ -64,3 +64,74 @@ Feature: ExpressionAcceptance
       | li | ls     | ma |
       | 2  | [2, 3] | 10 |
     And no side effects
+  Scenario: Fail at runtime when attempting to index with an Int into a Map
+    Given any graph
+    When executing query:
+      """
+      RETURN {name: 'Mats'}[0] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Fail at runtime when trying to index into a map with a non-string
+    Given any graph
+    When executing query:
+      """
+      WITH {name: 'Mats'} AS map, 0 AS idx RETURN map[idx] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Fail at runtime when attempting to index with a String into a Collection
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2, 3]['foo'] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Fail at runtime when trying to index into a list with a list
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2, 3][[1]] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Fail at compile time when attempting to index with a non-integer into a list
+    Given any graph
+    When executing query:
+      """
+      RETURN [1, 2, 3][1.5] AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: Fail at runtime when attempting to index with a non-integer into a list
+    Given any graph
+    When executing query:
+      """
+      WITH [1, 2, 3] AS l, 1.5 AS idx RETURN l[idx] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Fail at runtime when trying to index something which is not a map or collection
+    Given any graph
+    When executing query:
+      """
+      WITH 1 AS nope RETURN nope[0] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Fail at runtime when trying to index something which is not a map or list
+    Given any graph
+    When executing query:
+      """
+      WITH true AS nope RETURN nope[0] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects

@@ -186,3 +186,192 @@ Feature: FunctionsAcceptance
       | ['Foo']        |
       | ['Foo', 'Bar'] |
     And no side effects
+  Scenario: `type()` failing on invalid arguments #1
+    Given any graph
+    When executing query:
+      """
+      RETURN type(1) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `type()` failing on invalid arguments #2
+    Given any graph
+    When executing query:
+      """
+      RETURN type('s') AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `type()` failing on invalid arguments #3
+    Given any graph
+    When executing query:
+      """
+      RETURN type([1]) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `type()` failing on invalid arguments #4
+    Given any graph
+    When executing query:
+      """
+      RETURN type({a: 1}) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `type()` failing on invalid arguments #5
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})
+      """
+    When executing query:
+      """
+      MATCH (n:A) RETURN type(n) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `percentileCont()` failing on bad arguments #1
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {num: 1}), (:N {num: 2})
+      """
+    When executing query:
+      """
+      MATCH (n:N) RETURN percentileCont(n.num, 1.5) AS p
+      """
+    Then an ArgumentError should be raised at compile time
+    And no side effects
+
+  Scenario: `percentileCont()` failing on bad arguments #2
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {num: 1}), (:N {num: 2})
+      """
+    When executing query:
+      """
+      MATCH (n:N) RETURN percentileCont(n.num, -0.5) AS p
+      """
+    Then an ArgumentError should be raised at compile time
+    And no side effects
+
+  Scenario: `percentileCont()` failing on bad arguments #3
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {num: 1}), (:N {num: 2})
+      """
+    When executing query:
+      """
+      MATCH (n:N) RETURN percentileCont(n.num, 100) AS p
+      """
+    Then an ArgumentError should be raised at compile time
+    And no side effects
+
+  Scenario: `percentileDisc()` failing on bad arguments #1
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {num: 1}), (:N {num: 2})
+      """
+    When executing query:
+      """
+      MATCH (n:N) RETURN percentileDisc(n.num, 1.5) AS p
+      """
+    Then an ArgumentError should be raised at compile time
+    And no side effects
+
+  Scenario: `percentileDisc()` failing on bad arguments #2
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {num: 1}), (:N {num: 2})
+      """
+    When executing query:
+      """
+      MATCH (n:N) RETURN percentileDisc(n.num, -0.5) AS p
+      """
+    Then an ArgumentError should be raised at compile time
+    And no side effects
+
+  Scenario: `percentileDisc()` failing on bad arguments #3
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {num: 1}), (:N {num: 2})
+      """
+    When executing query:
+      """
+      MATCH (n:N) RETURN percentileDisc(n.num, 100) AS p
+      """
+    Then an ArgumentError should be raised at compile time
+    And no side effects
+
+  Scenario: `percentileDisc()` failing in more involved query
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {num: 1}), (:N {num: 2}), (:N {num: 3})
+      """
+    When executing query:
+      """
+      MATCH (n:N) WITH n ORDER BY n.num LIMIT 2
+      RETURN percentileDisc(n.num, 10.0) AS p
+      """
+    Then an ArgumentError should be raised at compile time
+    And no side effects
+
+  Scenario: `properties()` failing on an integer literal
+    Given any graph
+    When executing query:
+      """
+      RETURN properties(1) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `properties()` failing on a string literal
+    Given any graph
+    When executing query:
+      """
+      RETURN properties('foo') AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `properties()` failing on a list of booleans
+    Given any graph
+    When executing query:
+      """
+      RETURN properties([true, false]) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `labels()` failing on a path
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})-[:X]->(:B)
+      """
+    When executing query:
+      """
+      MATCH p = (a:A)-->() RETURN labels(p) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `labels()` failing on invalid arguments
+    Given any graph
+    When executing query:
+      """
+      RETURN labels(1) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects

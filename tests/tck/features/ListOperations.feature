@@ -545,3 +545,29 @@ Feature: ListOperations
       | r    |
       | true |
     And no side effects
+  Scenario: Fail at runtime when attempting to index with a String into a List
+    Given any graph
+    When executing query:
+      """
+      WITH ['a', 'b'] AS l RETURN l['foo'] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Fail at runtime when trying to index into a list with a list
+    Given any graph
+    When executing query:
+      """
+      WITH [1, 2] AS l RETURN l[[0]] AS x
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Fail at compile time when attempting to index with a non-integer into a list
+    Given any graph
+    When executing query:
+      """
+      WITH [1, 2] AS l RETURN l[0.5] AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects

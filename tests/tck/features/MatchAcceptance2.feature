@@ -806,3 +806,30 @@ Feature: MatchAcceptance2
       | name |
       | 'n6' |
     And no side effects
+  Scenario: Fail when using property access on primitive type
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})
+      """
+    When executing query:
+      """
+      MATCH (n:A) WITH n.name AS x RETURN x.prop AS y
+      """
+    Then a TypeError should be raised at any time
+    And no side effects
+
+  Scenario: Do not fail when evaluating predicates with illegal operations if the OR'd predicate evaluates to true
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A', num: 1})
+      """
+    When executing query:
+      """
+      MATCH (n:A) WHERE true OR n.num.foo = 1 RETURN n.name AS name
+      """
+    Then the result should be, in any order:
+      | name |
+      | 'A'  |
+    And no side effects

@@ -80,3 +80,112 @@ Feature: MiscellaneousErrorAcceptance
       """
     Then a SyntaxError should be raised at compile time: NoVariablesInScope
     And no side effects
+  Scenario: Failing on aggregation in ORDER BY after WITH
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({num: 1}), ({num: 2})
+      """
+    When executing query:
+      """
+      MATCH (n) WITH n.num AS x ORDER BY count(*) RETURN x
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing when using a path variable that is already bound
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})-[:X]->(:B)
+      """
+    When executing query:
+      """
+      MATCH p = (a:A)-->(b) WITH p MATCH p = (x)-->(y) RETURN p
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing when using a variable length relationship as a single relationship
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})-[:X]->(:B)
+      """
+    When executing query:
+      """
+      MATCH (a)-[r*1..2]->(b) WITH r, a, b MATCH (a)-[r]->(b) RETURN r
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+  Scenario: Failing on merging relationship with null property
+    Given any graph
+    When executing query:
+      """
+      CREATE (a), (b) MERGE (a)-[r:X {p: null}]->(b)
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing on merging node with null property
+    Given any graph
+    When executing query:
+      """
+      MERGE ({p: null})
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing when using undefined variable in SET
+    Given any graph
+    When executing query:
+      """
+      MATCH (a) SET a.name = missing RETURN a
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing when using undefined variable in DELETE
+    Given any graph
+    When executing query:
+      """
+      MATCH (a) DELETE x
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing when using a variable that is already bound in CREATE
+    Given any graph
+    When executing query:
+      """
+      MATCH (a) CREATE (a {name: 'foo'})
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing when creating without direction
+    Given any graph
+    When executing query:
+      """
+      CREATE (a)-[:FOO]-(b)
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing when creating with two directions
+    Given any graph
+    When executing query:
+      """
+      CREATE (a)<-[:FOO]->(b)
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Failing when deleting a label
+    Given any graph
+    When executing query:
+      """
+      MATCH (n) DELETE n:Person
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects

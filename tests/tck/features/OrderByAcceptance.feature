@@ -14,3 +14,15 @@ Feature: OrderByAcceptance
       """
     Then the result should be empty
     And no side effects
+  Scenario: ORDER BY with a negative LIMIT should fail with a syntax exception
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({name: 'A'}), ({name: 'B'})
+      """
+    When executing query:
+      """
+      MATCH (n) RETURN n.name AS name ORDER BY name LIMIT -1
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects

@@ -368,3 +368,180 @@ Feature: ProcedureCallAcceptance
       | first           | second |
       | ['A', 'B', 'C'] | 3      |
     And no side effects
+  Scenario: Standalone call to unknown procedure should fail
+    Given an empty graph
+    When executing query:
+      """
+      CALL test.unknown.procedure()
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: In-query call to unknown procedure should fail
+    Given an empty graph
+    When executing query:
+      """
+      CALL test.unknown.procedure() YIELD out RETURN out
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Standalone call to procedure should fail if input type is wrong
+    Given an empty graph
+    And there exists a procedure test.my.proc(in :: INTEGER?) :: (out :: STRING?):
+      | in | out      |
+      | 42 | 'wisdom' |
+    When executing query:
+      """
+      CALL test.my.proc(true)
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: In-query call to procedure should fail if input type is wrong
+    Given an empty graph
+    And there exists a procedure test.my.proc(in :: INTEGER?) :: (out :: STRING?):
+      | in | out      |
+      | 42 | 'wisdom' |
+    When executing query:
+      """
+      CALL test.my.proc(true) YIELD out RETURN out
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: Standalone call to procedure should fail if explicit argument is missing
+    Given an empty graph
+    And there exists a procedure test.my.proc(name :: STRING?, id :: INTEGER?) :: (city :: STRING?):
+      | name     | id | city    |
+      | 'Andres' | 1  | 'Malmo' |
+    When executing query:
+      """
+      CALL test.my.proc('Andres')
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: In-query call to procedure should fail if explicit argument is missing
+    Given an empty graph
+    And there exists a procedure test.my.proc(name :: STRING?, id :: INTEGER?) :: (city :: STRING?):
+      | name     | id | city    |
+      | 'Andres' | 1  | 'Malmo' |
+    When executing query:
+      """
+      CALL test.my.proc('Andres') YIELD city RETURN city
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Standalone call to procedure should fail if too many explicit argument are given
+    Given an empty graph
+    And there exists a procedure test.my.proc(name :: STRING?) :: (city :: STRING?):
+      | name     | city    |
+      | 'Andres' | 'Malmo' |
+    When executing query:
+      """
+      CALL test.my.proc('Andres', 1, 2)
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: In-query call to procedure should fail if too many explicit argument are given
+    Given an empty graph
+    And there exists a procedure test.my.proc(name :: STRING?) :: (city :: STRING?):
+      | name     | city    |
+      | 'Andres' | 'Malmo' |
+    When executing query:
+      """
+      CALL test.my.proc('Andres', 1, 2) YIELD city RETURN city
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Standalone call to procedure should fail if implicit argument is missing
+    Given an empty graph
+    And there exists a procedure test.my.proc(name :: STRING?, id :: INTEGER?) :: (city :: STRING?):
+      | name     | id | city    |
+      | 'Andres' | 1  | 'Malmo' |
+    And parameters are:
+      | name | 'Andres' |
+    When executing query:
+      """
+      CALL test.my.proc
+      """
+    Then a ParameterMissing should be raised at compile time
+    And no side effects
+
+  Scenario: In-query call to procedure that takes arguments fails when trying to pass them implicitly
+    Given an empty graph
+    And there exists a procedure test.my.proc(name :: STRING?) :: (city :: STRING?):
+      | name     | city    |
+      | 'Andres' | 'Malmo' |
+    And parameters are:
+      | name | 'Andres' |
+    When executing query:
+      """
+      UNWIND [1] AS i
+      CALL test.my.proc YIELD city
+      RETURN city
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: In-query call to procedure that has outputs fails if no outputs are yielded
+    Given an empty graph
+    And there exists a procedure test.my.proc(in :: INTEGER?) :: (out :: STRING?):
+      | in | out      |
+      | 42 | 'wisdom' |
+    When executing query:
+      """
+      UNWIND [1] AS i
+      CALL test.my.proc(42)
+      RETURN i
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: In-query call to procedure that both takes arguments and has outputs fails if the arguments are passed implicitly and no outputs are yielded
+    Given an empty graph
+    And there exists a procedure test.my.proc(in :: INTEGER?) :: (out :: STRING?):
+      | in | out      |
+      | 42 | 'wisdom' |
+    And parameters are:
+      | in | 42 |
+    When executing query:
+      """
+      UNWIND [1] AS i
+      CALL test.my.proc
+      RETURN i
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: In-query procedure call should fail if shadowing an already bound variable
+    Given an empty graph
+    And there exists a procedure test.labels() :: (label :: STRING?):
+      | label |
+      | 'A'   |
+    When executing query:
+      """
+      WITH 'x' AS label
+      CALL test.labels() YIELD label
+      RETURN label
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: In-query procedure call should fail if one of the argument expressions uses an aggregation function
+    Given an empty graph
+    And there exists a procedure test.my.proc(in :: INTEGER?) :: (out :: STRING?):
+      | in | out      |
+      | 42 | 'wisdom' |
+    When executing query:
+      """
+      MATCH (n)
+      CALL test.my.proc(count(n)) YIELD out
+      RETURN out
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects

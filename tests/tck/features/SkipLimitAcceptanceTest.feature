@@ -69,3 +69,28 @@ Feature: SkipLimitAcceptanceTest
       """
     Then a SyntaxError should be raised at compile time: InvalidArgumentType
     And no side effects
+  Scenario: SKIP with an expression that depends on variables should fail
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({count: 1})
+      """
+    When executing query:
+      """
+      MATCH (n) RETURN n.count AS count SKIP n.count
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: LIMIT with an expression that depends on variables should fail
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({count: 1})
+      """
+    When executing query:
+      """
+      MATCH (n) RETURN n.count AS count LIMIT n.count
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects

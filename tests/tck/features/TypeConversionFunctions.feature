@@ -152,3 +152,179 @@ Feature: TypeConversionFunctions
       | 'a'    |
       | 'true' |
     And no side effects
+  Scenario: `toInteger()` failing on invalid arguments #1
+    Given any graph
+    When executing query:
+      """
+      RETURN toInteger(true) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toInteger()` failing on invalid arguments #2
+    Given any graph
+    When executing query:
+      """
+      RETURN toInteger([1, 2]) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toInteger()` failing on invalid arguments #3
+    Given any graph
+    When executing query:
+      """
+      RETURN toInteger({a: 1}) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toInteger()` failing on invalid arguments #4
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})
+      """
+    When executing query:
+      """
+      MATCH (n:A) RETURN toInteger(n) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toInteger()` failing on invalid arguments #5
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})-[:X]->(:B)
+      """
+    When executing query:
+      """
+      MATCH ()-[r]->() RETURN toInteger(r) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toInteger()` failing on invalid arguments #6
+    Given any graph
+    When executing query:
+      """
+      RETURN toInteger([]) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toFloat()` failing on invalid arguments #1
+    Given any graph
+    When executing query:
+      """
+      RETURN toFloat(false) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toFloat()` failing on invalid arguments #2
+    Given any graph
+    When executing query:
+      """
+      RETURN toFloat([0.5]) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toFloat()` failing on invalid arguments #3
+    Given any graph
+    When executing query:
+      """
+      RETURN toFloat({a: 0.5}) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toFloat()` failing on invalid arguments #4
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})
+      """
+    When executing query:
+      """
+      MATCH (n:A) RETURN toFloat(n) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toFloat()` failing on invalid arguments #5
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})-[:X]->(:B)
+      """
+    When executing query:
+      """
+      MATCH ()-[r]->() RETURN toFloat(r) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toFloat()` failing on invalid arguments #6
+    Given any graph
+    When executing query:
+      """
+      RETURN toFloat([true]) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toString()` failing on invalid arguments #1
+    Given any graph
+    When executing query:
+      """
+      RETURN toString([1, 2]) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toString()` failing on invalid arguments #2
+    Given any graph
+    When executing query:
+      """
+      RETURN toString({a: 1}) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toString()` failing on invalid arguments #3
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})
+      """
+    When executing query:
+      """
+      MATCH (n:A) RETURN toString(n) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toString()` failing on invalid arguments #4
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {name: 'A'})-[:X]->(:B)
+      """
+    When executing query:
+      """
+      MATCH ()-[r]->() RETURN toString(r) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects
+
+  Scenario: `toString()` failing on invalid arguments #5
+    Given any graph
+    When executing query:
+      """
+      RETURN toString([]) AS x
+      """
+    Then a TypeError should be raised at compile time
+    And no side effects

@@ -267,3 +267,28 @@ Feature: VarLengthAcceptance
       | 'c' |
       | 'd' |
     And no side effects
+  Scenario: Fail when asterisk operator is missing
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A)-[:T]->(:B)
+      """
+    When executing query:
+      """
+      MATCH (a)-[:T1..2]->(b) RETURN a
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
+
+  Scenario: Fail on negative bound
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A)-[:T]->(:B)
+      """
+    When executing query:
+      """
+      MATCH (a)-[:T*-2]->(b) RETURN a
+      """
+    Then a SyntaxError should be raised at compile time
+    And no side effects
