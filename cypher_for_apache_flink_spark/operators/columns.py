@@ -232,6 +232,8 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             return at if isinstance(at, T.ArrayType) else None
         if n in ("date", "date.truncate"):
             return T.DateType()
+        if n == "datetime" and _zoned_datetime_call(expr, ctx):
+            return ZONED_DT_TYPE
         if n in ("datetime", "localdatetime", "datetime.truncate",
                  "localdatetime.truncate"):
             return T.TimestampType()
@@ -289,6 +291,24 @@ def _is(t, cls) -> bool:
     return isinstance(t, cls)
 
 
+def _zoned_datetime_call(expr, ctx) -> bool:
+    """True when a datetime() call produces a ZONED value: a map with a
+    timezone component, or a constant string with a zone designator."""
+    if not expr.args:
+        return False
+    a0 = expr.args[0]
+    if isinstance(a0, E.MapLit):
+        return any(k.lower() == "timezone" for k, _ in a0.items)
+    v = plan_const(a0, ctx)
+    if isinstance(v, str):
+        from .temporal import parse_zoned_datetime_string
+        try:
+            return parse_zoned_datetime_string(v) is not None
+        except Exception:
+            return False
+    return False
+
+
 def _param_lit(v) -> Column:
     """Parameter value -> Column: dict params become struct literals (map
     access `$m.key` then compiles to getField), lists of dicts recurse."""
@@ -323,6 +343,8 @@ def _type_class(dt):
         return "time"
     if is_localtime_type(dt):
         return "localtime"
+    if is_zoned_dt_type(dt):
+        return "zoneddt"
     if isinstance(dt, T.ArrayType):
         return "list"
     if isinstance(dt, (T.StructType, T.MapType)):
@@ -443,6 +465,61 @@ def time_of_day_us(col: Column, dtype) -> Column:
         return col.getField("localtime_us")
     ts = col.cast("timestamp")
     return F.unix_micros(ts) - F.unix_micros(F.to_timestamp(F.to_date(ts)))
+
+
+# Zoned datetime (beyond-reference round 7): UTC instant + the fixed
+# offset that applied at that instant + the zone designator ('Z',
+# '+01:00', or an IANA name resolved through stdlib zoneinfo at plan
+# time).  Construction requires plan-time-constant components for named
+# zones (the tz database lives driver-side); offset forms compile to
+# column arithmetic.
+ZONED_DT_FIELDS = ("epoch_us", "tz_us", "zone")
+ZONED_DT_TYPE = T.StructType([
+    T.StructField("epoch_us", T.LongType()),
+    T.StructField("tz_us", T.LongType()),
+    T.StructField("zone", T.StringType()),
+])
+
+
+def is_zoned_dt_type(t) -> bool:
+    return isinstance(t, T.StructType) and \
+        tuple(f.name for f in t.fields) == ZONED_DT_FIELDS
+
+
+def make_zoned_dt(epoch_us, tz_us, zone) -> Column:
+    return F.struct(epoch_us.cast("long").alias("epoch_us"),
+                    tz_us.cast("long").alias("tz_us"),
+                    zone.cast("string").alias("zone"))
+
+
+def zoned_wall_ts(c: Column) -> Column:
+    """Wall-clock timestamp of a zoned datetime (session TZ is UTC)."""
+    return F.timestamp_micros(c.getField("epoch_us") + c.getField("tz_us"))
+
+
+def zoned_dt_string(c: Column) -> Column:
+    """Cypher rendering: <wall ISO>[±offset|Z][\\[zone\\]]."""
+    from .temporal import iso_datetime_string
+
+    wall = iso_datetime_string(zoned_wall_ts(c))
+    tz = c.getField("tz_us")
+    a = F.abs(tz)
+
+    def p2(v):
+        return F.lpad(v.cast("long").cast("string"), 2, "0")
+
+    off = F.when(tz == 0, F.lit("Z")).otherwise(F.concat(
+        F.when(tz < 0, F.lit("-")).otherwise(F.lit("+")),
+        p2(F.floor(a / 3_600_000_000)), F.lit(":"),
+        p2(F.floor(a / 60_000_000) % 60),
+        F.when(a % 60_000_000 != 0,
+               F.concat(F.lit(":"), p2(F.floor(a / 1_000_000) % 60)))
+        .otherwise(F.lit(""))))
+    zone = c.getField("zone")
+    named = zone.isNotNull() & ~zone.rlike(r"^[+Z-]")
+    return F.concat(wall, off,
+                    F.when(named, F.concat(F.lit("["), zone, F.lit("]")))
+                    .otherwise(F.lit("")))
 
 
 def time_string(us: Column, tz_us: Column | None) -> Column:
@@ -793,43 +870,76 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
 
 # ---------------------------------------------------------------------------
 
+def _temporal_accessor(owner: Column, k: str, key: str) -> Column:
+    """Calendar/clock accessor over a date/timestamp column (also serves
+    zoned datetimes through their wall-clock timestamp)."""
+    temporal = {
+        "year": F.year, "month": F.month, "day": F.dayofmonth,
+        "hour": F.hour, "minute": F.minute, "second": F.second,
+        "week": F.weekofyear, "quarter": F.quarter,
+        "ordinalday": F.dayofyear,
+    }
+    if k in temporal:
+        return temporal[k](owner).cast("long")
+    if k == "dayofweek":
+        # ISO: Monday=1..Sunday=7 (F.dayofweek is Sunday=1)
+        return (F.weekday(owner) + 1).cast("long")
+    if k == "weekyear":
+        # ISO week-based year = year of the week's Thursday
+        return F.year(F.date_add(owner.cast("date"),
+                                 3 - F.weekday(owner))).cast("long")
+    if k == "dayofquarter":
+        return (F.datediff(owner.cast("date"),
+                           F.trunc(owner.cast("date"), "quarter"))
+                + 1).cast("long")
+    if k == "millisecond":
+        return (F.unix_micros(owner.cast("timestamp"))
+                % 1_000_000 / 1000).cast("long")
+    if k == "microsecond":
+        return (F.unix_micros(owner.cast("timestamp"))
+                % 1_000_000).cast("long")
+    if k == "epochmillis":
+        return F.unix_millis(owner.cast("timestamp"))
+    if k == "epochseconds":
+        return F.unix_seconds(owner.cast("timestamp"))
+    raise ValueError(f"unknown temporal accessor .{key}")
+
+
 def _property(expr: E.Property, ctx: ExprContext) -> Column:
     owner_t = spark_dtype(expr.owner, ctx)
     key = expr.key
     # Temporal accessors: n.d.year etc (TemporalUdfs.scala:93-150 — here pure
     # column functions, no UDFs).
+    if is_zoned_dt_type(owner_t):
+        c = to_column(expr.owner, ctx)
+        k = key.lower()
+        tz = c.getField("tz_us")
+        if k == "timezone":
+            return c.getField("zone")
+        if k == "offset":
+            a_ = F.abs(tz)
+            return F.when(tz == 0, F.lit("Z")).otherwise(F.concat(
+                F.when(tz < 0, F.lit("-")).otherwise(F.lit("+")),
+                F.lpad(F.floor(a_ / 3_600_000_000).cast("string"), 2, "0"),
+                F.lit(":"),
+                F.lpad((F.floor(a_ / 60_000_000) % 60).cast("string"),
+                       2, "0")))
+        if k == "offsetseconds":
+            return F.floor(tz / 1_000_000).cast("long")
+        if k == "offsetminutes":
+            return F.floor(tz / 60_000_000).cast("long")
+        if k == "epochmillis":
+            return F.floor(c.getField("epoch_us") / 1000).cast("long")
+        if k == "epochseconds":
+            return F.floor(c.getField("epoch_us") / 1_000_000).cast("long")
+        # calendar/clock accessors read the WALL clock in the zone
+        owner_t = T.TimestampType()
+        owner = zoned_wall_ts(c)
+        return _temporal_accessor(owner, k, key)
     if _is(owner_t, (T.DateType, T.TimestampType)):
         owner = to_column(expr.owner, ctx)
         k = key.lower()
-        temporal = {
-            "year": F.year, "month": F.month, "day": F.dayofmonth,
-            "hour": F.hour, "minute": F.minute, "second": F.second,
-            "week": F.weekofyear, "quarter": F.quarter,
-            "ordinalday": F.dayofyear,
-        }
-        if k in temporal:
-            return temporal[k](owner).cast("long")
-        if k == "dayofweek":
-            # ISO: Monday=1..Sunday=7 (F.dayofweek is Sunday=1)
-            return (F.weekday(owner) + 1).cast("long")
-        if k == "weekyear":
-            # ISO week-based year = year of the week's Thursday
-            return F.year(F.date_add(owner.cast("date"),
-                                     3 - F.weekday(owner))).cast("long")
-        if k == "dayofquarter":
-            return (F.datediff(owner.cast("date"),
-                               F.trunc(owner.cast("date"), "quarter"))
-                    + 1).cast("long")
-        if k == "millisecond":
-            return (F.unix_micros(owner.cast("timestamp")) % 1_000_000 / 1000).cast("long")
-        if k == "microsecond":
-            return (F.unix_micros(owner.cast("timestamp"))
-                    % 1_000_000).cast("long")
-        if k == "epochmillis":
-            return F.unix_millis(owner.cast("timestamp"))
-        if k == "epochseconds":
-            return F.unix_seconds(owner.cast("timestamp"))
-        raise ValueError(f"unknown temporal accessor .{key}")
+        return _temporal_accessor(owner, k, key)
     if is_duration_type(owner_t):
         d = to_column(expr.owner, ctx)
         k = key.lower()
@@ -998,7 +1108,10 @@ def _binop(expr: E.BinOp, ctx: ExprContext) -> Column:
             return eq if op == "=" else ~eq
         if not _comparable(ldt, rdt):
             return F.lit(None).cast("boolean")
-        if is_time_type(ldt) and is_time_type(rdt):
+        if is_zoned_dt_type(ldt) and is_zoned_dt_type(rdt):
+            # zoned datetimes order by instant
+            l, r = l.getField("epoch_us"), r.getField("epoch_us")
+        elif is_time_type(ldt) and is_time_type(rdt):
             # TIME orders by instant: local clock minus UTC offset
             l = l.getField("time_us") - l.getField("tz_us")
             r = r.getField("time_us") - r.getField("tz_us")
@@ -1173,6 +1286,94 @@ def _list_predicate(expr: E.ListPredicate, ctx: ExprContext) -> Column:
 # ---------------------------------------------------------------------------
 # Scalar function surface (SURVEY §2.5; SparkSQLExprMapper.scala:199-478)
 # ---------------------------------------------------------------------------
+
+_EPOCH0 = None
+
+
+def _py_epoch_us(wall) -> int:
+    import datetime as dtm
+    return (wall - dtm.datetime(1970, 1, 1)) // dtm.timedelta(microseconds=1)
+
+
+def _off_str(off_us: int) -> str:
+    if off_us == 0:
+        return "Z"
+    sign, a = ("-", -off_us) if off_us < 0 else ("+", off_us)
+    a //= 1_000_000
+    s = f"{sign}{a // 3600:02d}:{a // 60 % 60:02d}"
+    if a % 60:
+        s += f":{a % 60:02d}"
+    return s
+
+
+def _py_wall(vals: dict):
+    """Constant component map -> wall-clock datetime (all Cypher date
+    systems), mirroring the column composition used for unzoned maps."""
+    import datetime as dtm
+
+    from .temporal import py_week_date
+    y = vals["year"]
+    if "week" in vals:
+        d = py_week_date(y, vals["week"], vals.get("dayofweek", 1))
+    elif "quarter" in vals:
+        d = dtm.date(y, (vals["quarter"] - 1) * 3 + 1, 1) \
+            + dtm.timedelta(days=vals.get("dayofquarter", 1) - 1)
+    elif "ordinalday" in vals:
+        d = dtm.date(y, 1, 1) + dtm.timedelta(days=vals["ordinalday"] - 1)
+    else:
+        d = dtm.date(y, vals.get("month", 1), vals.get("day", 1))
+    us = vals.get("millisecond", 0) * 1000 + vals.get("microsecond", 0)
+    return dtm.datetime(d.year, d.month, d.day, vals.get("hour", 0),
+                        vals.get("minute", 0), vals.get("second", 0), us)
+
+
+def _zoned_datetime(expr: E.FuncCall, ctx: ExprContext) -> Column:
+    """datetime() with a time zone -> ZONED_DT struct.  Named zones
+    resolve through the driver-side tz database at plan time (constant
+    components required); fixed offsets compile to column arithmetic."""
+    from .temporal import parse_tz_offset, parse_zoned_datetime_string
+
+    arg = expr.args[0]
+    if isinstance(arg, E.MapLit):
+        tz_item = next(v for k, v in arg.items if k.lower() == "timezone")
+        tz_v = plan_const(tz_item, ctx)
+        if not isinstance(tz_v, str):
+            raise PlanError("timezone must be a string literal",
+                            code="InvalidArgumentValue")
+        rest = E.MapLit(tuple((k, v) for k, v in arg.items
+                              if k.lower() != "timezone"))
+        named = tz_v not in ("Z", "z") and tz_v[0] not in "+-"
+        if named:
+            try:
+                from zoneinfo import ZoneInfo
+                zi = ZoneInfo(tz_v)
+            except Exception:
+                raise PlanError(f"unknown time zone {tz_v!r}",
+                                code="UnknownTimeZone")
+            vals = {}
+            for k, v in rest.items:
+                cv = plan_const(v, ctx)
+                if cv is _NO_CONST:
+                    raise PlanError(
+                        "named-time-zone datetime construction requires "
+                        "constant components (the tz database is "
+                        "driver-side)")
+                vals[k.lower()] = cv
+            wall = _py_wall(vals)
+            off_us = round(zi.utcoffset(wall.replace(tzinfo=zi))
+                           .total_seconds() * 1_000_000)
+            return make_zoned_dt(F.lit(_py_epoch_us(wall) - off_us),
+                                 F.lit(off_us), F.lit(tz_v))
+        off_us = parse_tz_offset(tz_v)
+        wall = _function(E.FuncCall("datetime", (rest,)), ctx)
+        return F.when(wall.isNull(), F.lit(None).cast(ZONED_DT_TYPE)) \
+            .otherwise(make_zoned_dt(F.unix_micros(wall) - F.lit(off_us),
+                                     F.lit(off_us), F.lit(_off_str(off_us))))
+    v = plan_const(arg, ctx)
+    wall, off, zone = parse_zoned_datetime_string(v)
+    return make_zoned_dt(F.lit(_py_epoch_us(wall) - off), F.lit(off),
+                         F.lit(zone if zone is not None else _off_str(off)))
+
 
 def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
     name = expr.name
@@ -1358,7 +1559,7 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                 or _is(t, (T.ArrayType, T.MapType)) \
                 or (_is(t, T.StructType) and not (
                     is_duration_type(t) or is_time_type(t)
-                    or is_localtime_type(t))):
+                    or is_localtime_type(t) or is_zoned_dt_type(t))):
             # openCypher (TCK TypeConversionFunctions "failing on invalid
             # arguments"): toString converts numbers, strings, booleans
             # and temporal values only
@@ -1405,6 +1606,9 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             return F.when(dur.isNull(), F.lit(None).cast("string")) \
                 .when(body == "", F.lit("PT0S")) \
                 .otherwise(F.concat(F.lit("P"), body))
+        if is_zoned_dt_type(t):
+            return F.when(a(0).isNull(), F.lit(None).cast("string")) \
+                .otherwise(zoned_dt_string(a(0)))
         if is_time_type(t) or is_localtime_type(t):
             c = a(0)
             return F.when(c.isNull(), F.lit(None).cast("string")) \
@@ -1709,6 +1913,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         out = make_time(us, tz) if is_t else make_localtime(us)
         return F.when(src.isNull(), F.lit(None).cast(out_t)).otherwise(out)
     if name in ("datetime", "localdatetime"):
+        if name == "datetime" and args and _zoned_datetime_call(expr, ctx):
+            return _zoned_datetime(expr, ctx)
         if not args:
             return F.current_timestamp()
         arg = args[0]
@@ -1861,6 +2067,8 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                                           - c.getField("tz_us"))
             if is_localtime_type(t):
                 return F.timestamp_micros(c.getField("localtime_us"))
+            if is_zoned_dt_type(t):
+                return F.timestamp_micros(c.getField("epoch_us"))
             return c.cast("timestamp")
 
         raw_a, raw_b = _between_ts(0), _between_ts(1)

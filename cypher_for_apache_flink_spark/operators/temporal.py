@@ -135,6 +135,43 @@ def parse_time_string(s: str):
     return ((h * 3600 + mi * 60 + sec) * 1_000_000 + us), off
 
 
+def parse_zoned_datetime_string(s: str):
+    """Cypher zoned datetime literal -> (wall datetime, offset_us, zone).
+
+    Forms: ``<ldt>Z``, ``<ldt>±HH:MM``, ``<ldt>±HH:MM[Zone/Name]``,
+    ``<ldt>[Zone/Name]``.  Returns None when the string carries no zone
+    designator (plain localdatetime).  Named zones resolve through the
+    system tz database (stdlib zoneinfo); the offset is computed from the
+    WALL clock in that zone (Cypher semantics).
+    """
+    t = s.strip()
+    zone = None
+    if t.endswith("]"):
+        i = t.rindex("[")
+        zone, t = t[i + 1:-1], t[:i]
+    off = None
+    if t.endswith(("Z", "z")):
+        off, t = 0, t[:-1]
+    else:
+        ti = t.find("T")
+        for i in range(max(ti, 0) + 1, len(t)):
+            if t[i] in "+-":
+                off, t = parse_tz_offset(t[i:]), t[:i]
+                break
+    if zone is None and off is None:
+        return None
+    wall = parse_localdatetime_string(t)
+    if zone is not None:
+        from zoneinfo import ZoneInfo
+        zoff = ZoneInfo(zone).utcoffset(wall.replace(tzinfo=ZoneInfo(zone)))
+        zoff_us = round(zoff.total_seconds() * 1_000_000)
+        if off is not None and off != zoff_us:
+            raise ValueError(
+                f"offset {off} contradicts zone {zone!r} in {s!r}")
+        return wall, zoff_us, zone
+    return wall, off, None
+
+
 def parse_localdatetime_string(s: str) -> datetime.datetime:
     """Cypher localdatetime literal (any date form + optional time part)."""
     t = s.strip()

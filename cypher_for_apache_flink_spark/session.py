@@ -50,6 +50,16 @@ def _pytime(v):
             us = v.localtime_us
             return _dt.time(us // 3_600_000_000, us // 60_000_000 % 60,
                             us // 1_000_000 % 60, us % 1_000_000)
+        if f == ("epoch_us", "tz_us", "zone") and v.epoch_us is not None:
+            # zoned datetime: a named zone hydrates through zoneinfo so
+            # rendering keeps the [Zone/Name] designator
+            if v.zone and not v.zone[0] in "+-Z":
+                from zoneinfo import ZoneInfo
+                tz = ZoneInfo(v.zone)
+            else:
+                tz = _dt.timezone(_dt.timedelta(microseconds=v.tz_us))
+            return (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                    + _dt.timedelta(microseconds=v.epoch_us)).astimezone(tz)
         return v
     if isinstance(v, list):
         return [_pytime(x) for x in v]

@@ -231,6 +231,19 @@ def canon_result_value(v, unordered_lists: bool = False):
                 if a % 60:
                     s += f":{a % 60:02d}"
         return ("str", s)
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        # zoned datetime: wall clock + 'Z'/±offset (+ [Zone/Name] when the
+        # zone is named rather than a fixed offset)
+        s = v.isoformat()
+        if s.endswith("+00:00"):
+            s = s[:-6] + "Z"
+        try:
+            from zoneinfo import ZoneInfo
+            if isinstance(v.tzinfo, ZoneInfo):
+                s += f"[{v.tzinfo.key}]"
+        except ImportError:                 # pragma: no cover
+            pass
+        return ("str", s)
     if isinstance(v, (datetime.date, datetime.datetime)):
         # Cypher/TCK ISO rendering: 'T'-separated datetimes (str() uses ' ')
         return ("str", v.isoformat())

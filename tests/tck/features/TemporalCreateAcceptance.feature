@@ -1291,20 +1291,636 @@ Feature: TemporalCreateAcceptance
     Given any graph
     When executing query:
       """
-      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, timezone: 'Europe/Stockholm'}) AS d
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: 'Europe/Stockholm'}) AS d
       """
     Then the result should be, in any order:
       | d |
-      | '1984-10-11T12:00:00+01:00[Europe/Stockholm]' |
+      | '1984-10-11T12:31:14+01:00[Europe/Stockholm]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #2
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: 'Europe/Stockholm'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00+02:00[Europe/Stockholm]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #3
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: 'Europe/Stockholm'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59+01:00[Europe/Stockholm]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #4
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: 'Europe/Stockholm'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00+01:00[Europe/Stockholm]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #5
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1969, month: 12, day: 31, hour: 23, minute: 59, second: 59, timezone: 'Europe/Stockholm'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1969-12-31T23:59:59+01:00[Europe/Stockholm]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #6
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: 'America/New_York'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14-04:00[America/New_York]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #7
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: 'America/New_York'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00-04:00[America/New_York]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #8
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: 'America/New_York'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59-05:00[America/New_York]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #9
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: 'America/New_York'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00-05:00[America/New_York]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #10
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1969, month: 12, day: 31, hour: 23, minute: 59, second: 59, timezone: 'America/New_York'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1969-12-31T23:59:59-05:00[America/New_York]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #11
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: 'Asia/Tokyo'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14+09:00[Asia/Tokyo]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #12
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: 'Asia/Tokyo'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00+09:00[Asia/Tokyo]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #13
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: 'Asia/Tokyo'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59+09:00[Asia/Tokyo]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #14
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: 'Asia/Tokyo'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00+09:00[Asia/Tokyo]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #15
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1969, month: 12, day: 31, hour: 23, minute: 59, second: 59, timezone: 'Asia/Tokyo'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1969-12-31T23:59:59+09:00[Asia/Tokyo]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #16
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: 'Europe/London'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14+01:00[Europe/London]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #17
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: 'Europe/London'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00+01:00[Europe/London]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #18
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: 'Europe/London'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59Z[Europe/London]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #19
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: 'Europe/London'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00Z[Europe/London]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #20
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1969, month: 12, day: 31, hour: 23, minute: 59, second: 59, timezone: 'Europe/London'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1969-12-31T23:59:59+01:00[Europe/London]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #21
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: 'Pacific/Auckland'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14+12:00[Pacific/Auckland]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #22
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: 'Pacific/Auckland'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00+12:00[Pacific/Auckland]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #23
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: 'Pacific/Auckland'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59+13:00[Pacific/Auckland]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #24
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: 'Pacific/Auckland'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00+13:00[Pacific/Auckland]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #25
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1969, month: 12, day: 31, hour: 23, minute: 59, second: 59, timezone: 'Pacific/Auckland'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1969-12-31T23:59:59+12:00[Pacific/Auckland]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #26
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 0, timezone: 'Asia/Kathmandu'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:00+05:30[Asia/Kathmandu]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #27
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 6, day: 1, hour: 6, minute: 0, second: 0, timezone: 'America/St_Johns'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-06-01T06:00:00-02:30[America/St_Johns]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #28
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1999, month: 12, day: 31, hour: 23, minute: 59, second: 59, timezone: 'Africa/Nairobi'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1999-12-31T23:59:59+03:00[Africa/Nairobi]' |
+    And no side effects
+
+  Scenario: Should construct date time with named time zone #29
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2010, month: 5, day: 5, hour: 5, minute: 5, second: 5, timezone: 'Australia/Eucla'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2010-05-05T05:05:05+08:45[Australia/Eucla]' |
     And no side effects
 
   Scenario: Should construct date time with offset time zone #1
     Given any graph
     When executing query:
       """
-      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, timezone: '+01:00'}) AS d
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: '+01:00'}) AS d
       """
     Then the result should be, in any order:
       | d |
-      | '1984-10-11T12:00:00+01:00' |
+      | '1984-10-11T12:31:14+01:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #2
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: '+01:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00+01:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #3
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: '+01:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59+01:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #4
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: '+01:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00+01:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #5
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: '-05:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14-05:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #6
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: '-05:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00-05:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #7
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: '-05:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59-05:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #8
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: '-05:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00-05:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #9
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: '+05:45'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14+05:45' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #10
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: '+05:45'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00+05:45' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #11
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: '+05:45'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59+05:45' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #12
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: '+05:45'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00+05:45' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #13
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: '-08:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14-08:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #14
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: '-08:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00-08:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #15
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: '-08:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59-08:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #16
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: '-08:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00-08:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #17
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: 'Z'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14Z' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #18
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: 'Z'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00Z' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #19
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: 'Z'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59Z' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #20
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: 'Z'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00Z' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #21
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 31, second: 14, timezone: '+14:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:31:14+14:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #22
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 7, day: 11, hour: 12, minute: 0, second: 0, timezone: '+14:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:00:00+14:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #23
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2000, month: 2, day: 29, hour: 23, minute: 59, second: 59, timezone: '+14:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59+14:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #24
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 2024, month: 1, day: 1, timezone: '+14:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00+14:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #25
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 0, second: 0, timezone: '-00:30'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00-00:30' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #26
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 0, second: 0, timezone: '+09:30'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00+09:30' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #27
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 0, second: 0, timezone: '+00:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00Z' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #28
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 0, second: 0, timezone: '-11:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00-11:00' |
+    And no side effects
+
+  Scenario: Should construct date time with offset time zone #29
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, minute: 0, second: 0, timezone: '+12:00'}) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00+12:00' |
     And no side effects

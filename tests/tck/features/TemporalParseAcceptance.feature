@@ -472,3 +472,58 @@ Feature: TemporalParseAcceptance
       | t |
       | '00:00:00' |
     And no side effects
+
+  Scenario: Should parse date time with named time zone from string #1
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-10-11T12:00[Europe/Stockholm]') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00+01:00[Europe/Stockholm]' |
+    And no side effects
+
+  Scenario: Should parse date time with named time zone from string #2
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-07-11T12:31:14[Europe/Stockholm]') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-07-11T12:31:14+02:00[Europe/Stockholm]' |
+    And no side effects
+
+  Scenario: Should parse date time with named time zone from string #3
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('2000-02-29T23:59:59[America/New_York]') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2000-02-29T23:59:59-05:00[America/New_York]' |
+    And no side effects
+
+  Scenario: Should parse date time with named time zone from string #4
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('1984-10-11T12:00+09:00[Asia/Tokyo]') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '1984-10-11T12:00:00+09:00[Asia/Tokyo]' |
+    And no side effects
+
+  Scenario: Should parse date time with named time zone from string #5
+    Given any graph
+    When executing query:
+      """
+      RETURN datetime('2024-01-01T00:00[Pacific/Auckland]') AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | '2024-01-01T00:00:00+13:00[Pacific/Auckland]' |
+    And no side effects

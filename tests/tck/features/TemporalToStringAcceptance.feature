@@ -55,6 +55,17 @@ Feature: TemporalToStringAcceptance
       | '12:31:14.645' | '12:31:00' |
     And no side effects
 
+  Scenario: Should serialize timezones correctly
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(datetime('1984-10-11T12:00[Europe/Stockholm]')) AS a, toString(datetime('1984-10-11T12:00+05:45')) AS b, toString(datetime('1984-10-11T12:00Z')) AS c
+      """
+    Then the result should be, in any order:
+      | a | b | c |
+      | '1984-10-11T12:00:00+01:00[Europe/Stockholm]' | '1984-10-11T12:00:00+05:45' | '1984-10-11T12:00:00Z' |
+    And no side effects
+
   Scenario: Should serialize duration #1
     Given any graph
     When executing query:

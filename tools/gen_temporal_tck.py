@@ -958,18 +958,105 @@ def gen_create():
         sc.append(scenario(f"Should propagate null #{i}",
                            f"RETURN {expr} IS NULL AS n", ["n"], ["true"]))
 
-    # intentionally-unsupported surface: zoned datetimes
-    # (these scenarios belong in temporal_blacklist)
-    sc.append(scenario(
-        "Should construct date time with named time zone #1",
-        "RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, "
-        "timezone: 'Europe/Stockholm'}) AS d",
-        ["d"], [q("1984-10-11T12:00:00+01:00[Europe/Stockholm]")]))
-    sc.append(scenario(
-        "Should construct date time with offset time zone #1",
-        "RETURN datetime({year: 1984, month: 10, day: 11, hour: 12, "
-        "timezone: '+01:00'}) AS d",
-        ["d"], [q("1984-10-11T12:00:00+01:00")]))
+    # zoned datetimes (round 7: fixed offsets compile to column
+    # arithmetic; named zones resolve via the INDEPENDENT stdlib zoneinfo
+    # both here and at the engine's plan time)
+    sc += gen_zoned_create()
+    return sc
+
+
+def zoned_render(wall: dtm.datetime, off_us: int,
+                 zone: str | None = None) -> str:
+    s = wall.isoformat() + _off_render(off_us)
+    if zone is not None:
+        s += f"[{zone}]"
+    return s
+
+
+def _off_render(off_us: int) -> str:
+    if off_us == 0:
+        return "Z"
+    sign, a = ("-", -off_us) if off_us < 0 else ("+", off_us)
+    a //= US
+    s = f"{sign}{a // 3600:02d}:{a // 60 % 60:02d}"
+    if a % 60:
+        s += f":{a % 60:02d}"
+    return s
+
+
+def zone_off_us(zone: str, wall: dtm.datetime) -> int:
+    from zoneinfo import ZoneInfo
+    zi = ZoneInfo(zone)
+    return round(zi.utcoffset(wall.replace(tzinfo=zi)).total_seconds() * US)
+
+
+def gen_zoned_create():
+    sc = []
+    ZONES = ["Europe/Stockholm", "America/New_York", "Asia/Tokyo",
+             "Europe/London", "Pacific/Auckland"]
+    WALLS = [
+        dtm.datetime(1984, 10, 11, 12, 31, 14),
+        dtm.datetime(1984, 7, 11, 12),
+        dtm.datetime(2000, 2, 29, 23, 59, 59),
+        dtm.datetime(2024, 1, 1, 0, 0),
+        dtm.datetime(1969, 12, 31, 23, 59, 59),
+    ]
+
+    def dt_map(w: dtm.datetime, tz: str) -> str:
+        items = [f"year: {w.year}", f"month: {w.month}", f"day: {w.day}"]
+        if (w.hour, w.minute, w.second) != (0, 0, 0):
+            items += [f"hour: {w.hour}", f"minute: {w.minute}",
+                      f"second: {w.second}"]
+        items.append(f"timezone: '{tz}'")
+        return "{" + ", ".join(items) + "}"
+
+    fam, i = [], 0
+    for zone in ZONES:
+        for w in WALLS:
+            i += 1
+            off = zone_off_us(zone, w)
+            fam.append(scenario(
+                f"Should construct date time with named time zone #{i}",
+                f"RETURN datetime({dt_map(w, zone)}) AS d",
+                ["d"], [q(zoned_render(w, off, zone))]))
+    extra_named = [
+        ("Asia/Kathmandu", dtm.datetime(1984, 10, 11, 12, 31)),
+        ("America/St_Johns", dtm.datetime(2000, 6, 1, 6)),
+        ("Africa/Nairobi", dtm.datetime(1999, 12, 31, 23, 59, 59)),
+        ("Australia/Eucla", dtm.datetime(2010, 5, 5, 5, 5, 5)),
+    ]
+    for zone, w in extra_named:
+        i += 1
+        off = zone_off_us(zone, w)
+        fam.append(scenario(
+            f"Should construct date time with named time zone #{i}",
+            f"RETURN datetime({dt_map(w, zone)}) AS d",
+            ["d"], [q(zoned_render(w, off, zone))]))
+    sc += expect_count(fam, 29, "construct datetime named zone")
+
+    OFFS = [("+01:00", off_us(1)), ("-05:00", off_us(-5)),
+            ("+05:45", off_us(5, 45)), ("-08:00", off_us(-8)),
+            ("Z", 0), ("+14:00", off_us(14))]
+    fam, i = [], 0
+    for otxt, ov in OFFS:
+        for w in WALLS[:4]:
+            i += 1
+            fam.append(scenario(
+                f"Should construct date time with offset time zone #{i}",
+                f"RETURN datetime({dt_map(w, otxt)}) AS d",
+                ["d"], [q(zoned_render(w, ov))]))
+    for otxt, ov, w in [
+            ("-00:30", -30 * 60 * US, dtm.datetime(1984, 10, 11, 12)),
+            ("+09:30", off_us(9, 30), dtm.datetime(1984, 10, 11, 12)),
+            ("+00:00", 0, dtm.datetime(1984, 10, 11, 12)),
+            ("-11:00", off_us(-11), dtm.datetime(1984, 10, 11, 12)),
+            ("+12:00", off_us(12), dtm.datetime(1984, 10, 11, 12))]:
+        i += 1
+        fam.append(scenario(
+            f"Should construct date time with offset time zone #{i}",
+            f"RETURN datetime({dt_map(w, otxt)}) AS d",
+            ["d"], [q(zoned_render(w, ov))]))
+    sc += expect_count(fam, 29, "construct datetime offset zone")
     return sc
 
 
@@ -1040,6 +1127,22 @@ def gen_parse():
         sc.append(scenario(f"Should parse local time from string #{i}",
                            f"RETURN localtime('{s}') AS t", ["t"],
                            [q(t_render(us))]))
+    zstr = [("1984-10-11T12:00[Europe/Stockholm]",
+             dtm.datetime(1984, 10, 11, 12), "Europe/Stockholm"),
+            ("1984-07-11T12:31:14[Europe/Stockholm]",
+             dtm.datetime(1984, 7, 11, 12, 31, 14), "Europe/Stockholm"),
+            ("2000-02-29T23:59:59[America/New_York]",
+             dtm.datetime(2000, 2, 29, 23, 59, 59), "America/New_York"),
+            ("1984-10-11T12:00+09:00[Asia/Tokyo]",
+             dtm.datetime(1984, 10, 11, 12), "Asia/Tokyo"),
+            ("2024-01-01T00:00[Pacific/Auckland]",
+             dtm.datetime(2024, 1, 1), "Pacific/Auckland")]
+    for i, (s, w, zone) in enumerate(zstr, 1):
+        off = zone_off_us(zone, w)
+        sc.append(scenario(
+            f"Should parse date time with named time zone from string #{i}",
+            f"RETURN datetime('{s}') AS d", ["d"],
+            [q(zoned_render(w, off, zone))]))
     return sc
 
 
@@ -1065,6 +1168,15 @@ def gen_tostring():
                  "RETURN toString(localtime('12:31:14.645')) AS a, "
                  "toString(localtime('12:31')) AS b",
                  ["a", "b"], [q("12:31:14.645"), q("12:31:00")]),
+        scenario("Should serialize timezones correctly",
+                 "RETURN toString(datetime('1984-10-11T12:00"
+                 "[Europe/Stockholm]')) AS a, "
+                 "toString(datetime('1984-10-11T12:00+05:45')) AS b, "
+                 "toString(datetime('1984-10-11T12:00Z')) AS c",
+                 ["a", "b", "c"],
+                 [q("1984-10-11T12:00:00+01:00[Europe/Stockholm]"),
+                  q("1984-10-11T12:00:00+05:45"),
+                  q("1984-10-11T12:00:00Z")]),
     ]
     durs = ["P1Y", "P1M", "P1D", "PT1H", "PT1M", "PT1S", "PT0.5S",
             "P1Y2M3DT4H5M6.789S", "-P1Y", "PT0S", "P1W"]
