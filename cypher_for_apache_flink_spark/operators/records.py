@@ -203,7 +203,17 @@ def scan_pattern(session, graph: PropertyGraph, rel_var_name: str,
 
 
 def empty_records(session, header: Header) -> Records:
-    fields = [T.StructField(c, T.LongType()) for c in header.columns()]
+    # column types match what a non-empty scan would produce: the rel-type
+    # column is a string, label flags are boolean, ids are long — so unions
+    # against created/matched rows (mutation MERGE) align without casts
+    by_col: dict = {}
+    for e, c in header.mapping.items():
+        if isinstance(e, TypeOf):
+            by_col[c] = T.StringType()
+        elif isinstance(e, E.HasLabel):
+            by_col.setdefault(c, T.BooleanType())
+    fields = [T.StructField(c, by_col.get(c, T.LongType()))
+              for c in header.columns()]
     df = session.spark.createDataFrame([], T.StructType(fields))
     return Records(session, header, df)
 

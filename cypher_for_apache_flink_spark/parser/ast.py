@@ -133,6 +133,59 @@ class ReturnGraphClause:
 
 
 @dataclass(frozen=True)
+class CreateClause:
+    """``CREATE pattern[, pattern]*`` — graph-mutating node/relationship
+    creation (openCypher CreateAcceptance).  Beyond-reference surface: the
+    reference engine is read-only and wont_fix-blacklists its whole
+    mutation corpus (morpheus-tck blacklists); here mutation is an
+    immutable graph TRANSFORMATION — the query result carries a new
+    :class:`PropertyGraph` (the Spark-first design: element-table unions,
+    never in-place updates)."""
+    patterns: tuple          # (PatternPart, ...)
+
+
+@dataclass(frozen=True)
+class SetItem:
+    """One SET/REMOVE item.
+
+    kind: 'prop'        — target var, key, value Expr
+          'label'       — target var, labels tuple
+          'map_replace' — target var, map Expr  (``SET n = {..}``)
+          'map_add'     — target var, map Expr  (``SET n += {..}``)
+    For REMOVE only 'prop' (value None) and 'label' occur."""
+    kind: str
+    var: str
+    key: object = None       # str | None
+    value: object = None     # Expr | None
+    labels: tuple = ()
+
+
+@dataclass(frozen=True)
+class SetClause:
+    items: tuple             # (SetItem, ...)
+
+
+@dataclass(frozen=True)
+class RemoveClause:
+    items: tuple             # (SetItem, ...)
+
+
+@dataclass(frozen=True)
+class DeleteClause:
+    """``[DETACH] DELETE expr[, expr]*``."""
+    exprs: tuple             # (Expr, ...) — node/rel variables
+    detach: bool = False
+
+
+@dataclass(frozen=True)
+class MergeClause:
+    """``MERGE pattern [ON CREATE SET items] [ON MATCH SET items]``."""
+    pattern: object          # PatternPart
+    on_create: tuple = ()    # (SetItem, ...)
+    on_match: tuple = ()     # (SetItem, ...)
+
+
+@dataclass(frozen=True)
 class SingleQuery:
     clauses: tuple
 

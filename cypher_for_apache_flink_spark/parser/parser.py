@@ -52,6 +52,7 @@ _KEYWORDS = {
     "case", "when", "then", "else", "end", "asc", "ascending", "desc",
     "descending", "any", "none", "single", "reduce", "exists", "from",
     "graph", "construct", "clone", "new", "set", "call", "yield",
+    "create", "merge", "delete", "detach", "remove", "on",
 }
 
 
@@ -233,6 +234,31 @@ class Parser:
             elif self.at_kw("construct"):
                 self.next()
                 clauses.append(self.parse_construct())
+            elif self.at_kw("create"):
+                self.next()
+                pats = [self.parse_pattern_part()]
+                while self.opt_punct(","):
+                    pats.append(self.parse_pattern_part())
+                clauses.append(A.CreateClause(tuple(pats)))
+            elif self.at_kw("merge"):
+                self.next()
+                clauses.append(self.parse_merge())
+            elif self.at_kw("set"):
+                self.next()
+                clauses.append(A.SetClause(tuple(self.parse_set_items())))
+            elif self.at_kw("remove"):
+                self.next()
+                items = [self.parse_remove_item()]
+                while self.opt_punct(","):
+                    items.append(self.parse_remove_item())
+                clauses.append(A.RemoveClause(tuple(items)))
+            elif self.at_kw("detach"):
+                self.next()
+                self.eat_kw("delete")
+                clauses.append(self.parse_delete(detach=True))
+            elif self.at_kw("delete"):
+                self.next()
+                clauses.append(self.parse_delete(detach=False))
             elif self.at_kw("return"):
                 self.next()
                 if self.at_kw("graph"):
@@ -245,6 +271,72 @@ class Parser:
         if not clauses:
             self.err("expected a clause")
         return A.SingleQuery(tuple(clauses))
+
+    # -- mutation clauses ----------------------------------------------
+    def parse_set_item(self) -> "A.SetItem":
+        """``v.key = e`` | ``v:L1:L2`` | ``v = {map}`` | ``v += {map}``;
+        the target may be parenthesized: ``SET (n).name = 'x'``."""
+        if self.opt_punct("("):
+            var = self.ident()
+            self.eat_punct(")")
+        else:
+            var = self.ident()
+        if self.at_punct(":"):
+            labels = []
+            while self.opt_punct(":"):
+                labels.append(self.ident())
+            return A.SetItem("label", var, labels=tuple(labels))
+        if self.at_punct("."):
+            self.next()
+            key = self.ident()
+            self.eat_punct("=")
+            return A.SetItem("prop", var, key=key, value=self.parse_expr())
+        if self.at_punct("+") and self.peek(1).kind == "PUNCT" and \
+                self.peek(1).text == "=":
+            self.next()
+            self.next()
+            return A.SetItem("map_add", var, value=self.parse_expr())
+        self.eat_punct("=")
+        return A.SetItem("map_replace", var, value=self.parse_expr())
+
+    def parse_set_items(self):
+        items = [self.parse_set_item()]
+        while self.opt_punct(","):
+            items.append(self.parse_set_item())
+        return items
+
+    def parse_remove_item(self) -> "A.SetItem":
+        """``v.key`` | ``v:L1:L2``."""
+        var = self.ident()
+        if self.at_punct(":"):
+            labels = []
+            while self.opt_punct(":"):
+                labels.append(self.ident())
+            return A.SetItem("label", var, labels=tuple(labels))
+        self.eat_punct(".")
+        return A.SetItem("prop", var, key=self.ident())
+
+    def parse_delete(self, detach: bool) -> "A.DeleteClause":
+        exprs = [self.parse_expr()]
+        while self.opt_punct(","):
+            exprs.append(self.parse_expr())
+        return A.DeleteClause(tuple(exprs), detach)
+
+    def parse_merge(self) -> "A.MergeClause":
+        pattern = self.parse_pattern_part()
+        on_create: list = []
+        on_match: list = []
+        while self.at_kw("on"):
+            self.next()
+            if self.opt_kw("create"):
+                target = on_create
+            elif self.opt_kw("match"):
+                target = on_match
+            else:
+                self.err("expected CREATE or MATCH after ON")
+            self.eat_kw("set")
+            target.extend(self.parse_set_items())
+        return A.MergeClause(pattern, tuple(on_create), tuple(on_match))
 
     def parse_call(self) -> A.CallClause:
         """CALL ns.proc[(arg, ...)] [YIELD out [AS alias], ...]"""
@@ -350,8 +442,8 @@ class Parser:
         on = []
         # CONSTRUCT ON g1, g2 ... — the construct builds ON TOP of the
         # named graphs (their full content is unioned into the result,
-        # reference IRBuilder.scala:288-298).  'on' is a soft keyword.
-        if self.peek().kind == "IDENT" and self.peek().text.lower() == "on":
+        # reference IRBuilder.scala:288-298).
+        if self.at_kw("on"):
             self.next()
             while True:
                 gname = self.ident()

@@ -212,6 +212,28 @@ class Planner:
                 records = Records(self.session, Header({}),
                                   self.session.spark.range(0).select())
                 outputs = []
+            elif isinstance(clause, A.CreateClause):
+                from .mutation import plan_create
+                after_optional = False
+                records = plan_create(self, records, clause)
+                self._mutated = True
+            elif isinstance(clause, A.MergeClause):
+                from .mutation import plan_merge
+                after_optional = False
+                records = plan_merge(self, records, clause)
+                self._mutated = True
+            elif isinstance(clause, A.SetClause):
+                from .mutation import plan_set
+                records = plan_set(self, records, clause.items)
+                self._mutated = True
+            elif isinstance(clause, A.RemoveClause):
+                from .mutation import plan_set
+                records = plan_set(self, records, clause.items, remove=True)
+                self._mutated = True
+            elif isinstance(clause, A.DeleteClause):
+                from .mutation import plan_delete
+                records = plan_delete(self, records, clause)
+                self._mutated = True
             elif isinstance(clause, (A.WithClause, A.ReturnClause)):
                 after_optional = False      # WITH opens a new match scope
                 records, outs = self.plan_projection(records, clause)
@@ -221,11 +243,18 @@ class Planner:
                 raise PlanError(f"unsupported clause {clause!r}")
         if pending_construct is not None and self.result_graph is None:
             raise PlanError("CONSTRUCT must be followed by RETURN GRAPH")
+        if getattr(self, "_mutated", False) and self.result_graph is None:
+            # a mutating query's result carries the transformed graph
+            self.result_graph = self.graph
         if outputs is None:
             if call_outputs is not None:
                 # standalone CALL: the procedure's (yielded) columns ARE
                 # the result table, no RETURN required
                 return records, call_outputs
+            if getattr(self, "_mutated", False):
+                # a mutating query needs no RETURN: zero rows, no columns
+                return Records(self.session, Header({}),
+                               self.session.spark.range(0).select()), []
             raise PlanError("query must end with RETURN")
         return records, outputs
 

@@ -111,8 +111,7 @@ def graph_from_create(spark, statement: str, name: str = "graph") -> PropertyGra
     if p.peek().kind == "EOF":
         raise ValueError("empty CREATE statement")
     while p.peek().kind != "EOF":
-        t = p.peek()
-        if not (t.kind == "IDENT" and t.text.lower() == "create"):
+        if not p.at_kw("create"):
             p.err("expected CREATE")
         p.next()
         parts.append(p.parse_pattern_part())

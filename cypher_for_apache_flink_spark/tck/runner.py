@@ -62,6 +62,7 @@ class _Plan:
     error_phase: str | None = None    # "compile time" / "runtime" / "any time"
     error_detail: str | None = None   # TCK detail code (asserted when given)
     procedures: list = None           # [(signature, rows), ...] stubs
+    side_effects: dict | None = None  # {"+nodes": 2, ...}; {} = none
 
 
 def _interpret(steps) -> _Plan:
@@ -95,8 +96,14 @@ def _interpret(steps) -> _Plan:
         if low == "executing query" or low == "executing control query":
             plan.query = step.docstring
             continue
-        if low == "no side effects" or low.startswith("the side effects"):
-            continue                   # read-only engine: nothing mutates
+        if low == "no side effects":
+            plan.side_effects = {}
+            continue
+        if low.startswith("the side effects"):
+            # value table: | +nodes | 2 | — asserted via state diff
+            plan.side_effects = {row[0]: int(row[1])
+                                 for row in (step.table or [])}
+            continue
         m = _ERROR_RE.match(text)
         if m:
             plan.expect_error = m.group(1)
@@ -125,11 +132,94 @@ def _build_graph(spark, setup: list):
 
     key = "\n".join(setup)
     if key not in _graph_cache:
-        if key.strip():
-            _graph_cache[key] = graph_from_create(spark, key)
-        else:
+        if not key.strip():
             _graph_cache[key] = PropertyGraph({}, {}, name="empty")
+        else:
+            try:
+                # fast path: literal CREATE statements build driver-side
+                _graph_cache[key] = graph_from_create(spark, key)
+            except Exception:
+                # general path: run each setup statement through the engine
+                # (MATCH ... CREATE, MERGE, SET ... — the mutation surface),
+                # threading the transformed graph through
+                g = PropertyGraph({}, {}, name="empty")
+                for stmt in setup:
+                    res = g.cypher(stmt)
+                    res.to_maps()               # force mutation pipeline
+                    if res.graph is not None:
+                        g = res.graph
+                _graph_cache[key] = g
     return _graph_cache[key]
+
+
+# ---------------------------------------------------------------------------
+# Side-effect measurement: openCypher TCK state-diff semantics — nodes and
+# relationships by id, labels as (node, label) pairs, properties as
+# (entity, key, value) triples (so changing a value counts +1/-1).
+# ---------------------------------------------------------------------------
+
+def _canon_cell(v):
+    if isinstance(v, list):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    return v
+
+
+def _graph_state(g):
+    from ..graph import (_RESERVED_NODE, _RESERVED_REL, prop_name)
+
+    cached = getattr(g, "_tck_state", None)
+    if cached is not None:
+        return cached
+    nodes: dict = {}
+    for combo, df in g.node_tables.items():
+        for row in df.collect():
+            d = row.asDict(recursive=True)
+            nid = d.pop("id")
+            props = frozenset(
+                (prop_name(k, _RESERVED_NODE), _canon_cell(v))
+                for k, v in d.items() if v is not None)
+            nodes[nid] = (frozenset(combo), props)
+    rels: dict = {}
+    for rtype, df in g.rel_tables.items():
+        for row in df.collect():
+            d = row.asDict(recursive=True)
+            rid, src, tgt = d.pop("id"), d.pop("source"), d.pop("target")
+            props = frozenset(
+                (prop_name(k, _RESERVED_REL), _canon_cell(v))
+                for k, v in d.items() if v is not None)
+            rels[rid] = (src, tgt, rtype, props)
+    state = (nodes, rels)
+    g._tck_state = state
+    return state
+
+
+def graph_side_effects(before, after) -> dict:
+    """Non-zero side-effect counters between two PropertyGraphs."""
+    n0, r0 = _graph_state(before)
+    n1, r1 = _graph_state(after)
+    out = {}
+
+    def put(key, n):
+        if n:
+            out[key] = n
+
+    put("+nodes", len(set(n1) - set(n0)))
+    put("-nodes", len(set(n0) - set(n1)))
+    put("+relationships", len(set(r1) - set(r0)))
+    put("-relationships", len(set(r0) - set(r1)))
+    lab0 = {(i, l) for i, (combo, _) in n0.items() for l in combo}
+    lab1 = {(i, l) for i, (combo, _) in n1.items() for l in combo}
+    put("+labels", len(lab1 - lab0))
+    put("-labels", len(lab0 - lab1))
+    p0 = {(i, k, v) for i, (_, props) in n0.items() for k, v in props} | \
+         {(i, k, v) for i, (_, _, _, props) in r0.items() for k, v in props}
+    p1 = {(i, k, v) for i, (_, props) in n1.items() for k, v in props} | \
+         {(i, k, v) for i, (_, _, _, props) in r1.items() for k, v in props}
+    put("+properties", len(p1 - p0))
+    put("-properties", len(p0 - p1))
+    return out
 
 
 # TCK error-type name -> engine exception class names that legitimately
@@ -148,6 +238,8 @@ _ERROR_CLASSES = {
     "arithmeticerror": {"ArithmeticException", "SparkArithmeticException",
                         "PySparkArithmeticException", "ZeroDivisionError"},
     "parametermissing": {"PlanError", "KeyError"},
+    "constraintverificationfailed": {"DeleteConnectedNodeError"},
+    "constraintvalidationfailed": {"DeleteConnectedNodeError"},
 }
 
 
@@ -227,6 +319,9 @@ def run_scenario(spark, scenario: Scenario, background=()) -> None:
             raise ScenarioFailure(
                 f"{scenario}: expected a {plan.expect_error} but got "
                 f"{type(e).__name__}: {e}") from e
+        # mutation executes within the statement; its typed errors carry
+        # the phase they belong to (e.g. DeleteConnectedNode = runtime)
+        phase = getattr(e, "phase", phase)
         if plan.error_phase not in (None, "any time", phase):
             raise ScenarioFailure(
                 f"{scenario}: expected {plan.expect_error} at "
@@ -242,6 +337,15 @@ def run_scenario(spark, scenario: Scenario, background=()) -> None:
         raise ScenarioFailure(
             f"{scenario}: expected {plan.expect_error} but the query "
             f"succeeded with {len(rows)} rows")
+
+    if plan.side_effects is not None:
+        # read-only queries (res.graph is None) trivially diff to {};
+        # only mutating queries pay the state collection
+        actual = {} if res.graph is None else graph_side_effects(g, res.graph)
+        if actual != plan.side_effects:
+            raise ScenarioFailure(
+                f"{scenario}: side effects {actual} != expected "
+                f"{plan.side_effects}")
 
     if plan.expect_empty:
         if rows:

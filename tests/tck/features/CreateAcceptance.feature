@@ -1,21 +1,429 @@
 Feature: CreateAcceptance
 
-  Scenario: Create a single node
+  Scenario: Create a single node with multiple labels
     Given an empty graph
     When executing query:
       """
-      CREATE (:N)
+      CREATE (:A:B:C:D)
       """
     Then the result should be empty
-    And no side effects
+    And the side effects should be:
+      | +nodes  | 1 |
+      | +labels | 4 |
 
-  Scenario: Create and return
+  Scenario: Combine MATCH and CREATE
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (), ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      CREATE ()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes | 2 |
+
+  Scenario: Combine MATCH, WITH and CREATE
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (), ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      CREATE ()
+      WITH *
+      MATCH (m)
+      CREATE ()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes | 10 |
+
+  Scenario: Newly-created nodes not visible to preceding MATCH
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      CREATE ()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes | 1 |
+
+  Scenario: Create a single node with properties
     Given an empty graph
     When executing query:
       """
-      CREATE (n:N {x: 1}) RETURN n.x AS x
+      CREATE (n {prop: 'foo'})
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Creating a node with null properties should not return those properties
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {id: 12, property: null})
+      RETURN n.id AS id
       """
     Then the result should be, in any order:
-      | x |
-      | 1 |
-    And no side effects
+      | id |
+      | 12 |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Creating a relationship with null properties should not return those properties
+    Given an empty graph
+    When executing query:
+      """
+      CREATE ()-[r:X {id: 12, property: null}]->()
+      RETURN r.id AS id
+      """
+    Then the result should be, in any order:
+      | id |
+      | 12 |
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 1 |
+      | +properties    | 1 |
+
+  Scenario: Create a simple pattern
+    Given an empty graph
+    When executing query:
+      """
+      CREATE ()-[:R]->()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 1 |
+
+  Scenario: Create a self loop
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (root:R)-[:LINK]->(root)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 1 |
+      | +relationships | 1 |
+      | +labels        | 1 |
+
+  Scenario: Create a self loop using MATCH
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:R)
+      """
+    When executing query:
+      """
+      MATCH (root:R)
+      CREATE (root)-[:LINK]->(root)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +relationships | 1 |
+
+  Scenario: Create nodes and relationships
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (a), (b),
+             (a)-[:R]->(b)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 1 |
+
+  Scenario: Create a relationship with a property
+    Given an empty graph
+    When executing query:
+      """
+      CREATE ()-[:R {prop: 42}]->()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 1 |
+      | +properties    | 1 |
+
+  Scenario: Create a relationship with the correct direction
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:X)
+      CREATE (:Y)
+      """
+    When executing query:
+      """
+      MATCH (x:X), (y:Y)
+      CREATE (x)<-[:TYPE]-(y)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +relationships | 1 |
+
+  Scenario: Create a relationship and an end node from a matched starting node
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Begin)
+      """
+    When executing query:
+      """
+      MATCH (x:Begin)
+      CREATE (x)-[:TYPE]->(:End)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 1 |
+      | +relationships | 1 |
+      | +labels        | 1 |
+
+  Scenario: Create a single node after a WITH
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (), ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      WITH *
+      CREATE ()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes | 2 |
+
+  Scenario: Create a relationship with a reversed direction
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (:A)<-[:R]-(:B)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 1 |
+      | +labels        | 2 |
+
+  Scenario: Create a pattern with multiple hops
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (:A)-[:R]->(:B)-[:R]->(:C)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 3 |
+      | +relationships | 2 |
+      | +labels        | 3 |
+
+  Scenario: Create a pattern with multiple hops in the reverse direction
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (:A)<-[:R]-(:B)<-[:R]-(:C)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 3 |
+      | +relationships | 2 |
+      | +labels        | 3 |
+
+  Scenario: Create a pattern with multiple hops in varying directions
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (:A)-[:R]->(:B)<-[:R]-(:C)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 3 |
+      | +relationships | 2 |
+      | +labels        | 3 |
+
+  Scenario: Create a pattern with multiple hops with multiple types and varying directions
+    Given an empty graph
+    When executing query:
+      """
+      CREATE ()-[:R1]->()<-[:R2]-()-[:R3]->()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 4 |
+      | +relationships | 3 |
+
+  Scenario: Nodes are not created when aliases are applied to variable names
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({foo: 1})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      MATCH (m)
+      WITH n AS a, m AS b
+      CREATE (a)-[:T]->(b)
+      RETURN a.foo AS a, b.foo AS b
+      """
+    Then the result should be, in any order:
+      | a | b |
+      | 1 | 1 |
+    And the side effects should be:
+      | +relationships | 1 |
+
+  Scenario: Only a single node is created when an alias is applied to a variable name
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      WITH n AS a
+      CREATE (a)-[:T]->()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 1 |
+      | +relationships | 1 |
+
+  Scenario: Nodes are not created when aliases are applied to variable names multiple times
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({foo: 'A'})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      WITH n AS a
+      WITH a AS b
+      CREATE (b)-[:T]->()
+      RETURN b.foo AS b
+      """
+    Then the result should be, in any order:
+      | b   |
+      | 'A' |
+    And the side effects should be:
+      | +nodes         | 1 |
+      | +relationships | 1 |
+
+  Scenario: Only a single node is created when an alias is applied to a variable name multiple times
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({foo: 5})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      WITH n AS a
+      WITH a AS b
+      CREATE (b)-[:T]->()
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 1 |
+      | +relationships | 1 |
+
+  Scenario: A bound node should be recognized after projection with WITH + WITH
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (a)
+      WITH a
+      WITH *
+      CREATE (b)
+      CREATE (a)<-[:T]-(b)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 1 |
+
+  Scenario: A bound node should be recognized after projection with WITH + UNWIND
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (a)
+      WITH a
+      UNWIND [0] AS i
+      CREATE (b)
+      CREATE (a)<-[:T]-(b)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 1 |
+
+  Scenario: A bound node should be recognized after projection with WITH + MERGE node
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (a)
+      WITH a
+      MERGE ()
+      CREATE (b)
+      CREATE (a)<-[:T]-(b)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 1 |
+
+  Scenario: A bound node should be recognized after projection with WITH + MERGE pattern
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (a)
+      WITH a
+      MERGE (x)
+      MERGE (y)
+      MERGE (x)-[:T]->(y)
+      CREATE (b)
+      CREATE (a)<-[:T]-(b)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 2 |
+
+  Scenario: Fail when trying to create using an undirected relationship pattern
+    Given an empty graph
+    When executing query:
+      """
+      CREATE ({id: 2})-[r:KNOWS]-({id: 1})
+      RETURN r
+      """
+    Then a SyntaxError should be raised at compile time: RequiresDirectedRelationship
+
+  Scenario: Creating a pattern with multiple hops and changing directions
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (:A)<-[:R1]-(:B)-[:R2]->(:C)
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | +nodes         | 3 |
+      | +relationships | 2 |
+      | +labels        | 3 |

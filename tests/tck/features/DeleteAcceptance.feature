@@ -4,24 +4,190 @@ Feature: DeleteAcceptance
     Given an empty graph
     And having executed:
       """
-      CREATE (:N)
+      CREATE ()
       """
     When executing query:
       """
-      MATCH (n) DELETE n
+      MATCH (n)
+      DELETE n
       """
     Then the result should be empty
-    And no side effects
+    And the side effects should be:
+      | -nodes | 1 |
 
   Scenario: Detach delete node
     Given an empty graph
     And having executed:
       """
-      CREATE (:N)-[:R]->(:N)
+      CREATE (:X)
+      CREATE (:Y)
       """
     When executing query:
       """
-      MATCH (n) DETACH DELETE n
+      MATCH (n)
+      DETACH DELETE n
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -nodes  | 2 |
+      | -labels | 2 |
+
+  Scenario: Delete relationships
+    Given an empty graph
+    And having executed:
+      """
+      UNWIND range(0, 2) AS i
+      CREATE ()-[:R]->()
+      """
+    When executing query:
+      """
+      MATCH ()-[r]-()
+      DELETE r
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -relationships | 3 |
+
+  Scenario: Deleting connected nodes
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (x:X)
+      CREATE (x)-[:R]->()
+      CREATE (x)-[:R]->()
+      CREATE (x)-[:R]->()
+      """
+    When executing query:
+      """
+      MATCH (n:X)
+      DELETE n
+      """
+    Then a ConstraintVerificationFailed should be raised at runtime: DeleteConnectedNode
+
+  Scenario: Detach deleting connected nodes and relationships
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (x:X)
+      CREATE (x)-[:R]->()
+      CREATE (x)-[:R]->()
+      CREATE (x)-[:R]->()
+      """
+    When executing query:
+      """
+      MATCH (n:X)
+      DETACH DELETE n
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -nodes         | 1 |
+      | -relationships | 3 |
+      | -labels        | 1 |
+
+  Scenario: Undirected expand followed by delete and count
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()-[:R]->()
+      """
+    When executing query:
+      """
+      MATCH (a)-[r]-(b)
+      DELETE r, a, b
+      RETURN count(*) AS c
+      """
+    Then the result should be, in any order:
+      | c |
+      | 2 |
+    And the side effects should be:
+      | -nodes         | 2 |
+      | -relationships | 1 |
+
+  Scenario: Undirected variable length expand followed by delete and count
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (n1), (n2), (n3)
+      CREATE (n1)-[:R]->(n2)
+      CREATE (n2)-[:R]->(n3)
+      """
+    When executing query:
+      """
+      MATCH (aNode)-[:R*1..1]-(anotherNode)
+      DETACH DELETE aNode, anotherNode
+      RETURN count(*) AS c
+      """
+    Then the result should be, in any order:
+      | c |
+      | 4 |
+    And the side effects should be:
+      | -nodes         | 3 |
+      | -relationships | 2 |
+
+  Scenario: Create and delete in same query
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      CREATE (m)
+      DELETE m
       """
     Then the result should be empty
     And no side effects
+
+  Scenario: Delete optionally matched relationship
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      OPTIONAL MATCH (n)-[r]-()
+      DELETE n, r
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -nodes | 1 |
+
+  Scenario: Delete on null node
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (n)
+      DELETE n
+      """
+    Then the result should be empty
+    And no side effects
+
+  Scenario: Detach delete on null node
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (n)
+      DETACH DELETE n
+      """
+    Then the result should be empty
+    And no side effects
+
+  Scenario: Delete relationship with bidirectional matching
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()-[:T {id: 42}]->()
+      """
+    When executing query:
+      """
+      MATCH p = ()-[r:T]-()
+      WHERE r.id = 42
+      DELETE r
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -relationships | 1 |
+      | -properties    | 1 |
