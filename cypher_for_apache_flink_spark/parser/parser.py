@@ -323,7 +323,17 @@ class Parser:
         return A.DeleteClause(tuple(exprs), detach)
 
     def parse_merge(self) -> "A.MergeClause":
+        # optional named path: MERGE p = (a)-[:R]->(b)
+        path_name = None
+        t = self.peek()
+        if t.kind in ("IDENT", "KW") and self.peek(1).kind == "PUNCT" \
+                and self.peek(1).text == "=":
+            path_name = t.raw if t.kind == "KW" else t.text
+            self.next()
+            self.next()
         pattern = self.parse_pattern_part()
+        if path_name is not None:
+            pattern = dataclasses.replace(pattern, path_var=path_name)
         on_create: list = []
         on_match: list = []
         while self.at_kw("on"):

@@ -30,6 +30,7 @@ before it" rule.
 
 from __future__ import annotations
 
+import dataclasses
 import itertools
 
 from pyspark.sql import functions as F
@@ -96,6 +97,9 @@ def _widen(t1, t2, key):
         return t2
     if isinstance(t2, T.NullType):
         return t1
+    if isinstance(t1, T.ArrayType) and isinstance(t2, T.ArrayType):
+        return T.ArrayType(_widen(t1.elementType, t2.elementType, key),
+                           t1.containsNull or t2.containsNull)
     raise PlanError(
         f"property {key!r} would hold both {t1.simpleString()} and "
         f"{t2.simpleString()}; a columnar engine cannot box mixed-type "
@@ -629,9 +633,11 @@ def plan_merge(pl, records, clause: A.MergeClause):
         records = _unit_records(pl)
     header = records.header
     named = pl._name_pattern(clause.pattern)
-    if named.path_var is not None:
-        raise PlanError("named paths cannot be used in MERGE",
-                        code="InvalidPattern")
+    # MERGE p = (a)-[:R]->(b): every element is bound after the merge, so
+    # the path binds with the same machinery as a fixed MATCH path
+    path_part = named if named.path_var is not None else None
+    if path_part is not None:
+        named = dataclasses.replace(named, path_var=None)
 
     new_node_vars = []
     for np in named.nodes:
@@ -699,8 +705,10 @@ def plan_merge(pl, records, clause: A.MergeClause):
             prop_slots.append((owner, k, mk))
     mk_names = ([f"__mkb_{i}" for i in range(len(bound_eps))]
                 + [s[2] for s in prop_slots])
+    # keep the FULL matched shape (probe-var columns are null here) so the
+    # union with the hit branch and downstream projections resolve
     miss_src = miss_df.select(
-        *records.df.columns,
+        *matched.df.columns,
         *[c.alias(n) for c, n in zip(key_cols, mk_names)])
 
     dedup = miss_src.select(*mk_names).dropDuplicates()
@@ -783,7 +791,10 @@ def plan_merge(pl, records, clause: A.MergeClause):
                       out.df.withColumn(inv, ~F.col(flag)))
         out = plan_set(pl, out, clause.on_match, branch_col=inv)
         out = out.with_df(out.df.drop(inv))
-    return out.with_df(out.df.drop(flag))
+    out = out.with_df(out.df.drop(flag))
+    if path_part is not None:
+        out = pl._bind_path(out, path_part)
+    return out
 
 
 def _owner_var(e):

@@ -1510,8 +1510,12 @@ class Planner:
             else:
                 plain.append(c)
         if plain:
+            resolved = []
             for c in plain:
                 records = self._materialize_rel_list_lambdas(records, c)
+                records, c = self._materialize_endpoint_props(records, c)
+                resolved.append(c)
+            plain = resolved
             ctx = self.ctx(records)
             cond = None
             for c in plain:
@@ -1667,6 +1671,91 @@ class Planner:
         for comp in comps:
             records = self._materialize_one_rel_list(records, comp)
         return records
+
+    def _materialize_endpoint_props(self, records: Records, expr):
+        """``startNode(r).key`` / ``endNode(r).key``: the relationship row
+        carries only the endpoint ID, so the property needs the node row —
+        materialize it with ONE left join per endpoint against the
+        column-pruned all-nodes scan (broadcast when node stats allow),
+        then substitute a plain column reference.  The reference's boxed
+        value runtime reads endpoint rows directly
+        (SparkSQLExprMapper.scala:254-255 only maps the id); the columnar
+        engine plans the join."""
+
+        def endpoint(owner):
+            if isinstance(owner, E.StartNode) and isinstance(owner.rel, E.Var):
+                return ("start", owner.rel.name)
+            if isinstance(owner, E.EndNode) and isinstance(owner.rel, E.Var):
+                return ("end", owner.rel.name)
+            if isinstance(owner, E.FuncCall) \
+                    and owner.name in ("startnode", "endnode") \
+                    and len(owner.args) == 1 \
+                    and isinstance(owner.args[0], E.Var):
+                return ("start" if owner.name == "startnode" else "end",
+                        owner.args[0].name)
+            return None
+
+        def ep_expr(ep):
+            rv = E.RelVar(ep[1])
+            return E.StartNode(rv) if ep[0] == "start" else E.EndNode(rv)
+
+        targets: dict = {}   # (kind, rel_name) -> set of property keys
+
+        def collect(e):
+            if isinstance(e, E.Property):
+                ep = endpoint(e.owner)
+                if ep is not None \
+                        and records.header.get(ep_expr(ep)) is not None:
+                    targets.setdefault(ep, set()).add(e.key)
+            for ch in e.children() if isinstance(e, E.Expr) else ():
+                collect(ch)
+        collect(expr)
+        if not targets:
+            return records, expr
+
+        df, h = records.df, records.header
+        markers: dict = {}   # ep -> {key: marker column}
+        for ep, keys in sorted(targets.items()):
+            idcol = h.get(ep_expr(ep))
+            scan = scan_nodes(self.session, self.graph,
+                              f"_ep{self.fresh_name()}")
+            svar = next(v for v in scan.header.vars())
+            join_id = f"__ep_id_{self.fresh_name()}"
+            sel = [F.col(scan.header.col(svar)).alias(join_id)]
+            markers[ep] = {}
+            for k in sorted(keys):
+                marker = f"__ep_{self.fresh_name()}_{k}"
+                markers[ep][k] = marker
+                c = scan.header.get(E.Property(svar, k))
+                sel.append((F.col(c) if c is not None
+                            else F.lit(None)).alias(marker))
+                h = h.added(E.Var(marker), marker)
+            df = df.join(scan.df.select(*sel),
+                         on=F.col(idcol) == F.col(join_id),
+                         how="left").drop(join_id)
+
+        def rewrite(e):
+            if isinstance(e, E.Property):
+                ep = endpoint(e.owner)
+                if ep in markers and e.key in markers[ep]:
+                    return E.Var(markers[ep][e.key])
+            if not isinstance(e, E.Expr) or not dataclasses.is_dataclass(e):
+                return e
+            changes = {}
+            for f in dataclasses.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, E.Expr):
+                    changes[f.name] = rewrite(v)
+                elif isinstance(v, tuple):
+                    changes[f.name] = tuple(
+                        rewrite(x) if isinstance(x, E.Expr)
+                        else (tuple(rewrite(y) if isinstance(y, E.Expr)
+                                    else y for y in x)
+                              if isinstance(x, tuple) else x)
+                        for x in v)
+            return dataclasses.replace(e, **changes) if changes else e
+
+        return Records(self.session, h, df), rewrite(expr)
 
     def _entity_list_key(self, expr, name: str) -> "E.Var | None":
         """Typed header key when a projected ``expr`` evaluates to a list of
@@ -1910,8 +1999,13 @@ class Planner:
         # [r IN rs | body] over a bound var-length relationship list
         # materializes via posexplode + rel-scan join (see
         # _materialize_rel_list_lambdas)
+        new_items = []
         for it in items:
             records = self._materialize_rel_list_lambdas(records, it.expr)
+            records, e = self._materialize_endpoint_props(records, it.expr)
+            new_items.append(it if e is it.expr
+                             else A.ProjectionItem(e, it.alias))
+        items = new_items
 
         has_agg = any(E.is_aggregation(it.expr) for it in items)
         if has_agg:

@@ -408,9 +408,13 @@ class CypherSession:
                 self, Header({E.Var(c): c for c in driving_table.columns}),
                 driving_table)
         records, outputs = planner.plan(ast, initial)
+        # entity/path hydration must see the writes of a mutating query —
+        # the planner's final working graph, not the input snapshot
+        hydration_graph = planner.graph if getattr(planner, "_mutated",
+                                                   False) else graph
         return CypherResult(records, outputs, graph=planner.result_graph,
                             cache_lease=planner.cache_lease,
-                            source_graph=graph)
+                            source_graph=hydration_graph)
 
     def _catalog_statement(self, stmt, params) -> "CypherResult":
         """CATALOG CREATE GRAPH name { inner query } / CATALOG DELETE GRAPH

@@ -119,3 +119,107 @@ Feature: NullAcceptance
       | isNull |
       | true   |
     And no side effects
+
+  Scenario: Ignore null when setting property
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (a:DoesNotExist)
+      SET a.prop = 42
+      RETURN a
+      """
+    Then the result should be, in any order:
+      | a    |
+      | null |
+    And no side effects
+
+  Scenario: Ignore null when removing property
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (a:DoesNotExist)
+      REMOVE a.prop
+      RETURN a
+      """
+    Then the result should be, in any order:
+      | a    |
+      | null |
+    And no side effects
+
+  Scenario: Ignore null when setting properties using an appending map
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (a:DoesNotExist)
+      SET a += {prop: 42}
+      RETURN a
+      """
+    Then the result should be, in any order:
+      | a    |
+      | null |
+    And no side effects
+
+  Scenario: Ignore null when setting properties using an overriding map
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (a:DoesNotExist)
+      SET a = {prop: 42}
+      RETURN a
+      """
+    Then the result should be, in any order:
+      | a    |
+      | null |
+    And no side effects
+
+  Scenario: Ignore null when setting label
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (a:DoesNotExist)
+      SET a:L
+      RETURN a
+      """
+    Then the result should be, in any order:
+      | a    |
+      | null |
+    And no side effects
+
+  Scenario: Ignore null when removing label
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (a:DoesNotExist)
+      REMOVE a:L
+      RETURN a
+      """
+    Then the result should be, in any order:
+      | a    |
+      | null |
+    And no side effects
+
+  Scenario: Ignore null when deleting node
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH (a:DoesNotExist)
+      DELETE a
+      RETURN a
+      """
+    Then the result should be, in any order:
+      | a    |
+      | null |
+    And no side effects
+
+  Scenario: Ignore null when deleting relationship
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH ()-[r:DoesNotExist]-()
+      DELETE r
+      RETURN r
+      """
+    Then the result should be, in any order:
+      | r    |
+      | null |
+    And no side effects

@@ -134,3 +134,50 @@ Feature: UnwindAcceptance
       | b   | c   |
       | 'x' | 'y' |
     And no side effects
+
+  Scenario: Creating nodes from an unwound parameter list
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Year {year: 2016})
+      """
+    And parameters are:
+      | events | [{year: 2016, id: 1}, {year: 2016, id: 2}] |
+    When executing query:
+      """
+      UNWIND $events AS event
+      MATCH (y:Year {year: event.year})
+      MERGE (e:Event {id: event.id})
+      MERGE (y)<-[:IN]-(e)
+      RETURN e.id AS x
+      ORDER BY x
+      """
+    Then the result should be, in order:
+      | x |
+      | 1 |
+      | 2 |
+    And the side effects should be:
+      | +nodes         | 2 |
+      | +relationships | 2 |
+      | +labels        | 2 |
+      | +properties    | 2 |
+
+  Scenario: Unwind with merge
+    Given an empty graph
+    And parameters are:
+      | props | [{login: 'login1', name: 'name1'}, {login: 'login2', name: 'name2'}] |
+    When executing query:
+      """
+      UNWIND $props AS prop
+      MERGE (p:Person {login: prop.login})
+      SET p.name = prop.name
+      RETURN p.name AS name, p.login AS login
+      """
+    Then the result should be, in any order:
+      | name    | login    |
+      | 'name1' | 'login1' |
+      | 'name2' | 'login2' |
+    And the side effects should be:
+      | +nodes      | 2 |
+      | +labels     | 2 |
+      | +properties | 4 |

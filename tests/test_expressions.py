@@ -151,11 +151,20 @@ def test_two_pattern_comprehensions_one_return(spark):
     assert list(row["xs"]) == ["b"] and row["n_y"] == 2
 
 
-def test_startnode_property_access_raises_clear_error(spark):
-    import pytest
-
+def test_startnode_endnode_property_access(spark):
+    """startNode(r).key / endNode(r).key materialize via one left join
+    against the column-pruned all-nodes scan (planner
+    _materialize_endpoint_props) — in RETURN and in WHERE."""
     from cypher_for_apache_flink_spark.sources.create import graph_from_create
     g = graph_from_create(
         spark, 'CREATE (:S {n: "a"})-[:R]->(:T {n: "b"})')
-    with pytest.raises(NotImplementedError, match="bind the endpoint"):
-        g.cypher("MATCH (s)-[r:R]->() RETURN startNode(r).n AS n").df
+    row = g.cypher("MATCH ()-[r:R]->() RETURN startNode(r).n AS s, "
+                   "endNode(r).n AS e").df.collect()[0]
+    assert (row["s"], row["e"]) == ("a", "b")
+    rows = g.cypher('MATCH ()-[r:R]->() WHERE startNode(r).n = "a" '
+                    "RETURN endNode(r).n AS e").df.collect()
+    assert [r["e"] for r in rows] == ["b"]
+    # unknown property -> null, not an error
+    row = g.cypher("MATCH ()-[r:R]->() RETURN startNode(r).nope AS x") \
+        .df.collect()[0]
+    assert row["x"] is None
