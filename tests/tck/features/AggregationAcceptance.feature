@@ -233,3 +233,22 @@ Feature: AggregationAcceptance
       | foo | bar | baz    |
       | 42  | 42  | {y: 1} |
     And no side effects
+
+  Scenario: Projection during aggregation in WITH before MERGE and after WITH with predicate
+    Given an empty graph
+    When executing query:
+      """
+      UNWIND [1, 2, 3] AS i
+      WITH i
+      WHERE i > 1
+      WITH count(i) AS c
+      MERGE (n:N {v: c})
+      RETURN n.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 2 |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 1 |

@@ -135,3 +135,22 @@ Feature: ExpressionAcceptance
       """
     Then a TypeError should be raised at any time
     And no side effects
+
+  Scenario: Execute n['name'] in update queries
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({name: 'Apa'})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      CREATE (m {name: n['name']})
+      RETURN m.name AS name
+      """
+    Then the result should be, in any order:
+      | name  |
+      | 'Apa' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |

@@ -571,3 +571,21 @@ Feature: ListOperations
       """
     Then a TypeError should be raised at compile time
     And no side effects
+
+  Scenario: Setting and returning the size of a list property
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      SET n.x = [1, 2, 3]
+      RETURN size(n.x) AS len
+      """
+    Then the result should be, in any order:
+      | len |
+      | 3   |
+    And the side effects should be:
+      | +properties | 1 |

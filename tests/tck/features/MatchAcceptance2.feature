@@ -833,3 +833,22 @@ Feature: MatchAcceptance2
       | name |
       | 'A'  |
     And no side effects
+
+  Scenario: Counting rows after MATCH, MERGE, OPTIONAL MATCH
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:X), (:Y)
+      """
+    When executing query:
+      """
+      MATCH (a:X)
+      MERGE (b:Y)
+      WITH a, b
+      OPTIONAL MATCH (c:Z)
+      RETURN count(*) AS c
+      """
+    Then the result should be, in any order:
+      | c |
+      | 1 |
+    And no side effects

@@ -132,3 +132,35 @@ Feature: ReturnAcceptance2
       | c |
       | 1 |
     And no side effects
+
+  Scenario: Setting and returning the size of a list property
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()
+      """
+    When executing query:
+      """
+      MATCH (n)
+      SET n.x = [10, 20]
+      RETURN size(n.x) AS len
+      """
+    Then the result should be, in any order:
+      | len |
+      | 2   |
+    And the side effects should be:
+      | +properties | 1 |
+
+  Scenario: Fail when sorting on variable removed by DISTINCT
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({name: 'A', age: 13}), ({name: 'B', age: 12}), ({name: 'C', age: 11})
+      """
+    When executing query:
+      """
+      MATCH (a)
+      RETURN DISTINCT a.name AS name
+      ORDER BY a.age
+      """
+    Then a SyntaxError should be raised at compile time: UndefinedVariable

@@ -1924,3 +1924,555 @@ Feature: TemporalCreateAcceptance
       | d |
       | '1984-10-11T12:00:00+12:00' |
     And no side effects
+
+  Scenario: Should store date
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (p:Primitive)
+      SET p.v = date("1984-10-11")
+      RETURN p.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store date #1
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({v: date("1984-10-11")})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN n.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11' |
+    And no side effects
+
+  Scenario: Should store date #2
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {v: date("1984-10-11")})
+      RETURN n.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store date #3
+    Given an empty graph
+    When executing query:
+      """
+      MERGE (p:P {k: 1})
+      ON CREATE SET p.v = date("2015-06-24")
+      RETURN p.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '2015-06-24' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 2 |
+
+  Scenario: Should store date array #1
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {vs: [date("1984-10-11"), date("1985-02-01")]})
+      RETURN n.vs AS vs
+      """
+    Then the result should be, in any order:
+      | vs |
+      | ['1984-10-11', '1985-02-01'] |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store date array #2
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({vs: [date("1984-10-11"), date("1985-02-01")]})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN n.vs[0] AS first, size(n.vs) AS len
+      """
+    Then the result should be, in any order:
+      | first | len |
+      | '1984-10-11'  | 2   |
+    And no side effects
+
+  Scenario: Should store date time
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (p:Primitive)
+      SET p.v = datetime("1984-10-11T12:31:14+01:00")
+      RETURN p.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11T12:31:14+01:00' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store date time #1
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({v: datetime("1984-10-11T12:31:14+01:00")})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN n.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11T12:31:14+01:00' |
+    And no side effects
+
+  Scenario: Should store date time #2
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {v: datetime("1984-10-11T12:31:14+01:00")})
+      RETURN n.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11T12:31:14+01:00' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store date time #3
+    Given an empty graph
+    When executing query:
+      """
+      MERGE (p:P {k: 1})
+      ON CREATE SET p.v = datetime("2015-06-24T12:16:48+02:00[Europe/Stockholm]")
+      RETURN p.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '2015-06-24T12:16:48+02:00[Europe/Stockholm]' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 2 |
+
+  Scenario: Should store date time array #1
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {vs: [datetime("1984-10-11T12:31:14Z"), datetime("1984-10-11T12:31:14+01:00")]})
+      RETURN n.vs AS vs
+      """
+    Then the result should be, in any order:
+      | vs |
+      | ['1984-10-11T12:31:14Z', '1984-10-11T12:31:14+01:00'] |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store date time array #2
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({vs: [datetime("1984-10-11T12:31:14Z"), datetime("1984-10-11T12:31:14+01:00")]})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN n.vs[0] AS first, size(n.vs) AS len
+      """
+    Then the result should be, in any order:
+      | first | len |
+      | '1984-10-11T12:31:14Z'  | 2   |
+    And no side effects
+
+  Scenario: Should store duration
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (p:Primitive)
+      SET p.v = duration({days: 14, hours: 16, minutes: 12})
+      RETURN toString(p.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 'P14DT16H12M' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store duration #1
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({v: duration({days: 14, hours: 16, minutes: 12})})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN toString(n.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 'P14DT16H12M' |
+    And no side effects
+
+  Scenario: Should store duration #2
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {v: duration({days: 14, hours: 16, minutes: 12})})
+      RETURN toString(n.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 'P14DT16H12M' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store duration #3
+    Given an empty graph
+    When executing query:
+      """
+      MERGE (p:P {k: 1})
+      ON CREATE SET p.v = duration({months: 12, days: -14, hours: 16})
+      RETURN toString(p.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 'P1Y-14DT16H' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 2 |
+
+  Scenario: Should store duration array #1
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {vs: [duration({days: 14}), duration({hours: 16, minutes: 12})]})
+      RETURN [x IN n.vs | toString(x)] AS vs
+      """
+    Then the result should be, in any order:
+      | vs |
+      | ['P14D', 'PT16H12M'] |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store duration array #2
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({vs: [duration({days: 14}), duration({hours: 16, minutes: 12})]})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN toString(n.vs[0]) AS first, size(n.vs) AS len
+      """
+    Then the result should be, in any order:
+      | first | len |
+      | 'P14D'  | 2   |
+    And no side effects
+
+  Scenario: Should store local date time
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (p:Primitive)
+      SET p.v = localdatetime("1984-10-11T12:31:14")
+      RETURN toString(p.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11T12:31:14' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store local date time #1
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({v: localdatetime("1984-10-11T12:31:14")})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN toString(n.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11T12:31:14' |
+    And no side effects
+
+  Scenario: Should store local date time #2
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {v: localdatetime("1984-10-11T12:31:14")})
+      RETURN toString(n.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '1984-10-11T12:31:14' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store local date time #3
+    Given an empty graph
+    When executing query:
+      """
+      MERGE (p:P {k: 1})
+      ON CREATE SET p.v = localdatetime("2015-06-24T12:16:48")
+      RETURN toString(p.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '2015-06-24T12:16:48' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 2 |
+
+  Scenario: Should store local date time array #1
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {vs: [localdatetime("1984-10-11T12:31:14"), localdatetime("1985-02-01T06:00:00")]})
+      RETURN [x IN n.vs | toString(x)] AS vs
+      """
+    Then the result should be, in any order:
+      | vs |
+      | ['1984-10-11T12:31:14', '1985-02-01T06:00:00'] |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store local date time array #2
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({vs: [localdatetime("1984-10-11T12:31:14"), localdatetime("1985-02-01T06:00:00")]})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN toString(n.vs[0]) AS first, size(n.vs) AS len
+      """
+    Then the result should be, in any order:
+      | first | len |
+      | '1984-10-11T12:31:14'  | 2   |
+    And no side effects
+
+  Scenario: Should store local time
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (p:Primitive)
+      SET p.v = localtime("12:31:14")
+      RETURN toString(p.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '12:31:14' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store local time #1
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({v: localtime("12:31:14")})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN toString(n.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '12:31:14' |
+    And no side effects
+
+  Scenario: Should store local time #2
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {v: localtime("12:31:14")})
+      RETURN toString(n.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '12:31:14' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store local time #3
+    Given an empty graph
+    When executing query:
+      """
+      MERGE (p:P {k: 1})
+      ON CREATE SET p.v = localtime("12:31:14.645")
+      RETURN toString(p.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '12:31:14.645' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 2 |
+
+  Scenario: Should store local time array #1
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {vs: [localtime("12:31:14"), localtime("06:00:00")]})
+      RETURN [x IN n.vs | toString(x)] AS vs
+      """
+    Then the result should be, in any order:
+      | vs |
+      | ['12:31:14', '06:00:00'] |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store local time array #2
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({vs: [localtime("12:31:14"), localtime("06:00:00")]})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN toString(n.vs[0]) AS first, size(n.vs) AS len
+      """
+    Then the result should be, in any order:
+      | first | len |
+      | '12:31:14'  | 2   |
+    And no side effects
+
+  Scenario: Should store time
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (p:Primitive)
+      SET p.v = time("12:31:14+01:00")
+      RETURN toString(p.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '12:31:14+01:00' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store time #1
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({v: time("12:31:14+01:00")})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN toString(n.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '12:31:14+01:00' |
+    And no side effects
+
+  Scenario: Should store time #2
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {v: time("12:31:14+01:00")})
+      RETURN toString(n.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '12:31:14+01:00' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store time #3
+    Given an empty graph
+    When executing query:
+      """
+      MERGE (p:P {k: 1})
+      ON CREATE SET p.v = time("12:31:14.645+01:00")
+      RETURN toString(p.v) AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | '12:31:14.645+01:00' |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +labels     | 1 |
+      | +properties | 2 |
+
+  Scenario: Should store time array #1
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (n {vs: [time("12:31:14Z"), time("06:00:00+01:00")]})
+      RETURN [x IN n.vs | toString(x)] AS vs
+      """
+    Then the result should be, in any order:
+      | vs |
+      | ['12:31:14Z', '06:00:00+01:00'] |
+    And the side effects should be:
+      | +nodes      | 1 |
+      | +properties | 1 |
+
+  Scenario: Should store time array #2
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({vs: [time("12:31:14Z"), time("06:00:00+01:00")]})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      RETURN toString(n.vs[0]) AS first, size(n.vs) AS len
+      """
+    Then the result should be, in any order:
+      | first | len |
+      | '12:31:14Z'  | 2   |
+    And no side effects
