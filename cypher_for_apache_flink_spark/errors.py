@@ -36,3 +36,16 @@ class PlanError(CypherError):
     """Query parsed but cannot be planned: undefined variables, nested
     aggregation, invalid patterns... (the TCK files these under
     SyntaxError/SemanticError, always at compile time)."""
+
+
+class EntityNotFoundError(CypherError):
+    """Accessing the labels or properties of an entity the statement has
+    already deleted (TCK: EntityNotFound / DeletedEntityAccess).  Mutation
+    executes within the statement, so this is a runtime-phase error even
+    though the engine detects it while planning the later clause."""
+
+    phase = "runtime"
+
+    def __init__(self, message: str = "",
+                 code: str | None = "DeletedEntityAccess"):
+        super().__init__(message, code=code)

@@ -116,10 +116,38 @@ def tokenize(src: str) -> list:
     return toks
 
 
+_SIMPLE_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+_HEX = set("0123456789abcdefABCDEF")
+
+
 def _unescape(s: str) -> str:
     body = s[1:-1]
-    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(
-        m.group(1), m.group(1)), body)
+    if "\\" not in body:
+        return body
+    out, i = [], 0
+    while i < len(body):
+        ch = body[i]
+        if ch != "\\" or i + 1 >= len(body):
+            out.append(ch)
+            i += 1
+            continue
+        c = body[i + 1]
+        if c in ("u", "U"):
+            # Cypher \uXXXX / \UXXXXXXXX escapes; anything short of the
+            # full hex run is a SyntaxError (TCK InvalidUnicodeLiteral)
+            width = 4 if c == "u" else 8
+            hexs = body[i + 2:i + 2 + width]
+            if len(hexs) != width or any(h not in _HEX for h in hexs):
+                from ..errors import CypherSyntaxError
+                raise CypherSyntaxError(
+                    f"invalid unicode literal \\{c}{hexs}",
+                    code="InvalidUnicodeLiteral")
+            out.append(chr(int(hexs, 16)))
+            i += 2 + width
+            continue
+        out.append(_SIMPLE_ESCAPES.get(c, c))
+        i += 2
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,40 @@ def _widen(t1, t2, key):
         "columns", code="IncompatiblePropertyTypes")
 
 
+# struct field-name signatures of the engine's temporal encodings — the
+# only struct-typed values a property may store
+_TEMPORAL_SIGS = {
+    frozenset({"months", "days", "microseconds"}),      # duration
+    frozenset({"time_us", "tz_us"}),                    # time
+    frozenset({"localtime_us"}),                        # localtime
+    frozenset({"epoch_us", "tz_us", "zone"}),           # zoned datetime
+}
+
+
+def _check_storable(df, col, key):
+    """openCypher property values are primitives, temporal values, or
+    lists thereof — maps (and lists of maps) are not storable
+    (TCK: TypeError / InvalidPropertyType)."""
+    from pyspark.sql import types as T
+    dt = df.select(col.alias("__v")).schema[0].dataType
+
+    def ok(t):
+        if isinstance(t, T.ArrayType):
+            return ok(t.elementType)
+        if isinstance(t, T.MapType):
+            return False
+        if isinstance(t, T.StructType):
+            return frozenset(f.name for f in t.fields) in _TEMPORAL_SIGS
+        return True
+
+    if not ok(dt):
+        raise PlanError(
+            f"property {key!r} cannot store a value of type "
+            f"{dt.simpleString()}: only primitives, temporal values and "
+            "lists thereof are storable", code="InvalidPropertyType")
+    return col
+
+
 def _union_aligned(old, new):
     """unionByName with missing-column padding and numeric widening."""
     old_t = {f.name: f.dataType for f in old.schema.fields}
@@ -247,8 +281,9 @@ def plan_create(pl, records, clause: A.CreateClause):
             hdr = hdr.added(e)
         for key, ve in node_slots[v]["props"].items():
             e = E.Property(nv, key)
-            add_cols.append(to_column(resolve_vars(ve, header), ctx)
-                            .alias(column_name(e)))
+            add_cols.append(_check_storable(
+                df, to_column(resolve_vars(ve, header), ctx), key)
+                .alias(column_name(e)))
             hdr = hdr.added(e)
     for j, (s, rp, d) in enumerate(rel_slots):
         rv = E.RelVar(rp.var)
@@ -269,8 +304,9 @@ def plan_create(pl, records, clause: A.CreateClause):
         hdr = hdr.added(TypeOf(rv), type_column_name(rv))
         for key, ve in rp.props:
             e = E.Property(rv, key)
-            add_cols.append(to_column(resolve_vars(ve, header), ctx)
-                            .alias(column_name(e)))
+            add_cols.append(_check_storable(
+                df, to_column(resolve_vars(ve, header), ctx), key)
+                .alias(column_name(e)))
             hdr = hdr.added(e)
 
     df2 = df.select("*", *add_cols) if add_cols else df
@@ -313,6 +349,159 @@ def plan_create(pl, records, clause: A.CreateClause):
 # DELETE
 # ---------------------------------------------------------------------------
 
+def _arrays_from_shape(col, shape):
+    """(node_ids, rel_ids) array Columns for a materialized container
+    column whose entity shape was recorded at projection time."""
+    kind = shape[0]
+    if kind == "node":
+        return F.array(col), None
+    if kind == "rel":
+        return None, F.array(col)
+    if kind == "nodelist":
+        return col, None
+    if kind == "rellist":
+        return None, col
+    if kind == "path":
+        return col.getField("nodes"), col.getField("rels")
+    nodes, rels = [], []
+    if kind == "list":
+        parts = [(F.element_at(col, i + 1), s)
+                 for i, s in enumerate(shape[1]) if s is not None]
+    else:                               # map (struct column)
+        parts = [(col.getField(k), s)
+                 for k, s in shape[1].items() if s is not None]
+    for c, s in parts:
+        na, ra = _arrays_from_shape(c, s)
+        if na is not None:
+            nodes.append(na)
+        if ra is not None:
+            rels.append(ra)
+    return (F.concat(*nodes) if nodes else None,
+            F.concat(*rels) if rels else None)
+
+
+def _index_literal(pl, idx):
+    """Plan-time int value of a subscript index (literals arrive as
+    auto-extracted parameters), or None."""
+    if isinstance(idx, E.Lit) and isinstance(idx.value, int) \
+            and not isinstance(idx.value, bool):
+        return idx.value
+    if isinstance(idx, E.Param):
+        v = pl.params.get(idx.name)
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v
+    return None
+
+
+def _shape_chain(pl, header, e):
+    """(Column, shape) for Property/Subscript chains rooted at a WITH
+    alias that carries a recorded entity shape; None when not such a
+    chain."""
+    if isinstance(e, E.Var) and not isinstance(e, (E.NodeVar, E.RelVar)) \
+            and e.name in pl._entity_shapes and header.get(e) is not None:
+        return F.col(header.col(e)), pl._entity_shapes[e.name]
+    if isinstance(e, E.Property):
+        base = _shape_chain(pl, header, e.owner)
+        if base is not None and base[1][0] == "map" \
+                and e.key in base[1][1] and base[1][1][e.key] is not None:
+            return base[0].getField(e.key), base[1][1][e.key]
+    if isinstance(e, E.Subscript):
+        i = _index_literal(pl, e.index)
+        base = _shape_chain(pl, header, e.owner) if i is not None else None
+        if base is not None:
+            col, shape = base
+            if shape[0] == "list" and 0 <= i < len(shape[1]) \
+                    and shape[1][i] is not None:
+                return F.element_at(col, i + 1), shape[1][i]
+            if shape[0] == "nodelist":
+                return F.element_at(col, i + 1), ("node",)
+            if shape[0] == "rellist":
+                return F.element_at(col, i + 1), ("rel",)
+    return None
+
+
+def _entity_id_arrays(pl, header, ctx, e):
+    """Resolve a DELETE operand into (node_ids, rel_ids) array Columns
+    (either may be None).  Beyond bare variables, entities may arrive
+    inside lists, maps, nested structures, subscripts, or named paths —
+    openCypher's DeleteAcceptance "Delete node from a list" family — so
+    this walks the expression tree statically (entity KIND is always
+    derivable at plan time in a columnar engine) and emits pure array
+    expressions; the caller explodes them into one distinct id set."""
+    chained = _shape_chain(pl, header, e)
+    if chained is not None:
+        return _arrays_from_shape(*chained)
+    if isinstance(e, E.ListNodeVar):
+        return F.col(header.col(e)), None
+    if isinstance(e, E.ListRelVar):
+        return None, F.col(header.col(e))
+    if isinstance(e, E.NodeVar):
+        return F.array(F.col(header.col(e))), None
+    if isinstance(e, E.RelVar):
+        return None, F.array(F.col(header.col(e)))
+    if isinstance(e, E.Var) and header.get(e) is not None:
+        # a named path binds struct<nodes: array, rels: array>
+        col = F.col(header.col(e))
+        from pyspark.sql import types as T
+        dt = dict(zip(ctx.df.columns,
+                      (f.dataType for f in ctx.df.schema.fields))
+                  ).get(header.col(e))
+        if isinstance(dt, T.StructType) and \
+                {f.name for f in dt.fields} == {"nodes", "rels"}:
+            return col.getField("nodes"), col.getField("rels")
+        raise PlanError(
+            f"DELETE target {e.name!r} is not a node, relationship or "
+            "path", code="InvalidDelete")
+    if isinstance(e, E.Lit) and e.value is None:
+        return None, None               # DELETE null is a no-op
+    if isinstance(e, E.ListLit):
+        nodes, rels = [], []
+        for it in e.items:
+            na, ra = _entity_id_arrays(pl, header, ctx, it)
+            if na is not None:
+                nodes.append(na)
+            if ra is not None:
+                rels.append(ra)
+        return (F.concat(*nodes) if nodes else None,
+                F.concat(*rels) if rels else None)
+    if isinstance(e, E.Property) and isinstance(e.owner, E.MapLit):
+        for k, v in e.owner.items:
+            if k == e.key:
+                return _entity_id_arrays(pl, header, ctx, v)
+        return None, None               # missing key -> null -> no-op
+    if isinstance(e, E.MapLit):
+        nodes, rels = [], []
+        for _k, v in e.items:
+            na, ra = _entity_id_arrays(pl, header, ctx, v)
+            if na is not None:
+                nodes.append(na)
+            if ra is not None:
+                rels.append(ra)
+        return (F.concat(*nodes) if nodes else None,
+                F.concat(*rels) if rels else None)
+    if isinstance(e, E.Subscript):
+        na, ra = _entity_id_arrays(pl, header, ctx, e.owner)
+        idx = to_column(e.index, ctx) + F.lit(1)      # Cypher is 0-based
+        pick = lambda a: F.array(F.element_at(a, idx))  # noqa: E731
+        return (pick(na) if na is not None else None,
+                pick(ra) if ra is not None else None)
+    if isinstance(e, E.ListSlice):
+        na, ra = _entity_id_arrays(pl, header, ctx, e.owner)
+        lo = to_column(e.lo, ctx) + F.lit(1) if e.lo is not None else F.lit(1)
+        n = (to_column(e.hi, ctx) + F.lit(1) if e.hi is not None
+             else F.lit(1 << 30)) - lo
+        pick = lambda a: F.slice(a, lo, F.greatest(n, F.lit(0)))  # noqa: E731
+        return (pick(na) if na is not None else None,
+                pick(ra) if ra is not None else None)
+    if isinstance(e, E.FuncCall) and e.name in ("nodes", "relationships") \
+            and len(e.args) == 1:
+        na, ra = _entity_id_arrays(pl, header, ctx, e.args[0])
+        return (na, None) if e.name == "nodes" else (None, ra)
+    raise PlanError(
+        "DELETE expects nodes, relationships or paths (possibly inside "
+        "lists or maps)", code="InvalidDelete")
+
+
 def plan_delete(pl, records, clause: A.DeleteClause):
     from .planner import resolve_vars
 
@@ -320,32 +509,33 @@ def plan_delete(pl, records, clause: A.DeleteClause):
         raise PlanError("DELETE needs matched variables",
                         code="InvalidDelete")
     header = records.header
-    node_cols, rel_cols = [], []
+    ctx = ExprContext(header, records.df, pl.params)
+    node_arrays, rel_arrays = [], []
     for e in clause.exprs:
         r = resolve_vars(e, header)
-        if isinstance(r, E.NodeVar):
-            node_cols.append(header.col(r))
-        elif isinstance(r, E.RelVar):
-            rel_cols.append(header.col(r))
-        elif isinstance(r, E.Var) and header.var(r.name) is not None:
-            node_cols.append(header.col(header.var(r.name)))
-        else:
-            raise PlanError(
-                "DELETE expects node or relationship variables",
-                code="InvalidDelete")
+        na, ra = _entity_id_arrays(pl, header, ctx, r)
+        if na is not None:
+            node_arrays.append(na)
+        if ra is not None:
+            rel_arrays.append(ra)
+        if isinstance(r, (E.NodeVar, E.RelVar)):
+            # later clauses may not read a deleted entity's labels or
+            # properties (ReturnAcceptance2 "Fail when returning ... of
+            # deleted ..."); type(r) stays readable from the binding
+            pl._deleted_vars.add(r.name)
 
-    def id_set(cols):
-        if not cols:
+    def id_set(arrays):
+        if not arrays:
             return None
-        parts = [records.df.select(F.col(c).alias("__del_id"))
-                 .where(F.col(c).isNotNull()) for c in cols]
+        parts = [records.df.select(F.explode(a).alias("__del_id"))
+                 for a in arrays]
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        return u.distinct()
+        return u.where(F.col("__del_id").isNotNull()).distinct()
 
-    del_nodes = id_set(node_cols)
-    del_rels = id_set(rel_cols)
+    del_nodes = id_set(node_arrays)
+    del_rels = id_set(rel_arrays)
 
     rel_updates: dict = {}
     for rtype, rdf in pl.graph.rel_tables.items():
@@ -488,7 +678,8 @@ def plan_set(pl, records, items, remove: bool = False, branch_col=None):
             if ve is None:
                 val_cols[key] = F.lit(None)
             else:
-                val_cols[key] = to_column(resolve_vars(ve, header), ctx)
+                val_cols[key] = _check_storable(
+                    df, to_column(resolve_vars(ve, header), ctx), key)
         upd_keys = list(val_cols)
 
         # ---- updates table: one row per touched entity ---------------

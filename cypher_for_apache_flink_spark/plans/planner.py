@@ -97,6 +97,12 @@ class Planner:
         self.cache_lease = CacheLease()
         # path var -> ([node element vars], [rel element vars], has_varlen)
         self._paths: dict = {}
+        # variables DELETEd earlier in the statement: label/property access
+        # on them is a runtime EntityNotFound (ReturnAcceptance2)
+        self._deleted_vars: set = set()
+        # alias -> entity shape for container literals carried through WITH
+        # ("WITH {key: u} AS m ... DELETE m.key"); see _entity_shape_of
+        self._entity_shapes: dict = {}
 
     # ------------------------------------------------------------------
     def fresh_name(self) -> str:
@@ -677,6 +683,63 @@ class Planner:
         return Records(self.session,
                        h.added(E.Var(part.path_var), pcol),
                        records.df.withColumn(pcol, col))
+
+    def _entity_shape_of(self, e, header):
+        """Static entity shape of a projected expression, so DELETE can
+        reach entities inside container literals carried through WITH.
+        Shapes: ("node",)/("rel",)/("nodelist",)/("rellist",)/("path",),
+        ("list", [shape|None, ...]), ("map", {key: shape}); None = no
+        entity content.  A columnar engine knows this at plan time — the
+        materialized column stores only ids, the shape restores the kind."""
+        if isinstance(e, E.ListNodeVar):
+            return ("nodelist",)
+        if isinstance(e, E.ListRelVar):
+            return ("rellist",)
+        if isinstance(e, E.NodeVar):
+            return ("node",)
+        if isinstance(e, E.RelVar):
+            return ("rel",)
+        if isinstance(e, E.Var):
+            if e.name in self._paths:
+                return ("path",)
+            return self._entity_shapes.get(e.name)
+        if isinstance(e, E.ListLit):
+            shapes = [self._entity_shape_of(x, header) for x in e.items]
+            return ("list", shapes) if any(shapes) else None
+        if isinstance(e, E.MapLit):
+            m = {k: self._entity_shape_of(v, header) for k, v in e.items}
+            return ("map", m) if any(m.values()) else None
+        if isinstance(e, E.FuncCall) and e.name == "collect" \
+                and len(e.args) == 1:
+            inner = self._entity_shape_of(e.args[0], header)
+            if inner == ("node",):
+                return ("nodelist",)
+            if inner == ("rel",):
+                return ("rellist",)
+        return None
+
+    def _check_deleted_access(self, e):
+        """Raise EntityNotFound when a projection reads the labels or
+        properties of an entity DELETEd earlier in this statement
+        (ReturnAcceptance2).  ``type(r)`` of a deleted relationship stays
+        readable — it lives in the binding snapshot, matching openCypher's
+        "Do not fail when returning type of deleted relationships"."""
+        from ..errors import EntityNotFoundError
+        bad = None
+        if isinstance(e, E.Property) and isinstance(e.owner, E.Var) \
+                and e.owner.name in self._deleted_vars:
+            bad = e.owner.name
+        elif isinstance(e, E.FuncCall) \
+                and e.name in ("labels", "properties", "keys") \
+                and len(e.args) == 1 and isinstance(e.args[0], E.Var) \
+                and e.args[0].name in self._deleted_vars:
+            bad = e.args[0].name
+        if bad is not None:
+            raise EntityNotFoundError(
+                f"cannot access the properties or labels of {bad!r}: it "
+                "was deleted in this statement")
+        for c in e.children():
+            self._check_deleted_access(c)
 
     # -- comprehensions over fixed-path nodes()/relationships() ---------
     def _path_elements_of(self, list_expr):
@@ -1977,6 +2040,9 @@ class Planner:
             items.append(A.ProjectionItem(
                 resolve_vars(self._rewrite_path_lambdas(it.expr),
                              records.header), it.alias))
+        if self._deleted_vars:
+            for it in items:
+                self._check_deleted_access(it.expr)
         seen_aliases = set()
         for it in items:
             if it.alias is None:        # auto-named from the expression
@@ -2041,6 +2107,18 @@ class Planner:
         keep_cols = set(out.df.columns)
         out = out.with_header(Header({e: c for e, c in out.header.mapping.items()
                                       if c in keep_cols}))
+        # refresh the container-entity shape registry for the new scope
+        # (computed against the OLD registry so chained WITHes carry over)
+        shapes = {}
+        for it in items:
+            name = it.alias or (it.expr.name if isinstance(it.expr, E.Var)
+                                else None)
+            if name is None:
+                continue
+            s = self._entity_shape_of(it.expr, records.header)
+            if s is not None:
+                shapes[name] = s
+        self._entity_shapes = shapes
         return out, outputs
 
     def _plan_project(self, records: Records, items, distinct: bool):

@@ -240,6 +240,7 @@ _ERROR_CLASSES = {
     "parametermissing": {"PlanError", "KeyError"},
     "constraintverificationfailed": {"DeleteConnectedNodeError"},
     "constraintvalidationfailed": {"DeleteConnectedNodeError"},
+    "entitynotfound": {"EntityNotFoundError"},
 }
 
 

@@ -191,3 +191,150 @@ Feature: DeleteAcceptance
     And the side effects should be:
       | -relationships | 1 |
       | -properties    | 1 |
+
+  Scenario: Delete node from a list
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (u:User {name: 'neo4j'})-[:FRIEND]->()
+      """
+    When executing query:
+      """
+      MATCH (:User)-[:FRIEND]->(n)
+      WITH collect(n) AS friends
+      DETACH DELETE friends[0]
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -nodes         | 1 |
+      | -relationships | 1 |
+
+  Scenario: Delete relationship from a list
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (u:User {name: 'neo4j'})-[:FRIEND]->()
+      """
+    When executing query:
+      """
+      MATCH (:User)-[r:FRIEND]->()
+      WITH collect(r) AS rels
+      DELETE rels[0]
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -relationships | 1 |
+
+  Scenario: Delete nodes from a map
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:User {name: 'neo4j'})
+      """
+    When executing query:
+      """
+      MATCH (u:User)
+      WITH {key: u} AS nodes
+      DELETE nodes.key
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -nodes      | 1 |
+      | -labels     | 1 |
+      | -properties | 1 |
+
+  Scenario: Delete relationships from a map
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A)-[:R]->(:B)
+      """
+    When executing query:
+      """
+      MATCH (:A)-[r:R]->(:B)
+      WITH {key: r} AS rels
+      DELETE rels.key
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -relationships | 1 |
+
+  Scenario: Detach delete nodes from nested map/list
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:User {name: 'neo4j'})-[:R]->()
+      """
+    When executing query:
+      """
+      MATCH (u:User)
+      WITH {first: {second: [u]}} AS nodes
+      DETACH DELETE nodes.first.second[0]
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -nodes         | 1 |
+      | -labels        | 1 |
+      | -properties    | 1 |
+      | -relationships | 1 |
+
+  Scenario: Delete relationships from nested map/list
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A)-[:R]->(:B)
+      """
+    When executing query:
+      """
+      MATCH (:A)-[r:R]->(:B)
+      WITH {foo: {bar: [r]}} AS m
+      DELETE m.foo.bar[0]
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -relationships | 1 |
+
+  Scenario: Delete paths from nested map/list
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:S)-[:R]->(:E)
+      """
+    When executing query:
+      """
+      MATCH p = (:S)-->(:E)
+      WITH {f: [p]} AS m
+      DETACH DELETE m.f[0]
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -nodes         | 2 |
+      | -labels        | 2 |
+      | -relationships | 1 |
+
+  Scenario: Delete on null path
+    Given an empty graph
+    When executing query:
+      """
+      OPTIONAL MATCH p = (:DoesNotExist)-[]->()
+      DELETE p
+      """
+    Then the result should be empty
+    And no side effects
+
+  Scenario: Detach deleting paths
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (x:X)-[:R]->(n1), (n1)-[:R]->(n2), (n2)-[:R]->(n3)
+      """
+    When executing query:
+      """
+      MATCH p = (:X)-->()-->()-->()
+      DETACH DELETE p
+      """
+    Then the result should be empty
+    And the side effects should be:
+      | -nodes         | 4 |
+      | -labels        | 1 |
+      | -relationships | 3 |

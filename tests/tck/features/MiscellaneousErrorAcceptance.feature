@@ -189,3 +189,20 @@ Feature: MiscellaneousErrorAcceptance
       """
     Then a SyntaxError should be raised at compile time
     And no side effects
+
+  Scenario: Failing on incorrect unicode literal
+    Given any graph
+    When executing query:
+      """
+      RETURN '\uH'
+      """
+    Then a SyntaxError should be raised at compile time: InvalidUnicodeLiteral
+
+  Scenario: Failing when setting a list of maps as a property
+    Given an empty graph
+    When executing query:
+      """
+      CREATE (a)
+      SET a.maplist = [{foo: 1}]
+      """
+    Then a TypeError should be raised at any time: InvalidPropertyType

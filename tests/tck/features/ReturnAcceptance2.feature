@@ -164,3 +164,63 @@ Feature: ReturnAcceptance2
       ORDER BY a.age
       """
     Then a SyntaxError should be raised at compile time: UndefinedVariable
+
+  Scenario: Do not fail when returning type of deleted relationships
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A)-[:T]->(:B)
+      """
+    When executing query:
+      """
+      MATCH ()-[r]->()
+      DELETE r
+      RETURN type(r) AS t
+      """
+    Then the result should be, in any order:
+      | t   |
+      | 'T' |
+    And the side effects should be:
+      | -relationships | 1 |
+
+  Scenario: Fail when returning labels of deleted nodes
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A)
+      """
+    When executing query:
+      """
+      MATCH (n)
+      DELETE n
+      RETURN labels(n)
+      """
+    Then a EntityNotFound should be raised at runtime: DeletedEntityAccess
+
+  Scenario: Fail when returning properties of deleted nodes
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ({p: 0})
+      """
+    When executing query:
+      """
+      MATCH (n)
+      DELETE n
+      RETURN n.p
+      """
+    Then a EntityNotFound should be raised at runtime: DeletedEntityAccess
+
+  Scenario: Fail when returning properties of deleted relationships
+    Given an empty graph
+    And having executed:
+      """
+      CREATE ()-[:T {p: 0}]->()
+      """
+    When executing query:
+      """
+      MATCH ()-[r]->()
+      DELETE r
+      RETURN r.p
+      """
+    Then a EntityNotFound should be raised at runtime: DeletedEntityAccess
