@@ -2057,21 +2057,29 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         # decomposition: whole months first (anchored re-add, so Jan 31 ->
         # Feb 28 counts as one month), whole days of the remainder, then the
         # microsecond tail.
-        def _between_ts(i):
-            # a TIME/LOCALTIME operand anchors its instant on the epoch
-            # day, so the decomposition below yields pure clock components
+        def _between_op(i):
+            # (local wall-clock ts, instant micros | None, (zone, tz_us) |
+            # None).  A TIME/LOCALTIME operand anchors its instant on the
+            # epoch day, so the decomposition yields pure clock components.
             t = spark_dtype(args[i], ctx)
             c = a(i)
             if is_time_type(t):
-                return F.timestamp_micros(c.getField("time_us")
-                                          - c.getField("tz_us"))
+                inst = c.getField("time_us") - c.getField("tz_us")
+                return F.timestamp_micros(inst), inst, None
             if is_localtime_type(t):
-                return F.timestamp_micros(c.getField("localtime_us"))
+                return F.timestamp_micros(c.getField("localtime_us")), \
+                    None, None
             if is_zoned_dt_type(t):
-                return F.timestamp_micros(c.getField("epoch_us"))
-            return c.cast("timestamp")
+                # months/days count on the LOCAL calendar; the instant and
+                # zone feed the DST-correct microsecond tail below
+                ep = c.getField("epoch_us")
+                return (F.timestamp_micros(ep + c.getField("tz_us")), ep,
+                        (c.getField("zone"), c.getField("tz_us")))
+            return c.cast("timestamp"), None, None
 
-        raw_a, raw_b = _between_ts(0), _between_ts(1)
+        (raw_a, inst_a, zi_a) = _between_op(0)
+        (raw_b, inst_b, zi_b) = _between_op(1)
+        both_zoned = zi_a is not None and zi_b is not None
 
         def _guard(dur_col):
             # null input propagates a NULL duration, not a struct of nulls
@@ -2088,6 +2096,11 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         sign = F.when(neg, F.lit(-1)).otherwise(F.lit(1)).cast("long")
         us_day = F.lit(86_400_000_000)
         if name == "duration.inseconds":
+            if both_zoned:
+                # elapsed (instant) seconds — on a DST day the wall-clock
+                # difference is the wrong answer
+                return _guard(make_duration(F.lit(0), F.lit(0),
+                                            inst_b - inst_a))
             return _guard(make_duration(F.lit(0), F.lit(0),
                                         sign * (F.unix_micros(bts)
                                                 - F.unix_micros(ats))))
@@ -2104,6 +2117,25 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         anchor = F.timestamp_add("MONTH", mo.cast("int"), ats)
         us = F.unix_micros(bts) - F.unix_micros(anchor)
         dd = F.floor(us / us_day)
+        if both_zoned:
+            # openCypher DST semantics (Neo4j DurationValue.between):
+            # months and days count on the local calendar, then the lower
+            # operand advanced by them — wall-preserving in ITS zone — is
+            # re-anchored to an instant, and the tail is true elapsed
+            # time.  ``to_utc_timestamp(ts, zone)`` is the JVM-side
+            # zone-rules lookup (handles DST transitions); fixed-offset
+            # datetimes (null zone) re-anchor with their stored offset.
+            zone_lo = F.when(neg, zi_b[0]).otherwise(zi_a[0])
+            tzus_lo = F.when(neg, zi_b[1]).otherwise(zi_a[1])
+            inst_hi = F.when(neg, inst_a).otherwise(inst_b)
+            anchor_full = F.timestamp_add("DAY", dd.cast("int"), anchor)
+            anchor_inst = F.when(
+                zone_lo.isNotNull(),
+                F.unix_micros(F.to_utc_timestamp(anchor_full, zone_lo))
+            ).otherwise(F.unix_micros(anchor_full) - tzus_lo)
+            return _guard(make_duration(
+                sign * mo.cast("long"), sign * dd.cast("long"),
+                sign * (inst_hi - anchor_inst).cast("long")))
         return _guard(make_duration(
             sign * mo.cast("long"), sign * dd.cast("long"),
             sign * (us - dd.cast("long") * us_day).cast("long")))

@@ -1374,3 +1374,69 @@ Feature: DurationBetweenAcceptance
       | d |
       | 'PT-0.3S' |
     And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #1
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-10-29T00:00+02:00[Europe/Stockholm]'), datetime('2017-10-29T04:00+01:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT5H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #2
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-10-28T12:00+02:00[Europe/Stockholm]'), datetime('2017-10-29T12:00+01:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1D' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #3
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-03-26T01:00+01:00[Europe/Stockholm]'), datetime('2017-03-26T03:00+02:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #4
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-10-29T04:00+01:00[Europe/Stockholm]'), datetime('2017-10-29T00:00+02:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-5H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #5
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-10-28T23:00+02:00[Europe/Stockholm]'), datetime('2017-10-29T23:30+01:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1DT30M' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #6
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inseconds(datetime('2017-10-29T00:00+02:00[Europe/Stockholm]'), datetime('2017-10-29T04:00+01:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT5H' |
+    And no side effects
