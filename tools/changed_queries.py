@@ -79,6 +79,7 @@ PATH_FAMILIES = {
     PKG + "errors.py": [],            # error paths produce no result rows
     PKG + "tck/": [],                 # TCK harness: no driver rows
     PKG + "procedures.py": [],        # CALL surface: no driver query uses it
+    PKG + "sources/create.py": [],    # CREATE fixtures: tests/TCK only
     PKG + "sources/tpch.py": ["cypher"],
     PKG + "sources/ddl.py": ["ddl"],
     PKG + "functions/dedup.py": ["dedup"],
