@@ -783,6 +783,29 @@ _EXTRA_QUERIES = {
 }
 
 
+# New in round 7 — the graph-mutation surface (plans/mutation.py:
+# CREATE/MERGE/SET/REMOVE/DELETE as immutable graph transformations) gets
+# driver-recorded correctness rows: each query mutates the TPC-H graph and
+# re-MATCHes the mutated state, so the oracle checks post-write visibility,
+# not just the arithmetic.
+_ROUND7_QUERIES = {
+    "mutation_set_rematch": _cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) WHERE r.r_name = 'EUROPE' "
+        "SET n.eu = true "
+        "WITH count(*) AS tagged "
+        "MATCH (m:Nation) WHERE m.eu = true "
+        "RETURN tagged, count(*) AS eu_nations"),
+    "mutation_create_delete": _cypher(
+        "MATCH (r:Region) CREATE (c:Colony {cname: r.r_name})-[:OF]->(r) "
+        "WITH count(*) AS created "
+        "MATCH (c:Colony)-[:OF]->(r:Region) WHERE r.r_name STARTS WITH 'A' "
+        "DETACH DELETE c "
+        "WITH created, count(*) AS deleted "
+        "MATCH (c2:Colony) "
+        "RETURN created, deleted, count(*) AS remaining"),
+}
+
+
 # New in round 5 — in-window so their first CORRECTNESS rows are driver-
 # recorded: the two-phase global percentileDisc plan and the banded-LSH
 # near-dup blocking are new code paths this round.
@@ -898,7 +921,8 @@ _ROUND7_CHANGED = [
     'expand_3hop_keyword_types', 'expand_incoming', 'expand_into',
     'expand_undirected', 'graph_union', 'k_core',
     'keyword_label_scan', 'labels_function', 'list_functions',
-    'math_functions', 'node_similarity', 'not_exists_pattern',
+    'math_functions', 'mutation_create_delete', 'mutation_set_rematch',
+    'node_similarity', 'not_exists_pattern',
     'optional_first_clause', 'optional_match_count',
     'optional_match_null', 'order_skip_limit', 'orderby_expression',
     'pagerank', 'percentile_disc_global', 'personalized_pagerank',
@@ -929,8 +953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name not in full:
             full[name] = fn
     r5_window = set(list(full)[:50])
-    changed = set(_ROUND7_CHANGED)
-    prio = ([n for n in full if n in r5_window and n in changed]
+    full.update(_ROUND7_QUERIES)        # new this round: never recorded,
+    changed = set(_ROUND7_CHANGED)      # tier-(b) priority via changed set
+    prio = (list(_ROUND7_QUERIES)       # brand new: no recorded row at all
+            + [n for n in full if n in r5_window and n in changed]
             + [n for n in full if n not in r5_window and n in changed]
             + [n for n in full if n in r5_window and n not in changed]
             + list(full))
@@ -1106,6 +1132,20 @@ def _bfs_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- graph mutation (round 7): the mutated-state counts are
+        # derivable from the base tables -------------------------------
+        "mutation_set_rematch": (
+            "WITH t AS (SELECT count(*) AS c FROM nation n "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'EUROPE') "
+            "SELECT c AS tagged, c AS eu_nations FROM t"),
+        "mutation_create_delete": (
+            "WITH t AS (SELECT count(*) AS total, "
+            "CAST(sum(CASE WHEN r_name LIKE 'A%' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS dels FROM region) "
+            "SELECT total AS created, dels AS deleted, "
+            "total - dels AS remaining FROM t"),
+
         # --- scans / filter -------------------------------------------
         "scan_nodes": "SELECT r_name FROM region",
         "scan_filter": ("SELECT c_name, c_acctbal FROM customer "
