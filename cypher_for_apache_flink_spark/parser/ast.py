@@ -186,6 +186,14 @@ class MergeClause:
 
 
 @dataclass(frozen=True)
+class ForeachClause:
+    """``FOREACH (var IN list | updating-clause...)``."""
+    var: str
+    list_expr: object        # Expr
+    clauses: tuple           # updating clauses (incl. nested Foreach)
+
+
+@dataclass(frozen=True)
 class SingleQuery:
     clauses: tuple
 

@@ -52,7 +52,7 @@ _KEYWORDS = {
     "case", "when", "then", "else", "end", "asc", "ascending", "desc",
     "descending", "any", "none", "single", "reduce", "exists", "from",
     "graph", "construct", "clone", "new", "set", "call", "yield",
-    "create", "merge", "delete", "detach", "remove", "on",
+    "create", "merge", "delete", "detach", "remove", "on", "foreach",
 }
 
 
@@ -287,6 +287,9 @@ class Parser:
             elif self.at_kw("delete"):
                 self.next()
                 clauses.append(self.parse_delete(detach=False))
+            elif self.at_kw("foreach"):
+                self.next()
+                clauses.append(self.parse_foreach())
             elif self.at_kw("return"):
                 self.next()
                 if self.at_kw("graph"):
@@ -343,6 +346,52 @@ class Parser:
             return A.SetItem("label", var, labels=tuple(labels))
         self.eat_punct(".")
         return A.SetItem("prop", var, key=self.ident())
+
+    def parse_foreach(self) -> "A.ForeachClause":
+        """``FOREACH ( x IN list | updating-clause... )`` — the body may
+        hold only updating clauses (CREATE/MERGE/SET/REMOVE/DELETE and
+        nested FOREACH), which the grammar enforces structurally."""
+        self.eat_punct("(")
+        var = self.ident()
+        self.eat_kw("in")
+        le = self.parse_expr()
+        self.eat_punct("|")
+        clauses = []
+        while True:
+            if self.at_kw("create"):
+                self.next()
+                pats = [self.parse_pattern_part()]
+                while self.opt_punct(","):
+                    pats.append(self.parse_pattern_part())
+                clauses.append(A.CreateClause(tuple(pats)))
+            elif self.at_kw("merge"):
+                self.next()
+                clauses.append(self.parse_merge())
+            elif self.at_kw("set"):
+                self.next()
+                clauses.append(A.SetClause(tuple(self.parse_set_items())))
+            elif self.at_kw("remove"):
+                self.next()
+                items = [self.parse_remove_item()]
+                while self.opt_punct(","):
+                    items.append(self.parse_remove_item())
+                clauses.append(A.RemoveClause(tuple(items)))
+            elif self.at_kw("detach"):
+                self.next()
+                self.eat_kw("delete")
+                clauses.append(self.parse_delete(detach=True))
+            elif self.at_kw("delete"):
+                self.next()
+                clauses.append(self.parse_delete(detach=False))
+            elif self.at_kw("foreach"):
+                self.next()
+                clauses.append(self.parse_foreach())
+            else:
+                break
+        if not clauses:
+            self.err("FOREACH requires at least one updating clause")
+        self.eat_punct(")")
+        return A.ForeachClause(var, le, tuple(clauses))
 
     def parse_delete(self, detach: bool) -> "A.DeleteClause":
         exprs = [self.parse_expr()]

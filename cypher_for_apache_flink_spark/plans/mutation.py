@@ -804,6 +804,69 @@ def plan_set(pl, records, items, remove: bool = False, branch_col=None):
 
 
 # ---------------------------------------------------------------------------
+# FOREACH
+# ---------------------------------------------------------------------------
+
+def plan_foreach(pl, records, clause: A.ForeachClause):
+    """``FOREACH (x IN list | ...)``: run the updating clauses once per
+    list element.  The element column is an ``explode`` over the binding
+    table (null/empty lists contribute no rows — openCypher no-op), the
+    body mutates ``pl.graph`` clause by clause, and the ORIGINAL records
+    are returned unchanged: the loop variable never enters the outer
+    scope.  Fully distributed — one narrow explode, no driver iteration."""
+    from .planner import resolve_vars
+
+    if records is None:
+        records = _unit_records(pl)
+    header = records.header
+    ctx = ExprContext(header, records.df, pl.params)
+    le = resolve_vars(clause.list_expr, header)
+
+    # element typing: entity lists bind NodeVar/RelVar elements so SET /
+    # DELETE / CREATE endpoints inside the body resolve as entities
+    shape = pl._entity_shape_of(le, header)
+    if isinstance(le, E.ListNodeVar) or shape == ("nodelist",):
+        ev = E.NodeVar(clause.var)
+    elif isinstance(le, E.ListRelVar) or shape == ("rellist",):
+        ev = E.RelVar(clause.var)
+    else:
+        ev = E.Var(clause.var)
+    if header.var(clause.var) is not None:
+        raise PlanError(f"FOREACH variable {clause.var!r} shadows a bound "
+                        "variable", code="VariableAlreadyBound")
+
+    col = to_column(le, ctx)
+    from pyspark.sql import types as T
+    ltype = records.df.select(col.alias("__l")).schema[0].dataType
+    if isinstance(ltype, T.NullType):
+        return records                  # statically-null list: no-op
+    if not isinstance(ltype, T.ArrayType):
+        raise PlanError(
+            f"FOREACH expects a list, got {ltype.simpleString()}",
+            code="InvalidArgumentType")
+    cname = column_name(ev)
+    body = Records(pl.session, header.added(ev, cname),
+                   records.df.withColumn(cname, F.explode(col)))
+    for cl in clause.clauses:
+        if isinstance(cl, A.CreateClause):
+            body = plan_create(pl, body, cl)
+        elif isinstance(cl, A.MergeClause):
+            body = plan_merge(pl, body, cl)
+        elif isinstance(cl, A.SetClause):
+            body = plan_set(pl, body, cl.items)
+        elif isinstance(cl, A.RemoveClause):
+            body = plan_set(pl, body, cl.items, remove=True)
+        elif isinstance(cl, A.DeleteClause):
+            body = plan_delete(pl, body, cl)
+        elif isinstance(cl, A.ForeachClause):
+            body = plan_foreach(pl, body, cl)
+        else:                           # unreachable: grammar-enforced
+            raise PlanError("FOREACH allows only updating clauses",
+                            code="InvalidForeach")
+    return records
+
+
+# ---------------------------------------------------------------------------
 # MERGE
 # ---------------------------------------------------------------------------
 

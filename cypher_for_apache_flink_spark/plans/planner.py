@@ -240,6 +240,10 @@ class Planner:
                 from .mutation import plan_delete
                 records = plan_delete(self, records, clause)
                 self._mutated = True
+            elif isinstance(clause, A.ForeachClause):
+                from .mutation import plan_foreach
+                records = plan_foreach(self, records, clause)
+                self._mutated = True
             elif isinstance(clause, (A.WithClause, A.ReturnClause)):
                 after_optional = False      # WITH opens a new match scope
                 records, outs = self.plan_projection(records, clause)
@@ -716,6 +720,11 @@ class Planner:
                 return ("nodelist",)
             if inner == ("rel",):
                 return ("rellist",)
+        if isinstance(e, E.FuncCall) \
+                and e.name in ("nodes", "relationships") \
+                and len(e.args) == 1 and isinstance(e.args[0], E.Var) \
+                and e.args[0].name in self._paths:
+            return ("nodelist",) if e.name == "nodes" else ("rellist",)
         return None
 
     def _check_deleted_access(self, e):
