@@ -803,6 +803,14 @@ _ROUND7_QUERIES = {
         "WITH created, count(*) AS deleted "
         "MATCH (c2:Colony) "
         "RETURN created, deleted, count(*) AS remaining"),
+    # spatial surface (round 7): cartesian distance over derived coords —
+    # euclidean top-k, ties broken by key for a deterministic oracle
+    "spatial_distance_topk": _cypher(
+        "MATCH (p:Part) "
+        "WITH point({x: p.p_retailprice, y: toFloat(p.p_size)}) AS pt, "
+        "p.p_name AS k "
+        "RETURN k, round(distance(pt, point({x: 0.0, y: 0.0})), 2) AS d "
+        "ORDER BY d DESC, k LIMIT 10"),
 }
 
 
@@ -928,7 +936,8 @@ _ROUND7_CHANGED = [
     'pagerank', 'percentile_disc_global', 'personalized_pagerank',
     'predicate_contains', 'predicate_in', 'predicate_regex',
     'predicate_string_match', 'rel_properties', 'scan_filter',
-    'scan_filter_and_or', 'scan_nodes', 'string_functions',
+    'scan_filter_and_or', 'scan_nodes', 'spatial_distance_topk',
+    'string_functions',
     'triangle_count', 'type_function', 'union_all', 'union_distinct',
     'unwind_literal', 'unwind_range_filter', 'var_length_1_2',
     'var_length_2_2', 'var_length_typed', 'var_length_unbounded',
@@ -1145,6 +1154,10 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS dels FROM region) "
             "SELECT total AS created, dels AS deleted, "
             "total - dels AS remaining FROM t"),
+        "spatial_distance_topk": (
+            "SELECT p_name AS k, "
+            "round(sqrt(p_retailprice * p_retailprice + p_size * p_size), "
+            "2) AS d FROM part ORDER BY d DESC, k LIMIT 10"),
 
         # --- scans / filter -------------------------------------------
         "scan_nodes": "SELECT r_name FROM region",

@@ -244,6 +244,10 @@ def spark_dtype(expr: E.Expr, ctx: ExprContext):
             return TIME_TYPE
         if n in ("localtime", "localtime.truncate"):
             return LOCALTIME_TYPE
+        if n == "point":
+            return POINT_TYPE
+        if n in ("distance", "point.distance"):
+            return T.DoubleType()
         return None
     if isinstance(expr, E.BinOp) and expr.op in ("+", "-", "*", "/", "%", "^"):
         lt = spark_dtype(expr.lhs, ctx)
@@ -413,6 +417,56 @@ def make_duration(months, days, micros) -> Column:
     return F.struct(months.cast("long").alias("months"),
                     days.cast("long").alias("days"),
                     micros.cast("long").alias("microseconds"))
+
+
+# ---------------------------------------------------------------------------
+# Spatial points (beyond-reference: the reference engine has no spatial
+# surface at all).  A point is a struct<x,y,z,crs> column — z is null for
+# 2-D points, crs distinguishes cartesian from geographic.  Geographic
+# points store longitude in x and latitude in y (the Neo4j convention);
+# distance() is pure column math: euclidean for cartesian, haversine on
+# the WGS-84 semi-major axis (6378137 m) for geographic, with the height
+# delta composed pythagorean for the -3d variants.
+# ---------------------------------------------------------------------------
+
+POINT_FIELDS = ("x", "y", "z", "crs")
+POINT_TYPE = T.StructType([
+    T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
+    T.StructField("z", T.DoubleType()), T.StructField("crs", T.StringType())])
+_CRS_SRID = {"cartesian": 7203, "cartesian-3d": 9157,
+             "wgs-84": 4326, "wgs-84-3d": 4979}
+_WGS84_RADIUS = 6378137.0
+
+
+def is_point_type(t) -> bool:
+    return isinstance(t, T.StructType) and \
+        tuple(f.name for f in t.fields) == POINT_FIELDS
+
+
+def make_point(x, y, z, crs: str) -> Column:
+    zc = z.cast("double") if z is not None else F.lit(None).cast("double")
+    return F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"),
+                    zc.alias("z"), F.lit(crs).alias("crs"))
+
+
+def point_distance(pa: Column, pb: Column) -> Column:
+    """distance(a, b): null on crs mismatch or null input."""
+    dx = pa.getField("x") - pb.getField("x")
+    dy = pa.getField("y") - pb.getField("y")
+    dz = F.coalesce(pa.getField("z"), F.lit(0.0)) - \
+        F.coalesce(pb.getField("z"), F.lit(0.0))
+    cart = F.sqrt(dx * dx + dy * dy + dz * dz)
+    lat1, lat2 = F.radians(pa.getField("y")), F.radians(pb.getField("y"))
+    dphi = (lat2 - lat1) / 2
+    dlam = (F.radians(pb.getField("x")) - F.radians(pa.getField("x"))) / 2
+    h = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(lat1) * F.cos(lat2) * F.sin(dlam) * F.sin(dlam))
+    hav = 2 * F.lit(_WGS84_RADIUS) * F.asin(F.sqrt(h))
+    geo = F.sqrt(hav * hav + dz * dz)
+    same = pa.getField("crs") == pb.getField("crs")
+    return F.when(same, F.when(pa.getField("crs").startswith("wgs-84"),
+                               geo).otherwise(cart)) \
+        .otherwise(F.lit(None).cast("double"))
 
 
 def duration_estimate_us(d: Column) -> Column:
@@ -1001,6 +1055,27 @@ def _property(expr: E.Property, ctx: ExprContext) -> Column:
                     F.lpad((F.floor(a / 60_000_000) % 60).cast("string"),
                            2, "0")))
         raise ValueError(f"unknown time accessor .{key}")
+    if is_point_type(owner_t):
+        c = to_column(expr.owner, ctx)
+        k = key.lower()
+        geo = c.getField("crs").startswith("wgs-84")
+        if k in ("x", "y", "z"):
+            return c.getField(k)
+        if k == "longitude":
+            return F.when(geo, c.getField("x"))
+        if k == "latitude":
+            return F.when(geo, c.getField("y"))
+        if k == "height":
+            return F.when(geo, c.getField("z"))
+        if k == "crs":
+            return c.getField("crs")
+        if k == "srid":
+            out = F.lit(None).cast("long")
+            for crs, srid in _CRS_SRID.items():
+                out = F.when(c.getField("crs") == crs,
+                             F.lit(srid).cast("long")).otherwise(out)
+            return out
+        raise ValueError(f"unknown point accessor .{key}")
     if _is(owner_t, T.StructType):
         return to_column(expr.owner, ctx).getField(key)
     if _is(owner_t, T.MapType):
@@ -1559,13 +1634,30 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
                 or _is(t, (T.ArrayType, T.MapType)) \
                 or (_is(t, T.StructType) and not (
                     is_duration_type(t) or is_time_type(t)
-                    or is_localtime_type(t) or is_zoned_dt_type(t))):
+                    or is_localtime_type(t) or is_zoned_dt_type(t)
+                    or is_point_type(t))):
             # openCypher (TCK TypeConversionFunctions "failing on invalid
             # arguments"): toString converts numbers, strings, booleans
             # and temporal values only
             raise PlanError(f"toString() expects a number, string, boolean "
                             f"or temporal value",
                             code="InvalidArgumentValue")
+        if is_point_type(t):
+            p = a(0)
+            num = lambda c: c.cast("string")  # noqa: E731  (1.0 -> "1.0")
+
+            def coord(field, label):
+                return F.when(p.getField(field).isNotNull(),
+                              F.concat(F.lit(f", {label}: "),
+                                       num(p.getField(field)))) \
+                    .otherwise(F.lit(""))
+
+            return F.when(p.isNull(), F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("point({x: "), num(p.getField("x")),
+                         F.lit(", y: "), num(p.getField("y")),
+                         coord("z", "z"),
+                         F.lit(", crs: '"), p.getField("crs"),
+                         F.lit("'})")))
         if is_duration_type(t):
             # ISO-8601 rendering (neo4j style): P[yY][mM][dD]T[hH][mM][sS],
             # zero components omitted, all-zero -> PT0S
@@ -2139,6 +2231,53 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         return _guard(make_duration(
             sign * mo.cast("long"), sign * dd.cast("long"),
             sign * (us - dd.cast("long") * us_day).cast("long")))
+    if name == "point":
+        arg = args[0]
+        if isinstance(arg, E.Lit) and arg.value is None:
+            return F.lit(None).cast(POINT_TYPE)
+        if not isinstance(arg, E.MapLit):
+            raise PlanError("point() takes a map literal of coordinates",
+                            code="InvalidArgumentType")
+        items = {k.lower(): v for k, v in arg.items}
+        crs_v = items.pop("crs", None)
+        srid_v = items.pop("srid", None)
+        want = None
+        if crs_v is not None:
+            want = plan_const(crs_v, ctx)
+        elif srid_v is not None:
+            sid = plan_const(srid_v, ctx)
+            want = next((c for c, i in _CRS_SRID.items() if i == sid), None)
+            if want is None:
+                raise PlanError(f"unknown srid {sid!r}", code="InvalidSrid")
+        if {"x", "y"} <= set(items):
+            z = items.get("z")
+            crs = want or ("cartesian-3d" if z is not None else "cartesian")
+            if crs not in ("cartesian", "cartesian-3d"):
+                raise PlanError(f"crs {crs!r} needs latitude/longitude",
+                                code="InvalidCrs")
+            return make_point(to_column(items["x"], ctx), to_column(items["y"], ctx),
+                              to_column(z, ctx) if z is not None else None,
+                              crs)
+        if {"latitude", "longitude"} <= set(items):
+            z = items.get("height")
+            crs = want or ("wgs-84-3d" if z is not None else "wgs-84")
+            if crs not in ("wgs-84", "wgs-84-3d"):
+                raise PlanError(f"crs {crs!r} needs x/y", code="InvalidCrs")
+            return make_point(to_column(items["longitude"], ctx),
+                              to_column(items["latitude"], ctx),
+                              to_column(z, ctx) if z is not None else None,
+                              crs)
+        raise PlanError(
+            "point() needs {x, y[, z]} or {latitude, longitude[, height]}",
+            code="InvalidArgumentValue")
+    if name in ("distance", "point.distance"):
+        ta, tb = spark_dtype(args[0], ctx), spark_dtype(args[1], ctx)
+        for t in (ta, tb):
+            if t is not None and not is_point_type(t) \
+                    and not isinstance(t, T.NullType):
+                raise PlanError("distance() expects two points",
+                                code="InvalidArgumentType")
+        return point_distance(a(0).cast(POINT_TYPE), a(1).cast(POINT_TYPE))
     if name == "duration":
         arg = args[0]
         dur_v = plan_const(arg, ctx)

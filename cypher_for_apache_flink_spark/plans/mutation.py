@@ -106,13 +106,14 @@ def _widen(t1, t2, key):
         "columns", code="IncompatiblePropertyTypes")
 
 
-# struct field-name signatures of the engine's temporal encodings — the
-# only struct-typed values a property may store
+# struct field-name signatures of the engine's temporal/spatial encodings
+# — the only struct-typed values a property may store
 _TEMPORAL_SIGS = {
     frozenset({"months", "days", "microseconds"}),      # duration
     frozenset({"time_us", "tz_us"}),                    # time
     frozenset({"localtime_us"}),                        # localtime
     frozenset({"epoch_us", "tz_us", "zone"}),           # zoned datetime
+    frozenset({"x", "y", "z", "crs"}),                  # spatial point
 }
 
 
