@@ -186,6 +186,14 @@ class MergeClause:
 
 
 @dataclass(frozen=True)
+class CallSubquery:
+    """``CALL { <query> }`` — openCypher subquery clause.  The inner
+    query may start with an importing ``WITH`` of bare outer variables
+    and may itself be a UNION."""
+    query: object            # Query
+
+
+@dataclass(frozen=True)
 class ForeachClause:
     """``FOREACH (var IN list | updating-clause...)``."""
     var: str

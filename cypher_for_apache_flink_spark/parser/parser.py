@@ -258,7 +258,19 @@ class Parser:
                 clauses.append(A.FromGraphClause(gname, tuple(gargs)))
             elif self.at_kw("call"):
                 self.next()
-                clauses.append(self.parse_call())
+                if self.at_punct("{"):
+                    self.next()
+                    parts = [self.parse_single_query()]
+                    alls = []
+                    while self.at_kw("union"):
+                        self.next()
+                        alls.append(self.opt_kw("all"))
+                        parts.append(self.parse_single_query())
+                    self.eat_punct("}")
+                    clauses.append(A.CallSubquery(
+                        A.Query(tuple(parts), tuple(alls))))
+                else:
+                    clauses.append(self.parse_call())
             elif self.at_kw("construct"):
                 self.next()
                 clauses.append(self.parse_construct())

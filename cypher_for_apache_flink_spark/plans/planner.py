@@ -244,6 +244,9 @@ class Planner:
                 from .mutation import plan_foreach
                 records = plan_foreach(self, records, clause)
                 self._mutated = True
+            elif isinstance(clause, A.CallSubquery):
+                after_optional = False
+                records = self.plan_call_subquery(records, clause)
             elif isinstance(clause, (A.WithClause, A.ReturnClause)):
                 after_optional = False      # WITH opens a new match scope
                 records, outs = self.plan_projection(records, clause)
@@ -687,6 +690,188 @@ class Planner:
         return Records(self.session,
                        h.added(E.Var(part.path_var), pcol),
                        records.df.withColumn(pcol, col))
+
+    # ------------------------------------------------------------------
+    # CALL { subquery } — openCypher subqueries, decorrelated
+    # ------------------------------------------------------------------
+    _MUTATING_CLAUSES = (A.CreateClause, A.MergeClause, A.SetClause,
+                         A.RemoveClause, A.DeleteClause, A.ForeachClause)
+
+    def plan_call_subquery(self, records, clause: A.CallSubquery):
+        """``CALL { ... }``: classic decorrelation — a surrogate row key
+        over the outer binding drives the subquery (injected into every
+        inner projection so per-row aggregation/DISTINCT semantics hold),
+        and a returning subquery joins back on that key.  An uncorrelated
+        read-only subquery plans once and cross-joins (evaluating it per
+        row would be pure waste — it cannot see outer variables).  Unit
+        (write-only) subqueries keep the outer rows unchanged."""
+        import dataclasses as _dc
+
+        sub = clause.query
+        if not sub.parts[0].clauses:
+            raise PlanError("empty CALL subquery", code="InvalidSubquery")
+        returning = isinstance(sub.parts[0].clauses[-1], A.ReturnClause)
+        for part in sub.parts:
+            if bool(isinstance(part.clauses[-1], A.ReturnClause)) \
+                    != returning:
+                raise PlanError(
+                    "all UNION parts of a CALL subquery must agree on "
+                    "returning rows", code="InvalidSubquery")
+        mutating = any(isinstance(c, self._MUTATING_CLAUSES)
+                       for part in sub.parts for c in part.clauses)
+        first = sub.parts[0].clauses[0]
+        correlated = records is not None and \
+            (mutating or isinstance(first, A.WithClause))
+
+        if not correlated:
+            sp = Planner(self.session, self.graph, self.params)
+            sub_rec, sub_outs = sp.plan(sub)
+            self._adopt(sp)
+            if not returning:
+                return records if records is not None \
+                    else Records(self.session, Header({}),
+                                 self.session.spark.range(1).select())
+            return self._expose_subquery(records, None, None,
+                                         sub_rec, sub_outs)
+
+        # ---- correlated: surrogate-key decorrelation -------------------
+        key = f"__call_key_{self.fresh_name()}"
+        imports: list[str] = []
+        if isinstance(first, A.WithClause):
+            if first.star:
+                imports = [v.name for v in records.header.vars()
+                           if not v.name.startswith("_")]
+            else:
+                for it in first.items:
+                    if not isinstance(it.expr, E.Var) or \
+                            (it.alias is not None
+                             and it.alias != it.expr.name):
+                        raise PlanError(
+                            "the importing WITH of a CALL subquery may "
+                            "only list outer variables",
+                            code="ImportingWithSubqueryInvalid")
+                    imports.append(it.expr.name)
+        for part in sub.parts:
+            for c in part.clauses:
+                if isinstance(c, (A.WithClause, A.ReturnClause)) and \
+                        (c.skip is not None or c.limit is not None):
+                    raise PlanError(
+                        "SKIP/LIMIT inside a correlated CALL subquery is "
+                        "not supported", code="InvalidSubquery")
+
+        outer_df = records.df.withColumn(
+            key, F.monotonically_increasing_id()).localCheckpoint(eager=False)
+        hdr = Header({}).added(E.Var(key), key)
+        cols = [key]
+        for name in imports:
+            v = records.header.var(name)
+            if v is None:
+                raise PlanError(f"unbound variable {name!r} imported by "
+                                "CALL subquery", code="UndefinedVariable")
+            hdr = hdr.added(v, records.header.col(v))
+            cols.append(records.header.col(v))
+            for e in records.header.owned_by(v):
+                hdr = hdr.added(e, records.header.col(e))
+                cols.append(records.header.col(e))
+        init = Records(self.session, hdr, outer_df.select(*_dedup(cols)))
+
+        def inject(part):
+            out = []
+            for c in part.clauses:
+                if isinstance(c, (A.WithClause, A.ReturnClause)):
+                    out.append(_dc.replace(c, items=c.items + (
+                        A.ProjectionItem(E.Var(key), key),)))
+                else:
+                    out.append(c)
+            return A.SingleQuery(tuple(out))
+
+        sub2 = A.Query(tuple(inject(p) for p in sub.parts), sub.union_alls)
+        sp = Planner(self.session, self.graph, self.params)
+        sub_rec, sub_outs = sp.plan(sub2, init)
+        self._adopt(sp)
+        if mutating:
+            self._mutated = True
+        if not returning:
+            return records                  # unit subquery: rows unchanged
+        sub_outs = [(n, c) for n, c in sub_outs if n != key]
+        # an aggregation-only RETURN yields exactly one row per outer row
+        # even over empty input (count(*) = 0) — the decorrelating join
+        # must be LEFT with per-aggregate fills, or empty groups would
+        # silently drop outer rows (the classic COUNT-bug)
+        agg_only = all(
+            part.clauses[-1].items
+            and all(E.is_aggregation(it.expr)
+                    for it in part.clauses[-1].items)
+            and not part.clauses[-1].star
+            for part in sub.parts)
+        fills = {}
+        if agg_only:
+            for it in sub.parts[0].clauses[-1].items:
+                name = it.alias
+                root = it.expr
+                fn = root.name if isinstance(root, E.FuncCall) else (
+                    "count" if isinstance(root, E.CountStar) else None)
+                if fn in ("count", "sum"):
+                    fills[name] = F.lit(0)
+                elif fn == "collect":
+                    fills[name] = F.array()
+        key_col = sub_rec.header.col(sub_rec.header.var(key))
+        return self._expose_subquery(
+            Records(self.session, records.header, outer_df), key,
+            key_col, sub_rec, sub_outs,
+            how="left" if agg_only else "inner", fills=fills)
+
+    def _adopt(self, sp: "Planner"):
+        """Thread a sub-planner's graph mutations and cache leases back."""
+        self.graph = sp.graph
+        if getattr(sp, "_mutated", False):
+            self._mutated = True
+        self.cache_lease.dfs.extend(sp.cache_lease.dfs)
+        self.cache_lease.rdds.extend(sp.cache_lease.rdds)
+
+    def _expose_subquery(self, records, key, sub_key_col, sub_rec, sub_outs,
+                         how="inner", fills=None):
+        """Join subquery outputs onto the outer rows and bind them (typed
+        vars keep their satellite columns so returned entities hydrate)."""
+        ren = {c: f"__cs_{c}" for c in sub_rec.df.columns}
+        sub_types = {f"__cs_{f.name}": f.dataType
+                     for f in sub_rec.df.schema.fields}
+        sub_df = sub_rec.df.select(
+            *[F.col(c).alias(ren[c]) for c in sub_rec.df.columns])
+        if records is None:
+            out_df, hdr = sub_df, Header({})
+        elif key is None:
+            out_df, hdr = records.df.crossJoin(sub_df), records.header
+        else:
+            out_df = records.df.join(
+                sub_df, F.col(key) == F.col(ren[sub_key_col]), how) \
+                .drop(key, ren[sub_key_col])
+            hdr = records.header
+            if fills:
+                by_col = {ren[c]: fills[n] for n, c in sub_outs
+                          if n in fills}
+                out_df = out_df.select(
+                    *[F.coalesce(F.col(c),
+                                 by_col[c].cast(sub_types[c])).alias(c)
+                      if c in by_col else F.col(c)
+                      for c in out_df.columns])
+        for name, col in sub_outs:
+            if records is not None and records.header.var(name) is not None:
+                raise PlanError(
+                    f"CALL subquery returns {name!r} which is already "
+                    "bound in the outer scope", code="VariableAlreadyBound")
+            tv = sub_rec.header.var(name)
+            if tv is None:
+                hdr = hdr.added(E.Var(name), ren[col])
+                continue
+            target = _typed_var(tv, name)
+            hdr = hdr.added(target, ren[col])
+            for e in sub_rec.header.owned_by(tv):
+                if e == tv:
+                    continue
+                hdr = hdr.added(_retarget(e, tv, target),
+                                ren[sub_rec.header.col(e)])
+        return Records(self.session, hdr, out_df)
 
     def _entity_shape_of(self, e, header):
         """Static entity shape of a projected expression, so DELETE can
