@@ -833,8 +833,9 @@ class Planner:
                          how="inner", fills=None):
         """Join subquery outputs onto the outer rows and bind them (typed
         vars keep their satellite columns so returned entities hydrate)."""
-        ren = {c: f"__cs_{c}" for c in sub_rec.df.columns}
-        sub_types = {f"__cs_{f.name}": f.dataType
+        pfx = f"__cs{self.fresh_name()}_"
+        ren = {c: pfx + c for c in sub_rec.df.columns}
+        sub_types = {pfx + f.name: f.dataType
                      for f in sub_rec.df.schema.fields}
         sub_df = sub_rec.df.select(
             *[F.col(c).alias(ren[c]) for c in sub_rec.df.columns])
