@@ -37,6 +37,8 @@ class PatternPart:
     """Alternating (NodePattern, RelPattern, NodePattern, ...)."""
     elements: tuple
     path_var: object = None   # str | None (named paths — unsupported, reserved)
+    shortest: object = None   # None | 'single' | 'all' — shortestPath()/
+    #                           allShortestPaths() wrapper on the pattern
 
     @property
     def nodes(self):

@@ -602,15 +602,30 @@ class Parser:
 
     # -- patterns -------------------------------------------------------
     def _parse_match_part(self) -> A.PatternPart:
-        """Pattern part with an optional named-path binder ``p = (...)``."""
+        """Pattern part with an optional named-path binder ``p = (...)``
+        and optional shortestPath()/allShortestPaths() wrapper."""
         t = self.peek()
         if t.kind in ("IDENT", "KW") and self.peek(1).kind == "PUNCT" and \
                 self.peek(1).text == "=":
             name = t.raw if t.kind == "KW" else t.text
             self.next()
             self.next()
-            part = self.parse_pattern_part()
+            part = self._parse_shortest_or_pattern()
             return dataclasses.replace(part, path_var=name)
+        return self._parse_shortest_or_pattern()
+
+    def _parse_shortest_or_pattern(self) -> A.PatternPart:
+        t = self.peek()
+        if t.kind == "IDENT" \
+                and t.text.lower() in ("shortestpath", "allshortestpaths") \
+                and self.peek(1).kind == "PUNCT" \
+                and self.peek(1).text == "(":
+            kind = "single" if t.text.lower() == "shortestpath" else "all"
+            self.next()
+            self.eat_punct("(")
+            part = self.parse_pattern_part()
+            self.eat_punct(")")
+            return dataclasses.replace(part, shortest=kind)
         return self.parse_pattern_part()
 
     def parse_pattern_part(self) -> A.PatternPart:

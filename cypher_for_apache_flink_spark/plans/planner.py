@@ -442,6 +442,24 @@ class Planner:
                                   self.session.spark.range(1).select())
             return self.plan_optional(records, clause)
 
+        # ---- shortestPath()/allShortestPaths() parts plan separately ---
+        if any(p.shortest is not None for p in clause.patterns):
+            from .shortest import plan_shortest_path
+            normal = tuple(p for p in clause.patterns if p.shortest is None)
+            if normal:
+                records = self.plan_match(
+                    records, dataclasses.replace(
+                        clause, patterns=normal, where=None),
+                    id_only, query_refs)
+            for p in clause.patterns:
+                if p.shortest is not None:
+                    records = plan_shortest_path(self, records, p)
+            if clause.where is not None:
+                records = self.apply_predicates(
+                    records, [resolve_vars(c, records.header)
+                              for c in E.split_conjunctions(clause.where)])
+            return records
+
         # ---- gather pattern info -------------------------------------
         bound = {v.name for v in records.header.vars()} if records is not None else set()
         node_labels: dict[str, set] = {}

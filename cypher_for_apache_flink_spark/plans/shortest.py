@@ -1,0 +1,209 @@
+"""shortestPath() / allShortestPaths() — distributed BFS planning.
+
+Beyond-reference surface: the reference engine has no shortest-path
+support at all (its var-length expand enumerates every path).  Here
+``MATCH p = shortestPath((a)-[:T*..hi]-(b))`` plans as a level-
+synchronous BFS over the bound (a, b) pairs:
+
+ - one edge DataFrame (type- and direction-filtered) built once and
+   persisted for the query;
+ - per level: frontier ⋈ edges, an anti-join against the per-source
+   visited set (guarantees minimality AND termination — each (source,
+   node) is expanded at most once), and a semi-join against the still-
+   unresolved pairs so finished sources stop expanding;
+ - pairs are resolved at the FIRST level that reaches their target;
+   ``allShortestPaths`` keeps every path of that level, ``shortestPath``
+   keeps one (deterministically — the struct-least path).
+
+Wall-clock is O(diameter) driver-coordinated rounds of pure DataFrame
+joins — the same shape as the pagerank/k_core iterations, no driver-side
+path enumeration.  Path hop arrays live in one struct column, so the
+result binds exactly like a var-length named path (nodes(p) /
+relationships(p) / length(p) and downstream comprehensions work
+unchanged).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import functions as F
+
+from ..errors import PlanError
+from ..ir import expr as E
+from ..operators.header import column_name, _san
+from ..operators.records import Records
+from ..parser import ast as A
+
+_MAX_LEVELS = 50        # hard guard: raise rather than loop forever
+
+
+def _edge_df(pl, rp: A.RelPattern):
+    """(src, dst, rid) over the selected rel types, oriented per the
+    pattern (undirected unions both orientations)."""
+    tables = pl.graph.rel_tables
+    types = rp.types or tuple(tables)
+    parts = []
+    for t in types:
+        df = tables.get(t)
+        if df is None:
+            continue
+        fwd = df.select(F.col("source").alias("src"),
+                        F.col("target").alias("dst"),
+                        F.col("id").alias("rid"))
+        if rp.direction == "out":
+            parts.append(fwd)
+        elif rp.direction == "in":
+            parts.append(df.select(F.col("target").alias("src"),
+                                   F.col("source").alias("dst"),
+                                   F.col("id").alias("rid")))
+        else:
+            parts.append(fwd)
+            parts.append(df.select(F.col("target").alias("src"),
+                                   F.col("source").alias("dst"),
+                                   F.col("id").alias("rid")))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def plan_shortest_path(pl, records, part: A.PatternPart, where=None):
+    """Plan one shortestPath/allShortestPaths pattern part; returns the
+    extended Records (path var, endpoints, optional rel-list var bound)."""
+    from .planner import resolve_vars
+
+    named = pl._name_pattern(dataclasses.replace(part, shortest=None))
+    if len(named.elements) != 3:
+        raise PlanError(
+            "shortestPath() takes a single relationship pattern "
+            "(a)-[*..]-(b)", code="InvalidShortestPath")
+    na, rp, nb = named.elements
+    if not rp.var_length:
+        raise PlanError("shortestPath() requires a variable-length "
+                        "relationship", code="InvalidShortestPath")
+    if rp.props:
+        raise PlanError("relationship properties are not supported inside "
+                        "shortestPath()", code="InvalidShortestPath")
+    lo = rp.lo if rp.lo is not None else 1
+    hi = rp.hi if rp.hi is not None else _MAX_LEVELS
+    if lo > 1:
+        # same restriction as Neo4j: the visited-set BFS certifies
+        # minimality only from the first level, so a higher minimum would
+        # silently miss paths re-visiting earlier-reached nodes
+        raise PlanError(
+            "shortestPath() does not support a minimal length other than "
+            "0 or 1", code="InvalidShortestPathMinLength")
+
+    # ---- bind endpoints (scans / cartesian via the normal machinery) ---
+    for np in (na, nb):
+        if records is None or records.header.var(np.var) is None:
+            records = pl.plan_match(
+                records, A.MatchClause((A.PatternPart((np,)),), None))
+    header = records.header
+    a_col = header.col(header.var(na.var))
+    b_col = header.col(header.var(nb.var))
+
+    edges = _edge_df(pl, rp)
+    pairs = (records.df.select(F.col(a_col).alias("a"),
+                               F.col(b_col).alias("b"))
+             .where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+             .dropDuplicates())
+    if edges is not None:
+        edges = pl.cache_lease.add(edges.persist())
+
+    spark = pl.session.spark
+    sources = pairs.select("a").dropDuplicates()
+    frontier = sources.select(
+        "a", F.col("a").alias("node"),
+        F.array().cast("array<long>").alias("rels"),
+        F.array(F.col("a")).alias("nodes")).localCheckpoint(eager=True)
+    visited = sources.select("a", F.col("a").alias("node")) \
+        .localCheckpoint(eager=True)
+    remaining = pairs.localCheckpoint(eager=True)
+    found = None        # (a, b, rels, nodes)
+
+    def record_found(cand, remaining):
+        nonlocal found
+        hits = cand.join(remaining,
+                         (cand["a"] == remaining["a"])
+                         & (cand["node"] == remaining["b"]),
+                         "left_semi") \
+            .select("a", F.col("node").alias("b"), "rels", "nodes")
+        hits = hits.localCheckpoint(eager=True)
+        if hits.isEmpty():
+            return remaining
+        found = hits if found is None else found.unionByName(hits)
+        remaining = remaining.join(
+            hits.select("a", "b").dropDuplicates(), ["a", "b"],
+            "left_anti").localCheckpoint(eager=True)
+        return remaining
+
+    if lo == 0:
+        remaining = record_found(frontier, remaining)
+
+    level = 0
+    while edges is not None and level < hi:
+        level += 1
+        if remaining.isEmpty() or frontier.isEmpty():
+            break
+        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+               .select("a", F.col("dst").alias("node"),
+                       F.concat("rels", F.array("rid")).alias("rels"),
+                       F.concat("nodes", F.array("dst")).alias("nodes")))
+        nxt = nxt.join(visited, ["a", "node"], "left_anti")
+        # finished sources stop expanding
+        nxt = nxt.join(remaining.select("a").dropDuplicates(), ["a"],
+                       "left_semi").localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        if level >= lo:
+            remaining = record_found(nxt, remaining)
+        visited = visited.unionByName(
+            nxt.select("a", "node").dropDuplicates()) \
+            .localCheckpoint(eager=True)
+        frontier = nxt
+    if level >= _MAX_LEVELS and not remaining.isEmpty():
+        raise PlanError(
+            f"shortestPath() did not converge within {_MAX_LEVELS} levels",
+            code="ShortestPathBound")
+
+    if found is None:
+        found = spark.createDataFrame(
+            [], "a long, b long, rels array<long>, nodes array<long>")
+    if part.shortest == "single":
+        # deterministic representative: the struct-least (rels, nodes)
+        found = (found.groupBy("a", "b")
+                 .agg(F.min(F.struct("rels", "nodes")).alias("__p"))
+                 .select("a", "b", F.col("__p.rels").alias("rels"),
+                         F.col("__p.nodes").alias("nodes")))
+
+    # ---- join paths back onto the binding rows -------------------------
+    pv = named.path_var
+    ren = {"rels": f"__sp_rels_{pl.fresh_name()}",
+           "nodes": f"__sp_nodes_{pl.fresh_name()}"}
+    fdf = found.select(F.col("a").alias("__sp_a"), F.col("b").alias("__sp_b"),
+                       F.col("rels").alias(ren["rels"]),
+                       F.col("nodes").alias(ren["nodes"]))
+    out_df = records.df.join(
+        fdf, (F.col(a_col) == F.col("__sp_a"))
+        & (F.col(b_col) == F.col("__sp_b")), "inner") \
+        .drop("__sp_a", "__sp_b")
+    hdr = header
+    if rp.var and not rp.var.startswith("_a"):
+        lv = E.ListRelVar(rp.var)
+        hdr = hdr.added(lv, ren["rels"])
+        # hop-node array (src, n1, ..., nk) for comprehension machinery
+        hop = f"__vlnodes_{rp.var}"
+        out_df = out_df.withColumn(hop, F.col(ren["nodes"]))
+        hdr = hdr.added(E.Var(hop), hop)
+    if pv is not None:
+        pcol = f"__path_{_san(pv)}"
+        out_df = out_df.withColumn(
+            pcol, F.struct(F.col(ren["nodes"]).alias("nodes"),
+                           F.col(ren["rels"]).alias("rels")))
+        hdr = hdr.added(E.Var(pv), pcol)
+        pl._paths[pv] = ([na.var, nb.var], [rp.var], True)
+    return Records(pl.session, hdr, out_df)
