@@ -811,6 +811,13 @@ _ROUND7_QUERIES = {
         "p.p_name AS k "
         "RETURN k, round(distance(pt, point({x: 0.0, y: 0.0})), 2) AS d "
         "ORDER BY d DESC, k LIMIT 10"),
+    # shortestPath (round 7): undirected BFS — sibling nations connect
+    # through their region, so every same-region pair is exactly 2 hops
+    "shortest_path_pairs": _cypher(
+        "MATCH p = shortestPath((a:Nation)-[:IN_REGION*..2]-(b:Nation)) "
+        "WHERE a.n_name < b.n_name "
+        "RETURN a.n_name AS a_name, b.n_name AS b_name, "
+        "length(p) AS len"),
 }
 
 
@@ -936,8 +943,8 @@ _ROUND7_CHANGED = [
     'pagerank', 'percentile_disc_global', 'personalized_pagerank',
     'predicate_contains', 'predicate_in', 'predicate_regex',
     'predicate_string_match', 'rel_properties', 'scan_filter',
-    'scan_filter_and_or', 'scan_nodes', 'spatial_distance_topk',
-    'string_functions',
+    'scan_filter_and_or', 'scan_nodes', 'shortest_path_pairs',
+    'spatial_distance_topk', 'string_functions',
     'triangle_count', 'type_function', 'union_all', 'union_distinct',
     'unwind_literal', 'unwind_range_filter', 'var_length_1_2',
     'var_length_2_2', 'var_length_typed', 'var_length_unbounded',
@@ -1158,6 +1165,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_name AS k, "
             "round(sqrt(p_retailprice * p_retailprice + p_size * p_size), "
             "2) AS d FROM part ORDER BY d DESC, k LIMIT 10"),
+        "shortest_path_pairs": (
+            "SELECT n1.n_name AS a_name, n2.n_name AS b_name, "
+            "CAST(2 AS INTEGER) AS len FROM nation n1 "
+            "JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey "
+            "AND n1.n_name < n2.n_name"),
 
         # --- scans / filter -------------------------------------------
         "scan_nodes": "SELECT r_name FROM region",
