@@ -14,10 +14,15 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class NodePattern:
+    # (fields below; ``label_expr`` — when set — is a GQL label-expression
+    # tree ('lbl', name) / ('not', t) / ('and'|'or', t1, t2) that planned
+    # MATCHes translate into a HasLabel predicate; plain conjunctions stay
+    # in ``labels`` for the label-pruned scan fast path)
     var: object          # str | None
     labels: tuple = ()
     props: tuple = ()    # ((key, Expr), ...)
     base: object = None  # str | None — CONSTRUCT ``v COPY OF base``
+    label_expr: object = None
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<STRING>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<PARAM>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<PUNCT><=|>=|<>|=~|\.\.|->|<-|[-+*/%^=<>(),\[\]{}.:|])
+  | (?P<PUNCT><=|>=|<>|=~|\.\.|->|<-|[-+*/%^=<>(),\[\]{}.:|&!])
 """, re.VERBOSE)
 
 # Dotted function names parsed as one call (TemporalTests.scala's
@@ -114,6 +114,18 @@ def tokenize(src: str) -> list:
         toks.append(Tok(kind, text, m.start()))
     toks.append(Tok("EOF", "", len(src)))
     return toks
+
+
+def _flatten_label_conj(tree):
+    """Label names when ``tree`` is a pure conjunction of plain labels
+    (the pre-GQL ``:A:B`` form), else None."""
+    if tree[0] == "lbl":
+        return [tree[1]]
+    if tree[0] == "and":
+        a = _flatten_label_conj(tree[1])
+        b = _flatten_label_conj(tree[2])
+        return a + b if a is not None and b is not None else None
+    return None
 
 
 _SIMPLE_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
@@ -662,13 +674,47 @@ class Parser:
         elif t.kind == "KW":   # keyword-spelled variable, e.g. (order:Order)
             var = self.next().raw
         base = self._opt_copy_of()
-        while self.at_punct(":"):
+        label_expr = None
+        if self.at_punct(":"):
             self.next()
-            labels.append(self.ident())
+            tree = self._parse_label_expr()
+            flat = _flatten_label_conj(tree)
+            if flat is not None:
+                labels = flat               # plain conjunction: fast path
+            else:
+                label_expr = tree
         if self.at_punct("{"):
             props = self.parse_map_entries()
         self.eat_punct(")")
-        return A.NodePattern(var, tuple(labels), props, base)
+        return A.NodePattern(var, tuple(labels), props, base, label_expr)
+
+    def _parse_label_expr(self):
+        """GQL label expression after the ':' — ``A``, ``A:B``/``A&B``,
+        ``A|B``, ``!A``, parenthesized.  Returns the tree documented on
+        NodePattern.label_expr."""
+        def term():
+            if self.opt_punct("!"):
+                return ("not", term())
+            if self.opt_punct("("):
+                e = disj()
+                self.eat_punct(")")
+                return e
+            return ("lbl", self.ident())
+
+        def conj():
+            e = term()
+            while self.at_punct("&", ":"):
+                self.next()
+                e = ("and", e, term())
+            return e
+
+        def disj():
+            e = conj()
+            while self.opt_punct("|"):
+                e = ("or", e, conj())
+            return e
+
+        return disj()
 
     def parse_rel_pattern(self) -> A.RelPattern:
         direction = "out"

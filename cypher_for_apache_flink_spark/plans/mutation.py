@@ -220,6 +220,10 @@ def plan_create(pl, records, clause: A.CreateClause):
                 f"variable {named.elements[0].var!r} is already bound",
                 code="VariableAlreadyBound")
         for np in named.nodes:
+            if np.label_expr is not None:
+                raise PlanError(
+                    "label expressions cannot be used when creating nodes",
+                    code="InvalidLabelExpression")
             bound = header.var(np.var) is not None
             seen = np.var in node_slots
             if (bound or seen) and (np.labels or np.props):
@@ -896,6 +900,10 @@ def plan_merge(pl, records, clause: A.MergeClause):
 
     new_node_vars = []
     for np in named.nodes:
+        if np.label_expr is not None:
+            raise PlanError(
+                "label expressions cannot be used in MERGE patterns",
+                code="InvalidLabelExpression")
         hv = header.var(np.var)
         if hv is not None:
             if np.labels:

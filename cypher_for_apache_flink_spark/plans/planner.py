@@ -475,6 +475,11 @@ class Planner:
                                 "bound", code="VariableAlreadyBound")
             for np in named.nodes:
                 node_labels.setdefault(np.var, set()).update(np.labels)
+                if np.label_expr is not None:
+                    # GQL label expression (:A|B, :!C, ...): unpruned scan
+                    # + a HasLabel predicate over the union scan's flags
+                    conjuncts.append(
+                        _label_tree_pred(np.label_expr, np.var))
                 for k, v in np.props:
                     conjuncts.append(E.BinOp("=", E.Property(E.NodeVar(np.var), k), v))
             elems = list(named.elements)
@@ -2832,6 +2837,17 @@ def _fresh_phys(var: E.Var, taken: set) -> str:
         name = f"{base}_{i}"
     taken.add(name)
     return name
+
+
+def _label_tree_pred(tree, var: str) -> E.Expr:
+    """GQL label-expression tree -> boolean predicate over label flags."""
+    if tree[0] == "lbl":
+        return E.HasLabel(E.NodeVar(var), tree[1])
+    if tree[0] == "not":
+        return E.Not(_label_tree_pred(tree[1], var))
+    op = "AND" if tree[0] == "and" else "OR"
+    return E.BinOp(op, _label_tree_pred(tree[1], var),
+                   _label_tree_pred(tree[2], var))
 
 
 def _dedup(seq):
