@@ -23,6 +23,7 @@ class NodePattern:
     props: tuple = ()    # ((key, Expr), ...)
     base: object = None  # str | None — CONSTRUCT ``v COPY OF base``
     label_expr: object = None
+    where: object = None  # Expr | None — inline WHERE (Cypher 5)
 
 
 @dataclass(frozen=True)
@@ -35,6 +36,7 @@ class RelPattern:
     lo: object = None        # int | None
     hi: object = None        # int | None
     base: object = None      # str | None — CONSTRUCT ``r COPY OF base``
+    where: object = None     # Expr | None — inline WHERE (Cypher 5)
 
 
 @dataclass(frozen=True)

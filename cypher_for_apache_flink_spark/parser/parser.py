@@ -685,8 +685,13 @@ class Parser:
                 label_expr = tree
         if self.at_punct("{"):
             props = self.parse_map_entries()
+        where = None
+        if self.at_kw("where"):
+            self.next()
+            where = self.parse_expr()
         self.eat_punct(")")
-        return A.NodePattern(var, tuple(labels), props, base, label_expr)
+        return A.NodePattern(var, tuple(labels), props, base, label_expr,
+                             where)
 
     def _parse_label_expr(self):
         """GQL label expression after the ':' — ``A``, ``A:B``/``A&B``,
@@ -760,7 +765,13 @@ class Parser:
                         hi = int(self.next().text)
             if self.at_punct("{"):
                 props = self.parse_map_entries()
+            where = None
+            if self.at_kw("where"):
+                self.next()
+                where = self.parse_expr()
             self.eat_punct("]")
+        else:
+            where = None
         if self.at_punct("->"):
             self.next()
             if direction == "in":
@@ -770,7 +781,7 @@ class Parser:
             if direction == "out":
                 direction = "both"
         return A.RelPattern(var, tuple(types), direction, props, var_length,
-                            lo, hi, base)
+                            lo, hi, base, where)
 
     def parse_map_entries(self) -> tuple:
         self.eat_punct("{")
@@ -1012,6 +1023,24 @@ class Parser:
                     return E.FuncCall(qual.lower(), tuple(args), False)
             if nxt.kind == "PUNCT" and nxt.text == "(":
                 return self.parse_func_call()
+            if t.text.lower() == "count" and nxt.kind == "PUNCT" \
+                    and nxt.text == "{":
+                # COUNT { [MATCH] pattern [WHERE expr] } counting subquery
+                # (Cypher 5): rewrites to the size of a pattern
+                # comprehension projecting 1 per match — the same plan as
+                # size((..)-->(..))
+                self.next()
+                self.eat_punct("{")
+                if self.at_kw("match"):
+                    self.next()
+                part = self.parse_pattern_part()
+                where = None
+                if self.at_kw("where"):
+                    self.next()
+                    where = self.parse_expr()
+                self.eat_punct("}")
+                return E.FuncCall("size", (E.PatternComprehension(
+                    part, where, E.Lit(1)),), False)
             self.next()
             return E.Var(t.text)
 

@@ -480,6 +480,9 @@ class Planner:
                     # + a HasLabel predicate over the union scan's flags
                     conjuncts.append(
                         _label_tree_pred(np.label_expr, np.var))
+                if np.where is not None:
+                    # inline WHERE (Cypher 5): one more pattern conjunct
+                    conjuncts.extend(E.split_conjunctions(np.where))
                 for k, v in np.props:
                     conjuncts.append(E.BinOp("=", E.Property(E.NodeVar(np.var), k), v))
             elems = list(named.elements)
@@ -511,6 +514,13 @@ class Planner:
                     rp = dataclasses.replace(rp, var=fresh)
                     elems[i] = rp
                 rels.append((elems[i - 1].var, rp, elems[i + 1].var))
+                if rp.where is not None:
+                    if rp.var_length:
+                        raise PlanError(
+                            "inline WHERE on a variable-length "
+                            "relationship is not supported",
+                            code="InvalidRelationshipWhere")
+                    conjuncts.extend(E.split_conjunctions(rp.where))
                 for k, v in rp.props:
                     if not rp.var_length:
                         conjuncts.append(
