@@ -46,6 +46,10 @@ HEADLINE = [
     "k_core",
     "node_similarity",
     "events_sessions",
+    # round 7 surfaces
+    "mutation_set_rematch",
+    "spatial_distance_topk",
+    "shortest_path_pairs",
 ]
 
 
