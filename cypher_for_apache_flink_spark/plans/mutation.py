@@ -224,6 +224,10 @@ def plan_create(pl, records, clause: A.CreateClause):
                 raise PlanError(
                     "label expressions cannot be used when creating nodes",
                     code="InvalidLabelExpression")
+            if np.where is not None:
+                raise PlanError(
+                    "WHERE is not allowed inside a CREATE pattern",
+                    code="InvalidSyntax")
             bound = header.var(np.var) is not None
             seen = np.var in node_slots
             if (bound or seen) and (np.labels or np.props):
@@ -241,6 +245,10 @@ def plan_create(pl, records, clause: A.CreateClause):
         elems = named.elements
         for i in range(1, len(elems), 2):
             rp = elems[i]
+            if rp.where is not None:
+                raise PlanError(
+                    "WHERE is not allowed inside a CREATE pattern",
+                    code="InvalidSyntax")
             if rp.var_length:
                 raise PlanError(
                     "variable-length relationships cannot be created",
@@ -415,13 +423,16 @@ def _shape_chain(pl, header, e):
         base = _shape_chain(pl, header, e.owner) if i is not None else None
         if base is not None:
             col, shape = base
-            if shape[0] == "list" and 0 <= i < len(shape[1]) \
-                    and shape[1][i] is not None:
-                return F.element_at(col, i + 1), shape[1][i]
+            # 1-based positive / negative-from-the-end element_at position
+            pos = i + 1 if i >= 0 else i
+            if shape[0] == "list":
+                j = i if i >= 0 else len(shape[1]) + i
+                if 0 <= j < len(shape[1]) and shape[1][j] is not None:
+                    return F.element_at(col, j + 1), shape[1][j]
             if shape[0] == "nodelist":
-                return F.element_at(col, i + 1), ("node",)
+                return F.try_element_at(col, F.lit(pos)), ("node",)
             if shape[0] == "rellist":
-                return F.element_at(col, i + 1), ("rel",)
+                return F.try_element_at(col, F.lit(pos)), ("rel",)
     return None
 
 
@@ -486,8 +497,12 @@ def _entity_id_arrays(pl, header, ctx, e):
                 F.concat(*rels) if rels else None)
     if isinstance(e, E.Subscript):
         na, ra = _entity_id_arrays(pl, header, ctx, e.owner)
-        idx = to_column(e.index, ctx) + F.lit(1)      # Cypher is 0-based
-        pick = lambda a: F.array(F.element_at(a, idx))  # noqa: E731
+        # Cypher is 0-based, element_at 1-based; negative indices count
+        # from the end in both (mirror the normal subscript path,
+        # columns.py try_element_at — ns[-1] must not become index 0).
+        raw = to_column(e.index, ctx)
+        idx = F.when(raw >= 0, raw + 1).otherwise(raw).cast("int")
+        pick = lambda a: F.array(F.try_element_at(a, idx))  # noqa: E731
         return (pick(na) if na is not None else None,
                 pick(ra) if ra is not None else None)
     if isinstance(e, E.ListSlice):
@@ -830,9 +845,17 @@ def plan_foreach(pl, records, clause: A.ForeachClause):
     # element typing: entity lists bind NodeVar/RelVar elements so SET /
     # DELETE / CREATE endpoints inside the body resolve as entities
     shape = pl._entity_shape_of(le, header)
-    if isinstance(le, E.ListNodeVar) or shape == ("nodelist",):
+    def _homogeneous(s, kind):
+        # ('list', [...]) of uniformly node/rel elements types like the
+        # dedicated list kind: FOREACH (x IN [a] | DELETE x) is valid
+        # openCypher, the loop var must bind as an entity
+        return (s is not None and s[0] == "list" and s[1]
+                and all(x == (kind,) for x in s[1]))
+    if isinstance(le, E.ListNodeVar) or shape == ("nodelist",) \
+            or _homogeneous(shape, "node"):
         ev = E.NodeVar(clause.var)
-    elif isinstance(le, E.ListRelVar) or shape == ("rellist",):
+    elif isinstance(le, E.ListRelVar) or shape == ("rellist",) \
+            or _homogeneous(shape, "rel"):
         ev = E.RelVar(clause.var)
     else:
         ev = E.Var(clause.var)
@@ -904,6 +927,10 @@ def plan_merge(pl, records, clause: A.MergeClause):
             raise PlanError(
                 "label expressions cannot be used in MERGE patterns",
                 code="InvalidLabelExpression")
+        if np.where is not None:
+            raise PlanError(
+                "WHERE is not allowed inside a MERGE pattern",
+                code="InvalidSyntax")
         hv = header.var(np.var)
         if hv is not None:
             if np.labels:
@@ -917,6 +944,10 @@ def plan_merge(pl, records, clause: A.MergeClause):
             new_node_vars.append(np.var)
     rel_vars = []
     for rp in named.rels:
+        if rp.where is not None:
+            raise PlanError(
+                "WHERE is not allowed inside a MERGE pattern",
+                code="InvalidSyntax")
         if rp.var_length:
             raise PlanError(
                 "variable-length relationships cannot be merged",

@@ -444,20 +444,58 @@ class Planner:
 
         # ---- shortestPath()/allShortestPaths() parts plan separately ---
         if any(p.shortest is not None for p in clause.patterns):
-            from .shortest import plan_shortest_path
+            from .shortest import edge_predicate_of, plan_shortest_path
             normal = tuple(p for p in clause.patterns if p.shortest is None)
             if normal:
                 records = self.plan_match(
                     records, dataclasses.replace(
                         clause, patterns=normal, where=None),
                     id_only, query_refs)
+            # Partition the WHERE (Neo4j shortest-path predicate semantics):
+            # all()/none() per-relationship predicates over a shortest
+            # path's relationships push INTO the BFS edge set, so the BFS
+            # finds the shortest path SATISFYING them; any other reference
+            # to the path / its rel list cannot be expressed by
+            # post-filtering (that would silently drop rows where the
+            # unconstrained shortest path fails) and raises.
+            conj = (E.split_conjunctions(clause.where)
+                    if clause.where is not None else [])
             for p in clause.patterns:
-                if p.shortest is not None:
-                    records = plan_shortest_path(self, records, p)
-            if clause.where is not None:
+                if p.shortest is None:
+                    continue
+                named = self._name_pattern(
+                    dataclasses.replace(p, shortest=None))
+                pv = named.path_var
+                rels = list(named.rels)
+                rv = (rels[0].var if rels and rels[0].var
+                      and not rels[0].var.startswith("_a") else None)
+                pushed, rest = [], []
+                for c in conj:
+                    ep = edge_predicate_of(self, c, pv, rv)
+                    if ep is not None:
+                        pushed.append(ep)
+                        continue
+                    touched = {v.name for v in E.collect_vars(c)}
+                    if (pv is not None and pv in touched) \
+                            or (rv is not None and rv in touched):
+                        raise PlanError(
+                            "only all()/none() predicates over the "
+                            "relationships of a shortestPath() pattern "
+                            "can constrain the path search; other "
+                            "path predicates are not supported",
+                            code="UnsupportedShortestPathPredicate")
+                    rest.append(c)
+                conj = rest
+                rel_pred = None
+                for ep in pushed:
+                    rel_pred = ep if rel_pred is None \
+                        else E.BinOp("AND", rel_pred, ep)
+                records = plan_shortest_path(self, records, p,
+                                             rel_pred=rel_pred)
+            if conj:
                 records = self.apply_predicates(
                     records, [resolve_vars(c, records.header)
-                              for c in E.split_conjunctions(clause.where)])
+                              for c in conj])
             return records
 
         # ---- gather pattern info -------------------------------------
@@ -2347,6 +2385,18 @@ class Planner:
             if s is not None:
                 shapes[name] = s
         self._entity_shapes = shapes
+        # Rescope deletion tracking: a projection defines a fresh scope, so
+        # only names whose projected expression IS a previously-deleted
+        # entity stay flagged.  A later MATCH re-binding the same name is a
+        # new entity and must be readable again (openCypher: deletion
+        # attaches to the binding, not the name).
+        if self._deleted_vars:
+            still_deleted = set()
+            for it in items:
+                if isinstance(it.expr, E.Var) \
+                        and it.expr.name in self._deleted_vars:
+                    still_deleted.add(it.alias or it.expr.name)
+            self._deleted_vars = still_deleted
         return out, outputs
 
     def _plan_project(self, records: Records, items, distinct: bool):

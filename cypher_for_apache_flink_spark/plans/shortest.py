@@ -38,9 +38,100 @@ from ..parser import ast as A
 _MAX_LEVELS = 50        # hard guard: raise rather than loop forever
 
 
-def _edge_df(pl, rp: A.RelPattern):
+def _rewrite_expr(e, f):
+    """Bottom-up structural rewrite of a frozen-dataclass expression tree:
+    ``f(node)`` returning a different node replaces the whole subtree."""
+    e2 = f(e)
+    if e2 is not e:
+        return e2
+    changes = {}
+    for fld in dataclasses.fields(e):
+        v = getattr(e, fld.name)
+        if isinstance(v, E.Expr):
+            nv = _rewrite_expr(v, f)
+            if nv is not v:
+                changes[fld.name] = nv
+        elif isinstance(v, tuple):
+            nv = tuple(
+                _rewrite_expr(x, f) if isinstance(x, E.Expr)
+                else tuple(_rewrite_expr(y, f) if isinstance(y, E.Expr)
+                           else y for y in x) if isinstance(x, tuple)
+                else x
+                for x in v)
+            if nv != v:
+                changes[fld.name] = nv
+    return dataclasses.replace(e, **changes) if changes else e
+
+
+def edge_predicate_of(pl, conjunct, path_var, rel_var):
+    """When ``conjunct`` is ``all/none(r IN relationships(p) WHERE pred)``
+    (or over the var-length rel variable directly) and ``pred`` touches
+    only the lambda variable, return the per-relationship predicate to
+    push into the BFS edge set (negated for ``none``) — matching Neo4j,
+    which finds the shortest path SATISFYING such predicates rather than
+    post-filtering the unconstrained shortest path.  None = not pushable."""
+    if not isinstance(conjunct, E.ListPredicate) \
+            or conjunct.kind not in ("all", "none"):
+        return None
+    le = conjunct.list_expr
+    over_rels = (
+        (isinstance(le, E.FuncCall) and le.name == "relationships"
+         and len(le.args) == 1 and isinstance(le.args[0], E.Var)
+         and path_var is not None and le.args[0].name == path_var)
+        or (isinstance(le, (E.Var, E.ListRelVar))
+            and rel_var is not None and le.name == rel_var))
+    if not over_rels:
+        return None
+    lam = conjunct.var
+    names = {v.name for v in E.collect_vars(conjunct.where)}
+
+    def _locals(x):
+        if isinstance(x, E.LocalVar):
+            names.add(x.name)
+        for c in x.children():
+            _locals(c)
+    _locals(conjunct.where)
+    if not names <= {lam}:
+        return None                     # touches outer scope: not pushable
+    pred = _rewrite_expr(
+        conjunct.where,
+        lambda x: (E.RelVar("__sp_r")
+                   if isinstance(x, (E.Var, E.LocalVar))
+                   and not isinstance(x, (E.NodeVar, E.ListRelVar,
+                                          E.ListNodeVar))
+                   and x.name == lam else x))
+    return E.Not(pred) if conjunct.kind == "none" else pred
+
+
+def _edge_df(pl, rp: A.RelPattern, rel_pred=None):
     """(src, dst, rid) over the selected rel types, oriented per the
-    pattern (undirected unions both orientations)."""
+    pattern (undirected unions both orientations).  ``rel_pred`` is an
+    optional per-relationship predicate (over RelVar ``__sp_r``) applied
+    to the edge set before the BFS — a pushed-down
+    ``all(r IN relationships(p) WHERE ...)``."""
+    from ..operators.columns import ExprContext, to_column
+    from ..operators.records import scan_rels
+
+    if rel_pred is not None:
+        var = E.RelVar("__sp_r")
+        rec = scan_rels(pl.session, pl.graph, "__sp_r", rp.types or ())
+        ctx = ExprContext(rec.header, rec.df, pl.params)
+        filtered = rec.df.where(to_column(rel_pred, ctx))
+        src = rec.header.col(E.StartNode(var))
+        dst = rec.header.col(E.EndNode(var))
+        rid = rec.header.col(var)
+        fwd = filtered.select(F.col(src).alias("src"),
+                              F.col(dst).alias("dst"),
+                              F.col(rid).alias("rid"))
+        rev = filtered.select(F.col(dst).alias("src"),
+                              F.col(src).alias("dst"),
+                              F.col(rid).alias("rid"))
+        if rp.direction == "out":
+            return fwd
+        if rp.direction == "in":
+            return rev
+        return fwd.unionByName(rev)
+
     tables = pl.graph.rel_tables
     types = rp.types or tuple(tables)
     parts = []
@@ -70,7 +161,8 @@ def _edge_df(pl, rp: A.RelPattern):
     return out
 
 
-def plan_shortest_path(pl, records, part: A.PatternPart, where=None):
+def plan_shortest_path(pl, records, part: A.PatternPart,
+                       rel_pred=None):
     """Plan one shortestPath/allShortestPaths pattern part; returns the
     extended Records (path var, endpoints, optional rel-list var bound)."""
     from .planner import resolve_vars
@@ -106,7 +198,7 @@ def plan_shortest_path(pl, records, part: A.PatternPart, where=None):
     a_col = header.col(header.var(na.var))
     b_col = header.col(header.var(nb.var))
 
-    edges = _edge_df(pl, rp)
+    edges = _edge_df(pl, rp, rel_pred)
     pairs = (records.df.select(F.col(a_col).alias("a"),
                                F.col(b_col).alias("b"))
              .where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())

@@ -323,3 +323,57 @@ def test_mutated_graph_registrable_and_requeryable(spark):
     s.register("mutated", g2)
     out = s.cypher("FROM GRAPH mutated MATCH (n:A) RETURN n.x AS x")
     assert [tuple(r) for r in out.df.collect()] == [(1,)]
+
+
+# ---------------------------------------------------------------------------
+# Round-8 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+def test_delete_then_rebind_name_after_with(spark):
+    # deletion attaches to the binding, not the bare name: re-binding the
+    # same name after a WITH boundary must be readable again
+    g = graph_from_create(spark, "CREATE (:A {x: 1}), (:B {x: 7})")
+    res = g.cypher(
+        "MATCH (n:A) DELETE n WITH 1 AS one MATCH (n:B) RETURN n.x AS x")
+    assert [tuple(r) for r in res.df.collect()] == [(7,)]
+    a = res.graph.node_tables.get(frozenset({"A"}))
+    assert a is None or a.count() == 0
+
+
+def test_delete_carried_through_with_still_guarded(spark):
+    # ...but the SAME deleted entity carried through WITH stays unreadable
+    g = graph_from_create(spark, "CREATE (:A {x: 1})")
+    with pytest.raises(Exception, match="deleted"):
+        g.cypher("MATCH (n:A) DELETE n WITH n RETURN n.x")
+
+
+def test_delete_negative_list_subscript(spark):
+    g = graph_from_create(spark, "CREATE (:A {x: 1}), (:A {x: 2})")
+    res = g.cypher(
+        "MATCH (n:A) WITH n ORDER BY n.x WITH collect(n) AS ns "
+        "DETACH DELETE ns[-1]")
+    left = sorted(r["x"] for r in res.graph.node_tables[
+        frozenset({"A"})].collect())
+    assert left == [1]
+
+
+def test_foreach_list_literal_of_entities(spark):
+    # FOREACH (x IN [a] | DELETE x): list LITERAL of entities still binds
+    # the loop variable as an entity
+    g = graph_from_create(spark, "CREATE (:A {x: 1}), (:B)")
+    res = g.cypher("MATCH (a:A) FOREACH (x IN [a] | DETACH DELETE x)")
+    a = res.graph.node_tables.get(frozenset({"A"}))
+    assert a is None or a.count() == 0
+    assert res.graph.node_tables[frozenset({"B"})].count() == 1
+
+
+def test_create_inline_where_rejected(spark):
+    g = PropertyGraph({}, {})
+    with pytest.raises(PlanError, match="WHERE"):
+        g.cypher("CREATE (n WHERE false)")
+
+
+def test_merge_inline_where_rejected(spark):
+    g = graph_from_create(spark, "CREATE (:A)")
+    with pytest.raises(PlanError, match="WHERE"):
+        g.cypher("MERGE (n:A WHERE n.x = 1)")
