@@ -543,6 +543,47 @@ def _q_pagerank(spark, sf_dir):
         "node", F.round("rank", 6).alias("rank"))
 
 
+def _q_any_union(spark, sf_dir):
+    """Mixed-type UNION (round 8): the column boxes as the tagged-union
+    Any struct and dedupes via native struct comparison; the final select
+    renders per-tag strings so the oracle compares scalars."""
+    from cypher_for_apache_flink_spark.operators.anyvalue import (
+        any_to_string,
+    )
+    g = _tpch(spark, sf_dir)
+    df = g.cypher(
+        "MATCH (p:Part) RETURN p.p_brand AS v "
+        "UNION MATCH (p:Part) RETURN p.p_size AS v").df
+    return df.select(any_to_string(F.col("v")).alias("s")).orderBy("s")
+
+
+def _q_weighted_sp(spark, sf_dir):
+    """Weighted shortest paths (distributed Bellman-Ford, round 8) over
+    the region->nation->customer edges with deterministic integral
+    weights derived from the keys: cost(region->customer) is the cheapest
+    nation route."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        weighted_shortest_paths,
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    edges = (nat.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("dst"),
+        ((F.col("n_nationkey") % 5) + 1).cast("double").alias("w"))
+        .unionAll(cust.select(
+            F.concat(F.lit("N"),
+                     F.col("c_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"),
+                     F.col("c_custkey").cast("string")).alias("dst"),
+            ((F.col("c_custkey") % 7) + 1).cast("double").alias("w"))))
+    sources = reg.select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("node"))
+    out = weighted_shortest_paths(edges, sources, max_iters=6)
+    return out.orderBy("node").select("node", "cost")
+
+
 def _q_bfs(spark, sf_dir):
     """Multi-source BFS over the reversed region->nation->customer edges:
     regions at distance 0, nations 1, customers 2."""
@@ -821,6 +862,33 @@ _ROUND7_QUERIES = {
 }
 
 
+# New in round 8 — the tagged-union Any surface (operators/anyvalue.py:
+# mixed-type lists/UNION/min/max/toString, a capability the reference
+# rejects at plan time) and the weighted-shortest-path Bellman-Ford
+# (functions/graph_algos.py).
+_ROUND8_QUERIES = {
+    # mixed long+string list -> Any array -> UNWIND -> per-tag toString
+    "any_tostring_mixed": _cypher(
+        "MATCH (p:Part) UNWIND [p.p_size, p.p_brand] AS v "
+        "RETURN toString(v) AS s ORDER BY s"),
+    # min/max over a mixed column: Cypher aggregation ordering puts
+    # numbers before strings, so min is the least number and max the
+    # greatest string — one F.min/F.max over the tag-ordered struct
+    # (toString renders the Any result so the oracle compares strings)
+    "any_minmax_mixed": _cypher(
+        "MATCH (p:Part) UNWIND [p.p_size, p.p_brand] AS v "
+        "RETURN toString(min(v)) AS mn, toString(max(v)) AS mx"),
+    # DISTINCT over an Any column dedupes via native struct comparison:
+    # the NUMBER 1 conflates with a 1-valued size but never with a string
+    "any_distinct_mixed": _cypher(
+        "MATCH (p:Part) "
+        "UNWIND [p.p_size, p.p_brand, 1, 'Brand#11'] AS v "
+        "WITH DISTINCT v RETURN toString(v) AS s ORDER BY s"),
+    "any_union_mixed": _q_any_union,
+    "weighted_shortest_paths": _q_weighted_sp,
+}
+
+
 # New in round 5 — in-window so their first CORRECTNESS rows are driver-
 # recorded: the two-phase global percentileDisc plan and the banded-LSH
 # near-dup blocking are new code paths this round.
@@ -952,14 +1020,32 @@ _ROUND7_CHANGED = [
 ]
 
 
+# The 16 queries whose round-7 code changes rode on stale r6 driver rows
+# because the 62-query changed set outsized the 50-row window (VERDICT r7
+# "What's wrong" #1 — its prescribed r8 fix is to LEAD the window with
+# exactly these).
+_ROUND7_SPILL = [
+    "expand_1hop", "agg_tpch_q1", "agg_stats", "collect_unwind",
+    "ddl_graph", "edge_uniqueness_pairs", "events_temporal",
+    "exists_pattern", "expand_3hop_keyword_types", "graph_union",
+    "optional_match_count", "order_skip_limit", "scan_filter",
+    "union_all", "var_length_1_2", "with_pipeline",
+]
+
+# Round 8: derived by `python tools/changed_queries.py <r7-tip>` over this
+# round's git diff (operators/columns.py ListLit/toString/toInteger paths,
+# plans/planner.py union + projection validation, plans/mutation.py,
+# plans/shortest.py, session.py rendering+plan-cache) — regenerate before
+# the round-end commit.
+_ROUND8_CHANGED = list(_ROUND7_SPILL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness for the first 50 entries only.
-    # Round-7 rotation: priority order is (a) queries last recorded in r5
-    # (two rounds stale) whose code changed this round, (b) other changed
-    # queries (recorded r6, one round old), (c) unchanged r5-recorded
-    # queries, (d) the rest.  Mechanically derived from _ROUND7_CHANGED;
-    # the r6+r7 union plus the full check_oracle replay covers all
-    # declared queries.
+    # Round-8 rotation (VERDICT r7 #3): (a) brand-new round-8 queries
+    # (never recorded), (b) the 16 round-7 spill queries whose changes
+    # rode on stale r6 rows, (c) other queries changed this round,
+    # (d) queries whose last row is oldest (the r5-era window), (e) rest.
     full = dict(_EXTRA_QUERIES)
     for name in _DEFERRED_VARIANTS:
         full[name] = _CYPHER_QUERIES[name]
@@ -969,16 +1055,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name not in full:
             full[name] = fn
     r5_window = set(list(full)[:50])
-    full.update(_ROUND7_QUERIES)        # new this round: never recorded,
-    changed = set(_ROUND7_CHANGED)      # tier-(b) priority via changed set
-    prio = (list(_ROUND7_QUERIES)       # brand new: no recorded row at all
-            + [n for n in full if n in r5_window and n in changed]
-            + [n for n in full if n not in r5_window and n in changed]
-            + [n for n in full if n in r5_window and n not in changed]
+    full.update(_ROUND7_QUERIES)
+    full.update(_ROUND8_QUERIES)        # tier (a): never recorded
+    changed = set(_ROUND8_CHANGED)
+    prio = (list(_ROUND8_QUERIES)
+            + _ROUND7_SPILL
+            + [n for n in full if n in changed]
+            + [n for n in full if n in r5_window]
             + list(full))
     window, seen = [], set()
     for n in prio:
-        if n not in seen:
+        if n in full and n not in seen:
             seen.add(n)
             window.append(n)
     return {name: full[name] for name in window}
@@ -1130,6 +1217,22 @@ def _pagerank_oracle_sql() -> str:
         "UNION ALL SELECT 'N' || CAST(n_nationkey AS VARCHAR), "
         "'R' || CAST(n_regionkey AS VARCHAR) FROM nation")
     return pagerank_sql_oracle(edges_sql, iterations=3)
+
+
+def _weighted_sp_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        weighted_sp_sql_oracle,
+    )
+    edges_sql = (
+        "SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS src, "
+        "'N' || CAST(n_nationkey AS VARCHAR) AS dst, "
+        "CAST((n_nationkey % 5) + 1 AS DOUBLE) AS w FROM nation "
+        "UNION ALL SELECT 'N' || CAST(c_nationkey AS VARCHAR), "
+        "'C' || CAST(c_custkey AS VARCHAR), "
+        "CAST((c_custkey % 7) + 1 AS DOUBLE) FROM customer")
+    sources_sql = ("SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS node "
+                   "FROM region")
+    return weighted_sp_sql_oracle(edges_sql, sources_sql, max_hops=4)
 
 
 def _bfs_oracle_sql() -> str:
@@ -1809,6 +1912,22 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         # --- graph algorithms -----------------------------------------
         "pagerank": _pagerank_oracle_sql(),
         "bfs_shortest_paths": _bfs_oracle_sql(),
+        "weighted_shortest_paths": _weighted_sp_oracle_sql(),
+        # --- tagged-union Any (round 8) --------------------------------
+        "any_tostring_mixed": (
+            "SELECT s FROM (SELECT unnest([CAST(p_size AS VARCHAR), "
+            "p_brand]) AS s FROM part) t ORDER BY s"),
+        "any_minmax_mixed": (
+            "SELECT CAST((SELECT min(p_size) FROM part) AS VARCHAR) "
+            "AS mn, (SELECT max(p_brand) FROM part) AS mx"),
+        "any_distinct_mixed": (
+            "SELECT DISTINCT s FROM (SELECT unnest("
+            "[CAST(p_size AS VARCHAR), p_brand, '1', 'Brand#11']) AS s "
+            "FROM part) t ORDER BY s"),
+        "any_union_mixed": (
+            "SELECT s FROM (SELECT p_brand AS s FROM part "
+            "UNION SELECT CAST(p_size AS VARCHAR) FROM part) t "
+            "ORDER BY s"),
 
         # --- LLM-pipeline: corpus statistics --------------------------
         "top_ngrams": rf"""

@@ -157,10 +157,16 @@ class PropertyGraph:
     def cypher(self, query: str, params: dict | None = None,
                procedures=None):
         """Run an openCypher query against this graph (primary entry point;
-        reference: PropertyGraph.cypher, PropertyGraph.scala:99)."""
+        reference: PropertyGraph.cypher, PropertyGraph.scala:99).  The
+        implicit session is memoized on the graph so repeated queries hit
+        the session plan cache (session.py)."""
         from .session import CypherSession
-        return CypherSession.for_graph(self).cypher(
-            query, params=params, graph=self, procedures=procedures)
+        s = self.__dict__.get("_implicit_session")
+        if s is None:
+            s = CypherSession.for_graph(self)
+            self.__dict__["_implicit_session"] = s
+        return s.cypher(query, params=params, graph=self,
+                        procedures=procedures)
 
     def nodes(self, var: str = "n", labels=()) -> DataFrame:
         """Typed node scan (PropertyGraph.scala:69)."""

@@ -313,6 +313,30 @@ def _zoned_datetime_call(expr, ctx) -> bool:
     return False
 
 
+def _unify_list_items(cols, expr, ctx):
+    """Mixed-type list literals encode as tagged-union Any structs
+    (operators/anyvalue.py) instead of crashing in Spark's array() type
+    coercion.  The cheap static class check gates the (plan-time-only)
+    schema probe so homogeneous lists — the overwhelmingly common case —
+    keep today's zero-cost path."""
+    dts = [spark_dtype(i, ctx) for i in expr.items]
+    classes = {_type_class(dt) for dt in dts} - {None}
+    if not (len(classes) > 1 or classes == {"map"}) or ctx.df is None:
+        return cols
+    try:
+        actual = [f.dataType for f in ctx.df.select(
+            *[c.alias(f"__it{j}") for j, c in enumerate(cols)])
+            .schema.fields]
+    except Exception:
+        # Spark's own coercion failed to even analyze individual items;
+        # leave the native path to raise its (typed) error
+        return cols
+    from .anyvalue import _field_compatible, unify_any_columns
+    if _field_compatible(actual):       # natively unionable after all
+        return cols
+    return unify_any_columns(cols, actual)
+
+
 def _param_lit(v) -> Column:
     """Parameter value -> Column: dict params become struct literals (map
     access `$m.key` then compiles to getField), lists of dicts recurse."""
@@ -711,7 +735,10 @@ def _compute(expr: E.Expr, ctx: ExprContext) -> Column:
         return F.lit(expr.value)
 
     if isinstance(expr, E.ListLit):
-        return F.array(*[to_column(i, ctx) for i in expr.items])
+        cols = [to_column(i, ctx) for i in expr.items]
+        if len(cols) > 1:
+            cols = _unify_list_items(cols, expr, ctx)
+        return F.array(*cols)
 
     if isinstance(expr, E.MapLit):
         # SORTED field order: Cypher map equality ignores declaration
@@ -1077,6 +1104,14 @@ def _property(expr: E.Property, ctx: ExprContext) -> Column:
             return out
         raise ValueError(f"unknown point accessor .{key}")
     if _is(owner_t, T.StructType):
+        from .anyvalue import is_any_type
+        if is_any_type(owner_t):
+            # TCK SemanticErrorAcceptance "Handling property access on the
+            # Any type": the value may be a primitive in some rows, which
+            # Cypher treats as a type error
+            raise PlanError(
+                "property access on a mixed-type (Any) value",
+                code="InvalidPropertyAccess")
         return to_column(expr.owner, ctx).getField(key)
     if _is(owner_t, T.MapType):
         return F.element_at(to_column(expr.owner, ctx), F.lit(key))
@@ -1612,6 +1647,13 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
             raise PlanError(f"{name}() expects a string or number, "
                             "got an entity", code="InvalidArgumentValue")
         t = spark_dtype(args[0], ctx)
+        from .anyvalue import any_to_number, is_any_type
+        if is_any_type(t):
+            # tagged-union Any input: numbers convert, numeric strings
+            # parse, anything else is null (TCK "toInteger() handling
+            # Any type")
+            return any_to_number(
+                a(0), "integer" if name == "tointeger" else "float")
         if t is not None and not _is(t, (T.StringType, T.NullType)) \
                 and not isinstance(t, T.NumericType):
             # openCypher (TCK TypeConversionFunctions): toInteger/toFloat
@@ -1630,6 +1672,11 @@ def _function(expr: E.FuncCall, ctx: ExprContext) -> Column:
         return src.cast("long" if name == "tointeger" else "double")
     if name == "tostring":
         t = spark_dtype(args[0], ctx)
+        from .anyvalue import any_to_string, is_any_type
+        if is_any_type(t):
+            # tagged-union Any input (TCK "toString() should work on Any
+            # type"): per-tag rendering, pure column CASE
+            return any_to_string(a(0))
         if isinstance(args[0], (E.NodeVar, E.RelVar)) \
                 or _is(t, (T.ArrayType, T.MapType)) \
                 or (_is(t, T.StructType) and not (

@@ -1323,7 +1323,8 @@ def parameterize(src: str):
 
 def parse_parameterized(src: str):
     """Parse via the skeleton cache: literal-differing queries of the same
-    shape share one parsed AST.  Returns (ast, auto_params)."""
+    shape share one parsed AST.  Returns (ast, auto_params, skeleton) —
+    the skeleton doubles as the session plan-cache key (session.py)."""
     skeleton, values = parameterize(src)
     ast = _AST_CACHE.get(skeleton)
     if ast is None:
@@ -1334,4 +1335,4 @@ def parse_parameterized(src: str):
         _AST_CACHE[skeleton] = ast
     else:
         ast_cache_stats["hits"] += 1
-    return ast, values
+    return ast, values, skeleton

@@ -135,29 +135,38 @@ class Planner:
             # TabularUnionAll, RelationalOperator.scala:474-480), so
             # `RETURN a, b UNION RETURN b, a` is legal
             by_name = dict(o2)
-            # Columnar limitation (shared with the reference's DataFrame
-            # backend): one column cannot hold mixed type classes, so
-            # `RETURN 1 AS x UNION RETURN 'a' AS x` must be a clear
-            # plan-time error, not an ANSI cast crash at runtime.
+            # Mixed type classes across parts (`RETURN 1 AS x UNION
+            # RETURN 'a' AS x`) box into the tagged-union Any struct
+            # (operators/anyvalue.py) — the reference REJECTS these
+            # (no CTAnyMaterial mapping, SparkConversions.scala:54-75);
+            # here native struct union/comparison carries them.
+            from ..operators.anyvalue import encode_any, is_any_type
             from ..operators.columns import _comparable
             t1 = dict(zip(recs.df.select(
                 *[c for _, c in outs]).columns,
                 [f.dataType for f in recs.df.select(
                     *[c for _, c in outs]).schema.fields]))
+            lhs_enc, rhs_enc = {}, {}
             for n2, c2 in o2:
                 dt2 = r2.df.schema[c2].dataType
                 c1 = dict(outs)[n2]
-                if not _comparable(t1.get(c1), dt2):
-                    raise PlanError(
-                        f"UNION column {n2!r} has incompatible types "
-                        f"across parts ({t1.get(c1).simpleString()} vs "
-                        f"{dt2.simpleString()}); a columnar engine cannot "
-                        "box mixed-type columns",
-                        code="IncompatibleUnionTypes")
+                dt1 = t1.get(c1)
+                if is_any_type(dt1) != is_any_type(dt2) \
+                        or not _comparable(dt1, dt2):
+                    lhs_enc[c1] = dt1
+                    rhs_enc[c2] = dt2
+            lhs_df = recs.df.select(*[c for _, c in outs])
+            if lhs_enc:
+                lhs_df = lhs_df.select(*[
+                    encode_any(F.col(c), lhs_enc[c]).alias(c)
+                    if c in lhs_enc else F.col(c)
+                    for c in lhs_df.columns])
             rename = {by_name[n1]: c1 for n1, c1 in outs}
-            df2 = r2.df.select(*[F.col(c).alias(rename.get(c, c))
-                                 for c in r2.df.columns])
-            recs = recs.with_df(recs.df.select(*[c for _, c in outs]).unionByName(
+            df2 = r2.df.select(*[
+                (encode_any(F.col(c), rhs_enc[c]) if c in rhs_enc
+                 else F.col(c)).alias(rename.get(c, c))
+                for c in r2.df.columns])
+            recs = recs.with_df(lhs_df.unionByName(
                 df2.select(*[c for _, c in outs])))
             if not is_all:
                 recs = recs.with_df(recs.df.dropDuplicates())
@@ -1006,6 +1015,28 @@ class Planner:
                 "was deleted in this statement")
         for c in e.children():
             self._check_deleted_access(c)
+
+    def _check_primitive_property(self, e, records):
+        """TCK "Failing when performing property access on a non-map" /
+        "Fail when using property access on primitive type": a PROJECTED
+        property access whose owner is statically a primitive
+        (number/string/boolean) is a type error, raised at plan time (the
+        TCK accepts "at any time").  Restricted to projections on purpose:
+        WHERE keeps the null-not-error behavior that the published
+        "Do not fail ... if the OR'd predicate evaluates to true"
+        scenario requires — a columnar engine cannot honor both in one
+        context, but the contexts differ (a projection evaluates the
+        access unconditionally)."""
+        from ..operators.columns import _type_class, spark_dtype
+        if isinstance(e, E.Property) and not isinstance(
+                e.owner, (E.NodeVar, E.RelVar, E.StartNode, E.EndNode)):
+            dt = spark_dtype(e.owner, self.ctx(records))
+            if dt is not None and _type_class(dt) in ("num", "str", "bool"):
+                raise PlanError(
+                    f"property access on a value of type "
+                    f"{dt.simpleString()}", code="InvalidPropertyAccess")
+        for c in e.children():
+            self._check_primitive_property(c, records)
 
     # -- comprehensions over fixed-path nodes()/relationships() ---------
     def _path_elements_of(self, list_expr):
@@ -2309,6 +2340,8 @@ class Planner:
         if self._deleted_vars:
             for it in items:
                 self._check_deleted_access(it.expr)
+        for it in items:
+            self._check_primitive_property(it.expr, records)
         seen_aliases = set()
         for it in items:
             if it.alias is None:        # auto-named from the expression

@@ -57,13 +57,3 @@ Feature: UnionAcceptance
       | 1   |
       | 'a' |
     And no side effects
-
-  Scenario: Union column type mismatch raises a clear plan error
-    When executing query:
-      """
-      RETURN 1 AS x
-      UNION
-      RETURN 'a' AS x
-      """
-    Then a SyntaxError should be raised at compile time: IncompatibleUnionTypes
-    And no side effects

@@ -381,3 +381,91 @@ def test_ppr_empty_sources(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     srcs = spark.createDataFrame([], "node string")
     assert personalized_pagerank(edges, srcs, iterations=3).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# weighted shortest paths (round 8)
+# ---------------------------------------------------------------------------
+
+def _costs(df):
+    return {r.node: r.cost for r in df.collect()}
+
+
+def test_weighted_sp_prefers_cheap_detour(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        weighted_shortest_paths,
+    )
+    # a -1-> b -1-> d  vs  a -9-> d: the 2-hop route wins on cost
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "d", 1.0), ("a", "d", 9.0)],
+        "src string, dst string, w double")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = _costs(weighted_shortest_paths(edges, srcs))
+    assert got == {"a": 0.0, "b": 1.0, "d": 2.0}
+
+
+def test_weighted_sp_multi_source_min(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        weighted_shortest_paths,
+    )
+    edges = spark.createDataFrame(
+        [("a", "x", 5.0), ("b", "x", 2.0)],
+        "src string, dst string, w double")
+    srcs = spark.createDataFrame([("a",), ("b",)], "node string")
+    got = _costs(weighted_shortest_paths(edges, srcs))
+    assert got == {"a": 0.0, "b": 0.0, "x": 2.0}
+
+
+def test_weighted_sp_relaxes_through_longer_hops(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        weighted_shortest_paths,
+    )
+    # a chain of cheap edges beats a direct expensive one even at depth 4
+    rows = [("n0", "n1", 1.0), ("n1", "n2", 1.0), ("n2", "n3", 1.0),
+            ("n3", "n4", 1.0), ("n0", "n4", 99.0)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w double")
+    srcs = spark.createDataFrame([("n0",)], "node string")
+    got = _costs(weighted_shortest_paths(edges, srcs))
+    assert got["n4"] == 4.0
+
+
+def test_weighted_sp_cycle_terminates(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        weighted_shortest_paths,
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0)],
+        "src string, dst string, w double")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = _costs(weighted_shortest_paths(edges, srcs, max_iters=50))
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+
+def test_weighted_sp_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        weighted_shortest_paths, weighted_sp_sql_oracle,
+    )
+    import random
+    rng = random.Random(7)
+    nodes = [f"v{i}" for i in range(30)]
+    rows = sorted({(rng.choice(nodes), rng.choice(nodes),
+                    float(rng.randint(1, 9))) for _ in range(120)})
+    rows = [(s, d, w) for s, d, w in rows if s != d]
+    edges = spark.createDataFrame(rows, "src string, dst string, w double")
+    srcs = spark.createDataFrame([("v0",), ("v1",)], "node string")
+    got = _costs(weighted_shortest_paths(edges, srcs, max_iters=30))
+
+    vals = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in rows)
+    sql = weighted_sp_sql_oracle(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst, w)",
+        "SELECT * FROM (VALUES ('v0'), ('v1')) AS s(node)",
+        max_hops=8)
+    want = {n: c for n, c in duckdb.sql(sql).fetchall()}
+    # the oracle bounds hops at 8; compare the overlap exactly and
+    # require spark to be <= oracle elsewhere (more hops available)
+    for n, c in want.items():
+        assert got[n] <= c + 1e-9
+    agree = sum(1 for n in want if abs(got[n] - want[n]) < 1e-9)
+    assert agree >= len(want) * 0.9
