@@ -50,6 +50,9 @@ HEADLINE = [
     "mutation_set_rematch",
     "spatial_distance_topk",
     "shortest_path_pairs",
+    # round 8 surfaces
+    "weighted_shortest_paths",
+    "any_union_mixed",
 ]
 
 
@@ -218,15 +221,27 @@ def main():
                 (F.col("dst") + i * shift).alias("dst")))
         big = big.repartition(int(cpus)).persist()
         n_edges = big.count()
+        sf1_metrics = {}
         for qname, fn in [
                 ("pagerank", lambda: pagerank(big, iterations=3)),
                 ("k_core", lambda: k_core(big, k=4)),
                 ("triangle_count", lambda: triangle_count(big))]:
+            # VERDICT r7 #4: the sf1 wall numbers are not load-invariant
+            # (r7's recorded triangle 45.2s reproduced at 33.8s under the
+            # same config) — record the physical stage totals alongside,
+            # like the headline loop does, so cross-round comparisons key
+            # on shuffle bytes / cpu time instead of sandbox load.
+            before = {k for k, _ in _stage_keys(spark)}
             t0 = time.time()
             fn().collect()
             sf1_spot[qname] = round(time.time() - t0, 3)
+            sf1_metrics[qname] = _stage_metrics_delta(spark, before)
             print(f"# sf1_spot {qname}: {sf1_spot[qname]}s "
-                  f"({n_edges} edges)", file=sys.stderr)
+                  f"({n_edges} edges, "
+                  f"{sf1_metrics[qname]['shuffle_write_bytes']} shuffle B, "
+                  f"{sf1_metrics[qname]['executor_cpu_ms']} cpu ms)",
+                  file=sys.stderr)
+        sf1_spot["metrics"] = sf1_metrics
         big.unpersist()
         sf1_spot["n_edges"] = n_edges
 
@@ -287,6 +302,41 @@ def main():
                   file=sys.stderr)
         bigd.unpersist()
 
+    # --- plan-cache micro-bench (round 8, VERDICT r7 #6) -----------------
+    # Replan latency vs cached-plan latency for one repeated dashboard
+    # query: same session, same literals — planning (parse + plan +
+    # Catalyst analysis) is skipped on every hit.  Timed WITHOUT execution
+    # (.df construction only), because execution cost is identical.
+    plan_cache = {}
+    try:
+        from cypher_for_apache_flink_spark import CypherSession
+        from cypher_for_apache_flink_spark.sources.tpch import tpch_graph
+        g = tpch_graph(spark, sf_dir)
+        sess = CypherSession.for_graph(g)
+        pq = ("MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+              "WHERE c.c_acctbal > 1000.0 "
+              "RETURN n.n_name AS nation, count(*) AS cnt")
+        cold = []
+        for _ in range(3):
+            sess._plan_cache.clear()
+            t0 = time.time()
+            sess.cypher(pq).df
+            cold.append(time.time() - t0)
+        warm = []
+        for _ in range(5):
+            t0 = time.time()
+            sess.cypher(pq).df
+            warm.append(time.time() - t0)
+        cold.sort()
+        warm.sort()
+        plan_cache = {"replan_s": round(cold[len(cold) // 2], 4),
+                      "cached_s": round(warm[len(warm) // 2], 4),
+                      "stats": dict(sess.plan_cache_stats)}
+        print(f"# plan_cache: replan {plan_cache['replan_s']}s -> cached "
+              f"{plan_cache['cached_s']}s", file=sys.stderr)
+    except Exception as ex:                      # never sink the bench
+        plan_cache = {"error": str(ex)[:200]}
+
     total = round(sum(timings.values()), 3)
     payload = {"metric": "headline_total", "value": total,
                "unit": "sec", "queries": timings, "sf": sf,
@@ -294,6 +344,7 @@ def main():
                "protocol_per_query": protocols,
                "spread": spreads, "spread_minmax": minmax,
                "metrics": metrics,
+               "plan_cache": plan_cache,
                "sf1_spot": sf1_spot}
     print(json.dumps(payload))
     # the driver keeps only a tail of stdout, which has truncated the
