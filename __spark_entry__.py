@@ -711,6 +711,41 @@ def _q_degree_histogram(spark, sf_dir):
     return degree_histogram(_copurchase_edges(spark, sf_dir))
 
 
+def _q_label_propagation(spark, sf_dir):
+    """Community detection (deterministic synchronous LPA, round 8) on
+    the part co-purchase graph; communities of >= 3 parts by size."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        label_propagation,
+    )
+    lp = label_propagation(_copurchase_edges(spark, sf_dir), iterations=3)
+    return (lp.groupBy("community")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .where(F.col("n_members") >= 3)
+            .orderBy("community").select("community", "n_members"))
+
+
+def _q_call_triangle_count(spark, sf_dir):
+    """The SAME triangle count through the Cypher CALL surface (round 8):
+    co-purchase edges wrapped as a PropertyGraph, then
+    ``CALL algo.triangleCount()`` — certifies the graph-backed procedure
+    plumbing (builtin registry, graph_edges extraction, YIELD) against
+    the identical SQL oracle as the direct-library query."""
+    from cypher_for_apache_flink_spark import CypherSession, PropertyGraph
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionAll(edges.select(F.col("dst").alias("id")))
+             .dropDuplicates(["id"]))
+    rels = edges.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.col("src").alias("source"), F.col("dst").alias("target"))
+    g = PropertyGraph({frozenset(["Part"]): nodes}, {"COPURCHASED": rels},
+                      name="copurchase")
+    sess = CypherSession.for_graph(g)
+    return sess.cypher(
+        "CALL algo.triangleCount() YIELD triangles "
+        "RETURN triangles AS n_triangles").df
+
+
 # Appended AFTER the in-window groups (the driver records the first 50
 # entries; these stay judge-checkable via tools/check_oracle.py).
 def _q_events_sliding(spark, sf_dir):
@@ -886,6 +921,8 @@ _ROUND8_QUERIES = {
         "WITH DISTINCT v RETURN toString(v) AS s ORDER BY s"),
     "any_union_mixed": _q_any_union,
     "weighted_shortest_paths": _q_weighted_sp,
+    "label_propagation": _q_label_propagation,
+    "call_triangle_count": _q_call_triangle_count,
 }
 
 
@@ -1205,6 +1242,15 @@ def _triangle_oracle_sql() -> str:
         triangle_sql_oracle,
     )
     return triangle_sql_oracle(_COPURCHASE_SQL)
+
+
+def _label_propagation_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        label_propagation_sql_oracle,
+    )
+    inner = label_propagation_sql_oracle(_COPURCHASE_SQL, iterations=3)
+    return (f"SELECT community, count(*) AS n_members FROM ({inner}) "
+            "GROUP BY community HAVING count(*) >= 3 ORDER BY community")
 
 
 def _pagerank_oracle_sql() -> str:
@@ -1913,6 +1959,10 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "pagerank": _pagerank_oracle_sql(),
         "bfs_shortest_paths": _bfs_oracle_sql(),
         "weighted_shortest_paths": _weighted_sp_oracle_sql(),
+        "label_propagation": _label_propagation_oracle_sql(),
+        # CALL algo.triangleCount() computes the same co-purchase
+        # triangle count as the direct-library query
+        "call_triangle_count": _triangle_oracle_sql(),
         # --- tagged-union Any (round 8) --------------------------------
         "any_tostring_mixed": (
             "SELECT s FROM (SELECT unnest([CAST(p_size AS VARCHAR), "

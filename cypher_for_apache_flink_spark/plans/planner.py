@@ -390,7 +390,12 @@ class Planner:
                         f"function-backed procedure {clause.name} requires "
                         "constant arguments")
                 vals.append(v)
-            out_df = proc.fn(spark, *vals)
+            if getattr(proc, "graph", False):
+                # graph-backed (algo.*): the callable runs against the
+                # query's CURRENT graph (FROM GRAPH switches it first)
+                out_df = proc.fn(self.session, self.graph, *vals)
+            else:
+                out_df = proc.fn(spark, *vals)
             tbl = out_df.toDF(*[f"{base}_{nm}" for nm, _ in proc.outputs])
             joined = records.df.crossJoin(F.broadcast(tbl)) \
                 if records.df.columns else tbl

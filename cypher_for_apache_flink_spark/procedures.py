@@ -37,6 +37,7 @@ class Procedure:
     outputs: tuple           # ((name, TYPE), ...); empty = VOID
     rows: tuple | None = None        # table-backed: (in... + out...) tuples
     fn: object | None = None         # function-backed
+    graph: bool = False              # graph-backed: fn(session, graph, *a)
 
     def spark_schema(self) -> str | None:
         """Schema string for the (inputs + outputs) table; None when a
@@ -107,3 +108,132 @@ def table_procedure(sig: str, rows) -> Procedure:
 def function_procedure(sig: str, fn) -> Procedure:
     name, ins, outs = parse_signature(sig)
     return Procedure(name, ins, outs, fn=fn)
+
+
+def graph_procedure(sig: str, fn) -> Procedure:
+    """GRAPH-backed procedure: ``fn(session, graph, *args) -> DataFrame``
+    over the query's CURRENT graph (FROM GRAPH switches it like any other
+    clause).  Same plan shape as function-backed — constant arguments,
+    result cross-joined (standalone CALL: the result IS the record
+    stream) — but the callable sees the graph, which is what a
+    GDS-style algorithm surface needs."""
+    name, ins, outs = parse_signature(sig)
+    return Procedure(name, ins, outs, fn=fn, graph=True)
+
+
+# --------------------------------------------------------------------------
+# Built-in algo.* procedures: the functions/graph_algos.py +
+# functions/components.py algorithms exposed to Cypher, Neo4j-GDS style
+# (``CALL algo.pageRank(3, 0.85) YIELD node, rank``).  Beyond-reference:
+# the reference's only algorithm story is a manual Cypher->RDD->GraphX
+# round-trip in one example (GraphXPageRankExample.scala:55-75); here the
+# algorithms are first-class DataFrame loops invocable from the query
+# language itself, composable with WHERE/RETURN/aggregation post-YIELD.
+# --------------------------------------------------------------------------
+
+def graph_edges(graph, weight_prop: str | None = None):
+    """(src, dst[, w]) union of every relationship table of ``graph``.
+
+    With ``weight_prop``, only rel tables carrying that property
+    contribute (missing everywhere = error), weights cast to double."""
+    from pyspark.sql import functions as F
+    from .graph import REL_SOURCE, REL_TARGET, prop_phys, _RESERVED_REL
+
+    branches = []
+    for rtype, df in sorted(graph.rel_tables.items()):
+        cols = [F.col(REL_SOURCE).cast("long").alias("src"),
+                F.col(REL_TARGET).cast("long").alias("dst")]
+        if weight_prop is not None:
+            phys = prop_phys(weight_prop, _RESERVED_REL)
+            if phys not in df.columns:
+                continue
+            cols.append(F.col(phys).cast("double").alias("w"))
+        branches.append(df.select(*cols))
+    if not branches:
+        raise ValueError(
+            f"graph {graph.name!r} has no relationship table"
+            + (f" with property {weight_prop!r}" if weight_prop else ""))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def builtin_graph_procedures() -> list:
+    """The default ``algo.*`` registry (registered on every session)."""
+    from pyspark.sql import functions as F
+
+    def _sources(session, node):
+        return session.spark.range(1).select(
+            F.lit(int(node)).cast("long").alias("node"))
+
+    def _pagerank(session, graph, iterations, damping):
+        from .functions.graph_algos import pagerank
+        return pagerank(graph_edges(graph), iterations=int(iterations),
+                        damping=float(damping)) \
+            .select("node", "rank")
+
+    def _triangles(session, graph):
+        from .functions.graph_algos import triangle_count
+        return triangle_count(graph_edges(graph)) \
+            .select(F.col("n_triangles").alias("triangles"))
+
+    def _k_core(session, graph, k):
+        from .functions.graph_algos import k_core
+        return k_core(graph_edges(graph), k=int(k)) \
+            .select("node", "degree")
+
+    def _deg_hist(session, graph):
+        from .functions.graph_algos import degree_histogram
+        return degree_histogram(graph_edges(graph)) \
+            .select("degree", "n_nodes")
+
+    def _bfs(session, graph, source):
+        from .functions.graph_algos import bfs_shortest_paths
+        return bfs_shortest_paths(graph_edges(graph),
+                                  _sources(session, source)) \
+            .select("node", "dist")
+
+    def _sssp(session, graph, source, weight_prop):
+        from .functions.graph_algos import weighted_shortest_paths
+        return weighted_shortest_paths(
+            graph_edges(graph, weight_prop=str(weight_prop)),
+            _sources(session, source)).select("node", "cost")
+
+    def _components(session, graph):
+        from .functions.components import connected_components
+        return connected_components(graph_edges(graph),
+                                    a="src", b="dst") \
+            .select("node", F.col("cc").alias("component"))
+
+    def _label_prop(session, graph, iterations):
+        from .functions.graph_algos import label_propagation
+        return label_propagation(graph_edges(graph),
+                                 iterations=int(iterations)) \
+            .select("node", "community")
+
+    return [
+        graph_procedure(
+            "algo.pageRank(iterations :: INTEGER?, damping :: FLOAT?) "
+            ":: (node :: INTEGER?, rank :: FLOAT?)", _pagerank),
+        graph_procedure(
+            "algo.triangleCount() :: (triangles :: INTEGER?)", _triangles),
+        graph_procedure(
+            "algo.kCore(k :: INTEGER?) "
+            ":: (node :: INTEGER?, degree :: INTEGER?)", _k_core),
+        graph_procedure(
+            "algo.degreeHistogram() "
+            ":: (degree :: INTEGER?, n_nodes :: INTEGER?)", _deg_hist),
+        graph_procedure(
+            "algo.bfs(source :: INTEGER?) "
+            ":: (node :: INTEGER?, dist :: INTEGER?)", _bfs),
+        graph_procedure(
+            "algo.sssp(source :: INTEGER?, weightProperty :: STRING?) "
+            ":: (node :: INTEGER?, cost :: FLOAT?)", _sssp),
+        graph_procedure(
+            "algo.connectedComponents() "
+            ":: (node :: INTEGER?, component :: INTEGER?)", _components),
+        graph_procedure(
+            "algo.labelPropagation(iterations :: INTEGER?) "
+            ":: (node :: INTEGER?, community :: INTEGER?)", _label_prop),
+    ]

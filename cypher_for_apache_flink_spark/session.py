@@ -345,8 +345,11 @@ class CypherSession:
         self.catalog: dict[str, PropertyGraph] = {}
         # name -> (param names, body text) graph views (CatalogDDLTests)
         self.views: dict[str, tuple] = {}
-        # name -> procedures.Procedure (CALL ... YIELD ...)
-        self.procedures: dict = {}
+        # name -> procedures.Procedure (CALL ... YIELD ...); pre-seeded
+        # with the built-in algo.* graph algorithms (GDS-style surface)
+        from .procedures import builtin_graph_procedures
+        self.procedures: dict = {p.name: p
+                                 for p in builtin_graph_procedures()}
         # Plan cache: (skeleton, graph id, frozen params) -> planner
         # output.  The reference extracts literals to parameters precisely
         # for this (CypherParser.scala:72,

@@ -1,0 +1,155 @@
+"""Built-in algo.* graph procedures: the functions/graph_algos.py +
+functions/components.py algorithms exposed through ``CALL`` (GDS-style).
+
+Beyond-reference surface: the reference's only algorithm interop is a
+manual Cypher->RDD->GraphX round-trip in one example
+(morpheus-examples/.../GraphXPageRankExample.scala:55-75); here the
+algorithms are invocable from the query language and composable with
+WHERE/aggregation after YIELD.  Each test checks the CALL result against
+the directly-invoked library function (parity) or a hand-computed value.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_flink_spark import CypherSession, PropertyGraph
+from cypher_for_apache_flink_spark.procedures import graph_edges
+
+
+@pytest.fixture(scope="module")
+def algo_session(spark):
+    # two triangles sharing node 3 (1-2-3, 3-4-5) and a pendant path 5-6-7
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6), (6, 7)]
+    rels = spark.createDataFrame(
+        [(100 + i, s, t, float(i + 1)) for i, (s, t) in enumerate(pairs)],
+        "id long, source long, target long, w double")
+    g = PropertyGraph({frozenset(["N"]): nodes}, {"LINK": rels},
+                      name="algofix")
+    return CypherSession.for_graph(g)
+
+
+def rows(sess, q):
+    return sorted(tuple(r) for r in sess.cypher(q).df.collect())
+
+
+def test_triangle_count_call(algo_session):
+    assert rows(algo_session, "CALL algo.triangleCount()") == [(2,)]
+
+
+def test_pagerank_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import pagerank
+    got = dict(algo_session.cypher(
+        "CALL algo.pageRank(3, 0.85)").df.collect())
+    g = next(iter(algo_session.catalog.values()))
+    want = dict(pagerank(graph_edges(g), iterations=3,
+                         damping=0.85).collect())
+    assert got.keys() == want.keys()
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_k_core_call(algo_session):
+    # the 2-core is the two fused triangles {1..5}; 6,7 peel off
+    got = rows(algo_session, "CALL algo.kCore(2)")
+    assert [n for n, _ in got] == [1, 2, 3, 4, 5]
+    assert dict(got)[3] == 4
+
+
+def test_bfs_call(algo_session):
+    got = dict(rows(algo_session, "CALL algo.bfs(1)"))
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 4}
+
+
+def test_sssp_call_weighted(algo_session):
+    got = dict(rows(algo_session, "CALL algo.sssp(1, 'w')"))
+    # directed edges, weights 1..8 in insertion order
+    assert got == {1: 0.0, 2: 1.0, 3: 3.0, 4: 7.0, 5: 9.0,
+                   6: 16.0, 7: 24.0}
+
+
+def test_sssp_unknown_weight_property(algo_session):
+    with pytest.raises(Exception, match="no relationship table"):
+        algo_session.cypher("CALL algo.sssp(1, 'nope')").df.collect()
+
+
+def test_connected_components_call(algo_session):
+    got = rows(algo_session, "CALL algo.connectedComponents()")
+    assert got == [(n, 1) for n in range(1, 8)]
+
+
+def test_label_propagation_call_deterministic(algo_session):
+    a = rows(algo_session, "CALL algo.labelPropagation(3)")
+    b = rows(algo_session, "CALL algo.labelPropagation(3)")
+    assert a == b
+    assert len(a) == 7
+
+
+def test_degree_histogram_call(algo_session):
+    got = rows(algo_session, "CALL algo.degreeHistogram()")
+    assert got == [(1, 1), (2, 4), (3, 1), (4, 1)]
+
+
+def test_yield_composes_with_where_and_agg(algo_session):
+    got = rows(algo_session,
+               "CALL algo.bfs(1) YIELD node, dist "
+               "WITH node, dist WHERE dist <= 2 "
+               "RETURN dist, count(*) AS n ORDER BY dist")
+    assert got == [(0, 1), (1, 2), (2, 2)]
+
+
+def test_yield_rename(algo_session):
+    got = rows(algo_session,
+               "CALL algo.triangleCount() YIELD triangles AS t RETURN t")
+    assert got == [(2,)]
+
+
+def test_unknown_output_field(algo_session):
+    with pytest.raises(Exception, match="no output field"):
+        algo_session.cypher(
+            "CALL algo.triangleCount() YIELD nope").df
+
+
+def test_wrong_arg_count(algo_session):
+    with pytest.raises(Exception, match="argument"):
+        algo_session.cypher("CALL algo.pageRank(3)").df
+
+
+def test_wrong_arg_type(algo_session):
+    with pytest.raises(Exception, match="expects"):
+        algo_session.cypher("CALL algo.kCore('two')").df
+
+
+def test_user_procedures_still_register(algo_session):
+    # the seeded registry must not block user registration
+    from cypher_for_apache_flink_spark.procedures import table_procedure
+    algo_session.register_procedure(table_procedure(
+        "my.proc() :: (x :: INTEGER?)", [(41,), (42,)]))
+    got = rows(algo_session, "CALL my.proc() YIELD x RETURN x ORDER BY x")
+    assert got == [(41,), (42,)]
+
+
+def test_label_propagation_matches_sql_oracle(spark):
+    """Spark LPA == unrolled-CTE DuckDB oracle on a two-community graph."""
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        label_propagation, label_propagation_sql_oracle)
+    # two 4-cliques joined by one bridge edge
+    pairs = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pairs += [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    pairs += [(4, 5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted(tuple(r) for r in
+                 label_propagation(edges, iterations=4).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(tuple(r) for r in con.execute(
+        label_propagation_sql_oracle("SELECT src, dst FROM e",
+                                     iterations=4)).fetchall())
+    assert got == want
+    # the two cliques resolve to distinct communities
+    comm = dict(got)
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[6] == comm[7] == comm[8]
+    assert comm[1] != comm[8]
