@@ -711,6 +711,17 @@ def _q_degree_histogram(spark, sf_dir):
     return degree_histogram(_copurchase_edges(spark, sf_dir))
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (round 8): maximal token ranges
+    covered by an 8-token window occurring >= 2 times corpus-wide — the
+    Lee et al. 2021 exact-substring dedup primitive, suffix-array-free."""
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        duplicate_spans,
+    )
+    return (duplicate_spans(_docs(spark, sf_dir), n=8)
+            .orderBy("doc_id", "span_start"))
+
+
 def _q_label_propagation(spark, sf_dir):
     """Community detection (deterministic synchronous LPA, round 8) on
     the part co-purchase graph; communities of >= 3 parts by size."""
@@ -923,6 +934,7 @@ _ROUND8_QUERIES = {
     "weighted_shortest_paths": _q_weighted_sp,
     "label_propagation": _q_label_propagation,
     "call_triangle_count": _q_call_triangle_count,
+    "duplicate_spans": _q_duplicate_spans,
 }
 
 
@@ -1242,6 +1254,15 @@ def _triangle_oracle_sql() -> str:
         triangle_sql_oracle,
     )
     return triangle_sql_oracle(_COPURCHASE_SQL)
+
+
+def _duplicate_spans_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.dedup import (
+        duplicate_spans_sql_oracle,
+    )
+    return (duplicate_spans_sql_oracle(
+        "SELECT doc_id, text FROM documents", n=8)
+        + " ORDER BY doc_id, span_start")
 
 
 def _label_propagation_oracle_sql() -> str:
@@ -1960,6 +1981,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "bfs_shortest_paths": _bfs_oracle_sql(),
         "weighted_shortest_paths": _weighted_sp_oracle_sql(),
         "label_propagation": _label_propagation_oracle_sql(),
+        "duplicate_spans": _duplicate_spans_oracle_sql(),
         # CALL algo.triangleCount() computes the same co-purchase
         # triangle count as the direct-library query
         "call_triangle_count": _triangle_oracle_sql(),

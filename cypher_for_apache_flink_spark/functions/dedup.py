@@ -478,3 +478,93 @@ def stream_dedup_against_index(spark, docs: DataFrame, path: str, sink,
              batch_id)
 
     return docs.writeStream.foreachBatch(_process)
+
+
+def duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """EXACT SUBSTRING duplicate spans: maximal token ranges covered by
+    some ``n``-token window that occurs at least ``min_count`` times in
+    the corpus (within- or cross-document).  Returns
+    ``(doc_id, span_start, span_end)`` with 0-based token indices, end
+    exclusive — the removal targets of exact-substring dedup (the
+    suffix-array method of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", re-expressed for Spark).
+
+    Plan, suffix-array-free: (1) per doc, one narrow pass emits every
+    n-token window as (pos, md5) — md5 so the DuckDB oracle mirrors the
+    keys verbatim (module convention); (2) one hash aggregation counts
+    window occurrences corpus-wide (map-side partial: hot boilerplate
+    windows collapse per partition before the shuffle, so power-law
+    repetition does not skew); (3) a semi-join keeps duplicated windows;
+    (4) a per-document gaps-and-islands window merge folds overlapping
+    windows into maximal spans.  Shuffled data is ~tokens x 44 bytes in
+    (2)/(3) and only duplicated positions in (4), whose partitions are
+    bounded by per-document token counts — no suffix array, no global
+    sort, nothing driver-side.
+    """
+    toks = tokens(F.col(text_col))
+    cnt = F.size(toks) - (n - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("h")))
+    wins = F.when(cnt > 0, wins).otherwise(
+        F.array().cast("array<struct<pos:bigint,h:string>>"))
+    ex = (df.select(F.col(id_col), F.explode(wins).alias("w"))
+          .select(id_col, F.col("w.pos").alias("pos"),
+                  F.col("w.h").alias("h"))
+          .persist())   # two consumers: the count and the probe side
+    dup = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= min_count).select("h"))
+    dupw = ex.join(dup, "h", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1) \
+        .otherwise(0)
+    islands = (dupw.withColumn("__brk", brk)
+               .withColumn("__island", F.sum("__brk").over(w)))
+    out = (islands.groupBy(id_col, "__island")
+           .agg(F.min("pos").alias("span_start"),
+                (F.max("pos") + n).cast("long").alias("span_end"))
+           .select(id_col, "span_start", "span_end"))
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(ex)
+    out._cypher_cache_lease = lease
+    return out
+
+
+def duplicate_spans_sql_oracle(docs_sql: str, n: int = 20,
+                               min_count: int = 2) -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`duplicate_spans`.
+    ``docs_sql`` selects (doc_id, text)."""
+    toks_sql = (r"list_filter(string_split_regex(lower(text), '\s+'), "
+                r"t -> t <> '')")
+    return f"""
+WITH __ds_in AS ({docs_sql}),
+toks AS (SELECT doc_id, {toks_sql} AS tk FROM __ds_in),
+w0 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+    i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                     h := md5(array_to_string(
+                            list_slice(tk, i, i + {n - 1}), ' '))))) AS w
+  FROM toks),
+w AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM w0),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= {min_count}),
+dw AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+b AS (SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + {n}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM dw),
+i AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM b)
+SELECT doc_id, min(pos) AS span_start,
+       CAST(max(pos) + {n} AS BIGINT) AS span_end
+FROM i GROUP BY doc_id, island"""
