@@ -11,12 +11,15 @@ Design for 100 TB media lakes:
    callers control partition width with ``repartition`` so a partition's
    in-flight decoded frames fit in worker memory.
 
-CODECS ARE STUBBED: this container has no Pillow/librosa/ffmpeg.  Every
-decode goes through :func:`_decode_bytes`, which uses the real library when
-importable and otherwise a clearly-marked DETERMINISTIC FAKE (byte-stream
-digest expanded to the declared shape) so the Spark-side plumbing — schemas,
-UDF signatures, batch iteration, explode shapes — is fully real and tested.
-Swap ``_decode_bytes`` for a real codec and nothing else changes.
+CODEC STATUS (round 8): UNCOMPRESSED formats decode FOR REAL with pure
+numpy — binary PPM (P6), 24-bit BMP, 16-bit PCM WAV — so the pipeline is
+end-to-end genuine for raw media; PNG/JPEG decode via Pillow when
+importable.  Compressed codecs (this container has no Pillow/librosa/
+ffmpeg) fall back through :func:`_decode_bytes` to a clearly-marked
+DETERMINISTIC FAKE (byte-stream digest expanded to the declared shape) so
+the Spark-side plumbing — schemas, UDF signatures, batch iteration,
+explode shapes — stays fully tested.  Swap in a codec and nothing else
+changes.
 """
 
 from __future__ import annotations
@@ -81,11 +84,104 @@ def _fake_pixels(data: bytes, n: int) -> list:
     return list(out[:n])
 
 
+def _decode_ppm(data: bytes) -> list:
+    """REAL decoder: binary PPM (P6) via pure numpy — header is ASCII
+    tokens (width, height, maxval; '#' comments allowed), payload is raw
+    RGB rows."""
+    import numpy as np
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j:j + 1].isspace():
+            j += 1
+        toks.append(int(data[i:j]))
+        i = j
+    i += 1                       # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"PPM maxval {maxval} unsupported (need 8-bit)")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.tolist()
+
+
+def _decode_bmp(data: bytes) -> list:
+    """REAL decoder: uncompressed 24-bit BMP via pure numpy — bottom-up
+    BGR rows padded to 4 bytes, returned as flat top-down RGB."""
+    import numpy as np
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+
+    def le(off, n):
+        return int.from_bytes(data[off:off + n], "little")
+
+    pix_off = le(10, 4)
+    w, h = le(18, 4), int.from_bytes(data[22:26], "little", signed=True)
+    bpp, compression = le(28, 2), le(30, 4)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"BMP bpp={bpp}/compression={compression} "
+                         "unsupported (need uncompressed 24-bit)")
+    bottom_up = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=row * h,
+                        offset=pix_off).reshape(h, row)[:, :w * 3]
+    rows = raw[::-1] if bottom_up else raw
+    rgb = rows.reshape(h, w, 3)[:, :, ::-1]     # BGR -> RGB
+    return rgb.ravel().tolist()
+
+
+def _decode_wav(data: bytes) -> list:
+    """REAL decoder: RIFF/WAVE 16-bit PCM via pure numpy, downconverted
+    to uint8 samples ((s >> 8) + 128) to match the flat-uint8 contract."""
+    import numpy as np
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, fmt_ok, payload = 12, False, None
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        size = int.from_bytes(data[i + 4:i + 8], "little")
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(data[i + 8:i + 10], "little")
+            bits = int.from_bytes(data[i + 22:i + 24], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"WAV fmt={audio_fmt}/bits={bits} "
+                                 "unsupported (need 16-bit PCM)")
+            fmt_ok = True
+        elif cid == b"data":
+            payload = data[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)          # chunks are word-aligned
+    if not fmt_ok or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pcm = np.frombuffer(payload, dtype="<i2")
+    return ((pcm.astype(np.int32) >> 8) + 128).astype(np.uint8).tolist()
+
+
+_REAL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp,
+                  "wav": _decode_wav}
+
+
 def _decode_bytes(data: bytes, meta) -> list:
     """Decode one media blob to flat uint8 samples (pixels / PCM / frames).
 
-    Real path (PIL) when available; deterministic fake otherwise."""
-    if _HAS_PIL and meta["format"] in ("png", "jpeg"):  # pragma: no cover
+    REAL paths: PPM (P6), uncompressed 24-bit BMP, and 16-bit PCM WAV are
+    decoded with pure numpy (round 8 — no codec library needed); PNG/JPEG
+    decode via PIL when importable.  Everything else (compressed codecs:
+    no Pillow/librosa/ffmpeg in this container) falls back to the
+    deterministic fake so the plumbing stays testable."""
+    fmt = meta.get("format") if hasattr(meta, "get") else meta["format"]
+    fmt = None if fmt is None or fmt != fmt else str(fmt)
+    real = _REAL_DECODERS.get(fmt)
+    if real is not None:
+        return real(bytes(data))
+    if _HAS_PIL and fmt in ("png", "jpeg"):  # pragma: no cover
         import io
 
         import numpy as np
