@@ -711,6 +711,26 @@ def _q_degree_histogram(spark, sf_dir):
     return degree_histogram(_copurchase_edges(spark, sf_dir))
 
 
+def _q_hits(spark, sf_dir):
+    """HITS hubs/authorities (round 8) over the customer->nation->region
+    graph: customers are pure hubs, regions pure authorities, nations
+    both — same superstep shape as pagerank, L2-normalized per round."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import hits
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = (cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"))
+        .unionAll(nat.select(
+            F.concat(F.lit("N"),
+                     F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("R"),
+                     F.col("n_regionkey").cast("string")).alias("dst"))))
+    return hits(edges, iterations=3).select(
+        "node", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"))
+
+
 def _q_duplicate_spans(spark, sf_dir):
     """Exact-substring duplicate spans (round 8): maximal token ranges
     covered by an 8-token window occurring >= 2 times corpus-wide — the
@@ -935,6 +955,7 @@ _ROUND8_QUERIES = {
     "label_propagation": _q_label_propagation,
     "call_triangle_count": _q_call_triangle_count,
     "duplicate_spans": _q_duplicate_spans,
+    "hits_scores": _q_hits,
 }
 
 
@@ -1081,12 +1102,39 @@ _ROUND7_SPILL = [
     "union_all", "var_length_1_2", "with_pipeline",
 ]
 
-# Round 8: derived by `python tools/changed_queries.py <r7-tip>` over this
-# round's git diff (operators/columns.py ListLit/toString/toInteger paths,
-# plans/planner.py union + projection validation, plans/mutation.py,
-# plans/shortest.py, session.py rendering+plan-cache) — regenerate before
-# the round-end commit.
-_ROUND8_CHANGED = list(_ROUND7_SPILL)
+# Round 8: derived by `python tools/changed_queries.py c70308f..HEAD`
+# (71 queries: the Any-type encoding touched operators/columns.py's whole
+# expression dispatch, stats-driven join ordering touched every pattern
+# query via plans/planner.py, plus graph_algos partition pinning and
+# dedup.py duplicate_spans).  71 > the 50-row window: the priority order
+# below records the 8 never-recorded round-8 queries and the 16 r7-spill
+# rows first; the remainder rides on tools/check_oracle.py full replay
+# and leads the round-9 window.
+_ROUND8_CHANGED = [
+    'agg_count_distinct', 'agg_global', 'agg_stats', 'agg_tpch_q1',
+    'bfs_shortest_paths', 'bitwise_functions', 'case_expression',
+    'coalesce_function', 'collect_unwind', 'construct_requery',
+    'ddl_graph', 'dedup_exact_groups', 'dedup_exact_keep',
+    'dedup_incremental', 'degree_histogram', 'distinct_projection',
+    'driving_table', 'duration_accessors', 'duration_shift',
+    'edge_uniqueness_pairs', 'events_hour_buckets', 'events_temporal',
+    'exists_pattern', 'expand_1hop', 'expand_2hop',
+    'expand_3hop_keyword_types', 'expand_incoming', 'expand_into',
+    'expand_undirected', 'graph_union', 'k_core', 'keyword_label_scan',
+    'labels_function', 'list_functions', 'math_functions', 'media_decode',
+    'minhash_lsh_pairs', 'near_dup_clusters', 'near_dup_incremental',
+    'ngram_jaccard_pairs', 'node_similarity', 'not_exists_pattern',
+    'optional_first_clause', 'optional_match_count', 'optional_match_null',
+    'order_skip_limit', 'orderby_expression', 'pagerank',
+    'percentile_disc_global', 'personalized_pagerank',
+    'predicate_contains', 'predicate_in', 'predicate_regex',
+    'predicate_string_match', 'rel_properties', 'scan_filter',
+    'scan_filter_and_or', 'scan_nodes', 'simhash_pairs',
+    'string_functions', 'triangle_count', 'type_function', 'union_all',
+    'union_distinct', 'unwind_literal', 'unwind_range_filter',
+    'var_length_1_2', 'var_length_2_2', 'var_length_typed',
+    'var_length_unbounded', 'with_pipeline',
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1254,6 +1302,18 @@ def _triangle_oracle_sql() -> str:
         triangle_sql_oracle,
     )
     return triangle_sql_oracle(_COPURCHASE_SQL)
+
+
+def _hits_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        hits_sql_oracle,
+    )
+    edges_sql = (
+        "SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src, "
+        "'N' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer "
+        "UNION ALL SELECT 'N' || CAST(n_nationkey AS VARCHAR), "
+        "'R' || CAST(n_regionkey AS VARCHAR) FROM nation")
+    return hits_sql_oracle(edges_sql, iterations=3)
 
 
 def _duplicate_spans_oracle_sql() -> str:
@@ -1982,6 +2042,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "weighted_shortest_paths": _weighted_sp_oracle_sql(),
         "label_propagation": _label_propagation_oracle_sql(),
         "duplicate_spans": _duplicate_spans_oracle_sql(),
+        "hits_scores": _hits_oracle_sql(),
         # CALL algo.triangleCount() computes the same co-purchase
         # triangle count as the direct-library query
         "call_triangle_count": _triangle_oracle_sql(),

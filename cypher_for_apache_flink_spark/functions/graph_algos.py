@@ -44,10 +44,19 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     # Persisted: the input may be an expensive derived set (a co-purchase
     # self-join, a Cypher projection) and setup scans it several times
     # (node set, degrees, out-edge materialization) before the loop.
+    # Partition pinning (round 8, same rationale as triangle_count): the
+    # loop-invariant persisted frames are laid out hash(src)/hash(node)
+    # at 2x cluster parallelism, so every superstep's joins and the
+    # dangling anti-join are exchange-free on one side and the other
+    # side's pinned repartition is reused by the downstream aggregate —
+    # a 200-partition session default measured pagerank 1.5x slower on
+    # identical 12M-edge data (tools/triangle_partition_probe.py).
+    nparts = max(2 * edges.sparkSession.sparkContext.defaultParallelism, 1)
     edges = edges.select(F.col(src_col).alias("src"),
                          F.col(dst_col).alias("dst")).persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
+             .repartition(nparts, "node")
              .dropDuplicates(["node"]))
     # Cached: read every superstep (left join target + dangling scan).  The
     # count is a deliberate single action: it materializes the cache AND
@@ -58,18 +67,21 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     if n == 0:
         nodes.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.repartition(nparts, "src") \
+        .groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg) is loop-invariant; persist so each superstep reads a
     # materialized table instead of re-running scan+join+agg.  Same for the
     # set of nodes WITH out-edges — the per-superstep dangling anti-join
     # would otherwise re-aggregate the raw edge scan every iteration.
-    out_edges = edges.join(deg, "src").persist()
+    out_edges = edges.repartition(nparts, "src").join(deg, "src").persist()
     out_srcs = deg.select(F.col("src").alias("node")).persist()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contribs = (out_edges
-                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(ranks.withColumnRenamed("node", "src")
+                          .repartition(nparts, "src"), "src")
+                    .repartition(nparts, "dst")
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") / F.col("deg"))
                          .alias("contrib"))
@@ -748,3 +760,103 @@ def label_propagation_sql_oracle(edges_sql: str, iterations: int = 5) -> str:
             f"ORDER BY cnt DESC, lbl ASC) AS rn FROM c{i}) WHERE rn = 1)")
     return (", ".join(parts)
             + f" SELECT node, lbl AS community FROM l{iterations}")
+
+
+def hits(edges: DataFrame, iterations: int = 5, src_col: str = "src",
+         dst_col: str = "dst", checkpoint_interval: int = 2) -> DataFrame:
+    """HITS (Kleinberg): returns (node, hub, authority) over the DIRECTED
+    edge set, both scores L2-normalized each superstep (the standard
+    convergent formulation).
+
+    Same superstep shape as :func:`pagerank` — per iteration TWO
+    join+aggregate passes (authority = sum of in-neighbor hubs, then
+    hub = sum of out-neighbor authorities) and two 1-row norm aggregates
+    broadcast into the update, all shuffles keyed on node ids, so a
+    bucketed edge table makes supersteps exchange-free.  Deterministic
+    given the edge set (float summation order aside) — verified against
+    an unrolled-CTE SQL oracle at 6 decimals.  Beyond-reference: the
+    reference has no algorithm surface at all.
+    """
+    edges = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst")).persist()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .dropDuplicates(["node"])).persist()
+    scores = nodes.select("node", F.lit(1.0).alias("hub"),
+                          F.lit(1.0).alias("auth"))
+    for i in range(iterations):
+        # authority(v) = sum of hub(u) over edges u->v, L2-normalized
+        a = (edges.join(scores.select(F.col("node").alias("src"), "hub"),
+                        "src")
+             .groupBy(F.col("dst").alias("node"))
+             .agg(F.sum("hub").alias("a")))
+        a_norm = a.agg(F.sqrt(F.sum(F.col("a") * F.col("a")))
+                       .alias("n")).select(
+            F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(1.0))
+            .alias("n"))
+        auth = (nodes.join(a, "node", "left_outer")
+                .crossJoin(F.broadcast(a_norm))
+                .select("node", (F.coalesce(F.col("a"), F.lit(0.0))
+                                 / F.col("n")).alias("auth")))
+        # hub(u) = sum of authority(v) over edges u->v, L2-normalized
+        h = (edges.join(auth.select(F.col("node").alias("dst"), "auth"),
+                        "dst")
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.sum("auth").alias("h")))
+        h_norm = h.agg(F.sqrt(F.sum(F.col("h") * F.col("h")))
+                       .alias("n")).select(
+            F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(1.0))
+            .alias("n"))
+        hub = (nodes.join(h, "node", "left_outer")
+               .crossJoin(F.broadcast(h_norm))
+               .select("node", (F.coalesce(F.col("h"), F.lit(0.0))
+                                / F.col("n")).alias("hub")))
+        scores = hub.join(auth, "node")
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            scores = scores.localCheckpoint(eager=False)
+    out = scores.select("node", "hub", F.col("auth").alias("authority"))
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(edges)
+    lease.add(nodes)
+    out._cypher_cache_lease = lease
+    return out
+
+
+def hits_sql_oracle(edges_sql: str, iterations: int = 5,
+                    round_to: int = 6) -> str:
+    """Unrolled-CTE ANSI-SQL twin of :func:`hits` (MATERIALIZED — each
+    score round is referenced by the next norm AND the next update)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "s0 AS MATERIALIZED (SELECT node, 1.0 AS hub, 1.0 AS auth "
+        "FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node, sum(p.hub) AS a "
+            f"FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst)")
+        parts.append(
+            f"an{i} AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(a * a)) > 0 "
+            f"THEN sqrt(sum(a * a)) ELSE 1.0 END AS n FROM ar{i})")
+        parts.append(
+            f"auth{i} AS MATERIALIZED (SELECT nd.node, "
+            f"coalesce(r.a, 0.0) / an.n AS auth "
+            f"FROM nodes nd LEFT JOIN ar{i} r ON r.node = nd.node, an{i} an)")
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, sum(p.auth) AS h "
+            f"FROM edges e JOIN auth{i} p ON p.node = e.dst GROUP BY e.src)")
+        parts.append(
+            f"hn{i} AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(h * h)) > 0 "
+            f"THEN sqrt(sum(h * h)) ELSE 1.0 END AS n FROM hr{i})")
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT nd.node, "
+            f"coalesce(r.h, 0.0) / hn.n AS hub, a.auth AS auth "
+            f"FROM nodes nd LEFT JOIN hr{i} r ON r.node = nd.node "
+            f"JOIN auth{i} a ON a.node = nd.node, hn{i} hn)")
+    return (", ".join(parts)
+            + f" SELECT node, round(hub, {round_to}) AS hub, "
+              f"round(auth, {round_to}) AS authority FROM s{iterations}")

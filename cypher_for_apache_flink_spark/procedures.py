@@ -212,6 +212,11 @@ def builtin_graph_procedures() -> list:
                                  iterations=int(iterations)) \
             .select("node", "community")
 
+    def _hits(session, graph, iterations):
+        from .functions.graph_algos import hits
+        return hits(graph_edges(graph), iterations=int(iterations)) \
+            .select("node", "hub", "authority")
+
     return [
         graph_procedure(
             "algo.pageRank(iterations :: INTEGER?, damping :: FLOAT?) "
@@ -236,4 +241,8 @@ def builtin_graph_procedures() -> list:
         graph_procedure(
             "algo.labelPropagation(iterations :: INTEGER?) "
             ":: (node :: INTEGER?, community :: INTEGER?)", _label_prop),
+        graph_procedure(
+            "algo.hits(iterations :: INTEGER?) "
+            ":: (node :: INTEGER?, hub :: FLOAT?, authority :: FLOAT?)",
+            _hits),
     ]

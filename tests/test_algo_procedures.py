@@ -153,3 +153,44 @@ def test_label_propagation_matches_sql_oracle(spark):
     assert comm[1] == comm[2] == comm[3]
     assert comm[6] == comm[7] == comm[8]
     assert comm[1] != comm[8]
+
+
+def test_hits_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import hits
+    got = {r["node"]: (r["hub"], r["authority"]) for r in
+           algo_session.cypher("CALL algo.hits(3)").df.collect()}
+    g = next(iter(algo_session.catalog.values()))
+    want = {r["node"]: (r["hub"], r["authority"]) for r in
+            hits(graph_edges(g), iterations=3).collect()}
+    assert got.keys() == want.keys()
+    for n in want:
+        assert got[n][0] == pytest.approx(want[n][0], abs=1e-12)
+        assert got[n][1] == pytest.approx(want[n][1], abs=1e-12)
+
+
+def test_hits_matches_sql_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        hits, hits_sql_oracle)
+    # a small DAG with a clear hub (1 points at everything) and a clear
+    # authority (5 pointed at by everything)
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 5), (3, 5), (4, 5),
+             (2, 3)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted((r["node"], round(r["hub"], 6), round(r["authority"], 6))
+                 for r in hits(edges, iterations=4).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(tuple(r) for r in con.execute(
+        hits_sql_oracle("SELECT src, dst FROM e",
+                        iterations=4)).fetchall())
+    for (gn, gh, ga), (wn, wh, wa) in zip(got, want):
+        assert gn == wn
+        assert gh == pytest.approx(wh, abs=1e-6)
+        assert ga == pytest.approx(wa, abs=1e-6)
+    # structural sanity: node 1 is the top hub, node 5 the top authority
+    hubs = {n: h for n, h, _ in got}
+    auths = {n: a for n, _, a in got}
+    assert max(hubs, key=hubs.get) == 1
+    assert max(auths, key=auths.get) == 5

@@ -29,7 +29,7 @@ def run(parts: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entrymod
     from cypher_for_apache_flink_spark.functions.graph_algos import (
-        k_core, triangle_count,
+        k_core, pagerank, triangle_count,
     )
     base = entrymod._copurchase_edges(spark, SF_DIR) \
         .dropDuplicates(["src", "dst"])
@@ -50,6 +50,9 @@ def run(parts: int) -> dict:
     t0 = time.time()
     k_core(big, k=4).count()
     out["k_core_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    pagerank(big, iterations=3).count()
+    out["pagerank_s"] = round(time.time() - t0, 2)
     spark.stop()
     return out
 
