@@ -731,6 +731,29 @@ def _q_hits(spark, sf_dir):
         F.round("authority", 6).alias("authority"))
 
 
+def _q_betweenness(spark, sf_dir):
+    """Sampled betweenness centrality (round 8, Brandes with a source
+    subset) over the customer->nation->region graph: every 100th customer
+    is a source, nations carry all the dependency mass."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        betweenness,
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = (cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"))
+        .unionAll(nat.select(
+            F.concat(F.lit("N"),
+                     F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("R"),
+                     F.col("n_regionkey").cast("string")).alias("dst"))))
+    sources = cust.where(F.col("c_custkey") % 100 == 0).select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node"))
+    return betweenness(edges, sources, max_depth=4).select(
+        "node", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_duplicate_spans(spark, sf_dir):
     """Exact-substring duplicate spans (round 8): maximal token ranges
     covered by an 8-token window occurring >= 2 times corpus-wide — the
@@ -956,6 +979,7 @@ _ROUND8_QUERIES = {
     "call_triangle_count": _q_call_triangle_count,
     "duplicate_spans": _q_duplicate_spans,
     "hits_scores": _q_hits,
+    "betweenness_sampled": _q_betweenness,
 }
 
 
@@ -1314,6 +1338,20 @@ def _hits_oracle_sql() -> str:
         "UNION ALL SELECT 'N' || CAST(n_nationkey AS VARCHAR), "
         "'R' || CAST(n_regionkey AS VARCHAR) FROM nation")
     return hits_sql_oracle(edges_sql, iterations=3)
+
+
+def _betweenness_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        betweenness_sql_oracle,
+    )
+    edges_sql = (
+        "SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src, "
+        "'N' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer "
+        "UNION ALL SELECT 'N' || CAST(n_nationkey AS VARCHAR), "
+        "'R' || CAST(n_regionkey AS VARCHAR) FROM nation")
+    sources_sql = ("SELECT 'C' || CAST(c_custkey AS VARCHAR) AS node "
+                   "FROM customer WHERE c_custkey % 100 = 0")
+    return betweenness_sql_oracle(edges_sql, sources_sql, depth=4)
 
 
 def _duplicate_spans_oracle_sql() -> str:
@@ -2043,6 +2081,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "label_propagation": _label_propagation_oracle_sql(),
         "duplicate_spans": _duplicate_spans_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
+        "betweenness_sampled": _betweenness_oracle_sql(),
         # CALL algo.triangleCount() computes the same co-purchase
         # triangle count as the direct-library query
         "call_triangle_count": _triangle_oracle_sql(),

@@ -860,3 +860,149 @@ def hits_sql_oracle(edges_sql: str, iterations: int = 5,
     return (", ".join(parts)
             + f" SELECT node, round(hub, {round_to}) AS hub, "
               f"round(auth, {round_to}) AS authority FROM s{iterations}")
+
+
+def betweenness(edges: DataFrame, sources: DataFrame | None = None,
+                n_sources: int = 16, max_depth: int = 10,
+                src_col: str = "src", dst_col: str = "dst",
+                node_col: str = "node") -> DataFrame:
+    """Sampled betweenness centrality (Brandes' algorithm restricted to a
+    source subset): returns (node, betweenness) where betweenness(v) =
+    sum over sampled sources s of the shortest-path dependency
+    delta_s(v), over the DIRECTED edge set.  Exact betweenness = run with
+    ``sources`` = every node; the sampled estimator (Brandes & Pich 2007)
+    is the standard scale form — exact all-sources is O(nm) and no
+    cluster should do that on a 100 TB graph.
+
+    Without ``sources``, ``n_sources`` nodes are picked deterministically
+    by md5 order of the node id (pseudo-random but engine-reproducible,
+    like every sampling primitive in functions/sampling.py).
+
+    Two DataFrame loop phases, all shuffles keyed on (source, node) or
+    join keys — pre-bucketed edge tables make every round exchange-free:
+
+    - FORWARD (level-synchronous, all sources simultaneously): per level
+      one join frontier->edges, one (s, v) aggregation summing path
+      counts sigma, one anti-join against the visited set.  Each level is
+      localCheckpoint-materialized because the backward pass re-reads it.
+    - BACKWARD (Brandes dependency accumulation, deepest level first):
+      per level one join level_d -> edges -> level_{d+1} computing
+      delta(v) = sum_w sigma_v / sigma_w * (1 + delta_w), then a left
+      join filling zeros.
+
+    State is O(|sources| x reachable) rows — the same pair-count
+    discipline as the shortestPath planner (plans/shortest.py); size
+    ``n_sources`` accordingly.  Nodes unreachable from every source do
+    not appear (their sampled betweenness is 0 by definition).
+    """
+    edges = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst")) \
+        .localCheckpoint(eager=True)
+    if sources is None:
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .dropDuplicates(["node"]))
+        sources = (nodes.orderBy(F.md5(F.col("node").cast("string")))
+                   .limit(n_sources))
+    srcs = sources.select(F.col(node_col).alias("v")).dropDuplicates(["v"])
+
+    # ---- forward: per-level (s, v, sigma) frames ----------------------
+    level = srcs.select(F.col("v").alias("s"), "v",
+                        F.lit(1).cast("long").alias("sigma")) \
+        .localCheckpoint(eager=True)
+    levels = [level]
+    visited = level.select("s", "v")
+    for _d in range(1, max_depth + 1):
+        nxt = (level.join(edges, level["v"] == edges["src"])
+               .select("s", F.col("dst").alias("v"), "sigma")
+               .groupBy("s", "v").agg(F.sum("sigma").alias("sigma"))
+               .join(visited, ["s", "v"], "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v")) \
+            .localCheckpoint(eager=True)
+        level = nxt
+
+    # ---- backward: delta accumulation, deepest level first ------------
+    deltas = []          # (s, v, delta) per level, depth >= 1
+    below = levels[-1].select(
+        "s", "v", "sigma", F.lit(0.0).alias("delta"))
+    if len(levels) > 1:
+        deltas.append(below.select("s", "v", "delta"))
+    for d in range(len(levels) - 2, -1, -1):
+        cur = levels[d]
+        succ = below.select(F.col("s").alias("__s2"),
+                            F.col("v").alias("__w"),
+                            F.col("sigma").alias("__sw"),
+                            F.col("delta").alias("__dw"))
+        contrib = (cur.join(edges, cur["v"] == edges["src"])
+                   .select("s", "v", "sigma", F.col("dst").alias("__dst"))
+                   .join(succ, (F.col("s") == F.col("__s2"))
+                         & (F.col("__dst") == F.col("__w")))
+                   .groupBy("s", "v")
+                   .agg(F.sum(F.col("sigma") / F.col("__sw")
+                              * (F.lit(1.0) + F.col("__dw")))
+                        .alias("__contrib")))
+        below = (cur.join(contrib, ["s", "v"], "left_outer")
+                 .select("s", "v", "sigma",
+                         F.coalesce("__contrib", F.lit(0.0))
+                         .alias("delta"))
+                 .localCheckpoint(eager=True))
+        if d >= 1:
+            deltas.append(below.select("s", "v", "delta"))
+    if not deltas:
+        return srcs.select(F.col("v").alias("node")).limit(0) \
+            .withColumn("betweenness", F.lit(0.0))
+    alld = deltas[0]
+    for dd in deltas[1:]:
+        alld = alld.unionByName(dd)
+    return (alld.groupBy(F.col("v").alias("node"))
+            .agg(F.sum("delta").alias("betweenness")))
+
+
+def betweenness_sql_oracle(edges_sql: str, sources_sql: str,
+                           depth: int = 6, round_to: int = 6) -> str:
+    """Unrolled-CTE ANSI-SQL twin of :func:`betweenness` (MATERIALIZED:
+    forward levels are read by the next level, the visited union, AND the
+    backward pass).  ``depth`` must cover the oracle graph's eccentricity
+    from the sources; deeper levels are empty CTEs and contribute 0."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        f"srcs AS MATERIALIZED (SELECT DISTINCT node FROM ({sources_sql}))",
+        "f0 AS MATERIALIZED (SELECT node AS s, node AS v, "
+        "CAST(1 AS BIGINT) AS sigma FROM srcs)",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"c{d} AS MATERIALIZED (SELECT f.s, e.dst AS v, "
+            f"sum(f.sigma) AS sigma FROM f{d - 1} f "
+            f"JOIN edges e ON e.src = f.v GROUP BY f.s, e.dst)")
+        parts.append(
+            f"f{d} AS MATERIALIZED (SELECT c.s, c.v, c.sigma FROM c{d} c "
+            f"LEFT JOIN vis{d - 1} vv ON vv.s = c.s AND vv.v = c.v "
+            f"WHERE vv.s IS NULL)")
+        parts.append(
+            f"vis{d} AS MATERIALIZED (SELECT s, v FROM vis{d - 1} "
+            f"UNION ALL SELECT s, v FROM f{d})")
+    parts.append(
+        f"dl{depth} AS MATERIALIZED (SELECT s, v, sigma, 0.0 AS delta "
+        f"FROM f{depth})")
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"bd{d} AS MATERIALIZED (SELECT f.s, f.v, "
+            f"sum(f.sigma * (1.0 + w.delta) / w.sigma) AS contrib "
+            f"FROM f{d} f JOIN edges e ON e.src = f.v "
+            f"JOIN dl{d + 1} w ON w.s = f.s AND w.v = e.dst "
+            f"GROUP BY f.s, f.v)")
+        parts.append(
+            f"dl{d} AS MATERIALIZED (SELECT f.s, f.v, f.sigma, "
+            f"coalesce(b.contrib, 0.0) AS delta FROM f{d} f "
+            f"LEFT JOIN bd{d} b ON b.s = f.s AND b.v = f.v)")
+    union = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM dl{d}" for d in range(1, depth + 1))
+    return (", ".join(parts)
+            + f" SELECT v AS node, round(sum(delta), {round_to}) "
+              f"AS betweenness FROM ({union}) GROUP BY v")

@@ -217,6 +217,12 @@ def builtin_graph_procedures() -> list:
         return hits(graph_edges(graph), iterations=int(iterations)) \
             .select("node", "hub", "authority")
 
+    def _betweenness(session, graph, n_sources):
+        from .functions.graph_algos import betweenness
+        return betweenness(graph_edges(graph),
+                           n_sources=int(n_sources)) \
+            .select("node", "betweenness")
+
     return [
         graph_procedure(
             "algo.pageRank(iterations :: INTEGER?, damping :: FLOAT?) "
@@ -245,4 +251,7 @@ def builtin_graph_procedures() -> list:
             "algo.hits(iterations :: INTEGER?) "
             ":: (node :: INTEGER?, hub :: FLOAT?, authority :: FLOAT?)",
             _hits),
+        graph_procedure(
+            "algo.betweenness(nSources :: INTEGER?) "
+            ":: (node :: INTEGER?, betweenness :: FLOAT?)", _betweenness),
     ]

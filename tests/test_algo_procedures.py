@@ -194,3 +194,59 @@ def test_hits_matches_sql_oracle(spark):
     auths = {n: a for n, _, a in got}
     assert max(hubs, key=hubs.get) == 1
     assert max(auths, key=auths.get) == 5
+
+
+def test_betweenness_hand_cases(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        betweenness)
+
+    def run(pairs, srcs):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in srcs], "node long")
+        return {r["node"]: round(r["betweenness"], 6)
+                for r in betweenness(e, s).collect()}
+
+    # diamond 1->{2,3}->4: two shortest 1->4 paths split the dependency
+    assert run([(1, 2), (1, 3), (2, 4), (3, 4)], [1]) == \
+        {2: 0.5, 3: 0.5, 4: 0.0}
+    # directed path 1->2->3->4 from source 1: delta(2)=2, delta(3)=1
+    assert run([(1, 2), (2, 3), (3, 4)], [1]) == {2: 2.0, 3: 1.0, 4: 0.0}
+    # star: no intermediates anywhere
+    assert run([(0, 1), (0, 2), (0, 3)], [0]) == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_betweenness_matches_sql_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        betweenness, betweenness_sql_oracle)
+    import random
+    rng = random.Random(7)
+    pairs = sorted({(rng.randrange(0, 25), rng.randrange(0, 25))
+                    for _ in range(70)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    srcs = [0, 1, 2, 3]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in srcs], "node long")
+    got = sorted((r["node"], round(r["betweenness"], 6))
+                 for r in betweenness(e, s, max_depth=8).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    con.execute("CREATE TABLE s(node BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?)", [(x,) for x in srcs])
+    want = sorted(tuple(r) for r in con.execute(betweenness_sql_oracle(
+        "SELECT src, dst FROM e", "SELECT node FROM s",
+        depth=8)).fetchall())
+    assert len(got) == len(want)
+    for (gn, gb), (wn, wb) in zip(got, want):
+        assert gn == wn
+        assert gb == pytest.approx(wb, abs=1e-6)
+
+
+def test_betweenness_call_deterministic_sampling(algo_session):
+    # n_sources larger than the graph = exact betweenness; repeated calls
+    # agree (md5 sampling is deterministic)
+    a = rows(algo_session, "CALL algo.betweenness(10)")
+    b = rows(algo_session, "CALL algo.betweenness(10)")
+    assert a == b
+    assert len(a) >= 5
