@@ -53,6 +53,10 @@ HEADLINE = [
     # round 8 surfaces
     "weighted_shortest_paths",
     "any_union_mixed",
+    "label_propagation",
+    "duplicate_spans",
+    "hits_scores",
+    "betweenness_sampled",
 ]
 
 

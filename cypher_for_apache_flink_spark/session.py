@@ -308,6 +308,15 @@ class CypherResult:
 
 
 _UNFREEZABLE = object()
+#: plan-cache admission marker: a key seen ONCE.  Entries are admitted on
+#: the SECOND sighting (2Q-style), so one-shot queries — ad-hoc
+#: exploration, test corpora — retain ~100 bytes instead of a fully
+#: analyzed plan + its lease-pinned cached blocks.  (Round 8: first-use
+#: admission held up to PLAN_CACHE_MAX analyzed plans per session and a
+#: 1,784-scenario TCK run exhausted a 4g driver heap.)  A repeated
+#: dashboard replans its queries exactly twice, then hits forever — the
+#: amortized win the cache exists for is unchanged.
+_SEEN_ONCE = object()
 
 
 def _freeze(v):
@@ -462,13 +471,17 @@ class CypherSession:
         # identical binding — which is exactly the repeated-dashboard /
         # pipeline-loop case the cache exists for.
         key = None
+        admit = False
         if driving_table is None and not procedures:
             fp = _freeze(auto_params)
             if fp is not _UNFREEZABLE:
                 key = (skeleton, id(graph), self._plan_epoch, fp)
                 hit = self._plan_cache.get(key)
+                if hit is _SEEN_ONCE:
+                    # second sighting: replan once more and ADMIT below
+                    admit = True
                 # id() keys can be reused after GC: verify graph identity
-                if hit is not None and hit[0]() is graph:
+                elif hit is not None and hit[0]() is graph:
                     self.plan_cache_stats["hits"] += 1
                     _, records, outputs, src_graph, lease = hit
                     # LRU touch
@@ -495,12 +508,16 @@ class CypherSession:
         if key is not None and planner.result_graph is None \
                 and not getattr(planner, "_mutated", False):
             # cache only pure tabular reads; mutation/CONSTRUCT results
-            # carry graphs whose ids must mint fresh per execution
+            # carry graphs whose ids must mint fresh per execution.
+            # Admission on SECOND use (see _SEEN_ONCE): the first sighting
+            # stores only a marker, so one-shot queries never pin plans.
             import weakref
             if len(self._plan_cache) >= self.PLAN_CACHE_MAX:
                 self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = (weakref.ref(graph), records, outputs,
-                                     hydration_graph, planner.cache_lease)
+            self._plan_cache[key] = (
+                (weakref.ref(graph), records, outputs,
+                 hydration_graph, planner.cache_lease)
+                if admit else _SEEN_ONCE)
         return CypherResult(records, outputs, graph=planner.result_graph,
                             cache_lease=planner.cache_lease,
                             source_graph=hydration_graph)

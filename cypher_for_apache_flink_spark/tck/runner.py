@@ -123,6 +123,15 @@ def _interpret(steps) -> _Plan:
     return plan
 
 
+# LRU-bounded (round 8): an unbounded cache plus the implicit-session
+# memo on every graph (graph.py cypher()) retained each graph's session
+# plan cache — up to 128 fully-analyzed plans with their CacheLease-
+# pinned blocks PER GRAPH — and a 1,784-scenario run exhausted a 4g
+# driver heap.  Evicting the oldest graph drops its session, plan cache
+# and leases to GC (cache.py auto-unpersists on finalize), which bounds
+# JVM retention while keeping the reuse win for clustered scenarios
+# (features repeat the same Background/CREATE text back-to-back).
+_GRAPH_CACHE_MAX = 48
 _graph_cache: dict = {}
 
 
@@ -131,7 +140,16 @@ def _build_graph(spark, setup: list):
     from ..sources.create import graph_from_create
 
     key = "\n".join(setup)
-    if key not in _graph_cache:
+    if key in _graph_cache:
+        _graph_cache[key] = _graph_cache.pop(key)      # LRU touch
+    else:
+        while len(_graph_cache) >= _GRAPH_CACHE_MAX:
+            evicted = _graph_cache.pop(next(iter(_graph_cache)))
+            # break the session -> plan cache -> Records -> session cycle
+            # so py4j wrappers free without waiting for a cyclic-GC pass
+            s = evicted.__dict__.pop("_implicit_session", None)
+            if s is not None:
+                s._plan_cache.clear()
         if not key.strip():
             _graph_cache[key] = PropertyGraph({}, {}, name="empty")
         else:

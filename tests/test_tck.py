@@ -839,22 +839,25 @@ SCENARIOS = [
      "duration({days: 1}) < duration({days: 2}) AS b",
      [(False, True)]),
 
-    # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
-    ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
+    # Passes since round 8: nested heterogeneous comparisons box into the
+    # tagged-union Any struct (operators/anyvalue.py), so list-of-list
+    # equality is native struct comparison
     ("heterogeneous nested list literal", None,
      "RETURN [1, [2]] = [1, [2]] AS a", [(True,)]),
+
+    # --- Known gaps: blacklisted (see BLACKLIST below) -----------------------
+    ("merge clause", None, "MERGE (n:X) RETURN n", [(None,)]),
 ]
 
 # Scenarios expected to fail, with the reason — mirroring the reference's
 # blacklist semantics (TckSparkCypherTest.scala:51-77): a blacklisted
 # scenario that PASSES fails the suite, so stale entries can't linger.
 BLACKLIST = {
-    "merge clause": "wont-fix: read-only engine (reference is too; it "
-                    "blacklists TCK write scenarios the same way)",
-    "heterogeneous nested list literal":
-        "wont-fix: Cypher lists are heterogeneous, Spark ArrayType is not "
-        "(mapping values to Spark-native columns is the design trade; the "
-        "reference carries a boxed CypherValue runtime instead)",
+    "merge clause": "harness gap: this mini-harness compares raw tuples, "
+                    "and its placeholder expectation predates the round-7 "
+                    "mutation surface; the REAL MERGE coverage is the "
+                    "Merge{Node,Relationship,Into}Acceptance families in "
+                    "tests/tck/features (83 scenarios, whitelisted)",
 }
 
 
