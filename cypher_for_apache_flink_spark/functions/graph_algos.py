@@ -405,14 +405,16 @@ def k_core(edges: DataFrame, k: int = 3, src_col: str = "src",
     node ids — pre-bucketed edge tables make the peeling exchange-free on
     a cluster.
     """
-    # Pin every per-round exchange to 2x cluster parallelism, independent
-    # of the session's shuffle-partition default (round 8, VERDICT r7 #4
-    # follow-up: the partition probe measured the peel 2.3x slower under
+    # Bound the per-round task count independent of the session's
+    # shuffle-partition default (round 8, VERDICT r7 #4 follow-up: the
+    # partition probe measured the peel 2.3x slower under
     # spark.sql.shuffle.partitions=200 than 32 on identical data —
     # per-round checkpoint + scan overhead across many small partitions).
-    # deg's groupBy output is hash(node)@nparts, which the rename-Project
-    # preserves, so each semi-join's keep side is already co-partitioned
-    # and only the live side needs a pin (same pattern as triangle_count).
+    # coalesce() narrows WITHOUT a shuffle and keeps AQE free to broadcast
+    # the shrinking keep side of the semi-joins; explicit hash
+    # repartitions here (tried and reverted, round 8) pinned partitions
+    # harder but forced a full live-edge shuffle per round: +116%
+    # shuffle-write bytes at sf0.1 in BENCH_DIFF_r08.
     nparts = max(2 * edges.sparkSession.sparkContext.defaultParallelism, 1)
     live = _normalize_undirected(edges, src_col, dst_col) \
         .localCheckpoint(eager=True)
@@ -421,16 +423,14 @@ def k_core(edges: DataFrame, k: int = 3, src_col: str = "src",
     converged = n_live == 0
     while not converged:
         deg = (live.select(F.explode(F.array("u", "v")).alias("node"))
-               .repartition(nparts, "node")
                .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
         keep = deg.where(F.col("degree") >= k).select("node")
-        nxt = (live.repartition(nparts, "u")
-               .join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-               .repartition(nparts, "v")
+        nxt = (live.join(keep.withColumnRenamed("node", "u"), "u",
+                         "left_semi")
                .join(keep.withColumnRenamed("node", "v"), "v", "left_semi"))
         # materialize every round: the fixpoint test needs a count anyway,
         # and the checkpoint truncates the per-round lineage
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.coalesce(nparts).localCheckpoint(eager=True)
         n_next = nxt.count()
         live = nxt
         converged = n_next == n_live
