@@ -21,10 +21,62 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pin_parts(spark) -> int | None:
+    """Partition count for explicitly pinning an iterative algorithm's
+    wide exchanges, or ``None`` to leave them to the session default
+    plus AQE.
+
+    Pin ONLY when the session's ``spark.sql.shuffle.partitions`` is badly
+    mismatched with cluster parallelism — more than 2x off the
+    2x-defaultParallelism target in either direction.  Both branches are
+    measured (tools/partition_probe.py -> tools/probes/):
+
+    - A mismatched default is a real hazard: Spark's out-of-the-box 200
+      partitions made triangle_count ~3x slower than 64 on a 32-core
+      local mode at the 12M-edge scale (r7 probe) — per-round scheduling
+      and checkpoint overhead across many small partitions.  There the
+      pin wins.
+    - When the default already matches the cluster (the committed bench
+      config: local[32], shuffle.partitions=32, AQE on), explicit
+      repartitions only ADD exchanges that AQE would otherwise coalesce
+      or elide entirely: the round-8 unconditional pin measured
+      triangle_count shuffle-write +573% / cpu +128% and pagerank cpu
+      +580% / tasks +876% vs the unpinned round-7 plan on identical data
+      (BENCH_DIFF_r08.md).  There the pin is pure tax — so it is skipped.
+
+    When the conf is unreadable/non-numeric (e.g. a future "auto"), no
+    pin: never add shuffles on a guess — at 100 TB an unnecessary full
+    re-shuffle of the edge set dwarfs any scheduling overhead it might
+    save.  ``SPARK_GRAFT_FORCE_PIN=always|never`` overrides the gate
+    (probe hook used by tools/partition_probe.py to A/B both modes under
+    one config).
+    """
+    target = max(2 * spark.sparkContext.defaultParallelism, 1)
+    force = os.environ.get("SPARK_GRAFT_FORCE_PIN", "")
+    if force == "always":
+        return target
+    if force == "never":
+        return None
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return None
+    if target / 2 <= sp <= target * 2:
+        return None
+    return target
+
+
+def _repart(df: DataFrame, nparts: int | None, *cols: str) -> DataFrame:
+    """Hash-repartition when exchange pinning is active, identity when
+    the gate (:func:`_pin_parts`) decided the session is well-sized."""
+    return df if nparts is None else df.repartition(nparts, *cols)
 
 
 def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
@@ -44,20 +96,22 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     # Persisted: the input may be an expensive derived set (a co-purchase
     # self-join, a Cypher projection) and setup scans it several times
     # (node set, degrees, out-edge materialization) before the loop.
-    # Partition pinning (round 8, same rationale as triangle_count): the
-    # loop-invariant persisted frames are laid out hash(src)/hash(node)
-    # at 2x cluster parallelism, so every superstep's joins and the
-    # dangling anti-join are exchange-free on one side and the other
-    # side's pinned repartition is reused by the downstream aggregate —
-    # a 200-partition session default measured pagerank 1.5x slower on
-    # identical 12M-edge data (tools/triangle_partition_probe.py).
-    nparts = max(2 * edges.sparkSession.sparkContext.defaultParallelism, 1)
+    # Partition pinning is GATED (round 9, VERDICT r8 #1): when the
+    # session's shuffle default is mismatched with the cluster (e.g.
+    # Spark's out-of-the-box 200 partitions on a 32-core box) the
+    # loop-invariant frames are laid out hash(src)/hash(node) at 2x
+    # parallelism so every superstep's joins are exchange-free on one
+    # side; when the default already matches (the bench config) the pin
+    # is skipped entirely — unconditionally pinning was a measured
+    # +102% shuffle / +580% cpu regression there (BENCH_DIFF_r08.md,
+    # _pin_parts docstring).
+    nparts = _pin_parts(edges.sparkSession)
     edges = edges.select(F.col(src_col).alias("src"),
                          F.col(dst_col).alias("dst")).persist()
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .repartition(nparts, "node")
-             .dropDuplicates(["node"]))
+    nodes = _repart(edges.select(F.col("src").alias("node"))
+                    .union(edges.select(F.col("dst").alias("node"))),
+                    nparts, "node") \
+        .dropDuplicates(["node"])
     # Cached: read every superstep (left join target + dangling scan).  The
     # count is a deliberate single action: it materializes the cache AND
     # yields N for the teleport term (an iterative algorithm runs a job per
@@ -67,21 +121,21 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     if n == 0:
         nodes.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = edges.repartition(nparts, "src") \
+    deg = _repart(edges, nparts, "src") \
         .groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg) is loop-invariant; persist so each superstep reads a
     # materialized table instead of re-running scan+join+agg.  Same for the
     # set of nodes WITH out-edges — the per-superstep dangling anti-join
     # would otherwise re-aggregate the raw edge scan every iteration.
-    out_edges = edges.repartition(nparts, "src").join(deg, "src").persist()
+    out_edges = _repart(edges, nparts, "src").join(deg, "src").persist()
     out_srcs = deg.select(F.col("src").alias("node")).persist()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
-        contribs = (out_edges
-                    .join(ranks.withColumnRenamed("node", "src")
-                          .repartition(nparts, "src"), "src")
-                    .repartition(nparts, "dst")
+        contribs = (_repart(out_edges
+                            .join(_repart(ranks.withColumnRenamed(
+                                "node", "src"), nparts, "src"), "src"),
+                            nparts, "dst")
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") / F.col("deg"))
                          .alias("contrib"))
@@ -299,55 +353,54 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     self-join would otherwise be recomputed per consumer) and released via
     the result's CacheLease.
 
-    Partition-count pinning (round 8, VERDICT r7 #4): the adjacency join
-    moves wide array rows, and its wall time proved sharply sensitive to
-    ``spark.sql.shuffle.partitions`` — measured 34.6s / 63.4s / 103.7s at
-    64 / 32 / 200 partitions on the SAME 12M-edge input
-    (tools/triangle_partition_probe.py).  EVERY wide exchange (normalize
-    distinct, degree agg, degree joins, adjacency groupBy, both
-    intersection joins) is therefore pinned to 2x the cluster's default
-    parallelism via explicit hash repartitions that Catalyst reuses for
-    the downstream aggregate/join, so a session's 200-partition default
-    (Spark's own default!) cannot triple the query.  Re-probed after the
-    full pin: 24.2s @32 vs 27.0s @200 — 1.12x spread, and ~40% faster
-    absolute than the best partially-pinned run.
+    Partition-count pinning, GATED (round 9, VERDICT r8 #1): the
+    adjacency join moves wide array rows, and its wall time proved
+    sharply sensitive to ``spark.sql.shuffle.partitions`` — measured
+    34.6s / 63.4s / 103.7s at 64 / 32 / 200 partitions on the SAME
+    12M-edge input (r7 probe).  When :func:`_pin_parts` detects such a
+    mismatched session default, EVERY wide exchange (normalize distinct,
+    degree agg, degree joins, adjacency groupBy, both intersection
+    joins) is pinned to 2x cluster parallelism via explicit hash
+    repartitions that Catalyst reuses for the downstream aggregate/join.
+    When the session default already matches the cluster, no pin: the
+    round-8 unconditional pin was a measured +573% shuffle-write / +128%
+    cpu regression under the bench's own well-sized config
+    (BENCH_DIFF_r08.md) because each explicit repartition became an
+    exchange AQE would otherwise have coalesced away.
     """
-    sc = edges.sparkSession.sparkContext
-    nparts = max(2 * sc.defaultParallelism, 1)
+    nparts = _pin_parts(edges.sparkSession)
     s, d = F.col(src_col), F.col(dst_col)
     # normalize inline (not via _normalize_undirected) so the distinct
-    # runs on a pinned hash(u, v) exchange the dedup aggregate reuses
-    und = (edges.select(F.least(s, d).alias("u"),
-                        F.greatest(s, d).alias("v"))
-           .where(F.col("u") < F.col("v"))
-           .repartition(nparts, "u", "v")
+    # can run on a pinned hash(u, v) exchange the dedup aggregate reuses
+    und = (_repart(edges.select(F.least(s, d).alias("u"),
+                                F.greatest(s, d).alias("v"))
+                   .where(F.col("u") < F.col("v")), nparts, "u", "v")
            .dropDuplicates(["u", "v"]).persist())
-    deg = (und.select(F.explode(F.array("u", "v")).alias("node"))
-           .repartition(nparts, "node")
+    deg = (_repart(und.select(F.explode(F.array("u", "v")).alias("node")),
+                   nparts, "node")
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     # deg's groupBy output is hash(node)@nparts, which the alias-preserving
     # Project keeps, so only the und side of each degree join needs a pin
-    withdeg = (und.repartition(nparts, "u")
+    withdeg = (_repart(und, nparts, "u")
                .join(deg.withColumnRenamed("node", "u")
-                        .withColumnRenamed("deg", "du"), "u")
-               .repartition(nparts, "v")
+                        .withColumnRenamed("deg", "du"), "u"))
+    withdeg = (_repart(withdeg, nparts, "v")
                .join(deg.withColumnRenamed("node", "v")
                         .withColumnRenamed("deg", "dv"), "v"))
     # rank = (deg, id) totally orders nodes; orient low -> high
     ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
     rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
-    oriented = withdeg.select(
+    oriented = _repart(withdeg.select(
         F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("b")) \
-        .repartition(nparts, "a").persist()
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("b")),
+        nparts, "a").persist()
     # groupBy("a") and the first join reuse oriented's hash(a) partitioning
     adj = (oriented.groupBy("a")
            .agg(F.sort_array(F.collect_list("b")).alias("nb")))
-    j1 = (oriented
-          .join(adj.select(F.col("a").alias("__ja"),
-                           F.col("nb").alias("nb_a")),
-                F.col("a") == F.col("__ja"))
-          .repartition(nparts, "b"))
+    j1 = _repart(oriented
+                 .join(adj.select(F.col("a").alias("__ja"),
+                                  F.col("nb").alias("nb_a")),
+                       F.col("a") == F.col("__ja")), nparts, "b")
     j = j1.join(adj.select(F.col("a").alias("__jb"),
                            F.col("nb").alias("nb_b")),
                 F.col("b") == F.col("__jb"))
@@ -412,9 +465,12 @@ def k_core(edges: DataFrame, k: int = 3, src_col: str = "src",
     # per-round checkpoint + scan overhead across many small partitions).
     # coalesce() narrows WITHOUT a shuffle and keeps AQE free to broadcast
     # the shrinking keep side of the semi-joins; explicit hash
-    # repartitions here (tried and reverted, round 8) pinned partitions
-    # harder but forced a full live-edge shuffle per round: +116%
-    # shuffle-write bytes at sf0.1 in BENCH_DIFF_r08.
+    # repartitions here (tried and reverted mid-round-8, so the interim
+    # numbers never reached a committed bench run) pinned partitions
+    # harder but forced a full live-edge shuffle per round, measured at
+    # the time as +116% shuffle-write bytes at sf0.1; the committed
+    # r7->r8 diff of the SHIPPED coalesce form is byte-identical on
+    # k_core (BENCH_DIFF_r08.md).
     nparts = max(2 * edges.sparkSession.sparkContext.defaultParallelism, 1)
     live = _normalize_undirected(edges, src_col, dst_col) \
         .localCheckpoint(eager=True)

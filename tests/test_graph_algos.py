@@ -469,3 +469,48 @@ def test_weighted_sp_matches_duckdb_oracle(spark):
         assert got[n] <= c + 1e-9
     agree = sum(1 for n in want if abs(got[n] - want[n]) < 1e-9)
     assert agree >= len(want) * 0.9
+
+
+# --- partition-pin gate (round 9, VERDICT r8 #1) ------------------------
+
+def test_pin_gate_skips_when_session_well_sized(spark, monkeypatch):
+    """No explicit repartitions when shuffle.partitions is within 2x of
+    2x defaultParallelism — the r8 unconditional pin regressed exactly
+    this config (BENCH_DIFF_r08.md)."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import \
+        _pin_parts
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_PIN", raising=False)
+    target = 2 * spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for sp in (target // 2, target, target * 2):
+            spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+            assert _pin_parts(spark) is None
+        for sp in (max(1, target // 2 - 1), target * 2 + 1, 200 * target):
+            spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+            assert _pin_parts(spark) == target
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_pin_gate_force_env_overrides(spark, monkeypatch):
+    from cypher_for_apache_flink_spark.functions.graph_algos import \
+        _pin_parts
+    target = 2 * spark.sparkContext.defaultParallelism
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_PIN", "always")
+    assert _pin_parts(spark) == target
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_PIN", "never")
+    assert _pin_parts(spark) is None
+
+
+def test_pagerank_no_inloop_exchange_pins_when_gate_off(spark, monkeypatch):
+    """With the gate deciding 'no pin', the pagerank plan must not
+    contain the r8 RoundRobin/hash repartitions — count the explicit
+    RepartitionByExpression nodes in the analyzed plan."""
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_PIN", "never")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    out = pagerank(edges, iterations=2)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" not in plan
+    out._cypher_cache_lease.release()
