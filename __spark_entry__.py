@@ -1161,12 +1161,39 @@ _ROUND8_CHANGED = [
 ]
 
 
+# The 31 _ROUND8_CHANGED queries whose driver rows predate their round-8
+# code changes because 71 changed > the 50-row window (VERDICT r8 #3 —
+# its prescribed r9 fix is to LEAD the window with exactly these;
+# mechanically: sorted(set(_ROUND8_CHANGED) - set(CORRECTNESS_r08.json))).
+_ROUND8_STALE = [
+    'agg_count_distinct', 'agg_global', 'bfs_shortest_paths',
+    'case_expression', 'construct_requery', 'dedup_exact_keep',
+    'degree_histogram', 'distinct_projection', 'driving_table',
+    'duration_shift', 'expand_2hop', 'expand_into', 'k_core',
+    'list_functions', 'math_functions', 'media_decode',
+    'minhash_lsh_pairs', 'near_dup_clusters', 'near_dup_incremental',
+    'ngram_jaccard_pairs', 'node_similarity', 'optional_first_clause',
+    'pagerank', 'percentile_disc_global', 'personalized_pagerank',
+    'rel_properties', 'simhash_pairs', 'string_functions',
+    'triangle_count', 'type_function', 'var_length_unbounded',
+]
+
+# Round 9 changed queries (derived at round end by
+# `python tools/changed_queries.py 3638458..HEAD`): the gated partition
+# pin + fused HITS + LPA pre-partition touched the algorithm queries;
+# the procedure trailing-defaults change touched the CALL path; the
+# Any toString unwrap touched any_tostring_mixed.
+_ROUND9_CHANGED = [
+    'hits_scores', 'label_propagation', 'weighted_shortest_paths',
+    'call_triangle_count', 'any_tostring_mixed', 'betweenness_sampled',
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness for the first 50 entries only.
-    # Round-8 rotation (VERDICT r7 #3): (a) brand-new round-8 queries
-    # (never recorded), (b) the 16 round-7 spill queries whose changes
-    # rode on stale r6 rows, (c) other queries changed this round,
-    # (d) queries whose last row is oldest (the r5-era window), (e) rest.
+    # Round-9 rotation (VERDICT r8 #3): (a) the 31 round-8-changed
+    # queries whose driver rows are stale, (b) queries changed in round
+    # 9, (c) the r7-spill and remaining r8-changed rows, (d) rest.
     full = dict(_EXTRA_QUERIES)
     for name in _DEFERRED_VARIANTS:
         full[name] = _CYPHER_QUERIES[name]
@@ -1177,9 +1204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             full[name] = fn
     r5_window = set(list(full)[:50])
     full.update(_ROUND7_QUERIES)
-    full.update(_ROUND8_QUERIES)        # tier (a): never recorded
+    full.update(_ROUND8_QUERIES)
     changed = set(_ROUND8_CHANGED)
-    prio = (list(_ROUND8_QUERIES)
+    prio = (_ROUND8_STALE              # tier (a): stale driver rows
+            + _ROUND9_CHANGED          # tier (b): changed this round
             + _ROUND7_SPILL
             + [n for n in full if n in changed]
             + [n for n in full if n in r5_window]

@@ -28,35 +28,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _pin_parts(spark) -> int | None:
+# Data-size branch of the pin gate: pin when the edge input's Catalyst
+# plan-size estimate reaches this, even under a well-sized session
+# default.  Calibrated from tools/probes/partition_probe_r9.json: at the
+# 12M-edge x10 scale (estimate 191 MB) pinning wins even at matched
+# partitions (triangle 43.0s/920s-cpu unpinned@32 vs 24.8s/532s-cpu
+# pinned), while the sf0.1 bench inputs estimate ~1.5 MB and lose to the
+# pin (r8 regression).  64 MiB splits the two regimes with margin.
+_PIN_DATA_BYTES = 64 << 20
+
+
+def _pin_parts(spark, data: DataFrame | None = None) -> int | None:
     """Partition count for explicitly pinning an iterative algorithm's
     wide exchanges, or ``None`` to leave them to the session default
     plus AQE.
 
-    Pin ONLY when the session's ``spark.sql.shuffle.partitions`` is badly
-    mismatched with cluster parallelism — more than 2x off the
-    2x-defaultParallelism target in either direction.  Both branches are
-    measured (tools/partition_probe.py -> tools/probes/):
+    Pin when EITHER holds (both branches measured —
+    tools/partition_probe.py, artifact tools/probes/
+    partition_probe_r9.json, 2 scales x 2 modes x {32, 64, 200}
+    partitions):
 
-    - A mismatched default is a real hazard: Spark's out-of-the-box 200
-      partitions made triangle_count ~3x slower than 64 on a 32-core
-      local mode at the 12M-edge scale (r7 probe) — per-round scheduling
-      and checkpoint overhead across many small partitions.  There the
-      pin wins.
-    - When the default already matches the cluster (the committed bench
-      config: local[32], shuffle.partitions=32, AQE on), explicit
-      repartitions only ADD exchanges that AQE would otherwise coalesce
-      or elide entirely: the round-8 unconditional pin measured
-      triangle_count shuffle-write +573% / cpu +128% and pagerank cpu
-      +580% / tasks +876% vs the unpinned round-7 plan on identical data
-      (BENCH_DIFF_r08.md).  There the pin is pure tax — so it is skipped.
+    - The session's ``spark.sql.shuffle.partitions`` is badly mismatched
+      with cluster parallelism — more than 2x off the
+      2x-defaultParallelism target in either direction.  Spark's
+      out-of-the-box 200 partitions makes triangle_count ~3.6x slower
+      than the pinned plan on a 32-core local mode at the 12M-edge
+      scale (55.7s/790s-cpu vs 20.6s/446s-cpu) — per-round scheduling
+      and checkpoint overhead across many small partitions.
+    - ``data`` (the edge input) has a reliable Catalyst size estimate of
+      at least ``_PIN_DATA_BYTES``: at that volume the wide exchanges
+      want 2x-parallelism partitions regardless of the session default
+      (triangle x10@32: 43.0s unpinned vs 24.8s pinned).
 
-    When the conf is unreadable/non-numeric (e.g. a future "auto"), no
-    pin: never add shuffles on a guess — at 100 TB an unnecessary full
-    re-shuffle of the edge set dwarfs any scheduling overhead it might
-    save.  ``SPARK_GRAFT_FORCE_PIN=always|never`` overrides the gate
-    (probe hook used by tools/partition_probe.py to A/B both modes under
-    one config).
+    Otherwise no pin: when the default matches the cluster AND the data
+    is small (the committed bench config: local[32],
+    shuffle.partitions=32, AQE on, ~1.2M-edge inputs), explicit
+    repartitions only ADD exchanges that AQE would otherwise coalesce or
+    elide entirely — the round-8 unconditional pin measured
+    triangle_count shuffle-write +573% / cpu +128% and pagerank cpu
+    +580% / tasks +876% vs the unpinned round-7 plan on identical data
+    (BENCH_DIFF_r08.md).
+
+    When the conf is unreadable/non-numeric (e.g. a future "auto") and
+    the data is small/unknown, no pin: never add shuffles on a guess —
+    at 100 TB an unnecessary full re-shuffle of the edge set dwarfs any
+    scheduling overhead it might save.  ``SPARK_GRAFT_FORCE_PIN=always|
+    never`` overrides the gate (probe hook used by
+    tools/partition_probe.py to A/B both modes under one config).
     """
     target = max(2 * spark.sparkContext.defaultParallelism, 1)
     force = os.environ.get("SPARK_GRAFT_FORCE_PIN", "")
@@ -64,6 +82,11 @@ def _pin_parts(spark) -> int | None:
         return target
     if force == "never":
         return None
+    if data is not None:
+        from .util import _plan_size_bytes
+        est = _plan_size_bytes(data)
+        if est is not None and est >= _PIN_DATA_BYTES:
+            return target
     try:
         sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
@@ -105,9 +128,9 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     # is skipped entirely — unconditionally pinning was a measured
     # +102% shuffle / +580% cpu regression there (BENCH_DIFF_r08.md,
     # _pin_parts docstring).
-    nparts = _pin_parts(edges.sparkSession)
     edges = edges.select(F.col(src_col).alias("src"),
                          F.col(dst_col).alias("dst")).persist()
+    nparts = _pin_parts(edges.sparkSession, data=edges)
     nodes = _repart(edges.select(F.col("src").alias("node"))
                     .union(edges.select(F.col("dst").alias("node"))),
                     nparts, "node") \
@@ -224,7 +247,13 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
     longest shortest path the result is exact (Bellman-Ford invariant),
     and the loop exits early the first round nothing improves.
     localCheckpoints truncate lineage like every iterative algorithm in
-    this module."""
+    this module.
+
+    If the budget runs out while rounds are still improving, the costs
+    are over-estimates for deep graphs — a ``UserWarning`` is raised
+    rather than returning silently-stale values (ADVICE r8), and
+    ``CALL algo.sssp(..., maxIters)`` exposes the budget so callers can
+    raise it."""
     edges = edges.select(F.col(src_col).alias("src"),
                          F.col(dst_col).alias("dst"),
                          F.col(weight_col).cast("double").alias("w"))
@@ -233,6 +262,7 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
             .withColumn("cost", F.lit(0.0)))
     dist = dist.localCheckpoint(eager=True)
     frontier = dist
+    converged = False
     for _ in range(max_iters):
         cand = (frontier.join(edges, frontier["node"] == edges["src"])
                 .select(F.col("dst").alias("node"),
@@ -245,10 +275,18 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
                     .select("node", "cost"))
         improved = improved.localCheckpoint(eager=True)
         if improved.isEmpty():
+            converged = True
             break
         dist = (dist.join(improved.select("node"), "node", "left_anti")
                 .unionByName(improved)).localCheckpoint(eager=True)
         frontier = improved
+    if not converged:
+        warnings.warn(
+            f"weighted_shortest_paths: stopped after max_iters="
+            f"{max_iters} with the last round still improving — results "
+            "may over-estimate distances needing more hops; raise "
+            "max_iters (CALL algo.sssp exposes it as maxIters)",
+            stacklevel=2)
     return dist
 
 
@@ -368,7 +406,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     (BENCH_DIFF_r08.md) because each explicit repartition became an
     exchange AQE would otherwise have coalesced away.
     """
-    nparts = _pin_parts(edges.sparkSession)
+    nparts = _pin_parts(edges.sparkSession, data=edges)
     s, d = F.col(src_col), F.col(dst_col)
     # normalize inline (not via _normalize_undirected) so the distinct
     # can run on a pinned hash(u, v) exchange the dedup aggregate reuses
@@ -770,9 +808,16 @@ def label_propagation(edges: DataFrame, iterations: int = 5,
     ``CALL algo.labelPropagation(iterations)``.
     """
     und = _normalize_undirected(edges, src_col, dst_col)
+    # hash(nbr) BEFORE the checkpoint (round 9, VERDICT r8 #5): the
+    # partitioning survives localCheckpoint (LogicalRDD keeps the
+    # executed plan's outputPartitioning), so every superstep's label
+    # lookup join is exchange-free on the adjacency side — only the
+    # small per-node label frame shuffles per round, not the full
+    # adjacency (which dominated LPA's 96.7 MB sf0.1 shuffle in r8).
     adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .unionAll(und.select(F.col("v").alias("node"),
                                 F.col("u").alias("nbr")))
+           .repartition(F.col("nbr"))
            .localCheckpoint(eager=True))
     labels = (adj.select("node").dropDuplicates(["node"])
               .withColumn("lbl", F.col("node"))
@@ -824,53 +869,79 @@ def hits(edges: DataFrame, iterations: int = 5, src_col: str = "src",
     edge set, both scores L2-normalized each superstep (the standard
     convergent formulation).
 
-    Same superstep shape as :func:`pagerank` — per iteration TWO
-    join+aggregate passes (authority = sum of in-neighbor hubs, then
-    hub = sum of out-neighbor authorities) and two 1-row norm aggregates
-    broadcast into the update, all shuffles keyed on node ids, so a
-    bucketed edge table makes supersteps exchange-free.  Deterministic
-    given the edge set (float summation order aside) — verified against
-    an unrolled-CTE SQL oracle at 6 decimals.  Beyond-reference: the
-    reference has no algorithm surface at all.
+    Fused superstep (round 9, VERDICT r8 #3): the loop state is the hub
+    vector over SOURCE nodes only — the recursion never reads a hub for
+    a node without out-edges (hub values only enter through an edge
+    join on src) nor an authority for a node that is never a dst, and
+    both are exactly 0 by the update rule.  Each iteration is therefore
+    just TWO join+aggregate passes (edges ⋈ hub on src → authority
+    sums; edges ⋈ auth on dst → hub sums) plus two 1-row L2-norm
+    aggregates broadcast into the updates.  The round-8 form
+    additionally rebuilt a dense (node, hub, auth) frame every
+    superstep — two nodes-side left joins and a hub ⋈ auth re-join,
+    ~5 shuffle passes per iteration, measured at 47.4s executor CPU at
+    sf0.1 (~4x pagerank for half the iterations); the zero rows those
+    joins manufactured are now filled in once, after the loop.  All
+    shuffles stay keyed on node ids, so a bucketed edge table makes
+    supersteps exchange-free.  Deterministic given the edge set (float
+    summation order aside) — verified against an unrolled-CTE SQL
+    oracle at 6 decimals.  Beyond-reference: the reference has no
+    algorithm surface at all.
     """
     edges = edges.select(F.col(src_col).alias("src"),
                          F.col(dst_col).alias("dst")).persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .dropDuplicates(["node"])).persist()
-    scores = nodes.select("node", F.lit(1.0).alias("hub"),
-                          F.lit(1.0).alias("auth"))
+    if iterations <= 0:
+        # degenerate call: the uniform initial scores, as before round 9
+        out = nodes.select("node", F.lit(1.0).alias("hub"),
+                           F.lit(1.0).alias("authority"))
+        from ..cache import CacheLease
+        lease = CacheLease()
+        lease.add(edges)
+        lease.add(nodes)
+        out._cypher_cache_lease = lease
+        return out
+    # hub_0 = 1.0 over nodes WITH out-edges; others never feed the loop
+    hub = (edges.select(F.col("src").alias("node"))
+           .dropDuplicates(["node"]).withColumn("h", F.lit(1.0)))
+    auth = None
     for i in range(iterations):
-        # authority(v) = sum of hub(u) over edges u->v, L2-normalized
-        a = (edges.join(scores.select(F.col("node").alias("src"), "hub"),
-                        "src")
+        # authority(v) = sum of hub(u) over edges u->v, L2-normalized;
+        # never-a-dst nodes get auth 0 and are filled in after the loop
+        a = (edges.join(hub.withColumnRenamed("node", "src"), "src")
              .groupBy(F.col("dst").alias("node"))
-             .agg(F.sum("hub").alias("a")))
+             .agg(F.sum("h").alias("a")))
         a_norm = a.agg(F.sqrt(F.sum(F.col("a") * F.col("a")))
                        .alias("n")).select(
             F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(1.0))
             .alias("n"))
-        auth = (nodes.join(a, "node", "left_outer")
-                .crossJoin(F.broadcast(a_norm))
-                .select("node", (F.coalesce(F.col("a"), F.lit(0.0))
-                                 / F.col("n")).alias("auth")))
-        # hub(u) = sum of authority(v) over edges u->v, L2-normalized
-        h = (edges.join(auth.select(F.col("node").alias("dst"), "auth"),
-                        "dst")
+        auth = (a.crossJoin(F.broadcast(a_norm))
+                .select("node",
+                        (F.col("a") / F.col("n")).alias("auth")))
+        # hub(u) = sum of authority(v) over edges u->v, L2-normalized;
+        # every edge's dst has an auth row, so the inner join is total
+        h = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
              .groupBy(F.col("src").alias("node"))
              .agg(F.sum("auth").alias("h")))
         h_norm = h.agg(F.sqrt(F.sum(F.col("h") * F.col("h")))
                        .alias("n")).select(
             F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(1.0))
             .alias("n"))
-        hub = (nodes.join(h, "node", "left_outer")
-               .crossJoin(F.broadcast(h_norm))
-               .select("node", (F.coalesce(F.col("h"), F.lit(0.0))
-                                / F.col("n")).alias("hub")))
-        scores = hub.join(auth, "node")
+        hub = (h.crossJoin(F.broadcast(h_norm))
+               .select("node", (F.col("h") / F.col("n")).alias("h")))
         if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
-            scores = scores.localCheckpoint(eager=False)
-    out = scores.select("node", "hub", F.col("auth").alias("authority"))
+            hub = hub.localCheckpoint(eager=False)
+    # densify once: zero hub for sink-only nodes, zero auth for
+    # source-only nodes — exactly the oracle's coalesce semantics
+    out = (nodes
+           .join(hub, "node", "left_outer")
+           .join(auth, "node", "left_outer")
+           .select("node",
+                   F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+                   F.coalesce(F.col("auth"), F.lit(0.0))
+                   .alias("authority")))
     from ..cache import CacheLease
     lease = CacheLease()
     lease.add(edges)

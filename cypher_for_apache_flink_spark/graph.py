@@ -168,6 +168,29 @@ class PropertyGraph:
         return s.cypher(query, params=params, graph=self,
                         procedures=procedures)
 
+    def close(self) -> None:
+        """Release the memoized implicit session and everything its plan
+        cache pins (ADVICE r8): the graph <-> session reference pair is a
+        cycle, so short-lived graphs otherwise wait for a cyclic-GC pass
+        before their CacheLease-persisted DataFrames leave executor
+        storage.  Mirrors the TCK runner's eviction (tck/runner.py:150);
+        idempotent, and the graph remains usable — the next cypher()
+        simply builds a fresh session."""
+        s = self.__dict__.pop("_implicit_session", None)
+        if s is not None:
+            for entry in s._plan_cache.values():
+                lease = entry[4] if isinstance(entry, tuple) \
+                    and len(entry) > 4 else None
+                if lease is not None:
+                    lease.release()
+            s._plan_cache.clear()
+
+    def __enter__(self) -> "PropertyGraph":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def nodes(self, var: str = "n", labels=()) -> DataFrame:
         """Typed node scan (PropertyGraph.scala:69)."""
         from .operators.records import scan_nodes

@@ -125,7 +125,9 @@ def any_to_string(col: Column) -> Column:
         .when(tag == TAG_BOOL,
               F.when(col.getField("__any_bool"), F.lit("true"))
               .otherwise(F.lit("false")))
-        .otherwise(col.getField("__any_json")))
+        # strip the {"v": ...} storage wrapper so a list renders as
+        # [1,2], not the internal '{"v":[1,2]}' (ADVICE r8)
+        .otherwise(F.get_json_object(col.getField("__any_json"), "$.v")))
 
 
 def any_to_number(col: Column, target: str) -> Column:

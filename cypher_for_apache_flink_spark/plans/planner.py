@@ -319,23 +319,34 @@ class Planner:
             raise PlanError(
                 "in-query CALL requires explicit arguments",
                 code="InvalidArgumentPassingMode")
+        proc_defaults = dict(getattr(proc, "defaults", ()) or ())
         if clause.args is None:
             # implicit form: arguments bound from query parameters by name
             arg_exprs = []
             for nm, _t in proc.inputs:
-                if nm not in self.params:
+                if nm in self.params:
+                    arg_exprs.append(E.Lit(self.params[nm]))
+                elif nm in proc_defaults:
+                    arg_exprs.append(E.Lit(proc_defaults[nm]))
+                else:
                     raise PlanError(
                         f"missing parameter {nm!r} for implicit procedure "
                         "argument", code="ParameterMissing")
-                arg_exprs.append(E.Lit(self.params[nm]))
         else:
-            if len(clause.args) != len(proc.inputs):
+            min_args = len(proc.inputs) - len(proc_defaults)
+            if not (min_args <= len(clause.args) <= len(proc.inputs)):
+                want = (f"{len(proc.inputs)}" if not proc_defaults
+                        else f"{min_args} to {len(proc.inputs)}")
                 raise PlanError(
                     f"procedure {clause.name} expects "
-                    f"{len(proc.inputs)} argument(s), got "
+                    f"{want} argument(s), got "
                     f"{len(clause.args)}", code="InvalidNumberOfArguments")
             arg_exprs = [resolve_vars(a, records.header)
                          for a in clause.args]
+            # trailing optionals (Neo4j-style): fill from the declared
+            # defaults so fn always sees the full argument list
+            for nm, _t in proc.inputs[len(clause.args):]:
+                arg_exprs.append(E.Lit(proc_defaults[nm]))
 
         # ---- yielded outputs -----------------------------------------
         declared = {nm for nm, _ in proc.outputs}

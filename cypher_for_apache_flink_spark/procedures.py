@@ -38,6 +38,9 @@ class Procedure:
     rows: tuple | None = None        # table-backed: (in... + out...) tuples
     fn: object | None = None         # function-backed
     graph: bool = False              # graph-backed: fn(session, graph, *a)
+    defaults: tuple = ()             # ((name, value), ...) for the LAST
+    #                                  len(defaults) inputs — callers may
+    #                                  omit them (Neo4j-style optionals)
 
     def spark_schema(self) -> str | None:
         """Schema string for the (inputs + outputs) table; None when a
@@ -110,15 +113,24 @@ def function_procedure(sig: str, fn) -> Procedure:
     return Procedure(name, ins, outs, fn=fn)
 
 
-def graph_procedure(sig: str, fn) -> Procedure:
+def graph_procedure(sig: str, fn, defaults: tuple = ()) -> Procedure:
     """GRAPH-backed procedure: ``fn(session, graph, *args) -> DataFrame``
     over the query's CURRENT graph (FROM GRAPH switches it like any other
     clause).  Same plan shape as function-backed — constant arguments,
     result cross-joined (standalone CALL: the result IS the record
     stream) — but the callable sees the graph, which is what a
-    GDS-style algorithm surface needs."""
+    GDS-style algorithm surface needs.  ``defaults`` = ((name, value),
+    ...) for trailing inputs the caller may omit; they must name the
+    signature's last inputs in order."""
     name, ins, outs = parse_signature(sig)
-    return Procedure(name, ins, outs, fn=fn, graph=True)
+    if defaults:
+        tail = tuple(nm for nm, _ in ins[-len(defaults):])
+        if tail != tuple(nm for nm, _ in defaults):
+            raise ValueError(
+                f"procedure {name}: defaults {defaults!r} must cover the "
+                f"trailing inputs {tail!r} in order")
+    return Procedure(name, ins, outs, fn=fn, graph=True,
+                     defaults=tuple(defaults))
 
 
 # --------------------------------------------------------------------------
@@ -194,11 +206,12 @@ def builtin_graph_procedures() -> list:
                                   _sources(session, source)) \
             .select("node", "dist")
 
-    def _sssp(session, graph, source, weight_prop):
+    def _sssp(session, graph, source, weight_prop, max_iters):
         from .functions.graph_algos import weighted_shortest_paths
         return weighted_shortest_paths(
             graph_edges(graph, weight_prop=str(weight_prop)),
-            _sources(session, source)).select("node", "cost")
+            _sources(session, source),
+            max_iters=int(max_iters)).select("node", "cost")
 
     def _components(session, graph):
         from .functions.components import connected_components
@@ -239,8 +252,10 @@ def builtin_graph_procedures() -> list:
             "algo.bfs(source :: INTEGER?) "
             ":: (node :: INTEGER?, dist :: INTEGER?)", _bfs),
         graph_procedure(
-            "algo.sssp(source :: INTEGER?, weightProperty :: STRING?) "
-            ":: (node :: INTEGER?, cost :: FLOAT?)", _sssp),
+            "algo.sssp(source :: INTEGER?, weightProperty :: STRING?, "
+            "maxIters :: INTEGER?) "
+            ":: (node :: INTEGER?, cost :: FLOAT?)", _sssp,
+            defaults=(("maxIters", 20),)),
         graph_procedure(
             "algo.connectedComponents() "
             ":: (node :: INTEGER?, component :: INTEGER?)", _components),

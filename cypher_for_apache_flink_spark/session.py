@@ -483,7 +483,20 @@ class CypherSession:
                 # id() keys can be reused after GC: verify graph identity
                 elif hit is not None and hit[0]() is graph:
                     self.plan_cache_stats["hits"] += 1
-                    _, records, outputs, src_graph, lease = hit
+                    _, records, outputs, src_graph, lease, leased = hit
+                    # The lease is SHARED by every result this entry has
+                    # produced; if an earlier holder called release(),
+                    # re-pin the plan's frames so later hits keep the
+                    # repeated-dashboard speedup (ADVICE r8).  persist()
+                    # only re-marks — recompute happens lazily.
+                    if leased and len(lease.dfs) < len(leased):
+                        for d in leased:
+                            if not any(d is x for x in lease.dfs):
+                                try:
+                                    d.persist()
+                                except Exception:
+                                    continue
+                                lease.add(d)
                     # LRU touch
                     self._plan_cache[key] = self._plan_cache.pop(key)
                     return CypherResult(records, outputs, graph=None,
@@ -516,7 +529,11 @@ class CypherSession:
                 self._plan_cache.pop(next(iter(self._plan_cache)))
             self._plan_cache[key] = (
                 (weakref.ref(graph), records, outputs,
-                 hydration_graph, planner.cache_lease)
+                 hydration_graph, planner.cache_lease,
+                 # snapshot of the leased frames, so a hit can re-pin
+                 # them after a prior holder's release() (ADVICE r8)
+                 tuple(planner.cache_lease.dfs)
+                 if planner.cache_lease is not None else ())
                 if admit else _SEEN_ONCE)
         return CypherResult(records, outputs, graph=planner.result_graph,
                             cache_lease=planner.cache_lease,

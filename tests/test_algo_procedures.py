@@ -250,3 +250,30 @@ def test_betweenness_call_deterministic_sampling(algo_session):
     b = rows(algo_session, "CALL algo.betweenness(10)")
     assert a == b
     assert len(a) >= 5
+
+
+def test_sssp_explicit_max_iters(algo_session):
+    # trailing optional (round 9, ADVICE r8): explicit value accepted
+    got = dict(rows(algo_session, "CALL algo.sssp(1, 'w', 30)"))
+    assert got[7] == 24.0
+
+
+def test_sssp_max_iters_too_small_warns(algo_session):
+    # budget exhausted while still improving -> loud, not silently stale
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = dict(rows(algo_session, "CALL algo.sssp(1, 'w', 2)"))
+    assert any("max_iters" in str(r.message) for r in rec)
+    # costs within 2 hops are exact; deeper ones absent or over-estimated
+    assert got[2] == 1.0 and got[3] == 3.0
+
+
+def test_sssp_too_few_args_still_errors(algo_session):
+    with pytest.raises(Exception, match="argument"):
+        algo_session.cypher("CALL algo.sssp(1)").df.collect()
+
+
+def test_sssp_too_many_args_still_errors(algo_session):
+    with pytest.raises(Exception, match="argument"):
+        algo_session.cypher("CALL algo.sssp(1, 'w', 30, 4)").df.collect()

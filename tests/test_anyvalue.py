@@ -152,3 +152,11 @@ def test_homogeneous_lists_stay_native(empty):
 def test_mixed_temporal_rejected_with_typed_error(empty):
     with pytest.raises(PlanError, match="mixed"):
         empty.cypher("RETURN [1, date('2020-01-01')] AS l")
+
+
+def test_tostring_on_any_container_unwraps(empty):
+    # ADVICE r8: container Any values render as their JSON form, not the
+    # internal {"v": ...} storage wrapper
+    out = maps(empty, "UNWIND [[1, 2], 'a'] AS x "
+                      "RETURN toString(x) AS s")
+    assert sorted(r["s"] for r in out) == ["[1,2]", "a"]

