@@ -1447,11 +1447,26 @@ def _zoned_datetime(expr: E.FuncCall, ctx: ExprContext) -> Column:
     if isinstance(arg, E.MapLit):
         tz_item = next(v for k, v in arg.items if k.lower() == "timezone")
         tz_v = plan_const(tz_item, ctx)
-        if not isinstance(tz_v, str):
-            raise PlanError("timezone must be a string literal",
-                            code="InvalidArgumentValue")
         rest = E.MapLit(tuple((k, v) for k, v in arg.items
                               if k.lower() != "timezone"))
+        if tz_v is _NO_CONST:
+            # PER-ROW time zone (round 9, closes the temporal_blacklist
+            # "per-row zone arithmetic" gap): the zone string is a
+            # column, so the offset lookup must happen executor-side.
+            # ``to_utc_timestamp(wall, tz)`` is exactly that — the JVM's
+            # ZoneId/zone-rules resolution as a Catalyst expression,
+            # handling named zones (DST-aware) AND fixed-offset strings
+            # ("+01:00" parses as a ZoneOffset) — no Python UDF.
+            tz_col = to_column(tz_item, ctx)
+            wall = _function(E.FuncCall("datetime", (rest,)), ctx)
+            epoch = F.unix_micros(F.to_utc_timestamp(wall, tz_col))
+            return F.when(wall.isNull() | tz_col.isNull(),
+                          F.lit(None).cast(ZONED_DT_TYPE)) \
+                .otherwise(make_zoned_dt(
+                    epoch, F.unix_micros(wall) - epoch, tz_col))
+        if not isinstance(tz_v, str):
+            raise PlanError("timezone must be a string",
+                            code="InvalidArgumentValue")
         named = tz_v not in ("Z", "z") and tz_v[0] not in "+-"
         if named:
             try:

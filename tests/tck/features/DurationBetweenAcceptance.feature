@@ -1440,3 +1440,101 @@ Feature: DurationBetweenAcceptance
       | d |
       | 'PT5H' |
     And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #7
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-10-28T23:00+02:00[Europe/Stockholm]'), datetime('2017-10-29T04:00+01:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT6H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #8
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-10-29T04:00+01:00[Europe/Stockholm]'), datetime('2017-10-28T23:00+02:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT-6H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #9
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-10-29T00:00+02:00[Europe/Stockholm]'), datetime('2017-10-30T00:00+01:00[Europe/Stockholm]'))) AS d,
+             toString(duration.inSeconds(datetime('2017-10-29T00:00+02:00[Europe/Stockholm]'), datetime('2017-10-30T00:00+01:00[Europe/Stockholm]'))) AS s
+      """
+    Then the result should be, in any order:
+      | d | s |
+      | 'P1D' | 'PT25H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #10
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.between(datetime('2017-03-25T00:00+01:00[Europe/Stockholm]'), datetime('2017-03-26T10:00+02:00[Europe/Stockholm]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'P1DT9H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #11
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inDays(datetime('2017-03-25T12:00+01:00[Europe/Stockholm]'), datetime('2017-03-26T12:00+02:00[Europe/Stockholm]'))) AS d,
+             toString(duration.inMonths(datetime('2017-10-01T00:00+02:00[Europe/Stockholm]'), datetime('2017-11-01T00:00+01:00[Europe/Stockholm]'))) AS m
+      """
+    Then the result should be, in any order:
+      | d | m |
+      | 'P1D' | 'P1M' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day #12
+    Given any graph
+    When executing query:
+      """
+      RETURN toString(duration.inSeconds(datetime('2017-10-29T00:00+02:00[Europe/Stockholm]'), datetime('2017-10-28T19:00-04:00[America/New_York]'))) AS d
+      """
+    Then the result should be, in any order:
+      | d |
+      | 'PT1H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day with per-row zones #1
+    Given any graph
+    When executing query:
+      """
+      UNWIND ['Europe/Stockholm', 'America/New_York'] AS tz
+      WITH tz, datetime({year: 2017, month: 10, day: 29, timezone: tz}) AS lo,
+           datetime({year: 2017, month: 10, day: 30, hour: 4, timezone: tz}) AS hi
+      RETURN tz, toString(duration.between(lo, hi)) AS d,
+             toString(duration.inSeconds(lo, hi)) AS s
+      """
+    Then the result should be, in any order:
+      | tz | d | s |
+      | 'Europe/Stockholm' | 'P1DT4H' | 'PT29H' |
+      | 'America/New_York' | 'P1DT4H' | 'PT28H' |
+    And no side effects
+
+  Scenario: Should handle durations at daylight saving time day with per-row zones #2
+    Given any graph
+    When executing query:
+      """
+      UNWIND ['Europe/Stockholm', '+02:00', '-05:00'] AS tz
+      RETURN toString(datetime({year: 2017, month: 10, day: 29, timezone: tz})) AS s
+      """
+    Then the result should be, in any order:
+      | s |
+      | '2017-10-29T00:00:00+02:00[Europe/Stockholm]' |
+      | '2017-10-29T00:00:00+02:00' |
+      | '2017-10-29T00:00:00-05:00' |
+    And no side effects
