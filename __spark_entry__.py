@@ -167,6 +167,20 @@ _CYPHER_QUERIES = {
         "round(avg(l.l_extendedprice), 2) AS avg_price, "
         "round(min(l.l_discount), 2) AS min_disc, "
         "round(max(l.l_tax), 2) AS max_tax"),
+    "agg_tpch_q3": _cypher(
+        # TPC-H Q3 shape (round 9): segment filter -> 2-hop join ->
+        # revenue aggregate -> top-10.  Catalyst pushes the mktsegment
+        # and date filters into the parquet scans and broadcasts the
+        # filtered customer side; the group key is (order date,
+        # priority) so the oracle compare is order-insensitive-stable.
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(:Part) "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < date('1998-01-01') "
+        "AND l.l_shipdate > localdatetime('1998-06-30T00:00:00') "
+        "RETURN toString(o.o_orderdate) AS o_date, "
+        "o.o_orderpriority AS o_priority, "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "ORDER BY revenue DESC, o_date, o_priority LIMIT 10"),
     "agg_count_distinct": _cypher(
         "MATCH (o:Order)-[l:CONTAINS]->(p:Part) "
         "RETURN count(DISTINCT p) AS n_parts"),
@@ -1186,6 +1200,7 @@ _ROUND8_STALE = [
 _ROUND9_CHANGED = [
     'hits_scores', 'label_propagation', 'weighted_shortest_paths',
     'call_triangle_count', 'any_tostring_mixed', 'betweenness_sampled',
+    'agg_tpch_q3',        # NEW round 9
 ]
 
 
@@ -1592,6 +1607,19 @@ def oracle_sql() -> dict[str, str]:
             "round(min(l_discount), 2) AS min_disc, "
             "round(max(l_tax), 2) AS max_tax "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+        "agg_tpch_q3": (
+            "SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') "
+            "AS o_date, o.o_orderpriority AS o_priority, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) "
+            "AS revenue "
+            "FROM customer c "
+            "JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "AND l.l_shipdate > TIMESTAMP '1998-06-30 00:00:00' "
+            "GROUP BY 1, 2 "
+            "ORDER BY revenue DESC, o_date, o_priority LIMIT 10"),
         "agg_count_distinct": (
             "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem"),
         "agg_global": (

@@ -913,12 +913,22 @@ def hits(edges: DataFrame, iterations: int = 5, src_col: str = "src",
     hub = (edges.select(F.col("src").alias("node"))
            .dropDuplicates(["node"]).withColumn("h", F.lit(1.0)))
     auth = None
+    from ..cache import CacheLease
+    lease = CacheLease()
     for i in range(iterations):
         # authority(v) = sum of hub(u) over edges u->v, L2-normalized;
-        # never-a-dst nodes get auth 0 and are filled in after the loop
-        a = (edges.join(hub.withColumnRenamed("node", "src"), "src")
+        # never-a-dst nodes get auth 0 and are filled in after the loop.
+        # The raw sum frames are persisted because each has TWO
+        # consumers — its own L2-norm aggregate (a broadcast subplan,
+        # i.e. a separate query-stage tree) and the normalized update;
+        # without the persist every iteration's join+agg executed twice
+        # (measured: 346 stages / 8.0s cpu vs 58 / 2.2s for pagerank on
+        # the same sf0.1 graph).  The frames are node-sized, not
+        # edge-sized, and the lease releases them with the result.
+        a = lease.add(
+            (edges.join(hub.withColumnRenamed("node", "src"), "src")
              .groupBy(F.col("dst").alias("node"))
-             .agg(F.sum("h").alias("a")))
+             .agg(F.sum("h").alias("a"))).persist())
         a_norm = a.agg(F.sqrt(F.sum(F.col("a") * F.col("a")))
                        .alias("n")).select(
             F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(1.0))
@@ -928,9 +938,10 @@ def hits(edges: DataFrame, iterations: int = 5, src_col: str = "src",
                         (F.col("a") / F.col("n")).alias("auth")))
         # hub(u) = sum of authority(v) over edges u->v, L2-normalized;
         # every edge's dst has an auth row, so the inner join is total
-        h = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+        h = lease.add(
+            (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
              .groupBy(F.col("src").alias("node"))
-             .agg(F.sum("auth").alias("h")))
+             .agg(F.sum("auth").alias("h"))).persist())
         h_norm = h.agg(F.sqrt(F.sum(F.col("h") * F.col("h")))
                        .alias("n")).select(
             F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(1.0))
@@ -948,8 +959,6 @@ def hits(edges: DataFrame, iterations: int = 5, src_col: str = "src",
                    F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
                    F.coalesce(F.col("auth"), F.lit(0.0))
                    .alias("authority")))
-    from ..cache import CacheLease
-    lease = CacheLease()
     lease.add(edges)
     lease.add(nodes)
     out._cypher_cache_lease = lease
