@@ -407,6 +407,19 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     exchange AQE would otherwise have coalesced away.
     """
     nparts = _pin_parts(edges.sparkSession, data=edges)
+    # Shuffle-hash the intersection joins for LARGE inputs (round 9,
+    # VERDICT r8 #1 "kill the sf1 spill"): sort-merge join must sort the
+    # wide adjacency-array rows on both sides, which is pure spill fuel —
+    # measured at the 12M-edge x10 scale: SMJ 9.2 GB spill / 617s cpu /
+    # 7.8 GB peak task memory vs SHJ 0 spill / 306s cpu / 2.3 GB peak
+    # (+21% shuffle, the only cost).  For SMALL inputs the hint is
+    # wrong: AQE broadcasts the adjacency side at runtime (42 MB total
+    # shuffle at x1) and the hint would force a full array shuffle
+    # (388 MB measured), so it rides the same 64 MiB size estimate as
+    # the partition pin's data branch.
+    from .util import _plan_size_bytes
+    _est = _plan_size_bytes(edges)
+    use_shj = _est is not None and _est >= _PIN_DATA_BYTES
     s, d = F.col(src_col), F.col(dst_col)
     # normalize inline (not via _normalize_undirected) so the distinct
     # can run on a pinned hash(u, v) exchange the dedup aggregate reuses
@@ -435,6 +448,8 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     # groupBy("a") and the first join reuse oriented's hash(a) partitioning
     adj = (oriented.groupBy("a")
            .agg(F.sort_array(F.collect_list("b")).alias("nb")))
+    if use_shj:
+        adj = adj.hint("shuffle_hash")
     j1 = _repart(oriented
                  .join(adj.select(F.col("a").alias("__ja"),
                                   F.col("nb").alias("nb_a")),
