@@ -239,12 +239,14 @@ def builtin_graph_procedures() -> list:
     return [
         graph_procedure(
             "algo.pageRank(iterations :: INTEGER?, damping :: FLOAT?) "
-            ":: (node :: INTEGER?, rank :: FLOAT?)", _pagerank),
+            ":: (node :: INTEGER?, rank :: FLOAT?)", _pagerank,
+            defaults=(("iterations", 10), ("damping", 0.85))),
         graph_procedure(
             "algo.triangleCount() :: (triangles :: INTEGER?)", _triangles),
         graph_procedure(
             "algo.kCore(k :: INTEGER?) "
-            ":: (node :: INTEGER?, degree :: INTEGER?)", _k_core),
+            ":: (node :: INTEGER?, degree :: INTEGER?)", _k_core,
+            defaults=(("k", 3),)),
         graph_procedure(
             "algo.degreeHistogram() "
             ":: (degree :: INTEGER?, n_nodes :: INTEGER?)", _deg_hist),
@@ -261,12 +263,14 @@ def builtin_graph_procedures() -> list:
             ":: (node :: INTEGER?, component :: INTEGER?)", _components),
         graph_procedure(
             "algo.labelPropagation(iterations :: INTEGER?) "
-            ":: (node :: INTEGER?, community :: INTEGER?)", _label_prop),
+            ":: (node :: INTEGER?, community :: INTEGER?)", _label_prop,
+            defaults=(("iterations", 5),)),
         graph_procedure(
             "algo.hits(iterations :: INTEGER?) "
             ":: (node :: INTEGER?, hub :: FLOAT?, authority :: FLOAT?)",
-            _hits),
+            _hits, defaults=(("iterations", 5),)),
         graph_procedure(
             "algo.betweenness(nSources :: INTEGER?) "
-            ":: (node :: INTEGER?, betweenness :: FLOAT?)", _betweenness),
+            ":: (node :: INTEGER?, betweenness :: FLOAT?)", _betweenness,
+            defaults=(("nSources", 16),)),
     ]

@@ -111,8 +111,12 @@ def test_unknown_output_field(algo_session):
 
 
 def test_wrong_arg_count(algo_session):
+    # pageRank's trailing args are optional since round 9; too MANY still
+    # errors, and bfs (no defaults) still requires its argument
     with pytest.raises(Exception, match="argument"):
-        algo_session.cypher("CALL algo.pageRank(3)").df
+        algo_session.cypher("CALL algo.pageRank(3, 0.85, 1)").df
+    with pytest.raises(Exception, match="argument"):
+        algo_session.cypher("CALL algo.bfs()").df
 
 
 def test_wrong_arg_type(algo_session):
@@ -277,3 +281,16 @@ def test_sssp_too_few_args_still_errors(algo_session):
 def test_sssp_too_many_args_still_errors(algo_session):
     with pytest.raises(Exception, match="argument"):
         algo_session.cypher("CALL algo.sssp(1, 'w', 30, 4)").df.collect()
+
+
+def test_zero_arg_calls_use_defaults(algo_session):
+    # round 9: Neo4j-style trailing optionals across the algo surface
+    # default k=3: the two fused triangles have max internal degree 4
+    # at node 3 only — no 3-core survives in this fixture
+    assert rows(algo_session, "CALL algo.kCore()") == []
+    lp = rows(algo_session, "CALL algo.labelPropagation()")
+    assert len(lp) == 7
+    pr = rows(algo_session, "CALL algo.pageRank()")
+    assert len(pr) == 7
+    h = rows(algo_session, "CALL algo.hits()")
+    assert len(h) == 7
