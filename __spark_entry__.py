@@ -1192,15 +1192,44 @@ _ROUND8_STALE = [
     'triangle_count', 'type_function', 'var_length_unbounded',
 ]
 
-# Round 9 changed queries (derived at round end by
-# `python tools/changed_queries.py 3638458..HEAD`): the gated partition
-# pin + fused HITS + LPA pre-partition touched the algorithm queries;
-# the procedure trailing-defaults change touched the CALL path; the
-# Any toString unwrap touched any_tostring_mixed.
-_ROUND9_CHANGED = [
+# Round-9 DIRECTLY-touched queries: semantics or physical plan changed
+# (gated partition pin + SHJ hint, fused HITS, per-row zones, Any
+# toString unwrap, procedure defaults, the new Q3), as opposed to the
+# compile-path sweep below.  These lead tier (b) of the window.
+_ROUND9_DIRECT = [
+    'agg_tpch_q3',                       # NEW round 9
     'hits_scores', 'label_propagation', 'weighted_shortest_paths',
     'call_triangle_count', 'any_tostring_mixed', 'betweenness_sampled',
-    'agg_tpch_q3',        # NEW round 9
+    'duration_accessors', 'duration_shift', 'events_temporal',
+]
+
+# Round 9 changed queries, derived mechanically:
+# `python tools/changed_queries.py 3638458..HEAD` (63 names — the
+# anyvalue/columns + planner CALL-path edits sweep the whole Cypher
+# family; graph_algos edits sweep the algorithm family) plus the
+# entry-local queries in _ROUND9_DIRECT the tool cannot attribute.
+_ROUND9_CHANGED = [
+    'agg_count_distinct', 'agg_global', 'agg_stats', 'agg_tpch_q1',
+    'agg_tpch_q3', 'bfs_shortest_paths', 'bitwise_functions',
+    'case_expression', 'coalesce_function', 'collect_unwind',
+    'construct_requery', 'ddl_graph', 'degree_histogram',
+    'distinct_projection', 'driving_table', 'duration_accessors',
+    'duration_shift', 'edge_uniqueness_pairs', 'events_hour_buckets',
+    'events_temporal', 'exists_pattern', 'expand_1hop', 'expand_2hop',
+    'expand_3hop_keyword_types', 'expand_incoming', 'expand_into',
+    'expand_undirected', 'graph_union', 'k_core', 'keyword_label_scan',
+    'labels_function', 'list_functions', 'math_functions',
+    'mutation_create_delete', 'mutation_set_rematch', 'node_similarity',
+    'not_exists_pattern', 'optional_first_clause', 'optional_match_count',
+    'optional_match_null', 'order_skip_limit', 'orderby_expression',
+    'pagerank', 'percentile_disc_global', 'personalized_pagerank',
+    'predicate_contains', 'predicate_in', 'predicate_regex',
+    'predicate_string_match', 'rel_properties', 'scan_filter',
+    'scan_filter_and_or', 'scan_nodes', 'shortest_path_pairs',
+    'spatial_distance_topk', 'string_functions', 'triangle_count',
+    'type_function', 'union_all', 'union_distinct', 'unwind_literal',
+    'unwind_range_filter', 'var_length_1_2', 'var_length_2_2',
+    'var_length_typed', 'var_length_unbounded', 'with_pipeline',
 ]
 
 
@@ -1220,11 +1249,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5_window = set(list(full)[:50])
     full.update(_ROUND7_QUERIES)
     full.update(_ROUND8_QUERIES)
-    changed = set(_ROUND8_CHANGED)
+    changed = set(_ROUND9_CHANGED) | set(_ROUND8_CHANGED)
     prio = (_ROUND8_STALE              # tier (a): stale driver rows
-            + _ROUND9_CHANGED          # tier (b): changed this round
+            + _ROUND9_DIRECT           # tier (b): directly changed in r9
+            + [n for n in full if n in changed]   # (c) sweep-changed
             + _ROUND7_SPILL
-            + [n for n in full if n in changed]
             + [n for n in full if n in r5_window]
             + list(full))
     window, seen = [], set()
