@@ -57,6 +57,8 @@ HEADLINE = [
     "duplicate_spans",
     "hits_scores",
     "betweenness_sampled",
+    # round 9 surfaces
+    "agg_tpch_q3",
 ]
 
 
