@@ -533,3 +533,31 @@ def test_pin_gate_large_data_estimate_pins(spark, monkeypatch):
         assert ga._pin_parts(spark, data=small) == target
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_weighted_sp_warns_on_exhausted_budget(spark):
+    """ADVICE r8: exhausting max_iters mid-improvement warns instead of
+    returning silently stale costs."""
+    import warnings as _w
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        weighted_shortest_paths,
+    )
+    # a 4-hop path; budget of 2 cannot settle nodes 3 hops out
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(4)], "src long, dst long, w double")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = {r.node: r.cost
+               for r in weighted_shortest_paths(edges, srcs,
+                                                max_iters=2).collect()}
+    assert any("max_iters" in str(r.message) for r in rec)
+    assert got[2] == 2.0 and 4 not in got
+    # a sufficient budget converges silently
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        got2 = {r.node: r.cost
+                for r in weighted_shortest_paths(edges, srcs,
+                                                 max_iters=10).collect()}
+    assert not any("max_iters" in str(r.message) for r in rec2)
+    assert got2[4] == 4.0
