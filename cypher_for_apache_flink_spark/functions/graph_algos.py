@@ -131,6 +131,16 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     edges = edges.select(F.col(src_col).alias("src"),
                          F.col(dst_col).alias("dst")).persist()
     nparts = _pin_parts(edges.sparkSession, data=edges)
+    if nparts is None \
+            and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
+        # The Catalyst estimate can DECAY on an evicted cache (it falls
+        # back to the child plan's figure — observed in the r9 bench's
+        # sf1 spot); when the estimate said "small", confirm with an
+        # exact count of the persisted edge set.  The count is one
+        # cache-materializing job the setup scans would pay anyway.
+        if edges.count() * 16 >= _PIN_DATA_BYTES:
+            nparts = max(2 * edges.sparkSession.sparkContext
+                         .defaultParallelism, 1)
     nodes = _repart(edges.select(F.col("src").alias("node"))
                     .union(edges.select(F.col("dst").alias("node"))),
                     nparts, "node") \
@@ -407,19 +417,6 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     exchange AQE would otherwise have coalesced away.
     """
     nparts = _pin_parts(edges.sparkSession, data=edges)
-    # Shuffle-hash the intersection joins for LARGE inputs (round 9,
-    # VERDICT r8 #1 "kill the sf1 spill"): sort-merge join must sort the
-    # wide adjacency-array rows on both sides, which is pure spill fuel —
-    # measured at the 12M-edge x10 scale: SMJ 9.2 GB spill / 617s cpu /
-    # 7.8 GB peak task memory vs SHJ 0 spill / 306s cpu / 2.3 GB peak
-    # (+21% shuffle, the only cost).  For SMALL inputs the hint is
-    # wrong: AQE broadcasts the adjacency side at runtime (42 MB total
-    # shuffle at x1) and the hint would force a full array shuffle
-    # (388 MB measured), so it rides the same 64 MiB size estimate as
-    # the partition pin's data branch.
-    from .util import _plan_size_bytes
-    _est = _plan_size_bytes(edges)
-    use_shj = _est is not None and _est >= _PIN_DATA_BYTES
     s, d = F.col(src_col), F.col(dst_col)
     # normalize inline (not via _normalize_undirected) so the distinct
     # can run on a pinned hash(u, v) exchange the dedup aggregate reuses
@@ -427,6 +424,29 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
                                 F.greatest(s, d).alias("v"))
                    .where(F.col("u") < F.col("v")), nparts, "u", "v")
            .dropDuplicates(["u", "v"]).persist())
+    # Exact data-size decision off the PERSISTED normalized edge set
+    # (round 9, VERDICT r8 #1 "kill the sf1 spill").  The count is one
+    # cheap job that materializes a cache every downstream consumer
+    # reads anyway, and unlike Catalyst's plan-size estimate it cannot
+    # decay: an evicted InMemoryRelation reports its CHILD's estimate
+    # again (observed in the r9 bench — the sf1 spot's 12M-edge input
+    # estimated ~15 MB after k_core's checkpoints evicted its cache,
+    # silently disabling the large-input plan below).
+    n_und = und.count()
+    big_data = n_und * 16 >= _PIN_DATA_BYTES   # (u, v) = 2 longs/row
+    if nparts is None and big_data \
+            and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
+        nparts = max(2 * edges.sparkSession.sparkContext
+                     .defaultParallelism, 1)
+    # Shuffle-hash the intersection joins for LARGE inputs: sort-merge
+    # join must sort the wide adjacency-array rows on both sides, which
+    # is pure spill fuel — measured at the 12M-edge x10 scale: SMJ
+    # 9.2 GB spill / 617s cpu / 7.8 GB peak task memory vs SHJ 0 spill /
+    # 306s cpu / 2.3 GB peak (+21% shuffle, the only cost).  For SMALL
+    # inputs the hint is wrong: AQE broadcasts the adjacency side at
+    # runtime (42 MB total shuffle at x1) and the hint would force a
+    # full array shuffle (388 MB measured).
+    use_shj = big_data
     deg = (_repart(und.select(F.explode(F.array("u", "v")).alias("node")),
                    nparts, "node")
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
