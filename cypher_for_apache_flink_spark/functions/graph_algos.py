@@ -438,14 +438,22 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
             and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
         nparts = max(2 * edges.sparkSession.sparkContext
                      .defaultParallelism, 1)
-    # Shuffle-hash the intersection joins for LARGE inputs: sort-merge
-    # join must sort the wide adjacency-array rows on both sides, which
-    # is pure spill fuel — measured at the 12M-edge x10 scale: SMJ
-    # 9.2 GB spill / 617s cpu / 7.8 GB peak task memory vs SHJ 0 spill /
-    # 306s cpu / 2.3 GB peak (+21% shuffle, the only cost).  For SMALL
-    # inputs the hint is wrong: AQE broadcasts the adjacency side at
-    # runtime (42 MB total shuffle at x1) and the hint would force a
-    # full array shuffle (388 MB measured).
+    # The intersection-join strategy is hinted EXPLICITLY in both
+    # regimes — sized thresholds would otherwise flip with the cache
+    # state (materializing und above makes Catalyst's estimates
+    # realistic, which pushes the ~40 MB adjacency over the 10 MB
+    # autoBroadcast threshold and silently turns the join into a
+    # sort-merge: measured 44.9 MB -> 224 MB shuffle / 27.6s -> 35.0s
+    # cpu at sf0.1):
+    # - SMALL graphs broadcast the adjacency (<= ~4M oriented edges by
+    #   the gate, so the array side is bounded at tens of MB — routine
+    #   broadcast material); total sf0.1 shuffle stays at the round-7
+    #   44.9 MB.
+    # - LARGE graphs shuffle-hash: sort-merge must sort the wide
+    #   adjacency-array rows on both sides, pure spill fuel — measured
+    #   at the 12M-edge x10 scale: SMJ 9.2 GB spill / 617s cpu / 7.8 GB
+    #   peak task memory vs SHJ 0 spill / 306s cpu / 2.3 GB peak (+21%
+    #   shuffle, the only cost).  Broadcasting is out at this size.
     use_shj = big_data
     deg = (_repart(und.select(F.explode(F.array("u", "v")).alias("node")),
                    nparts, "node")
@@ -468,8 +476,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     # groupBy("a") and the first join reuse oriented's hash(a) partitioning
     adj = (oriented.groupBy("a")
            .agg(F.sort_array(F.collect_list("b")).alias("nb")))
-    if use_shj:
-        adj = adj.hint("shuffle_hash")
+    adj = adj.hint("shuffle_hash") if use_shj else F.broadcast(adj)
     j1 = _repart(oriented
                  .join(adj.select(F.col("a").alias("__ja"),
                                   F.col("nb").alias("nb_a")),
