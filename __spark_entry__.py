@@ -997,6 +997,77 @@ _ROUND8_QUERIES = {
 }
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components (round 9, FW-BW coloring —
+    functions/graph_algos.py strongly_connected_components) over a
+    deterministic directed ring graph: customers grouped by
+    floor(custkey/8), each group a custkey-ordered successor cycle, so
+    every ring is one SCC whose id is its least custkey.  Output is the
+    component-size rollup; the oracle recomputes it independently from
+    the transitive closure (mutual reachability)."""
+    from pyspark.sql import Window
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        strongly_connected_components,
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    grp = F.floor(F.col("c_custkey") / 8).alias("g")
+    w = Window.partitionBy("g").orderBy("src")
+    ring = (cust.select(F.col("c_custkey").alias("src"), grp)
+            .select("src", "g",
+                    F.coalesce(F.lead("src").over(w),
+                               F.min("src").over(
+                                   Window.partitionBy("g"))).alias("dst")))
+    scc = strongly_connected_components(ring.select("src", "dst"))
+    return (scc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+            .orderBy("component"))
+
+
+def _q_closeness(spark, sf_dir):
+    """Sampled closeness centrality (round 9) from each region root over
+    the region->nation->customer hierarchy — reach/total_dist exact
+    integers, closeness the one rounded float."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        closeness_centrality,
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    edges = (nat.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("dst"))
+        .unionAll(cust.select(
+            F.concat(F.lit("N"),
+                     F.col("c_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"),
+                     F.col("c_custkey").cast("string")).alias("dst"))))
+    sources = reg.select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("node"))
+    out = closeness_centrality(edges, sources, max_depth=4)
+    return out.orderBy("node").select(
+        "node", "reach", "total_dist",
+        F.round("closeness", 6).alias("closeness"))
+
+
+def _q_kmeans(spark, sf_dir):
+    """Integer-lattice k-means over the embeddings table (round 9,
+    functions/clustering.py) — per-cluster size + exact integer inertia,
+    bit-identical to the unrolled Lloyd's SQL oracle."""
+    from cypher_for_apache_flink_spark.functions.clustering import (
+        kmeans_summary,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (kmeans_summary(emb, k=8, iterations=3).orderBy("cluster"))
+
+
+# New in round 9 — SCC + closeness (CALL algo.scc / algo.closeness) and
+# the k-means clustering surface.
+_ROUND9_QUERIES = {
+    "scc_components": _q_scc,
+    "closeness_centrality": _q_closeness,
+    "kmeans_embeddings": _q_kmeans,
+}
+
+
 # New in round 5 — in-window so their first CORRECTNESS rows are driver-
 # recorded: the two-phase global percentileDisc plan and the banded-LSH
 # near-dup blocking are new code paths this round.
@@ -1197,6 +1268,7 @@ _ROUND8_STALE = [
 # toString unwrap, procedure defaults, the new Q3), as opposed to the
 # compile-path sweep below.  These lead tier (b) of the window.
 _ROUND9_DIRECT = [
+    'scc_components', 'closeness_centrality', 'kmeans_embeddings',  # NEW r9
     'agg_tpch_q3',                       # NEW round 9
     'hits_scores', 'label_propagation', 'weighted_shortest_paths',
     'call_triangle_count', 'any_tostring_mixed', 'betweenness_sampled',
@@ -1249,8 +1321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5_window = set(list(full)[:50])
     full.update(_ROUND7_QUERIES)
     full.update(_ROUND8_QUERIES)
+    full.update(_ROUND9_QUERIES)
     changed = set(_ROUND9_CHANGED) | set(_ROUND8_CHANGED)
-    prio = (_ROUND8_STALE              # tier (a): stale driver rows
+    prio = (list(_ROUND9_QUERIES)      # never-recorded round-9 queries
+            + _ROUND8_STALE            # tier (a): stale driver rows
             + _ROUND9_DIRECT           # tier (b): directly changed in r9
             + [n for n in full if n in changed]   # (c) sweep-changed
             + _ROUND7_SPILL
@@ -1484,6 +1558,45 @@ def _bfs_oracle_sql() -> str:
     sources_sql = ("SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS node "
                    "FROM region")
     return bfs_sql_oracle(edges_sql, sources_sql, max_hops=4)
+
+
+def _scc_oracle_sql() -> str:
+    # the same per-group successor rings as _q_scc, then component sizes
+    # from the transitive closure (mutual reachability) — an independent
+    # recomputation of what FW-BW coloring assigns
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        scc_sql_oracle,
+    )
+    edges_sql = (
+        "SELECT src, COALESCE("
+        "lead(src) OVER (PARTITION BY g ORDER BY src), "
+        "min(src) OVER (PARTITION BY g)) AS dst "
+        "FROM (SELECT c_custkey AS src, "
+        "CAST(FLOOR(c_custkey / 8) AS BIGINT) AS g FROM customer) t")
+    return (f"SELECT component, count(*) AS size FROM "
+            f"({scc_sql_oracle(edges_sql)}) s GROUP BY component")
+
+
+def _closeness_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        closeness_sql_oracle,
+    )
+    edges_sql = (
+        "SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS src, "
+        "'N' || CAST(n_nationkey AS VARCHAR) AS dst FROM nation "
+        "UNION ALL SELECT 'N' || CAST(c_nationkey AS VARCHAR), "
+        "'C' || CAST(c_custkey AS VARCHAR) FROM customer")
+    sources_sql = ("SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS node "
+                   "FROM region")
+    return closeness_sql_oracle(edges_sql, sources_sql, max_depth=4)
+
+
+def _kmeans_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.clustering import (
+        kmeans_sql_oracle,
+    )
+    return kmeans_sql_oracle("SELECT vec_id, embedding FROM embeddings",
+                             k=8, iterations=3, dims=64)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2167,6 +2280,10 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "duplicate_spans": _duplicate_spans_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
         "betweenness_sampled": _betweenness_oracle_sql(),
+        # --- round 9: SCC / closeness / k-means -------------------------
+        "scc_components": _scc_oracle_sql(),
+        "closeness_centrality": _closeness_oracle_sql(),
+        "kmeans_embeddings": _kmeans_oracle_sql(),
         # CALL algo.triangleCount() computes the same co-purchase
         # triangle count as the direct-library query
         "call_triangle_count": _triangle_oracle_sql(),

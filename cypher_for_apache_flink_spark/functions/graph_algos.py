@@ -1207,3 +1207,206 @@ def betweenness_sql_oracle(edges_sql: str, sources_sql: str,
     return (", ".join(parts)
             + f" SELECT v AS node, round(sum(delta), {round_to}) "
               f"AS betweenness FROM ({union}) GROUP BY v")
+
+
+def closeness_centrality(edges: DataFrame, sources: DataFrame | None = None,
+                         n_sources: int = 16, max_depth: int = 10,
+                         src_col: str = "src", dst_col: str = "dst",
+                         node_col: str = "node") -> DataFrame:
+    """Sampled closeness centrality over the DIRECTED edge set: for each
+    (sampled) source s, returns (node=s, reach, total_dist, closeness)
+    where reach counts nodes reachable from s within ``max_depth``
+    (s itself included), total_dist sums their shortest-path distances,
+    and closeness = (reach - 1) / total_dist (0.0 when s reaches
+    nothing).  Exact closeness = pass ``sources`` = every node; the
+    sampled form is the only sane shape at scale (all-sources is an
+    all-pairs BFS).
+
+    Without ``sources``, ``n_sources`` roots are picked deterministically
+    by md5 order of the node id -- the same engine-reproducible sampling
+    rule as :func:`betweenness`.
+
+    Level-synchronous multi-root BFS carrying the root in the key: per
+    level ONE join frontier->edges, ONE (root, node) dedup aggregation,
+    ONE anti-join against the visited set -- every shuffle keyed on node
+    ids, so bucketed edge tables make levels exchange-free.  State is
+    O(|sources| x reachable) rows, the shortest-path pair-count
+    discipline.  reach/total_dist are exact integers; closeness is the
+    one float, rounded by the caller if hash-compared.
+    """
+    edges = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
+    if sources is None:
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .unionByName(edges.select(F.col("dst").alias("node")))
+                 .dropDuplicates(["node"]))
+        sources = (nodes
+                   .orderBy(F.md5(F.col("node").cast("string")))
+                   .limit(n_sources))
+    roots = (sources.select(F.col(node_col).alias("root"))
+             .dropDuplicates(["root"]))
+    visited = roots.select(
+        "root", F.col("root").alias("node"),
+        F.lit(0).cast("long").alias("dist")).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+               .select("root", F.col("dst").alias("node"))
+               .dropDuplicates(["root", "node"])
+               .join(visited.select("root", "node"),
+                     ["root", "node"], "left_anti")
+               .withColumn("dist", F.lit(depth).cast("long")))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    per_root = (visited.groupBy("root")
+                .agg(F.count(F.lit(1)).alias("reach"),
+                     F.sum("dist").alias("total_dist")))
+    return per_root.select(
+        F.col("root").alias("node"), "reach", "total_dist",
+        F.when(F.col("total_dist") > 0,
+               (F.col("reach") - 1).cast("double") / F.col("total_dist"))
+        .otherwise(F.lit(0.0)).alias("closeness"))
+
+
+def closeness_sql_oracle(edges_sql: str, sources_sql: str,
+                         max_depth: int = 10, round_to: int = 6) -> str:
+    """Recursive-CTE ANSI-SQL twin of :func:`closeness_centrality`.
+
+    ``edges_sql`` selects (src, dst); ``sources_sql`` selects (node).
+    Distances via per-root path enumeration bounded by ``max_depth``
+    (oracle-scale only); closeness rounded to ``round_to`` decimals."""
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+roots AS (SELECT DISTINCT node AS root FROM ({sources_sql})),
+walk(root, node, dist) AS (
+  SELECT root, root, 0 FROM roots
+  UNION ALL
+  SELECT w.root, e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {max_depth}
+),
+sp AS (SELECT root, node, min(dist) AS dist FROM walk GROUP BY root, node)
+SELECT root AS node,
+       count(*) AS reach,
+       CAST(sum(dist) AS BIGINT) AS total_dist,
+       CASE WHEN sum(dist) > 0
+            THEN round((count(*) - 1) * 1.0 / sum(dist), {round_to})
+            ELSE 0.0 END AS closeness
+FROM sp GROUP BY root"""
+
+
+def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
+                                  fixpoint_iters: int = 30,
+                                  src_col: str = "src",
+                                  dst_col: str = "dst") -> DataFrame:
+    """Strongly connected components of the DIRECTED graph: returns
+    (node, component) where component is the smallest node id in the
+    node's SCC.
+
+    The coloring / FW-BW-style algorithm (Orzan 2004; Slota et al. 2014)
+    as a pure DataFrame loop:
+
+    1. FORWARD min-label fixpoint on the unassigned subgraph:
+       fwd(v) = min id over nodes that can reach v.  Propagated with an
+       improvements-only frontier (same shrinking-worklist shape as
+       :func:`weighted_shortest_paths`) -- each round ONE join
+       frontier->edges, ONE min aggregation, ONE improvement anti-join,
+       all keyed on node ids.
+    2. BACKWARD fixpoint on the REVERSED edges: bwd(v) = min id over
+       nodes v can reach.
+    3. v is assigned component fwd(v) exactly when fwd(v) == bwd(v)
+       (m reaches v and v reaches m => v is in SCC(m)); everything else
+       stays for the next outer round on the shrunken subgraph.
+
+    Singleton-heavy DAG regions assign in one round (fwd == bwd == self
+    unless a cycle exists); adversarial chains of nested SCCs cost one
+    outer round each -- the known worst case of every label-based SCC
+    algorithm, which is why ``max_rounds`` is a budget with a warning,
+    not silence, on exhaustion.
+    """
+    edges = (edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+             .dropDuplicates(["src", "dst"]).localCheckpoint(eager=True))
+    remaining = (edges.select(F.col("src").alias("node"))
+                 .unionByName(edges.select(F.col("dst").alias("node")))
+                 .dropDuplicates(["node"]).localCheckpoint(eager=True))
+    assigned = None
+
+    def _min_label_fixpoint(nodes: DataFrame, ed: DataFrame) -> DataFrame:
+        # label(v) = min(v, min over edges u->v of label(u)), to fixpoint;
+        # only IMPROVED labels re-enter the frontier
+        labels = nodes.select("node", F.col("node").alias("label"))
+        labels = labels.localCheckpoint(eager=True)
+        frontier = labels
+        for _ in range(fixpoint_iters):
+            cand = (frontier.join(ed, frontier["node"] == ed["src"])
+                    .select(F.col("dst").alias("node"),
+                            F.col("label"))
+                    .groupBy("node").agg(F.min("label").alias("label")))
+            improved = (cand.join(
+                labels.withColumnRenamed("label", "__old"), "node")
+                .where(F.col("label") < F.col("__old"))
+                .select("node", "label").localCheckpoint(eager=True))
+            if improved.isEmpty():
+                break
+            labels = (labels.join(improved.select("node"), "node",
+                                  "left_anti")
+                      .unionByName(improved).localCheckpoint(eager=True))
+            frontier = improved
+        return labels
+
+    for _ in range(max_rounds):
+        sub = (edges.join(remaining.withColumnRenamed("node", "src"),
+                          "src", "left_semi")
+               .join(remaining.withColumnRenamed("node", "dst"),
+                     "dst", "left_semi"))
+        sub = sub.localCheckpoint(eager=True)
+        fwd = _min_label_fixpoint(remaining, sub)
+        bwd = _min_label_fixpoint(
+            remaining, sub.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        both = (fwd.join(bwd.withColumnRenamed("label", "__b"), "node")
+                .localCheckpoint(eager=True))
+        done = (both.where(F.col("label") == F.col("__b"))
+                .select("node", F.col("label").alias("component")))
+        assigned = (done if assigned is None
+                    else assigned.unionByName(done))
+        assigned = assigned.localCheckpoint(eager=True)
+        remaining = (both.where(F.col("label") != F.col("__b"))
+                     .select("node").localCheckpoint(eager=True))
+        if remaining.isEmpty():
+            return assigned
+    warnings.warn(
+        f"strongly_connected_components: {remaining.count()} nodes still "
+        f"unassigned after max_rounds={max_rounds} outer rounds -- deeply "
+        "nested SCC chains need a larger budget; raise max_rounds",
+        stacklevel=2)
+    return assigned.unionByName(
+        remaining.select("node", F.col("node").alias("component")))
+
+
+def scc_sql_oracle(edges_sql: str) -> str:
+    """ANSI-SQL twin of :func:`strongly_connected_components` via the
+    transitive closure: scc(v) = min({v} union {u : v->u and u->v}).
+    Recursive closure enumeration -- oracle-scale only.
+
+    ``edges_sql`` selects (src, dst)."""
+    return f"""
+WITH RECURSIVE edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+tc(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT t.a, e.dst FROM tc t JOIN edges e ON e.src = t.b
+),
+mutual AS (SELECT t1.a AS u, t1.b AS v
+           FROM tc t1 JOIN tc t2 ON t2.a = t1.b AND t2.b = t1.a)
+SELECT n.node,
+       CASE WHEN min(m.v) IS NULL THEN n.node
+            ELSE least(n.node, min(m.v)) END AS component
+FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+GROUP BY n.node"""

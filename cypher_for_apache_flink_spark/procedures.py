@@ -236,6 +236,18 @@ def builtin_graph_procedures() -> list:
                            n_sources=int(n_sources)) \
             .select("node", "betweenness")
 
+    def _scc(session, graph, max_rounds):
+        from .functions.graph_algos import strongly_connected_components
+        return strongly_connected_components(
+            graph_edges(graph), max_rounds=int(max_rounds)) \
+            .select("node", "component")
+
+    def _closeness(session, graph, n_sources):
+        from .functions.graph_algos import closeness_centrality
+        return closeness_centrality(graph_edges(graph),
+                                    n_sources=int(n_sources)) \
+            .select("node", "closeness")
+
     return [
         graph_procedure(
             "algo.pageRank(iterations :: INTEGER?, damping :: FLOAT?) "
@@ -272,5 +284,13 @@ def builtin_graph_procedures() -> list:
         graph_procedure(
             "algo.betweenness(nSources :: INTEGER?) "
             ":: (node :: INTEGER?, betweenness :: FLOAT?)", _betweenness,
+            defaults=(("nSources", 16),)),
+        graph_procedure(
+            "algo.scc(maxRounds :: INTEGER?) "
+            ":: (node :: INTEGER?, component :: INTEGER?)", _scc,
+            defaults=(("maxRounds", 8),)),
+        graph_procedure(
+            "algo.closeness(nSources :: INTEGER?) "
+            ":: (node :: INTEGER?, closeness :: FLOAT?)", _closeness,
             defaults=(("nSources", 16),)),
     ]

@@ -294,3 +294,22 @@ def test_zero_arg_calls_use_defaults(algo_session):
     assert len(pr) == 7
     h = rows(algo_session, "CALL algo.hits()")
     assert len(h) == 7
+
+
+def test_scc_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        strongly_connected_components)
+    got = rows(algo_session, "CALL algo.scc()")
+    lib = sorted(tuple(r) for r in strongly_connected_components(
+        graph_edges(algo_session.graph("algofix"))).collect())
+    assert got == lib and len(got) == 7
+
+
+def test_closeness_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        closeness_centrality)
+    got = rows(algo_session, "CALL algo.closeness(4)")
+    lib = sorted(tuple(r) for r in closeness_centrality(
+        graph_edges(algo_session.graph("algofix")),
+        n_sources=4).select("node", "closeness").collect())
+    assert got == lib and len(got) == 4

@@ -1,0 +1,80 @@
+"""Integer-lattice k-means (functions/clustering.py).
+
+Beyond-reference surface (the reference has no clustering operator);
+tests check Lloyd's semantics by hand, determinism under repartition,
+and exact parity with the unrolled ANSI-SQL oracle in DuckDB.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_flink_spark.functions.clustering import (
+    kmeans, kmeans_sql_oracle, kmeans_summary)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    rows = ([(i, [0.0 + i * 0.001, 0.0]) for i in range(5)]
+            + [(10 + i, [10.0 + i * 0.001, 10.0]) for i in range(5)])
+    df = _vecs(spark, rows)
+    assigned, cents = kmeans(df, k=2, iterations=4)
+    got = {r.id: r.cluster for r in assigned.collect()}
+    low = {got[i] for i in range(5)}
+    high = {got[10 + i] for i in range(5)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+    assert len(cents) == 2 and len(cents[0]) == 2
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    rows = [(i, [float((i * 7) % 13), float((i * 5) % 11)])
+            for i in range(40)]
+    a = sorted(map(tuple, kmeans(_vecs(spark, rows), k=3)[0].collect()))
+    b = sorted(map(tuple, kmeans(
+        _vecs(spark, rows).repartition(7), k=3)[0].collect()))
+    assert a == b
+
+
+def test_kmeans_k_exceeds_rows_raises(spark):
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans(_vecs(spark, [(1, [0.0]), (2, [1.0])]), k=5)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k=3 over two tight far-apart blobs: one seed centroid loses all
+    # members after the first assignment and must persist unchanged
+    rows = ([(0, [0.0]), (1, [0.01]), (2, [0.02])]
+            + [(3, [100.0]), (4, [100.01])])
+    assigned, cents = kmeans(_vecs(spark, rows), k=3, iterations=3)
+    assert len(cents) == 3
+    sizes = {r.cluster: 1 for r in assigned.collect()}
+    assert len(assigned.collect()) == 5
+
+
+def test_kmeans_summary_matches_sql_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    rows = [(i, [float((i * 7 + d) % 13) / 3.0 for d in range(8)])
+            for i in range(60)]
+    df = _vecs(spark, rows)
+    got = sorted(map(tuple, kmeans_summary(
+        df, k=4, iterations=3).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embt(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embt VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(kmeans_sql_oracle(
+        "SELECT vec_id, embedding FROM embt", k=4, iterations=3,
+        dims=8)).fetchall()))
+    assert got == want
+
+
+def test_kmeans_inertia_never_increases_across_iterations(spark):
+    rows = [(i, [float((i * 11 + d * 3) % 17) for d in range(4)])
+            for i in range(50)]
+    df = _vecs(spark, rows)
+    inertias = []
+    for it in (1, 2, 4):
+        s = kmeans_summary(df, k=3, iterations=it)
+        inertias.append(s.agg(F.sum("inertia")).collect()[0][0])
+    assert inertias[0] >= inertias[1] >= inertias[2]

@@ -561,3 +561,114 @@ def test_weighted_sp_warns_on_exhausted_budget(spark):
                                                  max_iters=10).collect()}
     assert not any("max_iters" in str(r.message) for r in rec2)
     assert got2[4] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components / closeness centrality (round 9)
+
+def test_scc_mixed_cycles_and_dag(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        strongly_connected_components)
+    # SCC {1,2,3,7}, SCC {4,5}, singleton 6, DAG edges between them
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6), (3, 7),
+         (7, 1)], "src long, dst long")
+    got = sorted((r.node, r.component)
+                 for r in strongly_connected_components(edges).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 1)]
+
+
+def test_scc_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        scc_sql_oracle, strongly_connected_components)
+    # deterministic pseudo-random directed graph with plenty of cycles
+    pairs = sorted({(i % 13, (i * 5 + 3) % 13) for i in range(40)}
+                   | {((i * 7 + 1) % 13, i % 13) for i in range(20)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted((r.node, r.component)
+                 for r in strongly_connected_components(edges).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(map(tuple, con.execute(
+        scc_sql_oracle("SELECT src, dst FROM e")).fetchall()))
+    assert got == want
+
+
+def test_scc_nested_chain_needs_multiple_rounds(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        strongly_connected_components)
+    # chain of 2-cycles 1<->2 -> 3<->4 -> 5<->6: coloring assigns one
+    # SCC per outer round, so this exercises the multi-round path
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5), (5, 6), (6, 5)],
+        "src long, dst long")
+    got = sorted((r.node, r.component)
+                 for r in strongly_connected_components(edges).collect())
+    assert got == [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 5)]
+
+
+def test_scc_warns_when_budget_exhausted(spark):
+    import warnings as W
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        strongly_connected_components)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5), (5, 6), (6, 5)],
+        "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = sorted((r.node, r.component)
+                     for r in strongly_connected_components(
+                         edges, max_rounds=1).collect())
+    assert any("max_rounds" in str(w.message) for w in caught)
+    # budget fallback: unassigned nodes become singletons, every node
+    # still appears exactly once
+    assert [n for n, _ in got] == [1, 2, 3, 4, 5, 6]
+
+
+def test_closeness_hand_computed(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        closeness_centrality)
+    # path 1 -> 2 -> 3 -> 4: from 1, dists 0+1+2+3=6 over reach 4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    src = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {r.node: (r.reach, r.total_dist, round(r.closeness, 9))
+           for r in closeness_centrality(edges, src).collect()}
+    assert got[1] == (4, 6, 0.5)
+    assert got[4] == (1, 0, 0.0)  # sink: reaches nothing
+
+
+def test_closeness_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        closeness_centrality, closeness_sql_oracle)
+    pairs = sorted({(i % 11, (i * 3 + 2) % 11) for i in range(30)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    src = spark.createDataFrame([(0,), (4,), (7,)], "node long")
+    got = sorted((r.node, r.reach, r.total_dist, round(r.closeness, 6))
+                 for r in closeness_centrality(edges, src).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted((a, b, c, float(d)) for a, b, c, d in con.execute(
+        closeness_sql_oracle(
+            "SELECT src, dst FROM e",
+            "SELECT 0 AS node UNION ALL SELECT 4 UNION ALL SELECT 7"))
+        .fetchall())
+    assert got == want
+
+
+def test_closeness_default_sampling_is_deterministic(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        closeness_centrality)
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 17) for i in range(17)], "src long, dst long")
+    a = sorted(map(tuple, closeness_centrality(
+        edges, n_sources=4).collect()))
+    b = sorted(map(tuple, closeness_centrality(
+        edges.repartition(5), n_sources=4).collect()))
+    assert a == b and len(a) == 4
