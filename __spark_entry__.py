@@ -1059,12 +1059,29 @@ def _q_kmeans(spark, sf_dir):
     return (kmeans_summary(emb, k=8, iterations=3).orderBy("cluster"))
 
 
-# New in round 9 — SCC + closeness (CALL algo.scc / algo.closeness) and
-# the k-means clustering surface.
+def _q_random_walks(spark, sf_dir):
+    """Deterministic pseudo-random walks (round 9, DeepWalk/node2vec
+    sampling stage — functions/graph_algos.py random_walks) over the
+    symmetrized part co-purchase graph; md5 draws make the walks
+    engine-reproducible so the SQL oracle replays them verbatim."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        random_walks,
+    )
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    starts = (edges.select(F.col("src").alias("node"))
+              .where(F.col("src") % 97 == 1).dropDuplicates(["node"]))
+    return random_walks(edges, starts, length=6).orderBy("walk", "step")
+
+
+# New in round 9 — SCC + closeness (CALL algo.scc / algo.closeness),
+# the k-means clustering surface, and random-walk sampling.
 _ROUND9_QUERIES = {
     "scc_components": _q_scc,
     "closeness_centrality": _q_closeness,
     "kmeans_embeddings": _q_kmeans,
+    "random_walks": _q_random_walks,
 }
 
 
@@ -1269,6 +1286,7 @@ _ROUND8_STALE = [
 # compile-path sweep below.  These lead tier (b) of the window.
 _ROUND9_DIRECT = [
     'scc_components', 'closeness_centrality', 'kmeans_embeddings',  # NEW r9
+    'random_walks',                                                 # NEW r9
     'agg_tpch_q3',                       # NEW round 9
     'hits_scores', 'label_propagation', 'weighted_shortest_paths',
     'call_triangle_count', 'any_tostring_mixed', 'betweenness_sampled',
@@ -1589,6 +1607,18 @@ def _closeness_oracle_sql() -> str:
     sources_sql = ("SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS node "
                    "FROM region")
     return closeness_sql_oracle(edges_sql, sources_sql, max_depth=4)
+
+
+def _random_walks_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        random_walks_sql_oracle,
+    )
+    edges_sql = (f"SELECT src, dst FROM ({_COPURCHASE_SQL}) c "
+                 "UNION ALL SELECT dst, src FROM "
+                 f"({_COPURCHASE_SQL}) r")
+    starts_sql = (f"SELECT DISTINCT src AS node FROM ({edges_sql}) s "
+                  "WHERE src % 97 = 1")
+    return random_walks_sql_oracle(edges_sql, starts_sql, length=6)
 
 
 def _kmeans_oracle_sql() -> str:
@@ -2284,6 +2314,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "scc_components": _scc_oracle_sql(),
         "closeness_centrality": _closeness_oracle_sql(),
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "random_walks": _random_walks_oracle_sql(),
         # CALL algo.triangleCount() computes the same co-purchase
         # triangle count as the direct-library query
         "call_triangle_count": _triangle_oracle_sql(),

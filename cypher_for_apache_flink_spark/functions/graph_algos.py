@@ -1410,3 +1410,76 @@ SELECT n.node,
             ELSE least(n.node, min(m.v)) END AS component
 FROM nodes n LEFT JOIN mutual m ON m.u = n.node
 GROUP BY n.node"""
+
+
+def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
+                 src_col: str = "src", dst_col: str = "dst",
+                 node_col: str = "node") -> DataFrame:
+    """Deterministic pseudo-random walks for graph-embedding training
+    corpora (the DeepWalk/node2vec sampling stage): from each start node,
+    one walk of up to ``length`` steps; returns (walk, step, node) --
+    walk = the start node id, step 0..length -- sorted-friendly long rows
+    rather than arrays so downstream skip-gram windowing is an explode-
+    free self-join.  Walks stop early at sink nodes.
+
+    "Random" is an md5 draw over (walk, step, candidate): at every step
+    each out-edge of the frontier node gets the draw
+    md5(walk || '|' || step || '|' || dst) and the walk takes the
+    lexicographically smallest -- no RNG state, identical walks on any
+    engine, partitioning, or retry (the same determinism contract as
+    functions/sampling.py's hash-fraction draws), and an ANSI-SQL oracle
+    replays it verbatim (:func:`random_walks_sql_oracle`).
+
+    Per step: ONE join frontier->edges keyed on the node id and ONE
+    min-struct aggregation per walk -- map-side combinable, no window
+    function, no skew beyond the graph's own out-degree distribution.
+    The trace accumulates one row per (walk, step): O(|starts| x length)
+    state, the same discipline as the BFS/betweenness loops above.
+    """
+    edges = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
+    frontier = (starts.select(F.col(node_col).alias("walk"))
+                .dropDuplicates(["walk"])
+                .withColumn("node", F.col("walk")))
+    frontier = frontier.localCheckpoint(eager=True)
+    trace = frontier.select("walk", F.lit(0).alias("step"), "node")
+    for step in range(1, length + 1):
+        draw = F.md5(F.concat_ws("|", F.col("walk").cast("string"),
+                                 F.lit(str(step)),
+                                 F.col("dst").cast("string")))
+        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+               .groupBy("walk")
+               .agg(F.min(F.struct(draw.alias("d"),
+                                   F.col("dst").alias("node")))
+                    .alias("pick"))
+               .select("walk", F.col("pick.node").alias("node")))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        trace = trace.unionByName(
+            nxt.select("walk", F.lit(step).alias("step"), "node"))
+        frontier = nxt
+    return trace
+
+
+def random_walks_sql_oracle(edges_sql: str, starts_sql: str,
+                            length: int = 5) -> str:
+    """ANSI-SQL twin of :func:`random_walks`: the same md5 draw over
+    (walk, step, dst), unrolled to ``length`` step CTEs.
+
+    ``edges_sql`` selects (src, dst); ``starts_sql`` selects (node)."""
+    parts = [f"""edges AS ({edges_sql}),
+s0 AS (SELECT DISTINCT node AS walk, node FROM ({starts_sql}))"""]
+    selects = ["SELECT walk, 0 AS step, node FROM s0"]
+    for t in range(1, length + 1):
+        parts.append(f"""
+s{t} AS (SELECT walk, node FROM (
+  SELECT p.walk, e.dst AS node,
+         row_number() OVER (
+           PARTITION BY p.walk
+           ORDER BY md5(CAST(p.walk AS VARCHAR) || '|{t}|'
+                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+  FROM s{t - 1} p JOIN edges e ON e.src = p.node) r WHERE rn = 1)""")
+        selects.append(f"SELECT walk, {t} AS step, node FROM s{t}")
+    return ("WITH " + ",".join(parts) + " "
+            + " UNION ALL ".join(selects))

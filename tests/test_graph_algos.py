@@ -672,3 +672,49 @@ def test_closeness_default_sampling_is_deterministic(spark):
     b = sorted(map(tuple, closeness_centrality(
         edges.repartition(5), n_sources=4).collect()))
     assert a == b and len(a) == 4
+
+
+def test_random_walks_shape_and_determinism(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        random_walks)
+    pairs = [(i, (i * 3 + 1) % 17) for i in range(17)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    starts = spark.createDataFrame([(0,), (5,)], "node long")
+    a = sorted(map(tuple, random_walks(edges, starts, length=4).collect()))
+    # every walk starts at its start node at step 0
+    assert (0, 0, 0) in a and (5, 0, 5) in a
+    # full-length walks: 2 walks x 5 rows (steps 0..4)
+    assert len(a) == 10
+    b = sorted(map(tuple, random_walks(
+        edges.repartition(5), starts, length=4).collect()))
+    assert a == b
+
+
+def test_random_walks_stop_at_sinks(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        random_walks)
+    # 1 -> 2 -> 3, 3 is a sink: the walk must stop at step 2
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    starts = spark.createDataFrame([(1,)], "node long")
+    got = sorted(map(tuple, random_walks(edges, starts, length=9).collect()))
+    assert got == [(1, 0, 1), (1, 1, 2), (1, 2, 3)]
+
+
+def test_random_walks_match_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        random_walks, random_walks_sql_oracle)
+    pairs = sorted({(i % 11, (i * 3 + 2) % 11) for i in range(30)}
+                   | {(i % 11, (i * 7 + 5) % 11) for i in range(20)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    starts = spark.createDataFrame([(0,), (3,), (9,)], "node long")
+    got = sorted(map(tuple, random_walks(edges, starts, length=5).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(map(tuple, con.execute(random_walks_sql_oracle(
+        "SELECT src, dst FROM e",
+        "SELECT 0 AS node UNION ALL SELECT 3 UNION ALL SELECT 9",
+        length=5)).fetchall()))
+    assert got == want
