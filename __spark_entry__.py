@@ -181,6 +181,20 @@ _CYPHER_QUERIES = {
         "o.o_orderpriority AS o_priority, "
         "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
         "ORDER BY revenue DESC, o_date, o_priority LIMIT 10"),
+    "agg_tpch_q5": _cypher(
+        # TPC-H Q5 shape (round 9): 6-hop chain CLOSED INTO A CYCLE by
+        # the second MATCH (supplier from the customer's own nation) —
+        # the planner's ExpandInto + stats-driven ordering get a real
+        # Q5-class workload; Catalyst broadcasts region/nation and
+        # pushes the r_name filter into the dimension scan.
+        "MATCH (r:Region)<-[:IN_REGION]-(n:Nation)"
+        "<-[:FROM_NATION]-(c:Customer)-[:PLACED]->(o:Order)"
+        "-[l:CONTAINS]->(p:Part)-[:SUPPLIED_BY]->(s:Supplier) "
+        "MATCH (s)-[:FROM_NATION]->(n) "
+        "WHERE r.r_name = 'ASIA' "
+        "RETURN n.n_name AS nation, "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "ORDER BY revenue DESC, nation"),
     "agg_count_distinct": _cypher(
         "MATCH (o:Order)-[l:CONTAINS]->(p:Part) "
         "RETURN count(DISTINCT p) AS n_parts"),
@@ -1075,6 +1089,24 @@ def _q_random_walks(spark, sf_dir):
     return random_walks(edges, starts, length=6).orderBy("walk", "step")
 
 
+def _q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair counts (round 9) from the same
+    deterministic walks as the random_walks query — the word2vec
+    windowing stage, one walk-keyed self-join."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        random_walks, skipgram_pairs,
+    )
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    starts = (edges.select(F.col("src").alias("node"))
+              .where(F.col("src") % 97 == 1).dropDuplicates(["node"]))
+    walks = random_walks(edges, starts, length=6)
+    return (skipgram_pairs(walks, window=2)
+            .groupBy("center", "context").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("center", "context"))
+
+
 # New in round 9 — SCC + closeness (CALL algo.scc / algo.closeness),
 # the k-means clustering surface, and random-walk sampling.
 _ROUND9_QUERIES = {
@@ -1082,6 +1114,7 @@ _ROUND9_QUERIES = {
     "closeness_centrality": _q_closeness,
     "kmeans_embeddings": _q_kmeans,
     "random_walks": _q_random_walks,
+    "skipgram_pairs": _q_skipgram_pairs,
 }
 
 
@@ -1286,7 +1319,7 @@ _ROUND8_STALE = [
 # compile-path sweep below.  These lead tier (b) of the window.
 _ROUND9_DIRECT = [
     'scc_components', 'closeness_centrality', 'kmeans_embeddings',  # NEW r9
-    'random_walks',                                                 # NEW r9
+    'random_walks', 'agg_tpch_q5', 'skipgram_pairs',                # NEW r9
     'agg_tpch_q3',                       # NEW round 9
     'hits_scores', 'label_propagation', 'weighted_shortest_paths',
     'call_triangle_count', 'any_tostring_mixed', 'betweenness_sampled',
@@ -1621,6 +1654,24 @@ def _random_walks_oracle_sql() -> str:
     return random_walks_sql_oracle(edges_sql, starts_sql, length=6)
 
 
+def _skipgram_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        random_walks_sql_oracle,
+    )
+    edges_sql = (f"SELECT src, dst FROM ({_COPURCHASE_SQL}) c "
+                 "UNION ALL SELECT dst, src FROM "
+                 f"({_COPURCHASE_SQL}) r")
+    starts_sql = (f"SELECT DISTINCT src AS node FROM ({edges_sql}) s "
+                  "WHERE src % 97 = 1")
+    walks = random_walks_sql_oracle(edges_sql, starts_sql, length=6)
+    return (f"WITH wk AS ({walks}) "
+            "SELECT a.node AS center, b.node AS context, "
+            "count(*) AS n "
+            "FROM wk a JOIN wk b ON a.walk = b.walk "
+            "AND abs(a.step - b.step) > 0 AND abs(a.step - b.step) <= 2 "
+            "GROUP BY a.node, b.node")
+
+
 def _kmeans_oracle_sql() -> str:
     from cypher_for_apache_flink_spark.functions.clustering import (
         kmeans_sql_oracle,
@@ -1792,6 +1843,25 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_shipdate > TIMESTAMP '1998-06-30 00:00:00' "
             "GROUP BY 1, 2 "
             "ORDER BY revenue DESC, o_date, o_priority LIMIT 10"),
+        "agg_tpch_q5": (
+            # SUPPLIED_BY edges are one per lineitem (part -> supplier),
+            # so the pattern's supplier hop joins lineitem to lineitem
+            # on the part key — the self-join reproduces the edge
+            # multiplicity exactly
+            "SELECT n.n_name AS nation, "
+            "round(sum(a.l_extendedprice * (1 - a.l_discount)), 2) "
+            "AS revenue "
+            "FROM region r "
+            "JOIN nation n ON n.n_regionkey = r.r_regionkey "
+            "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+            "JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem a ON a.l_orderkey = o.o_orderkey "
+            "JOIN lineitem b ON b.l_partkey = a.l_partkey "
+            "JOIN supplier s ON s.s_suppkey = b.l_suppkey "
+            "AND s.s_nationkey = n.n_nationkey "
+            "WHERE r.r_name = 'ASIA' "
+            "GROUP BY n.n_name "
+            "ORDER BY revenue DESC, nation"),
         "agg_count_distinct": (
             "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem"),
         "agg_global": (
@@ -2315,6 +2385,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "closeness_centrality": _closeness_oracle_sql(),
         "kmeans_embeddings": _kmeans_oracle_sql(),
         "random_walks": _random_walks_oracle_sql(),
+        "skipgram_pairs": _skipgram_oracle_sql(),
         # CALL algo.triangleCount() computes the same co-purchase
         # triangle count as the direct-library query
         "call_triangle_count": _triangle_oracle_sql(),

@@ -1483,3 +1483,30 @@ s{t} AS (SELECT walk, node FROM (
         selects.append(f"SELECT walk, {t} AS step, node FROM s{t}")
     return ("WITH " + ",".join(parts) + " "
             + " UNION ALL ".join(selects))
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2,
+                   walk_col: str = "walk", step_col: str = "step",
+                   node_col: str = "node") -> DataFrame:
+    """(center, context) training pairs from walk traces (the word2vec
+    skip-gram windowing stage over :func:`random_walks` output): every
+    ordered pair of nodes on the same walk within ``window`` steps of
+    each other, both directions, center != position.  Returns
+    (center, context) with multiplicity -- exactly the pair stream a
+    skip-gram trainer consumes.
+
+    ONE self-join keyed on the walk id with a bounded step-distance
+    predicate -- walks are short (the sampling stage bounds length), so
+    the per-walk fan-out is O(length x window) and the join is an
+    equi-join on walk with a residual range filter, never a cartesian.
+    """
+    a = walks.select(F.col(walk_col).alias("__w"),
+                     F.col(step_col).alias("__s1"),
+                     F.col(node_col).alias("center"))
+    b = walks.select(F.col(walk_col).alias("__w2"),
+                     F.col(step_col).alias("__s2"),
+                     F.col(node_col).alias("context"))
+    d = F.abs(F.col("__s1") - F.col("__s2"))
+    return (a.join(b, (F.col("__w") == F.col("__w2"))
+                   & (d > 0) & (d <= window))
+            .select("center", "context"))

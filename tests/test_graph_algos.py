@@ -718,3 +718,27 @@ def test_random_walks_match_duckdb_oracle(spark):
         "SELECT 0 AS node UNION ALL SELECT 3 UNION ALL SELECT 9",
         length=5)).fetchall()))
     assert got == want
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        skipgram_pairs)
+    # one walk a->b->c: window 1 pairs = (a,b),(b,a),(b,c),(c,b)
+    walks = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (1, 2, "c")],
+        "walk long, step long, node string")
+    got = sorted(map(tuple, skipgram_pairs(walks, window=1).collect()))
+    assert got == [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    # window 2 adds (a,c) and (c,a)
+    got2 = sorted(map(tuple, skipgram_pairs(walks, window=2).collect()))
+    assert got2 == sorted(got + [("a", "c"), ("c", "a")])
+
+
+def test_skipgram_pairs_never_cross_walks(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        skipgram_pairs)
+    walks = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (2, 0, "x"), (2, 1, "y")],
+        "walk long, step long, node string")
+    got = sorted(map(tuple, skipgram_pairs(walks, window=3).collect()))
+    assert got == [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
