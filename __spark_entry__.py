@@ -1089,6 +1089,24 @@ def _q_random_walks(spark, sf_dir):
     return random_walks(edges, starts, length=6).orderBy("walk", "step")
 
 
+def _q_k_truss(spark, sf_dir):
+    """k-truss decomposition (round 9, functions/graph_algos.py k_truss)
+    of a deterministic half-sample of the co-purchase graph (md5 edge
+    draw -- engine-reproducible like every sampling primitive), rolled
+    up to (n_edges, n_nodes, total_support).  The sample keeps the bench
+    cost proportionate: triangle enumeration is the whole cost of a
+    peel round and scales superlinearly with density."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import k_truss
+    e = (_copurchase_edges(spark, sf_dir)
+         .where(F.md5(F.concat_ws("|", F.col("src"), F.col("dst")))
+                < "8"))
+    t = k_truss(e, k=5, rounds=2)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.count_distinct(F.col("src")).alias("n_src"),
+        F.sum("support").alias("total_support"))
+
+
 def _q_skipgram_pairs(spark, sf_dir):
     """Skip-gram (center, context) pair counts (round 9) from the same
     deterministic walks as the random_walks query — the word2vec
@@ -1115,6 +1133,7 @@ _ROUND9_QUERIES = {
     "kmeans_embeddings": _q_kmeans,
     "random_walks": _q_random_walks,
     "skipgram_pairs": _q_skipgram_pairs,
+    "k_truss": _q_k_truss,
 }
 
 
@@ -1319,7 +1338,7 @@ _ROUND8_STALE = [
 # compile-path sweep below.  These lead tier (b) of the window.
 _ROUND9_DIRECT = [
     'scc_components', 'closeness_centrality', 'kmeans_embeddings',  # NEW r9
-    'random_walks', 'agg_tpch_q5', 'skipgram_pairs',                # NEW r9
+    'random_walks', 'agg_tpch_q5', 'skipgram_pairs', 'k_truss',     # NEW r9
     'agg_tpch_q3',                       # NEW round 9
     'hits_scores', 'label_propagation', 'weighted_shortest_paths',
     'call_triangle_count', 'any_tostring_mixed', 'betweenness_sampled',
@@ -1652,6 +1671,21 @@ def _random_walks_oracle_sql() -> str:
     starts_sql = (f"SELECT DISTINCT src AS node FROM ({edges_sql}) s "
                   "WHERE src % 97 = 1")
     return random_walks_sql_oracle(edges_sql, starts_sql, length=6)
+
+
+def _k_truss_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        k_truss_sql_oracle,
+    )
+    edges_sql = (
+        f"SELECT src, dst FROM ({_COPURCHASE_SQL}) cp "
+        "WHERE md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) "
+        "< '8'")
+    truss = k_truss_sql_oracle(edges_sql, k=5, rounds=2)
+    return (f"SELECT count(*) AS n_edges, "
+            "count(DISTINCT src) AS n_src, "
+            "CAST(sum(support) AS BIGINT) AS total_support "
+            f"FROM ({truss}) t")
 
 
 def _skipgram_oracle_sql() -> str:
@@ -2386,6 +2420,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "kmeans_embeddings": _kmeans_oracle_sql(),
         "random_walks": _random_walks_oracle_sql(),
         "skipgram_pairs": _skipgram_oracle_sql(),
+        "k_truss": _k_truss_oracle_sql(),
         # CALL algo.triangleCount() computes the same co-purchase
         # triangle count as the direct-library query
         "call_triangle_count": _triangle_oracle_sql(),

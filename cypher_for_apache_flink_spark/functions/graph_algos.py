@@ -1510,3 +1510,130 @@ def skipgram_pairs(walks: DataFrame, window: int = 2,
     return (a.join(b, (F.col("__w") == F.col("__w2"))
                    & (d > 0) & (d <= window))
             .select("center", "context"))
+
+
+def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
+            src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-truss decomposition of the UNDIRECTED graph: the maximal
+    subgraph in which every edge participates in at least k-2 triangles.
+    Returns the surviving edges as (src, dst, support) with src < dst and
+    support counted within the final subgraph.
+
+    Iterative peeling (the triangle analogue of :func:`k_core`): per
+    round, (1) enumerate triangles a<b<c with two node-id-ordered
+    adjacency joins plus one existence semi-join, (2) per-edge support =
+    one map-side-combinable count over the three edge projections of
+    each triangle, (3) drop edges below k-2 and repeat until no edge
+    falls or ``rounds`` is exhausted (a warning, not silence -- peeling
+    cascades).  Every join is keyed on node ids (bucketed edge tables
+    make the triangle joins exchange-free); the triangle stream is never
+    collected, only aggregated.  The SQL oracle
+    (:func:`k_truss_sql_oracle`) unrolls the same rounds, so mid-
+    convergence states also compare equal.
+    """
+    if k < 2:
+        raise ValueError("k_truss: k must be >= 2")
+    a, b = F.col(src_col), F.col(dst_col)
+    ed = (edges.select(F.least(a, b).alias("a"),
+                       F.greatest(a, b).alias("b"))
+          .where(F.col("a") != F.col("b"))
+          .dropDuplicates(["a", "b"]).localCheckpoint(eager=True))
+
+    def _support(e: DataFrame) -> DataFrame:
+        # DEGREE-ORDERED enumeration (same orientation trick as
+        # :func:`triangle_count`): orient every edge from the
+        # (degree, id)-smaller endpoint, so each triangle p<q<r is found
+        # exactly once as p->q join q->r with p->r present, and every
+        # out-neighborhood is bounded by O(sqrt(m)) -- hub nodes never
+        # explode the join.  The oracle enumerates by plain node id
+        # instead; the triangle SET (and so every support count) is
+        # orientation-invariant.
+        deg = (e.select(F.col("a").alias("n"))
+               .unionAll(e.select(F.col("b").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+        ea = (e.join(deg.select(F.col("n").alias("a"),
+                                F.col("d").alias("da")), "a")
+              .join(deg.select(F.col("n").alias("b"),
+                               F.col("d").alias("db")), "b"))
+        lo_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        orient = ea.select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+        x = orient.select(F.col("u").alias("p"), F.col("v").alias("q"))
+        y = orient.select(F.col("u").alias("q2"), F.col("v").alias("r"))
+        tri = (x.join(y, F.col("q") == F.col("q2")).select("p", "q", "r")
+               .join(orient.select(F.col("u").alias("p"),
+                                   F.col("v").alias("r")),
+                     ["p", "r"], "left_semi"))
+        # project back to undirected (min-id, max-id) edge keys
+        def side(m, n):
+            return tri.select(F.least(m, n).alias("a"),
+                              F.greatest(m, n).alias("b"))
+        sides = (side(F.col("p"), F.col("q"))
+                 .unionAll(side(F.col("p"), F.col("r")))
+                 .unionAll(side(F.col("q"), F.col("r"))))
+        return sides.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support"))
+
+    converged = False
+    final = None
+    for _ in range(rounds):
+        sup = _support(ed).localCheckpoint(eager=True)
+        kept = (ed.join(sup, ["a", "b"], "left")
+                .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+                .select("a", "b").localCheckpoint(eager=True))
+        removed = ed.join(kept, ["a", "b"], "left_anti")
+        if removed.isEmpty():
+            # nothing fell: sup was computed on exactly the final edge
+            # set, so reuse it -- the triangle enumeration is the whole
+            # cost of a round and recomputing it would change nothing
+            converged = True
+            final = sup
+            break
+        ed = kept
+    if not converged:
+        warnings.warn(
+            f"k_truss: peeling still removing edges after rounds={rounds} "
+            "-- result is an over-approximation of the k-truss; raise "
+            "rounds", stacklevel=2)
+        final = _support(ed)
+    return (ed.join(final, ["a", "b"], "left")
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                    F.coalesce(F.col("support"), F.lit(0)).alias("support")))
+
+
+def k_truss_sql_oracle(edges_sql: str, k: int = 4, rounds: int = 8) -> str:
+    """SQL twin of :func:`k_truss`, the peeling unrolled to ``rounds``
+    CTE blocks.  ``edges_sql`` selects (src, dst).  The round CTEs are
+    declared MATERIALIZED: each round references its predecessor several
+    times, and an inlining planner (DuckDB's default) would otherwise
+    expand the chain exponentially."""
+    parts = [f"""e_0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) raw WHERE src <> dst)"""]
+
+    def tri(i: int) -> str:
+        return f"""
+tri_{i} AS MATERIALIZED (
+  SELECT x.a AS ta, x.b AS tb, y.b AS tc
+  FROM e_{i} x JOIN e_{i} y ON y.a = x.b
+  WHERE EXISTS (SELECT 1 FROM e_{i} z WHERE z.a = x.a AND z.b = y.b)),
+sup_{i} AS MATERIALIZED (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT ta AS a, tb AS b FROM tri_{i}
+    UNION ALL SELECT ta, tc FROM tri_{i}
+    UNION ALL SELECT tb, tc FROM tri_{i}) s GROUP BY a, b)"""
+
+    for i in range(rounds):
+        parts.append(tri(i))
+        parts.append(f"""
+e_{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e_{i} e LEFT JOIN sup_{i} s
+  ON s.a = e.a AND s.b = e.b
+  WHERE COALESCE(s.support, 0) >= {k - 2})""")
+    parts.append(tri(rounds))
+    return ("WITH " + ",".join(parts) + f"""
+SELECT e.a AS src, e.b AS dst,
+       CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM e_{rounds} e LEFT JOIN sup_{rounds} s ON s.a = e.a AND s.b = e.b""")

@@ -242,6 +242,12 @@ def builtin_graph_procedures() -> list:
             graph_edges(graph), max_rounds=int(max_rounds)) \
             .select("node", "component")
 
+    def _k_truss(session, graph, k, rounds):
+        from .functions.graph_algos import k_truss
+        return k_truss(graph_edges(graph), k=int(k),
+                       rounds=int(rounds)) \
+            .select("src", "dst", "support")
+
     def _closeness(session, graph, n_sources):
         from .functions.graph_algos import closeness_centrality
         return closeness_centrality(graph_edges(graph),
@@ -293,4 +299,9 @@ def builtin_graph_procedures() -> list:
             "algo.closeness(nSources :: INTEGER?) "
             ":: (node :: INTEGER?, closeness :: FLOAT?)", _closeness,
             defaults=(("nSources", 16),)),
+        graph_procedure(
+            "algo.kTruss(k :: INTEGER?, rounds :: INTEGER?) "
+            ":: (src :: INTEGER?, dst :: INTEGER?, "
+            "support :: INTEGER?)", _k_truss,
+            defaults=(("k", 4), ("rounds", 8))),
     ]

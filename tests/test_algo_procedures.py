@@ -313,3 +313,13 @@ def test_closeness_call_matches_library(algo_session):
         graph_edges(algo_session.graph("algofix")),
         n_sources=4).select("node", "closeness").collect())
     assert got == lib and len(got) == 4
+
+
+def test_k_truss_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import k_truss
+    got = rows(algo_session, "CALL algo.kTruss(3, 4)")
+    lib = sorted(tuple(r) for r in k_truss(
+        graph_edges(algo_session.graph("algofix")), k=3, rounds=4).collect())
+    assert got == lib
+    # the fixture's two shared triangles survive a 3-truss (support 1)
+    assert len(got) == 6

@@ -742,3 +742,62 @@ def test_skipgram_pairs_never_cross_walks(spark):
         "walk long, step long, node string")
     got = sorted(map(tuple, skipgram_pairs(walks, window=3).collect()))
     assert got == [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+
+
+def test_k_truss_k5_keeps_only_the_clique(spark):
+    import itertools
+    from cypher_for_apache_flink_spark.functions.graph_algos import k_truss
+    # K5 (every edge in 3 triangles) + pendant triangle {4,6,7} + tail 7-8
+    pairs = (list(itertools.combinations(range(5), 2))
+             + [(4, 6), (4, 7), (6, 7), (7, 8)])
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted(map(tuple, k_truss(edges, k=5, rounds=4).collect()))
+    assert got == sorted((a, b, 3) for a, b
+                         in itertools.combinations(range(5), 2))
+    # k=3 keeps every triangle edge (support >= 1), drops the tail only
+    got3 = {(a, b) for a, b, _ in k_truss(edges, k=3, rounds=4).collect()}
+    assert got3 == set(itertools.combinations(range(5), 2)) \
+        | {(4, 6), (4, 7), (6, 7)}
+
+
+def test_k_truss_cascading_peel(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import k_truss
+    # diamond 0-1-2-3 with chord 1-2: edges (0,3) missing.  k=4 demands
+    # support >= 2: only the chord (1,2) has it, but removing the others
+    # cascades -- the 4-truss is empty, and reaching that takes >1 round
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    assert k_truss(edges, k=4, rounds=4).count() == 0
+
+
+def test_k_truss_warns_on_budget(spark):
+    import warnings as W
+    from cypher_for_apache_flink_spark.functions.graph_algos import k_truss
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        n = k_truss(edges, k=4, rounds=1).count()
+    assert any("rounds" in str(w.message) for w in caught)
+    assert n > 0  # over-approximation, loudly flagged
+
+
+def test_k_truss_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        k_truss, k_truss_sql_oracle)
+    pairs = sorted({(min(i % 9, (i * 5 + 2) % 9), max(i % 9, (i * 5 + 2) % 9))
+                    for i in range(40)}
+                   | {(min(i % 9, (i * 7 + 1) % 9), max(i % 9, (i * 7 + 1) % 9))
+                      for i in range(25)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    for k in (3, 4, 5):
+        got = sorted(map(tuple, k_truss(edges, k=k, rounds=4).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+        want = sorted(map(tuple, con.execute(
+            k_truss_sql_oracle("SELECT src, dst FROM e",
+                               k=k, rounds=4)).fetchall()))
+        assert got == want, f"k={k}"
