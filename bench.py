@@ -59,6 +59,13 @@ HEADLINE = [
     "betweenness_sampled",
     # round 9 surfaces
     "agg_tpch_q3",
+    "agg_tpch_q5",
+    "scc_components",
+    "closeness_centrality",
+    "kmeans_embeddings",
+    "random_walks",
+    "skipgram_pairs",
+    "k_truss",
 ]
 
 

@@ -458,14 +458,25 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     deg = (_repart(und.select(F.explode(F.array("u", "v")).alias("node")),
                    nparts, "node")
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # The DEGREE joins get the same explicit strategy as the adjacency
+    # joins below, and for the same reason: materializing und (the exact
+    # count above) makes Catalyst's estimates realistic, which pushes the
+    # derived deg table over the autoBroadcast threshold and silently
+    # flips both joins to sort-merge — measured +24.5 MB shuffle (44.9 ->
+    # 69.4 MB) at sf0.1 for a (node, count) side of a few hundred KB.
+    # Small graphs broadcast deg; large graphs keep the node-id-keyed
+    # shuffle (deg is O(#nodes) rows — billions on a 100 TB graph, not
+    # broadcast material).
+    def _deg_side(node_alias: str, deg_alias: str):
+        side = (deg.withColumnRenamed("node", node_alias)
+                .withColumnRenamed("deg", deg_alias))
+        return side if big_data else F.broadcast(side)
     # deg's groupBy output is hash(node)@nparts, which the alias-preserving
     # Project keeps, so only the und side of each degree join needs a pin
     withdeg = (_repart(und, nparts, "u")
-               .join(deg.withColumnRenamed("node", "u")
-                        .withColumnRenamed("deg", "du"), "u"))
+               .join(_deg_side("u", "du"), "u"))
     withdeg = (_repart(withdeg, nparts, "v")
-               .join(deg.withColumnRenamed("node", "v")
-                        .withColumnRenamed("deg", "dv"), "v"))
+               .join(_deg_side("v", "dv"), "v"))
     # rank = (deg, id) totally orders nodes; orient low -> high
     ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
     rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
@@ -1436,30 +1447,37 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
     The trace accumulates one row per (walk, step): O(|starts| x length)
     state, the same discipline as the BFS/betweenness loops above.
     """
-    edges = edges.select(F.col(src_col).alias("src"),
-                         F.col(dst_col).alias("dst"))
-    frontier = (starts.select(F.col(node_col).alias("walk"))
-                .dropDuplicates(["walk"])
-                .withColumn("node", F.col("walk")))
-    frontier = frontier.localCheckpoint(eager=True)
-    trace = frontier.select("walk", F.lit(0).alias("step"), "node")
-    for step in range(1, length + 1):
-        draw = F.md5(F.concat_ws("|", F.col("walk").cast("string"),
-                                 F.lit(str(step)),
-                                 F.col("dst").cast("string")))
-        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
-               .groupBy("walk")
-               .agg(F.min(F.struct(draw.alias("d"),
-                                   F.col("dst").alias("node")))
-                    .alias("pick"))
-               .select("walk", F.col("pick.node").alias("node")))
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        trace = trace.unionByName(
-            nxt.select("walk", F.lit(step).alias("step"), "node"))
-        frontier = nxt
-    return trace
+    # loop-invariant: persist so a derived edge table (e.g. the
+    # co-purchase groupBy+explode) is computed once, not once per step
+    edges = (edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst")).persist())
+    try:
+        frontier = (starts.select(F.col(node_col).alias("walk"))
+                    .dropDuplicates(["walk"])
+                    .withColumn("node", F.col("walk")))
+        frontier = frontier.localCheckpoint(eager=True)
+        trace = frontier.select("walk", F.lit(0).alias("step"), "node")
+        for step in range(1, length + 1):
+            draw = F.md5(F.concat_ws("|", F.col("walk").cast("string"),
+                                     F.lit(str(step)),
+                                     F.col("dst").cast("string")))
+            nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+                   .groupBy("walk")
+                   .agg(F.min(F.struct(draw.alias("d"),
+                                       F.col("dst").alias("node")))
+                        .alias("pick"))
+                   .select("walk", F.col("pick.node").alias("node")))
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            trace = trace.unionByName(
+                nxt.select("walk", F.lit(step).alias("step"), "node"))
+            frontier = nxt
+        # every retained row is localCheckpoint-materialized, so the
+        # persisted edges can be released before returning
+        return trace
+    finally:
+        edges.unpersist()
 
 
 def random_walks_sql_oracle(edges_sql: str, starts_sql: str,
