@@ -180,3 +180,25 @@ assign_final AS (SELECT id, cluster, sq
     return ("WITH " + ",".join(blocks) + """
 SELECT cluster, count(*) AS size, CAST(sum(sq) AS BIGINT) AS inertia
 FROM assign_final GROUP BY cluster""")
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[int]],
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  scale: int = 1000) -> DataFrame:
+    """Assign NEW vectors to existing :func:`kmeans` centroids -- the
+    incremental-ingestion path (cluster a batch against yesterday's
+    model without refitting).  Returns (id, cluster, sq_dist) with the
+    same quantization, tie-break, and distance lattice as training, so
+    a vector identical to a training row lands in the same cluster.
+    Pure column expressions against broadcast centroid literals: no
+    join, no shuffle, safe inside foreachBatch."""
+    if not centroids:
+        raise ValueError("kmeans_assign: centroids must be non-empty")
+    q = df.select(F.col(id_col).alias("id"),
+                  _quantize(F.col(vec_col), scale).alias("q"))
+    dists = F.array(*[_sq_dist(F.col("q"), c) for c in centroids])
+    return q.select(
+        "id",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int").alias("cluster"),
+        F.array_min(dists).alias("sq_dist"))

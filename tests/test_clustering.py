@@ -78,3 +78,32 @@ def test_kmeans_inertia_never_increases_across_iterations(spark):
         s = kmeans_summary(df, k=3, iterations=it)
         inertias.append(s.agg(F.sum("inertia")).collect()[0][0])
     assert inertias[0] >= inertias[1] >= inertias[2]
+
+
+def test_kmeans_assign_matches_training_assignment(spark):
+    from cypher_for_apache_flink_spark.functions.clustering import (
+        kmeans_assign)
+    rows = [(i, [float((i * 7) % 13), float((i * 5) % 11)])
+            for i in range(30)]
+    df = _vecs(spark, rows)
+    assigned, cents = kmeans(df, k=3, iterations=3)
+    re = kmeans_assign(df, cents)
+    a = sorted(map(tuple, assigned.collect()))
+    b = sorted(map(tuple, re.collect()))
+    assert a == b
+
+
+def test_kmeans_assign_new_vector_nearest_centroid(spark):
+    from cypher_for_apache_flink_spark.functions.clustering import (
+        kmeans_assign)
+    cents = [[0, 0], [10000, 10000]]
+    new = _vecs(spark, [(99, [9.6, 9.7]), (100, [0.1, -0.2])])
+    got = {r.id: r.cluster for r in kmeans_assign(new, cents).collect()}
+    assert got == {99: 1, 100: 0}
+
+
+def test_kmeans_assign_empty_centroids_raises(spark):
+    from cypher_for_apache_flink_spark.functions.clustering import (
+        kmeans_assign)
+    with pytest.raises(ValueError, match="non-empty"):
+        kmeans_assign(_vecs(spark, [(1, [0.0])]), [])
