@@ -59,7 +59,16 @@ def query_families() -> dict[str, list[str]]:
         "multimodal": ["media_decode"],
         "graph_algos": ["pagerank", "bfs_shortest_paths", "triangle_count",
                         "degree_histogram", "k_core", "node_similarity",
-                        "personalized_pagerank"],
+                        "personalized_pagerank",
+                        # round 8
+                        "weighted_shortest_paths", "label_propagation",
+                        "hits_scores", "betweenness_sampled",
+                        "call_triangle_count",
+                        # round 9
+                        "scc_components", "closeness_centrality",
+                        "random_walks", "skipgram_pairs", "k_truss"],
+        "clustering": ["kmeans_embeddings"],
+        "procedures": ["call_triangle_count"],
         "streaming": ["events_sessions", "events_sliding_counts",
                       "correlated_events"],
         "ddl": ["ddl_graph"],
@@ -78,7 +87,7 @@ PATH_FAMILIES = {
     PKG + "session.py": ["cypher"],
     PKG + "errors.py": [],            # error paths produce no result rows
     PKG + "tck/": [],                 # TCK harness: no driver rows
-    PKG + "procedures.py": [],        # CALL surface: no driver query uses it
+    PKG + "procedures.py": ["procedures"],  # CALL algo.* driver rows
     PKG + "sources/create.py": [],    # CREATE fixtures: tests/TCK only
     PKG + "sources/tpch.py": ["cypher"],
     PKG + "sources/ddl.py": ["ddl"],
@@ -90,6 +99,7 @@ PATH_FAMILIES = {
     PKG + "functions/pipeline.py": ["pipeline"],
     PKG + "functions/multimodal.py": ["multimodal"],
     PKG + "functions/graph_algos.py": ["graph_algos"],
+    PKG + "functions/clustering.py": ["clustering"],
     PKG + "streaming/": ["streaming"],
 }
 
