@@ -242,6 +242,18 @@ def builtin_graph_procedures() -> list:
             graph_edges(graph), max_rounds=int(max_rounds)) \
             .select("node", "component")
 
+    def _random_walks(session, graph, n_starts, length):
+        from pyspark.sql import functions as F
+        from .functions.graph_algos import random_walks
+        edges = graph_edges(graph)
+        starts = (edges.select(F.col("src").alias("node"))
+                  .unionByName(edges.select(F.col("dst").alias("node")))
+                  .dropDuplicates(["node"])
+                  .orderBy(F.md5(F.col("node").cast("string")))
+                  .limit(int(n_starts)))
+        return random_walks(edges, starts, length=int(length)) \
+            .select("walk", "step", "node")
+
     def _k_truss(session, graph, k, rounds):
         from .functions.graph_algos import k_truss
         return k_truss(graph_edges(graph), k=int(k),
@@ -304,4 +316,9 @@ def builtin_graph_procedures() -> list:
             ":: (src :: INTEGER?, dst :: INTEGER?, "
             "support :: INTEGER?)", _k_truss,
             defaults=(("k", 4), ("rounds", 8))),
+        graph_procedure(
+            "algo.randomWalks(nStarts :: INTEGER?, length :: INTEGER?) "
+            ":: (walk :: INTEGER?, step :: INTEGER?, "
+            "node :: INTEGER?)", _random_walks,
+            defaults=(("nStarts", 16), ("length", 5))),
     ]

@@ -323,3 +323,14 @@ def test_k_truss_call_matches_library(algo_session):
     assert got == lib
     # the fixture's two shared triangles survive a 3-truss (support 1)
     assert len(got) == 6
+
+
+def test_random_walks_call_shape(algo_session):
+    got = rows(algo_session, "CALL algo.randomWalks(3, 4)")
+    # 3 deterministic starts, each walk begins at its start node
+    walks = {w for w, _, _ in got}
+    assert len(walks) == 3
+    for w in walks:
+        assert (w, 0, w) in got
+    # deterministic: identical on re-run
+    assert got == rows(algo_session, "CALL algo.randomWalks(3, 4)")

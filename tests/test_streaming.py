@@ -321,3 +321,29 @@ def test_stream_dedup_wrapper_rejects_batch_input(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="streaming"):
         stream_dedup_against_index(spark, df, "/tmp/nope", lambda d, b: None)
+
+
+def test_streaming_kmeans_assign_parity(spark, tmp_path):
+    """kmeans_assign inside foreachBatch scores a stream identically to
+    the batch path -- the incremental-ingestion contract."""
+    from cypher_for_apache_flink_spark.functions.clustering import (
+        kmeans, kmeans_assign)
+    rows_in = [(i, [float((i * 7) % 13), float((i * 5) % 11)])
+               for i in range(40)]
+    df = spark.createDataFrame(rows_in,
+                               "vec_id long, embedding array<double>")
+    _, cents = kmeans(df, k=3, iterations=2)
+    src = str(tmp_path / "in")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema(df.schema).parquet(src))
+    got = []
+
+    def sink(batch, _bid):
+        got.extend(sorted(map(tuple, kmeans_assign(batch, cents).collect())))
+
+    (stream.writeStream.foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", str(tmp_path / "ck"))
+     .start().awaitTermination(120))
+    want = sorted(map(tuple, kmeans_assign(df, cents).collect()))
+    assert sorted(got) == want
