@@ -801,3 +801,26 @@ def test_k_truss_matches_duckdb_oracle(spark):
             k_truss_sql_oracle("SELECT src, dst FROM e",
                                k=k, rounds=4)).fetchall()))
         assert got == want, f"k={k}"
+
+
+def test_round9_ops_empty_inputs(spark):
+    """Empty-graph / empty-source edge cases return empty (or the lone
+    step-0 row for a sink start) instead of raising."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        closeness_centrality, k_truss, random_walks, skipgram_pairs,
+        strongly_connected_components)
+    empty_e = spark.createDataFrame([], "src long, dst long")
+    empty_n = spark.createDataFrame([], "node long")
+    one_e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert strongly_connected_components(empty_e).count() == 0
+    assert closeness_centrality(empty_e, empty_n).count() == 0
+    assert closeness_centrality(one_e, empty_n).count() == 0
+    assert k_truss(empty_e).count() == 0
+    assert skipgram_pairs(
+        spark.createDataFrame([], "walk long, step long, node long")
+    ).count() == 0
+    assert random_walks(one_e, empty_n).count() == 0
+    # a start with no out-edges yields exactly its step-0 row
+    lone = random_walks(empty_e,
+                        spark.createDataFrame([(1,)], "node long"))
+    assert sorted(map(tuple, lone.collect())) == [(1, 0, 1)]
