@@ -221,7 +221,7 @@ def main():
         from pyspark.sql import functions as F
 
         from cypher_for_apache_flink_spark.functions.graph_algos import (
-            k_core, pagerank, triangle_count)
+            k_core, k_truss, pagerank, random_walks, triangle_count)
 
         base = entrymod._copurchase_edges(spark, sf_dir) \
             .dropDuplicates(["src", "dst"])
@@ -235,10 +235,31 @@ def main():
         big = big.repartition(int(cpus)).persist()
         n_edges = big.count()
         sf1_metrics = {}
+        def _walks():
+            starts = (big.select(F.col("src").alias("node"))
+                      .dropDuplicates(["node"])
+                      .orderBy(F.md5(F.col("node").cast("string")))
+                      .limit(16))
+            return random_walks(big, starts, length=8)
+
+        def _truss():
+            # quarter-sample (like the headline query's half-sample):
+            # the triangle enumeration is the cost driver and scales
+            # superlinearly with density; one bounded round is the
+            # 100x-shape check, convergence is the sf0.1 query's job
+            import warnings as W
+            q = big.where(
+                F.md5(F.concat_ws("|", F.col("src"), F.col("dst"))) < "4")
+            with W.catch_warnings():
+                W.simplefilter("ignore")
+                return k_truss(q, k=5, rounds=1)
+
         for qname, fn in [
                 ("pagerank", lambda: pagerank(big, iterations=3)),
                 ("k_core", lambda: k_core(big, k=4)),
-                ("triangle_count", lambda: triangle_count(big))]:
+                ("triangle_count", lambda: triangle_count(big)),
+                ("random_walks", _walks),
+                ("k_truss_quarter", _truss)]:
             # VERDICT r7 #4: the sf1 wall numbers are not load-invariant
             # (r7's recorded triangle 45.2s reproduced at 33.8s under the
             # same config) — record the physical stage totals alongside,
