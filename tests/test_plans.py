@@ -183,3 +183,23 @@ def test_pattern_comprehension_plan_is_grouped_join(g):
         f"read_parquet('{SF_DIR}/customer.parquet') c "
         f"ON c.c_nationkey = n.n_nationkey GROUP BY 1").fetchall())
     assert rows == want
+
+
+def test_q5_cycle_plan_broadcasts_and_pushes_region_filter(g):
+    """The TPC-H Q5-shaped cyclic pattern (supplier from the customer's
+    own nation) must keep every dimension join broadcast, never fall to
+    a cartesian product, and push the region-name filter into the
+    parquet scan."""
+    res = g.cypher(
+        "MATCH (r:Region)<-[:IN_REGION]-(n:Nation)"
+        "<-[:FROM_NATION]-(c:Customer)-[:PLACED]->(o:Order)"
+        "-[l:CONTAINS]->(p:Part)-[:SUPPLIED_BY]->(s:Supplier) "
+        "MATCH (s)-[:FROM_NATION]->(n) "
+        "WHERE r.r_name = 'ASIA' "
+        "RETURN n.n_name AS nation, "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "ORDER BY revenue DESC, nation")
+    plan = _full(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(r_name,ASIA\)", plan)
