@@ -16,6 +16,7 @@ EXAMPLES = [
     ("update_construct", 2),
     ("datasource_fs", 1),
     ("incremental_dedup", 1),
+    ("embedding_corpus", 1),
 ]
 
 
