@@ -46,10 +46,23 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
                                 .withColumnRenamed("cc", "ucc"), "u")
                         .groupBy(F.col("v").alias("node"))
                         .agg(F.min("ucc").alias("ncc")))
-        new_labels = (labels.join(neighbor_min, "node", "left")
+        prop = (labels.join(neighbor_min, "node", "left")
+                .select("node",
+                        F.least(F.col("cc"),
+                                F.coalesce("ncc", "cc")).alias("cc")))
+        # pointer doubling: cc <- min(cc, cc[cc]).  Labels are node ids,
+        # and "m labels v" means m and v share a component, so the label
+        # of v's label is also in v's component — chasing it halves the
+        # remaining chain every round.  Turns worst-case convergence from
+        # O(diameter) rounds (a 10k-link chain would blow any budget at
+        # 100 TB) into O(log diameter), for one extra label-keyed join.
+        mapping = prop.select(F.col("node").alias("__k"),
+                              F.col("cc").alias("__v"))
+        new_labels = (prop.join(mapping, prop["cc"] == F.col("__k"),
+                                "left")
                       .select("node",
                               F.least(F.col("cc"),
-                                      F.coalesce("ncc", "cc")).alias("cc"))
+                                      F.coalesce("__v", "cc")).alias("cc"))
                       ).localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")

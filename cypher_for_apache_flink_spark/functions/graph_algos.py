@@ -1310,7 +1310,7 @@ FROM sp GROUP BY root"""
 
 
 def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
-                                  fixpoint_iters: int = 30,
+                                  fixpoint_iters: int = 64,
                                   src_col: str = "src",
                                   dst_col: str = "dst") -> DataFrame:
     """Strongly connected components of the DIRECTED graph: returns
@@ -1337,6 +1337,14 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
     outer round each -- the known worst case of every label-based SCC
     algorithm, which is why ``max_rounds`` is a budget with a warning,
     not silence, on exhaustion.
+
+    ``fixpoint_iters`` bounds min-label propagation distance: cycles
+    longer than the budget get the over-approximation warning (inherent
+    to min-label SCC -- only the true minimum improves labels in a
+    cycle's descending alignment, so propagation there is one hop per
+    round and no doubling trick can shortcut it; see the fixpoint
+    comment).  Unused budget costs nothing: the loop exits the first
+    round nothing improves.
     """
     edges = (edges.select(F.col(src_col).alias("src"),
                           F.col(dst_col).alias("dst"))
@@ -1348,7 +1356,18 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
 
     def _min_label_fixpoint(nodes: DataFrame, ed: DataFrame) -> DataFrame:
         # label(v) = min(v, min over edges u->v of label(u)), to fixpoint;
-        # only IMPROVED labels re-enter the frontier
+        # only IMPROVED labels re-enter the frontier.  Pointer doubling
+        # (label-of-label, as connected_components does) is reachability-
+        # sound here too but deliberately NOT used: it only accelerates
+        # cycles whose ids ascend along their edges (in the descending
+        # alignment nothing but the true minimum ever improves a label,
+        # so no chains form to chase), and — measured in this Spark
+        # version — iterating a state frame through a self-join makes
+        # per-iteration driver time DOUBLE past ~15 iterations with
+        # constant plans/stages/tasks, turning a 30-iteration fixpoint
+        # into minutes.  Edge-only propagation stays flat per iteration
+        # indefinitely (same experiment), so a generous budget is cheap:
+        # unused iterations cost nothing after the early exit.
         labels = nodes.select("node", F.col("node").alias("label"))
         labels = labels.localCheckpoint(eager=True)
         frontier = labels

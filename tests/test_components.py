@@ -39,3 +39,16 @@ def test_real_near_dup_pairs_cluster(spark):
         distinct_docs = (pairs.select(F.col("a").alias("d"))
                          .union(pairs.select("b")).distinct().count())
         assert total_nodes == distinct_docs
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """Pointer doubling (round 9): a 600-link chain has diameter 600 —
+    far past the 25-round budget of plain min-label propagation — but
+    label-of-label chasing closes it in ~log2(600) rounds."""
+    from cypher_for_apache_flink_spark.functions.components import (
+        connected_components)
+    pairs = [(i, i + 1) for i in range(600)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    out = connected_components(df)
+    comps = out.select("cc").distinct().collect()
+    assert len(comps) == 1 and comps[0][0] == 0
