@@ -1346,32 +1346,38 @@ _ROUND9_DIRECT = [
 ]
 
 # Round 9 changed queries, derived mechanically:
-# `python tools/changed_queries.py 3638458..HEAD` (63 names — the
-# anyvalue/columns + planner CALL-path edits sweep the whole Cypher
-# family; graph_algos edits sweep the algorithm family) plus the
-# entry-local queries in _ROUND9_DIRECT the tool cannot attribute.
+# `python tools/changed_queries.py 3638458..HEAD` (76 names at the
+# end of the round — the anyvalue/columns + planner CALL-path edits
+# sweep the whole Cypher family; graph_algos/clustering/components/
+# procedures edits sweep the algorithm, clustering, dedup-cluster and
+# CALL families) unioned with the entry-local queries in
+# _ROUND9_DIRECT the tool cannot attribute.
 _ROUND9_CHANGED = [
     'agg_count_distinct', 'agg_global', 'agg_stats', 'agg_tpch_q1',
-    'agg_tpch_q3', 'bfs_shortest_paths', 'bitwise_functions',
-    'case_expression', 'coalesce_function', 'collect_unwind',
-    'construct_requery', 'ddl_graph', 'degree_histogram',
+    'agg_tpch_q3', 'agg_tpch_q5', 'betweenness_sampled',
+    'bfs_shortest_paths', 'bitwise_functions', 'call_triangle_count',
+    'case_expression', 'closeness_centrality', 'coalesce_function',
+    'collect_unwind', 'construct_requery', 'ddl_graph', 'degree_histogram',
     'distinct_projection', 'driving_table', 'duration_accessors',
     'duration_shift', 'edge_uniqueness_pairs', 'events_hour_buckets',
     'events_temporal', 'exists_pattern', 'expand_1hop', 'expand_2hop',
     'expand_3hop_keyword_types', 'expand_incoming', 'expand_into',
-    'expand_undirected', 'graph_union', 'k_core', 'keyword_label_scan',
+    'expand_undirected', 'graph_union', 'hits_scores', 'k_core', 'k_truss',
+    'keyword_label_scan', 'kmeans_embeddings', 'label_propagation',
     'labels_function', 'list_functions', 'math_functions',
-    'mutation_create_delete', 'mutation_set_rematch', 'node_similarity',
-    'not_exists_pattern', 'optional_first_clause', 'optional_match_count',
-    'optional_match_null', 'order_skip_limit', 'orderby_expression',
-    'pagerank', 'percentile_disc_global', 'personalized_pagerank',
-    'predicate_contains', 'predicate_in', 'predicate_regex',
-    'predicate_string_match', 'rel_properties', 'scan_filter',
-    'scan_filter_and_or', 'scan_nodes', 'shortest_path_pairs',
+    'mutation_create_delete', 'mutation_set_rematch', 'near_dup_clusters',
+    'node_similarity', 'not_exists_pattern', 'optional_first_clause',
+    'optional_match_count', 'optional_match_null', 'order_skip_limit',
+    'orderby_expression', 'pagerank', 'percentile_disc_global',
+    'personalized_pagerank', 'predicate_contains', 'predicate_in',
+    'predicate_regex', 'predicate_string_match', 'random_walks',
+    'rel_properties', 'scan_filter', 'scan_filter_and_or', 'scan_nodes',
+    'scc_components', 'shortest_path_pairs', 'skipgram_pairs',
     'spatial_distance_topk', 'string_functions', 'triangle_count',
     'type_function', 'union_all', 'union_distinct', 'unwind_literal',
     'unwind_range_filter', 'var_length_1_2', 'var_length_2_2',
-    'var_length_typed', 'var_length_unbounded', 'with_pipeline',
+    'var_length_typed', 'var_length_unbounded', 'weighted_shortest_paths',
+    'with_pipeline',
 ]
 
 
