@@ -242,6 +242,18 @@ def builtin_graph_procedures() -> list:
             graph_edges(graph), max_rounds=int(max_rounds)) \
             .select("node", "component")
 
+    def _graph_stats(session, graph):
+        from pyspark.sql import functions as F
+        edges = graph_edges(graph)
+        deg = (edges.select(F.col("src").alias("node"))
+               .unionByName(edges.select(F.col("dst").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        return (deg.agg(
+            F.count(F.lit(1)).alias("nodes"),
+            (F.sum("d") / 2).cast("long").alias("edges"),
+            F.round(F.avg("d"), 6).alias("avg_degree"),
+            F.max("d").alias("max_degree")))
+
     def _random_walks(session, graph, n_starts, length):
         from pyspark.sql import functions as F
         from .functions.graph_algos import random_walks
@@ -321,4 +333,9 @@ def builtin_graph_procedures() -> list:
             ":: (walk :: INTEGER?, step :: INTEGER?, "
             "node :: INTEGER?)", _random_walks,
             defaults=(("nStarts", 16), ("length", 5))),
+        graph_procedure(
+            "algo.graphStats() "
+            ":: (nodes :: INTEGER?, edges :: INTEGER?, "
+            "avg_degree :: FLOAT?, max_degree :: INTEGER?)",
+            _graph_stats),
     ]

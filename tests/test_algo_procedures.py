@@ -334,3 +334,12 @@ def test_random_walks_call_shape(algo_session):
         assert (w, 0, w) in got
     # deterministic: identical on re-run
     assert got == rows(algo_session, "CALL algo.randomWalks(3, 4)")
+
+
+def test_graph_stats_call(algo_session):
+    # fixture: 8 undirected LINK edges over 7 nodes, node 3 has degree 4
+    got = rows(algo_session, "CALL algo.graphStats()")
+    assert len(got) == 1
+    nodes, edges, avg_deg, max_deg = got[0]
+    assert (nodes, edges, max_deg) == (7, 8, 4)
+    assert abs(avg_deg - 16 / 7) < 1e-6
