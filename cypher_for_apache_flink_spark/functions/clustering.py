@@ -20,9 +20,12 @@ Design notes (100-TB shape):
 
 Determinism / oracle-exactness: arithmetic runs on an INTEGER lattice --
 vectors are quantized to round(x * scale) int64 once up front, distances
-are integer sums of squares, and centroid updates floor-divide
-(floor(sum / count) on an IEEE-exact double quotient).  Every engine
-computes bit-identical results, so a plain ANSI-SQL oracle hash-matches
+are integer sums of squares, and centroid updates floor-divide in exact
+INTEGER arithmetic on both sides (Python ``//`` in the engine; a
+remainder-adjusted integer division in the SQL twin -- a double
+``FLOOR(sum/count)`` would round across the floor boundary once
+per-cluster sums approach 2^53).  Every engine computes bit-identical
+results, so a plain ANSI-SQL oracle hash-matches
 (:func:`kmeans_sql_oracle`).  Initial centroids are the k rows with the
 smallest ids -- no RNG anywhere.
 """
@@ -47,6 +50,29 @@ def _sq_dist(vec: Column, centroid: list[int]) -> Column:
     return F.aggregate(
         F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _dist_array(vec: Column, centroids: list[list[int]]) -> Column:
+    """Array of integer squared distances to EVERY centroid, in centroid
+    order -- ONE ``transform`` lambda over a 2-D centroid literal that
+    Catalyst constant-folds into a single Literal value (round 10,
+    VERDICT r9 #6).  The round-9 form unrolled k separate
+    aggregate-over-zip_with expressions, so the Catalyst tree (and the
+    generated code) grew O(k x dims) COMPUTE nodes: k=64/dims=64
+    measured ~66 s of pure planning/codegen on a 300-row input.  Here
+    the compute subtree is O(1) regardless of k, and the 2-D literal is
+    parsed from ONE SQL string (per-element ``F.lit`` Column objects
+    cost a py4j round-trip each -- ~11 s for 4096 cells; ``F.expr``
+    parses the same array-of-arrays JVM-side in milliseconds).
+    Evaluation is k runtime iterations of the lambda per row, identical
+    arithmetic on the integer lattice, so results are bit-identical to
+    the unrolled form."""
+    lit2d = "array(" + ",".join(
+        "array(" + ",".join(f"{int(c)}L" for c in cc) + ")"
+        for cc in centroids) + ")"
+    return F.transform(F.expr(lit2d), lambda c: F.aggregate(
+        F.zip_with(vec, c, lambda a_, b_: (a_ - b_) * (a_ - b_)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x))
 
 
 def kmeans(df: DataFrame, k: int = 8, iterations: int = 4,
@@ -78,7 +104,7 @@ def kmeans(df: DataFrame, k: int = 8, iterations: int = 4,
         centroids = [list(r["q"]) for r in seed_rows]
 
         def assign(frame: DataFrame) -> DataFrame:
-            dists = F.array(*[_sq_dist(F.col("q"), c) for c in centroids])
+            dists = _dist_array(F.col("q"), centroids)
             return frame.select(
                 "id", "q", dists.alias("__d"),
                 (F.array_position(dists, F.array_min(dists)) - 1)
@@ -126,10 +152,14 @@ def kmeans_sql_oracle(emb_sql: str, k: int = 8, iterations: int = 4,
 
     ``emb_sql`` selects (vec_id, embedding).  Assignment = argmin of the
     integer squared distance (ties to the lowest cluster index, matching
-    array_position's first-occurrence pick); update = FLOOR(sum/count)
-    per dimension with empty clusters keeping the previous centroid.
-    Position indexing replaces zip_with: a dims-row ordinal table joined
-    cross-wise, 1-indexed list access."""
+    array_position's first-occurrence pick); update = exact integer
+    floor division per dimension (``(sum - ((sum % n) + n) % n) // n``:
+    the numerator is an exact multiple of n, so integer division is
+    exact regardless of the engine's truncation direction -- a double
+    ``FLOOR(sum * 1.0 / n)`` diverges from Python's ``//`` once sums
+    reach ~2^53, verified at 2^55+1 / 3) with empty clusters keeping
+    the previous centroid.  Position indexing replaces zip_with: a
+    dims-row ordinal table joined cross-wise, 1-indexed list access."""
     blocks = [f"""
 emb AS ({emb_sql}),
 q AS (SELECT vec_id AS id,
@@ -160,8 +190,9 @@ cent_{t + 1} AS (
   FROM cent_{t} p LEFT JOIN (
     SELECT cluster, list(val ORDER BY i) AS q
     FROM (SELECT a.cluster, d.i,
-                 CAST(FLOOR(sum(v.q[d.i + 1]) * 1.0 / count(*)) AS BIGINT)
-                   AS val
+                 CAST((sum(v.q[d.i + 1])
+                       - ((sum(v.q[d.i + 1]) % count(*)) + count(*))
+                         % count(*)) // count(*) AS BIGINT) AS val
           FROM assign_{t} a JOIN q v USING (id) CROSS JOIN dims d
           GROUP BY a.cluster, d.i)
     GROUP BY cluster) u ON u.cluster = p.cluster)""")
@@ -196,7 +227,7 @@ def kmeans_assign(df: DataFrame, centroids: list[list[int]],
         raise ValueError("kmeans_assign: centroids must be non-empty")
     q = df.select(F.col(id_col).alias("id"),
                   _quantize(F.col(vec_col), scale).alias("q"))
-    dists = F.array(*[_sq_dist(F.col("q"), c) for c in centroids])
+    dists = _dist_array(F.col("q"), centroids)
     return q.select(
         "id",
         (F.array_position(dists, F.array_min(dists)) - 1)

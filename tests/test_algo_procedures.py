@@ -343,3 +343,49 @@ def test_graph_stats_call(algo_session):
     nodes, edges, avg_deg, max_deg = got[0]
     assert (nodes, edges, max_deg) == (7, 8, 4)
     assert abs(avg_deg - 16 / 7) < 1e-6
+
+# ---------------------------------------------------------------------------
+# round 10: scc fixpointIters exposure, typed NULL-argument errors, and the
+# empty-graph tier at the CALL layer (VERDICT r9 #5/#7, ADVICE r9 high)
+
+def test_scc_call_fixpoint_iters_exposed(algo_session):
+    """algo.scc's second argument reaches the library's fixpoint budget:
+    a deliberately tiny budget on the cyclic fixture must surface the
+    round-10 UNRELIABLE warning instead of silently mis-splitting."""
+    import warnings as W
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = rows(algo_session, "CALL algo.scc(8, 1)")
+    assert any("fixpoint_iters" in str(w.message) for w in caught)
+    assert len(got) == 7
+    # and a sufficient explicit budget matches the default-call result
+    assert rows(algo_session, "CALL algo.scc(8, 256)") \
+        == rows(algo_session, "CALL algo.scc()")
+
+
+def test_null_argument_is_typed_plan_error(algo_session):
+    from cypher_for_apache_flink_spark.errors import PlanError
+    for q in ("CALL algo.pageRank(null)",
+              "CALL algo.scc(null, 64)",
+              "CALL algo.kCore(null)"):
+        with pytest.raises(PlanError, match="must not be null"):
+            algo_session.cypher(q).df
+
+
+@pytest.fixture(scope="module")
+def empty_graph_session(spark):
+    nodes = spark.createDataFrame([], "id long")
+    rels = spark.createDataFrame([], "id long, source long, target long")
+    g = PropertyGraph({frozenset(["N"]): nodes}, {"LINK": rels},
+                      name="emptyfix")
+    return CypherSession.for_graph(g)
+
+
+def test_empty_graph_calls_return_empty(empty_graph_session):
+    """The round-9 empty-input tier, lifted to the CALL layer: an empty
+    (but schema-complete) graph yields empty results, not errors."""
+    for q in ("CALL algo.scc()", "CALL algo.closeness()",
+              "CALL algo.kTruss()", "CALL algo.randomWalks()",
+              "CALL algo.connectedComponents()", "CALL algo.kCore()"):
+        assert rows(empty_graph_session, q) == [], q
+    assert rows(empty_graph_session, "CALL algo.triangleCount()") == [(0,)]

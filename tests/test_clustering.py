@@ -107,3 +107,44 @@ def test_kmeans_assign_empty_centroids_raises(spark):
         kmeans_assign)
     with pytest.raises(ValueError, match="non-empty"):
         kmeans_assign(_vecs(spark, [(1, [0.0])]), [])
+
+
+def test_kmeans_wide_k_no_codegen_blowup(spark, capfd):
+    """k=64 x dims=64 (VERDICT r9 #6): the 2-D-literal distance array
+    keeps the Catalyst compute subtree O(1) in k -- the run must finish,
+    agree with the incremental scorer, and emit no codegen-fallback
+    noise (the 64 KB method-limit warnings) on the JVM stderr."""
+    import random
+    from cypher_for_apache_flink_spark.functions.clustering import (
+        kmeans, kmeans_assign)
+    random.seed(7)
+    n, dims, k = 200, 64, 64
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dims)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(df, k=k, iterations=2)
+    got = sorted(map(tuple, assigned.collect()))
+    assert len(got) == n and len(cents) == k
+    assert all(0 <= c < k for _, c, _ in got)
+    re = sorted(map(tuple, kmeans_assign(df, cents).collect()))
+    assert got == re
+    err = capfd.readouterr().err
+    for marker in ("64 KB", "64KB", "Failed to compile",
+                   "grows beyond", "Cannot split"):
+        assert marker not in err, marker
+
+
+def test_kmeans_sql_oracle_uses_exact_integer_floor(spark):
+    """ADVICE r9 low: the oracle's centroid update must floor-divide in
+    exact integer arithmetic -- FLOOR(sum * 1.0 / n) rounds across the
+    floor boundary once sums approach 2^53.  Replay the exact division
+    formula in DuckDB at 2^55-scale sums and against Python // on
+    negatives."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for s, n in ((2**55 + 1, 3), (-(2**55) - 1, 3), (-7, 2), (7, 2),
+                 (2**62, 7), (-(2**62) - 5, 7)):
+        got = con.execute(
+            f"SELECT (({s}::HUGEINT - ((({s}::HUGEINT % {n}) + {n}) % {n}))"
+            f" // {n})::HUGEINT").fetchone()[0]
+        assert got == s // n, (s, n)

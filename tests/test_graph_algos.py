@@ -824,3 +824,99 @@ def test_round9_ops_empty_inputs(spark):
     lone = random_walks(empty_e,
                         spark.createDataFrame([(1,)], "node long"))
     assert sorted(map(tuple, lone.collect())) == [(1, 0, 1)]
+
+# ---------------------------------------------------------------------------
+# round 10: SCC truncation honesty, size-gated walk frontier, k-truss
+# big-regime plan
+
+def test_scc_long_cycle_default_budget(spark):
+    """A 70-node directed cycle is ONE SCC under default budgets (ADVICE
+    r9 high: the old fixpoint_iters=64 default silently split it into
+    ~11 components)."""
+    import warnings as W
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        strongly_connected_components)
+    n = 70
+    edges = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                                  "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = sorted((r.node, r.component)
+                     for r in strongly_connected_components(edges).collect())
+    assert got == [(i, 0) for i in range(n)]
+    assert not [w for w in caught
+                if "strongly_connected_components" in str(w.message)]
+
+
+def test_scc_truncated_fixpoint_warns_and_skips_assignment(spark):
+    """A cycle longer than fixpoint_iters must WARN (not silently
+    mis-split) and assign nothing off the under-propagated labels: every
+    node comes back as a flagged singleton placeholder."""
+    import warnings as W
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        strongly_connected_components)
+    n = 24
+    edges = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                                  "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = sorted((r.node, r.component)
+                     for r in strongly_connected_components(
+                         edges, fixpoint_iters=8).collect())
+    assert any("fixpoint_iters" in str(w.message)
+               and "UNRELIABLE" in str(w.message) for w in caught)
+    # skip-assignment semantics: no partial SCC carved out -- all
+    # placeholders, each node exactly once
+    assert got == [(i, i) for i in range(n)]
+
+
+def test_scc_budget_exactly_sufficient_no_warning(spark):
+    """fixpoint_iters = cycle length - 1 is exactly enough improving
+    iterations; the convergence probe must not flag it."""
+    import warnings as W
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        strongly_connected_components)
+    n = 10
+    edges = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                                  "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = sorted((r.node, r.component)
+                     for r in strongly_connected_components(
+                         edges, fixpoint_iters=n - 1).collect())
+    assert got == [(i, 0) for i in range(n)]
+    assert not [w for w in caught
+                if "strongly_connected_components" in str(w.message)]
+
+
+def test_random_walks_shuffled_regime_matches_broadcast(spark, monkeypatch):
+    """Forcing the big-frontier shuffled join (VERDICT r9 #1 gate) must
+    produce byte-identical walks to the broadcast plan."""
+    import cypher_for_apache_flink_spark.functions.graph_algos as ga
+    pairs = [(i, (i * 3 + 1) % 29) for i in range(29)] \
+        + [(i, (i * 7 + 2) % 29) for i in range(29)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    starts = spark.createDataFrame([(i,) for i in range(0, 29, 3)],
+                                   "node long")
+    want = sorted(map(tuple, ga.random_walks(edges, starts,
+                                             length=5).collect()))
+    monkeypatch.setattr(ga, "_PIN_DATA_BYTES", 1)   # every frontier "big"
+    got = sorted(map(tuple, ga.random_walks(edges, starts,
+                                            length=5).collect()))
+    assert got == want and len(got) == 10 * 6
+
+
+def test_k_truss_big_regime_matches_small(spark, monkeypatch):
+    """Forcing the big-data branch (pinned exchanges + shuffle_hash
+    enumeration joins, VERDICT r9 #2) must not change the truss."""
+    import cypher_for_apache_flink_spark.functions.graph_algos as ga
+    pairs = sorted({(min(i % 9, (i * 5 + 2) % 9), max(i % 9, (i * 5 + 2) % 9))
+                    for i in range(40)}
+                   | {(min(i % 9, (i * 7 + 1) % 9),
+                       max(i % 9, (i * 7 + 1) % 9)) for i in range(25)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    want = sorted(map(tuple, ga.k_truss(edges, k=3, rounds=3).collect()))
+    monkeypatch.setattr(ga, "_PIN_DATA_BYTES", 1)
+    got = sorted(map(tuple, ga.k_truss(edges, k=3, rounds=3).collect()))
+    assert got == want and len(got) > 0
