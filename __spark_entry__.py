@@ -1137,6 +1137,92 @@ _ROUND9_QUERIES = {
 }
 
 
+def _q_call_random_walks(spark, sf_dir):
+    """algo.randomWalks through the Cypher CALL surface with the
+    trailing ``length`` argument OMITTED (round 10, VERDICT r9 #5):
+    certifies the trailing-default fill (procedures.py graph_procedure
+    defaults) and the procedure's md5-ordered deterministic start
+    sampling — the library twin replays both in SQL."""
+    from cypher_for_apache_flink_spark import CypherSession, PropertyGraph
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionAll(edges.select(F.col("dst").alias("id")))
+             .dropDuplicates(["id"]))
+    rels = edges.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.col("src").alias("source"), F.col("dst").alias("target"))
+    g = PropertyGraph({frozenset(["Part"]): nodes}, {"COPURCHASED": rels},
+                      name="copurchase_rw")
+    sess = CypherSession.for_graph(g)
+    return sess.cypher(
+        "CALL algo.randomWalks(40) YIELD walk, step, node "
+        "RETURN walk, step, node ORDER BY walk, step").df
+
+
+def _q_asof_attribution(spark, sf_dir):
+    """As-of join (round 10, functions/asof.py): attribute every
+    purchase event to the same user's most recent view within 30
+    minutes — union + per-key window, ONE shuffle, left-outer
+    semantics, exact integer microsecond gaps."""
+    from cypher_for_apache_flink_spark.functions.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("user"), "ts"))
+    views = (ev.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("user"), "ts",
+                     F.col("event_id").alias("view_id")))
+    j = asof_join(purchases, views, on="user", tolerance="30 minutes")
+    # unmatched purchases keep left-outer NULLs in the operator; the
+    # recorded row coalesces them to -1 sentinels because nullable int
+    # columns round-trip as float64 through the oracle's pandas fetch
+    return (j.select(
+        "purchase_id", "user",
+        F.coalesce(F.col("asof_view_id"), F.lit(-1)).alias("view_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp")),
+            F.lit(-1)).alias("gap_us"))
+        .orderBy("purchase_id"))
+
+
+def _q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks (round 10, functions/graph_algos.py
+    node2vec_walks): p=4 discourages backtracking, q=1/4 explores —
+    exact integer u x m draws so the SQL oracle replays the walks
+    verbatim."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_walks,
+    )
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    starts = (edges.select(F.col("src").alias("node"))
+              .where(F.col("src") % 89 == 1).dropDuplicates(["node"]))
+    return (node2vec_walks(edges, starts, length=6, p=4, q="0.25")
+            .orderBy("walk", "step"))
+
+
+def _q_bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (round 10, functions/text.py
+    bm25_topk): query-term filter pushed below every aggregate, one
+    score aggregate, TakeOrderedAndProject top-k."""
+    from cypher_for_apache_flink_spark.functions.text import bm25_topk
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(docs, "hash join spark", k=15)
+
+
+# New in round 10 — the CALL wiring for the round-9 sampling procedure
+# gets its own driver-recorded row (omitted-trailing-argument path),
+# plus the as-of temporal-alignment operator and BM25 retrieval.
+_ROUND10_QUERIES = {
+    "call_random_walks": _q_call_random_walks,
+    "asof_attribution": _q_asof_attribution,
+    "bm25_retrieval": _q_bm25_retrieval,
+    "node2vec_walks": _q_node2vec_walks,
+}
+
+
 # New in round 5 — in-window so their first CORRECTNESS rows are driver-
 # recorded: the two-phase global percentileDisc plan and the banded-LSH
 # near-dup blocking are new code paths this round.
@@ -1381,11 +1467,42 @@ _ROUND9_CHANGED = [
 ]
 
 
+# The 39 _ROUND9_CHANGED queries whose driver rows predate their round-9
+# code changes because 79 changed > the 50-row window (VERDICT r9 #3 —
+# its prescribed r10 fix is to LEAD the window with exactly these;
+# mechanically: sorted(set(_ROUND9_CHANGED) - set(CORRECTNESS_r09.json))).
+_ROUND9_STALE = [
+    'agg_stats', 'agg_tpch_q1', 'bitwise_functions', 'coalesce_function',
+    'collect_unwind', 'ddl_graph', 'edge_uniqueness_pairs',
+    'events_hour_buckets', 'exists_pattern', 'expand_1hop',
+    'expand_3hop_keyword_types', 'expand_incoming', 'expand_undirected',
+    'graph_union', 'keyword_label_scan', 'labels_function',
+    'mutation_create_delete', 'mutation_set_rematch', 'not_exists_pattern',
+    'optional_match_count', 'optional_match_null', 'order_skip_limit',
+    'orderby_expression', 'predicate_contains', 'predicate_in',
+    'predicate_regex', 'predicate_string_match', 'scan_filter',
+    'scan_nodes', 'shortest_path_pairs', 'spatial_distance_topk',
+    'union_all', 'union_distinct', 'unwind_literal', 'unwind_range_filter',
+    'var_length_1_2', 'var_length_2_2', 'var_length_typed',
+    'with_pipeline',
+]
+
+# Round-10 DIRECTLY-touched queries: the size-gated walk frontier, the
+# k_truss big-regime plan, SCC convergence tracking, the k-means 2-D
+# literal distance array, the pointer-doubling cap (near-dup clusters),
+# and the CALL argument-validation path.
+_ROUND10_DIRECT = [
+    'random_walks', 'skipgram_pairs', 'k_truss', 'scc_components',
+    'kmeans_embeddings', 'near_dup_clusters', 'call_triangle_count',
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness for the first 50 entries only.
-    # Round-9 rotation (VERDICT r8 #3): (a) the 31 round-8-changed
-    # queries whose driver rows are stale, (b) queries changed in round
-    # 9, (c) the r7-spill and remaining r8-changed rows, (d) rest.
+    # Round-10 rotation (VERDICT r9 #3): (a) never-recorded round-10
+    # queries, (b) the 39 round-9-changed queries whose driver rows are
+    # stale, (c) queries directly changed in round 10, (d) the r8/r9
+    # sweep tiers, (e) rest.
     full = dict(_EXTRA_QUERIES)
     for name in _DEFERRED_VARIANTS:
         full[name] = _CYPHER_QUERIES[name]
@@ -1398,11 +1515,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(_ROUND7_QUERIES)
     full.update(_ROUND8_QUERIES)
     full.update(_ROUND9_QUERIES)
+    full.update(_ROUND10_QUERIES)
     changed = set(_ROUND9_CHANGED) | set(_ROUND8_CHANGED)
-    prio = (list(_ROUND9_QUERIES)      # never-recorded round-9 queries
-            + _ROUND8_STALE            # tier (a): stale driver rows
-            + _ROUND9_DIRECT           # tier (b): directly changed in r9
-            + [n for n in full if n in changed]   # (c) sweep-changed
+    prio = (list(_ROUND10_QUERIES)     # never-recorded round-10 queries
+            + _ROUND9_STALE            # tier (b): stale driver rows
+            + _ROUND10_DIRECT          # tier (c): directly changed in r10
+            + list(_ROUND9_QUERIES)
+            + _ROUND8_STALE
+            + _ROUND9_DIRECT
+            + [n for n in full if n in changed]   # sweep-changed
             + _ROUND7_SPILL
             + [n for n in full if n in r5_window]
             + list(full))
@@ -1718,6 +1839,37 @@ def _kmeans_oracle_sql() -> str:
     )
     return kmeans_sql_oracle("SELECT vec_id, embedding FROM embeddings",
                              k=8, iterations=3, dims=64)
+
+
+def _node2vec_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_sql_oracle,
+    )
+    edges_sql = (f"SELECT src, dst FROM ({_COPURCHASE_SQL}) c "
+                 "UNION ALL SELECT dst, src FROM "
+                 f"({_COPURCHASE_SQL}) r")
+    starts_sql = (f"SELECT DISTINCT src AS node FROM ({edges_sql}) s "
+                  "WHERE src % 89 = 1")
+    return node2vec_sql_oracle(edges_sql, starts_sql, length=6,
+                               p=4, q="0.25")
+
+
+def _call_random_walks_oracle_sql() -> str:
+    """Library twin of the algo.randomWalks PROCEDURE call: replays the
+    proc's md5-ordered deterministic start sampling (nStarts=40 over the
+    directed co-purchase graph) and the defaulted length=5 the Cypher
+    query omits."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        random_walks_sql_oracle,
+    )
+    edges_sql = f"SELECT src, dst FROM ({_COPURCHASE_SQL}) cprw"
+    starts_sql = (
+        f"SELECT node FROM (SELECT src AS node FROM ({edges_sql}) a "
+        f"UNION SELECT dst FROM ({edges_sql}) b) n "
+        "ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 40")
+    walks = random_walks_sql_oracle(edges_sql, starts_sql, length=5)
+    return (f"SELECT walk, step, node FROM ({walks}) w "
+            "ORDER BY walk, step")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2425,6 +2577,38 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "closeness_centrality": _closeness_oracle_sql(),
         "kmeans_embeddings": _kmeans_oracle_sql(),
         "random_walks": _random_walks_oracle_sql(),
+        "call_random_walks": _call_random_walks_oracle_sql(),
+        "node2vec_walks": _node2vec_oracle_sql(),
+        # as-of join twin: right side deduped per (user, ts) by max id
+        # (the engine's greatest-payload-struct tiebreak), match = the
+        # arg_max over the tolerance-bounded backward range
+        "asof_attribution": (
+            "WITH v AS (SELECT user_id AS u, ts, max(event_id) AS vid "
+            "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) "
+            "SELECT p.event_id AS purchase_id, p.user_id AS user, "
+            "COALESCE(arg_max(v.vid, v.ts), -1) AS view_id, "
+            "COALESCE(epoch_us(p.ts) - epoch_us(max(v.ts)), -1) AS gap_us "
+            "FROM events p LEFT JOIN v ON v.u = p.user_id "
+            "AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE "
+            "WHERE p.event_type = 'purchase' "
+            "GROUP BY p.event_id, p.user_id, p.ts "
+            "ORDER BY purchase_id"),
+        # BM25 twin: same whitespace tokens, Lucene non-negative idf,
+        # avgdl expressed exactly as dl * N / total_tokens
+        "bm25_retrieval": rf"""
+WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tot AS (SELECT count(*) AS n, sum(len(t)) AS total FROM tk),
+terms AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+m AS (SELECT * FROM terms WHERE term IN ('hash', 'join', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       FROM m GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY term)
+SELECT doc_id, round(sum(
+    ln(1 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * tot.n
+                                      / tot.total))), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN tot
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""",
         "skipgram_pairs": _skipgram_oracle_sql(),
         "k_truss": _k_truss_oracle_sql(),
         # CALL algo.triangleCount() computes the same co-purchase

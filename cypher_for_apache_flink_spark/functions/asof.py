@@ -1,0 +1,107 @@
+"""As-of (nearest-timestamp) joins -- the temporal-alignment primitive
+Spark's DataFrame API lacks natively (pandas has merge_asof; Flink/kdb
+have AS OF / aj).  The training-data use case: attribute an outcome
+event to the latest preceding context event of the same entity
+(purchase -> most recent prior view, label -> most recent prior model
+snapshot, trade -> latest quote).
+
+Design (100-TB shape): the classic UNION + WINDOW formulation, not a
+range join and not a per-key loop --
+
+1. dedupe the right side to ONE row per (key, ts) with a deterministic
+   tiebreak (greatest packed payload struct), so "the" as-of match is
+   well-defined;
+2. tag left rows side=1 and right rows side=0 and union them on
+   (key, ts, side, payload);
+3. one window per key ordered by (ts, side):
+   ``last(payload, ignorenulls=true)`` over the unbounded-preceding
+   frame carries the latest right payload forward onto every left row
+   -- right sorts BEFORE left at equal ts, so an exactly-simultaneous
+   right row matches (<= semantics);
+4. filter back to left rows and null out matches older than
+   ``tolerance``.
+
+Cost: ONE shuffle of |left| + |right-deduped| rows hash-partitioned on
+the key, then a linear in-partition pass -- the same exchange a plain
+equi-join would pay, with no candidate blow-up (a range join on
+``l.ts BETWEEN r.ts AND r.ts + tol`` materializes every in-window pair
+first; the window keeps exactly one).  Skew follows the key's own
+distribution; salting the union input helps the same way it helps any
+keyed window.
+
+``direction="forward"`` mirrors the ordering (earliest right at
+ts' >= left ts).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              tolerance: str | None = None,
+              direction: str = "backward",
+              right_prefix: str = "asof_") -> DataFrame:
+    """For every ``left`` row, attach the single ``right`` row of the
+    same ``on`` key whose timestamp is the latest <= the left timestamp
+    (``direction="backward"``; ``"forward"`` = earliest >=).  Right
+    columns come back ``right_prefix``-renamed (the match timestamp as
+    ``<prefix><right_ts>``); unmatched left rows keep NULLs (left-outer
+    semantics).  ``tolerance`` (an INTERVAL string, e.g. ``"10
+    minutes"``) voids matches farther than that from the left
+    timestamp.
+
+    Deterministic: right rows sharing (key, ts) collapse to the
+    greatest payload struct, so results never depend on partitioning.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be backward|forward, got "
+            f"{direction!r}")
+    payload_cols = [c for c in right.columns if c != on]
+    if right_ts not in right.columns:
+        raise ValueError(f"asof_join: right side has no column "
+                         f"{right_ts!r}")
+    # one row per (key, ts): deterministic greatest-struct tiebreak
+    r = (right.groupBy(F.col(on).alias("__k"),
+                       F.col(right_ts).alias("__ts"))
+         .agg(F.max(F.struct(*[F.col(c) for c in payload_cols]))
+              .alias("__p")))
+    l = left.select(F.col(on).alias("__k"),
+                    F.col(left_ts).alias("__ts"),
+                    F.struct(*[F.col(c) for c in left.columns])
+                    .alias("__l"))
+    tagged = (r.select("__k", "__ts", F.lit(0).alias("__side"),
+                       F.lit(None).cast(l.schema["__l"].dataType)
+                       .alias("__l"), "__p")
+              .unionByName(l.select(
+                  "__k", "__ts", F.lit(1).alias("__side"), "__l",
+                  F.lit(None).cast(r.schema["__p"].dataType)
+                  .alias("__p"))))
+    ts_ord = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    w = (Window.partitionBy("__k").orderBy(ts_ord, F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tagged.select(
+        "__k", "__ts", "__side", "__l",
+        F.last("__p", ignorenulls=True).over(w).alias("__m"),
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")),
+               ignorenulls=True).over(w).alias("__mts"))
+    out = carried.where(F.col("__side") == 1)
+    if tolerance is not None:
+        if direction == "backward":
+            in_tol = (F.col("__mts")
+                      >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"))
+        else:
+            in_tol = (F.col("__mts")
+                      <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}"))
+        out = out.select(
+            "__k", "__ts", "__l",
+            F.when(in_tol, F.col("__m")).alias("__m"),
+            F.when(in_tol, F.col("__mts")).alias("__mts"))
+    cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"__m.{c}").alias(f"{right_prefix}{c}")
+             for c in payload_cols if c != right_ts]
+    cols.append(F.col("__mts").alias(f"{right_prefix}{right_ts}"))
+    return out.select(*cols)

@@ -1635,6 +1635,168 @@ def skipgram_pairs(walks: DataFrame, window: int = 2,
             .select("center", "context"))
 
 
+def _node2vec_multipliers(p, q) -> tuple[int, int, int]:
+    """(m_return, m_common, m_forward): the exact integer weight
+    multipliers for 1/p, 1, 1/q over a common denominator, gcd-reduced.
+    The draw u is 32 bits, so each multiplier must stay under 2^31 for
+    u x m to fit int64 -- weight ratios beyond ~2e9 are rejected (they
+    would be indistinguishable from infinity under a 32-bit draw
+    anyway)."""
+    import math
+    from fractions import Fraction
+    pf, qf = Fraction(str(p)), Fraction(str(q))
+    if pf <= 0 or qf <= 0:
+        raise ValueError("node2vec_walks: p and q must be > 0")
+    ms = (pf.denominator * qf.numerator,      # 1/p
+          pf.numerator * qf.numerator,        # 1
+          qf.denominator * pf.numerator)      # 1/q
+    g = math.gcd(math.gcd(ms[0], ms[1]), ms[2])
+    ms = tuple(m // g for m in ms)
+    if max(ms) >= 1 << 31:
+        raise ValueError(
+            "node2vec_walks: p/q weight ratio too extreme -- the exact "
+            "integer draw needs every reduced multiplier below 2^31, got "
+            f"{max(ms)}")
+    return ms
+
+
+def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
+                   p: float | str = 1, q: float | str = 1,
+                   src_col: str = "src", dst_col: str = "dst",
+                   node_col: str = "node") -> DataFrame:
+    """Second-order BIASED walks (the node2vec sampling stage, Grover &
+    Leskovec 2016) with the same determinism contract as
+    :func:`random_walks`: returns (walk, step, node) traces whose next
+    hop depends on the PREVIOUS node -- return edges (back to prev) are
+    weighted 1/p, edges to common neighbors of prev 1, forward edges
+    1/q -- so p > 1 discourages backtracking (DFS-ish) and q > 1 keeps
+    walks local (BFS-ish).
+
+    Determinism: each candidate gets the integer draw u = the first 8
+    md5 hex digits of (walk|step|dst), and the walk takes the candidate
+    maximizing u x m where m is the candidate's EXACT integer weight
+    multiplier -- p and q are parsed as rationals (pn/pd, qn/qd) and
+    the three classes get m_return = pd x qn, m_common = pn x qn,
+    m_forward = qd x pn (the common denominators cancel), so the
+    comparison is pure int64 arithmetic: no float argmax to flip at an
+    ULP, identical picks on any engine/partitioning/retry, and an
+    ANSI-SQL oracle replays the walks verbatim
+    (:func:`node2vec_sql_oracle`).  Higher weight => proportionally
+    more likely under the uniform hash draw (P[i beats j] =
+    1 - m_j/(2 m_i) for m_i >= m_j); the exact Gumbel-max categorical
+    would need float exponentiation, traded away for bit-exactness.
+    Ties break toward the larger candidate id; the first step (no
+    previous node) is unbiased, per the paper.
+
+    Per step: ONE join frontier->edges on the node id, ONE left probe
+    of the candidates against the deduped edge set on (prev, dst) --
+    the common-neighbor test, keyed on node-id pairs -- and ONE
+    max-struct aggregation per walk.  State carries (walk, prev, node):
+    O(|starts|) rows, same discipline as :func:`random_walks`, with
+    the same counted-start-set broadcast gate (broadcast only below
+    the 64 MiB budget; shuffled node-keyed join above it).
+    """
+    m_return, m_common, m_forward = _node2vec_multipliers(p, q)
+    edges = base_edges = (edges.select(F.col(src_col).alias("src"),
+                                       F.col(dst_col).alias("dst"))
+                          .dropDuplicates(["src", "dst"]).persist())
+    # the (prev, dst) common-neighbor probe side
+    probe = edges.select(F.col("src").alias("prev"),
+                         F.col("dst").alias("dst"),
+                         F.lit(True).alias("__common"))
+    try:
+        frontier = (starts.select(F.col(node_col).alias("walk"))
+                    .dropDuplicates(["walk"])
+                    .withColumn("node", F.col("walk"))
+                    .withColumn("prev", F.lit(None).cast("long")))
+        frontier = frontier.localCheckpoint(eager=True)
+        n_starts = frontier.count()
+        use_broadcast = n_starts * 24 < _PIN_DATA_BYTES
+        nparts = None
+        if not use_broadcast:
+            spark = edges.sparkSession
+            nparts = _pin_parts(spark, data=edges)
+            if nparts is None \
+                    and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") \
+                    != "never" \
+                    and edges.count() * 16 >= _PIN_DATA_BYTES:
+                nparts = max(2 * spark.sparkContext.defaultParallelism, 1)
+            if nparts is not None:
+                edges = edges.repartition(nparts, "src").persist()
+        trace = frontier.select("walk", F.lit(0).alias("step"), "node")
+        for step in range(1, length + 1):
+            if use_broadcast:
+                fr = F.broadcast(frontier)
+            else:
+                fr = _repart(frontier, nparts, "node").hint("shuffle_hash")
+            cand = (fr.join(edges, fr["node"] == edges["src"])
+                    .select("walk", "prev", F.col("dst")))
+            cand = cand.join(F.broadcast(probe) if use_broadcast
+                             else probe, ["prev", "dst"], "left")
+            u = F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.col("walk").cast("string"),
+                                  F.lit(str(step)),
+                                  F.col("dst").cast("string"))), 1, 8),
+                16, 10).cast("long")
+            m = (F.when(F.col("prev").isNull(), F.lit(int(m_common)))
+                 .when(F.col("dst") == F.col("prev"),
+                       F.lit(int(m_return)))
+                 .when(F.col("__common").isNotNull(),
+                       F.lit(int(m_common)))
+                 .otherwise(F.lit(int(m_forward))))
+            nxt = (cand.groupBy("walk")
+                   .agg(F.max(F.struct((u * m).alias("s"),
+                                       F.col("dst").alias("node")))
+                        .alias("pick"),
+                        F.first("prev").alias("__unused"))
+                   .select("walk", F.col("pick.node").alias("node")))
+            # carry prev = this step's frontier node
+            nxt = (nxt.join(frontier.select("walk",
+                                            F.col("node").alias("prev")),
+                            "walk")
+                   .select("walk", "node", "prev"))
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            trace = trace.unionByName(
+                nxt.select("walk", F.lit(step).alias("step"), "node"))
+            frontier = nxt
+        return trace
+    finally:
+        if edges is not base_edges:
+            edges.unpersist()
+        base_edges.unpersist()
+
+
+def node2vec_sql_oracle(edges_sql: str, starts_sql: str, length: int = 5,
+                        p: float | str = 1, q: float | str = 1) -> str:
+    """ANSI-SQL twin of :func:`node2vec_walks`: the identical integer
+    u x m argmax unrolled to ``length`` step CTEs.  ``edges_sql``
+    selects (src, dst); ``starts_sql`` selects (node)."""
+    m_return, m_common, m_forward = _node2vec_multipliers(p, q)
+    parts = [f"""edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+s0 AS (SELECT DISTINCT node AS walk, node,
+              CAST(NULL AS BIGINT) AS prev FROM ({starts_sql}))"""]
+    selects = ["SELECT walk, 0 AS step, node FROM s0"]
+    for t in range(1, length + 1):
+        parts.append(f"""
+s{t} AS (SELECT walk, node, prev FROM (
+  SELECT w.walk, e.dst AS node, w.node AS prev,
+         row_number() OVER (PARTITION BY w.walk ORDER BY
+           ('0x' || substr(md5(CAST(w.walk AS VARCHAR) || '|{t}|'
+                               || CAST(e.dst AS VARCHAR)), 1, 8))::BIGINT
+           * (CASE WHEN w.prev IS NULL THEN {m_common}
+                   WHEN e.dst = w.prev THEN {m_return}
+                   WHEN EXISTS (SELECT 1 FROM edges z
+                                WHERE z.src = w.prev AND z.dst = e.dst)
+                     THEN {m_common}
+                   ELSE {m_forward} END) DESC, e.dst DESC) AS rn
+  FROM s{t - 1} w JOIN edges e ON e.src = w.node) r WHERE rn = 1)""")
+        selects.append(f"SELECT walk, {t} AS step, node FROM s{t}")
+    return ("WITH " + ",".join(parts) + " "
+            + " UNION ALL ".join(selects))
+
+
 def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """k-truss decomposition of the UNDIRECTED graph: the maximal
@@ -1654,17 +1816,31 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
     (:func:`k_truss_sql_oracle`) unrolls the same rounds, so mid-
     convergence states also compare equal.
 
-    Join strategy is SIZE-GATED per round (round 10, VERDICT r9 #2 --
-    the sf1 quarter-sample spot spilled 2.86 GB under un-hinted
-    sort-merge joins): each round counts the checkpointed edge set (one
-    cheap job) and in the big regime (>= :data:`_PIN_DATA_BYTES` at
-    16 B/edge) pins every wide exchange to 2x parallelism and hints the
-    two triangle-enumeration joins ``shuffle_hash`` -- sort-merge must
-    sort the full oriented-edge stream on both sides, pure spill fuel,
-    exactly the regime :func:`triangle_count` measured (SMJ 9.2 GB
-    spill vs SHJ 0).  The degree joins broadcast in the small regime
-    and stay node-id-keyed shuffles in the big one (deg is O(#nodes)
-    rows).  The per-round ``orient`` frame feeds three consumers (both
+    Join strategy is SIZE-GATED per round with TWO tiers (round 10,
+    VERDICT r9 #2 -- the sf1 quarter-sample spot spilled 2.86 GB under
+    un-hinted sort-merge joins).  Each round counts the checkpointed
+    edge set (one cheap job) and:
+
+    - at >= ``_PIN_DATA_BYTES/4`` (16 MiB ~ 1M edges) the two
+      triangle-enumeration joins are hinted ``shuffle_hash`` --
+      sort-merge must sort the oriented-edge candidate stream on both
+      sides, pure spill fuel.  The enumeration stream is ~3x the raw
+      edge volume plus the q-join fan-out, which is why this tier
+      engages 4x earlier than triangle_count's adjacency gate: the
+      3M-edge quarter probe sat just UNDER the 64 MiB gate and spilled
+      2.86 GB; with SHJ hints alone it runs 0 spill / cpu -22% / peak
+      task memory -82% (tools/probes/walk_probe_r10.json,
+      ktruss_quarter vs ktruss_quarter_shj).
+    - at >= ``_PIN_DATA_BYTES`` the wide exchanges are additionally
+      pinned to 2x parallelism (the triangle_count x10 evidence).
+      Pinning BELOW that tier was measured counterproductive on the
+      same quarter input: 0 spill either way but wall +41% / cpu +44%
+      vs SHJ-only (ktruss_quarter_big cell) -- 4x the tasks for data
+      that fits the session layout.
+
+    The degree joins broadcast below the pin tier (deg is O(#nodes)
+    rows -- MBs at probe scale, not broadcast material at billions).
+    The per-round ``orient`` frame feeds three consumers (both
     enumeration sides + the closing-edge probe) and is persisted for
     the round, released as soon as the round's support aggregate is
     materialized.
@@ -1686,8 +1862,12 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
         # exact data-size decision off the checkpointed edge set -- one
         # cheap job; Catalyst estimates decay on evicted caches (see
         # triangle_count) and the peel shrinks e every round, so the
-        # regime is re-decided per round
-        big = e.count() * 16 >= _PIN_DATA_BYTES
+        # regime is re-decided per round.  Two tiers (see docstring):
+        # SHJ hints from _PIN_DATA_BYTES/4, exchange pinning from
+        # _PIN_DATA_BYTES.
+        e_bytes = e.count() * 16
+        use_shj = e_bytes >= _PIN_DATA_BYTES // 4
+        big = e_bytes >= _PIN_DATA_BYTES
         np_ = sess_pin
         if np_ is None and big \
                 and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
@@ -1722,7 +1902,7 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
         y = orient.select(F.col("u").alias("q2"), F.col("v").alias("r"))
         closing = orient.select(F.col("u").alias("p"),
                                 F.col("v").alias("r"))
-        if big:
+        if use_shj:
             y = y.hint("shuffle_hash")
             closing = closing.hint("shuffle_hash")
         tri = (_repart(x, np_, "q")

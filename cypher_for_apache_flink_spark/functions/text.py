@@ -332,3 +332,63 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     return (scored.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k)
             .select(id_col, "term", "score"))
+
+
+def bm25_topk(df: DataFrame, query: str, k: int = 10, k1: float = 1.2,
+              b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 retrieval: the top-k documents for a constant query
+    string.  Returns (doc_id, score) ordered by score desc then doc_id,
+    scores rounded to 6 places BEFORE ranking (the tfidf_top_terms
+    reproducibility recipe).
+
+    idf is the non-negative Lucene variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``; the length normalization
+    uses ``dl / avgdl`` with avgdl expressed exactly as
+    ``dl * N / total_tokens`` so no pre-rounded scalar leaks into the
+    score.
+
+    Plan shape (100-TB): the query's terms are a driver-side constant
+    list, so the exploded token stream is filtered to them BEFORE any
+    aggregation -- the shuffled volume is O(matching tokens), not
+    O(corpus tokens).  Per-doc length rides along the explode (no
+    second join), document frequencies aggregate to |query| rows and
+    broadcast back, the final score is ONE map-side-combinable
+    aggregate to matching-doc rows, and only k rows reach the driver
+    (TakeOrderedAndProject).  Corpus constants (N, total token count)
+    are one scan-level aggregate computed up front.
+    """
+    qterms = sorted({t for t in query.lower().split() if t})
+    if not qterms:
+        raise ValueError("bm25_topk: query has no tokens")
+    from .util import ensure_parallelism
+    base = ensure_parallelism(df)
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("total")).collect()[0]
+    n_docs, total_tokens = int(totals["n"]), int(totals["total"] or 0)
+    if n_docs == 0 or total_tokens == 0:
+        return base.select(F.col(id_col),
+                           F.lit(0.0).alias("score")).limit(0)
+    terms = (base.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("__dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term").isin(qterms)))
+    tf = (terms.groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf"),
+               F.first("__dl").alias("dl")))
+    dfreq = (terms.dropDuplicates([id_col, "term"])
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") * F.lit(float(n_docs))
+                / F.lit(float(total_tokens))))
+    contrib = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col), (idf * norm).alias("__c"))
+    return (contrib.groupBy(id_col)
+            .agg(F.round(F.sum("__c"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

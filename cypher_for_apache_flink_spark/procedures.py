@@ -267,6 +267,19 @@ def builtin_graph_procedures() -> list:
         return random_walks(edges, starts, length=int(length)) \
             .select("walk", "step", "node")
 
+    def _node2vec(session, graph, n_starts, length, p, q):
+        from pyspark.sql import functions as F
+        from .functions.graph_algos import node2vec_walks
+        edges = graph_edges(graph)
+        starts = (edges.select(F.col("src").alias("node"))
+                  .unionByName(edges.select(F.col("dst").alias("node")))
+                  .dropDuplicates(["node"])
+                  .orderBy(F.md5(F.col("node").cast("string")))
+                  .limit(int(n_starts)))
+        return node2vec_walks(edges, starts, length=int(length),
+                              p=str(p), q=str(q)) \
+            .select("walk", "step", "node")
+
     def _k_truss(session, graph, k, rounds):
         from .functions.graph_algos import k_truss
         return k_truss(graph_edges(graph), k=int(k),
@@ -334,6 +347,12 @@ def builtin_graph_procedures() -> list:
             ":: (walk :: INTEGER?, step :: INTEGER?, "
             "node :: INTEGER?)", _random_walks,
             defaults=(("nStarts", 16), ("length", 5))),
+        graph_procedure(
+            "algo.node2vecWalks(nStarts :: INTEGER?, length :: INTEGER?, "
+            "p :: NUMBER?, q :: NUMBER?) "
+            ":: (walk :: INTEGER?, step :: INTEGER?, "
+            "node :: INTEGER?)", _node2vec,
+            defaults=(("nStarts", 16), ("length", 5), ("p", 1), ("q", 1))),
         graph_procedure(
             "algo.graphStats() "
             ":: (nodes :: INTEGER?, edges :: INTEGER?, "

@@ -389,3 +389,28 @@ def test_empty_graph_calls_return_empty(empty_graph_session):
               "CALL algo.connectedComponents()", "CALL algo.kCore()"):
         assert rows(empty_graph_session, q) == [], q
     assert rows(empty_graph_session, "CALL algo.triangleCount()") == [(0,)]
+
+
+def test_node2vec_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_walks)
+    got = rows(algo_session,
+               "CALL algo.node2vecWalks(4, 5, 2.0, 0.5) "
+               "YIELD walk, step, node RETURN walk, step, node")
+    g = next(iter(algo_session.catalog.values()))
+    edges = graph_edges(g)
+    starts = (edges.select(F.col("src").alias("node"))
+              .unionByName(edges.select(F.col("dst").alias("node")))
+              .dropDuplicates(["node"])
+              .orderBy(F.md5(F.col("node").cast("string")))
+              .limit(4))
+    want = sorted(tuple(r) for r in node2vec_walks(
+        edges, starts, length=5, p="2.0", q="0.5").collect())
+    assert got == want and len(got) > 4
+
+
+def test_node2vec_call_defaults(algo_session):
+    # p/q default to 1 (unbiased), nStarts/length to 16/5
+    got = rows(algo_session, "CALL algo.node2vecWalks()")
+    assert len(got) > 0
+    assert {s for _, s, _ in got} <= set(range(6))

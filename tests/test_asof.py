@@ -1,0 +1,111 @@
+"""As-of join (functions/asof.py): nearest-timestamp alignment with
+tolerance, both directions, deterministic right-side dedup."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_flink_spark.functions.asof import asof_join
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10)), (2, 10, _ts(30)), (3, 20, _ts(5)),
+         (4, 30, _ts(50))],
+        "event_id long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, _ts(8)), (101, 10, _ts(10)), (102, 10, _ts(25)),
+         (103, 20, _ts(7)), (104, 30, _ts(0))],
+        "rid long, user long, ts timestamp")
+    return left, right
+
+
+def test_backward_basic_and_equal_ts(spark):
+    left, right = _frames(spark)
+    got = {r.event_id: (r.asof_rid, r.asof_ts)
+           for r in asof_join(left, right, on="user").collect()}
+    # event 1 at 12:10 matches rid 101 AT 12:10 (<= semantics), not 100
+    assert got[1] == (101, _ts(10))
+    assert got[2] == (102, _ts(25))
+    # event 3 at 12:05 precedes every user-20 right row: no match
+    assert got[3] == (None, None)
+    assert got[4] == (104, _ts(0))
+
+
+def test_backward_tolerance_voids_stale_matches(spark):
+    left, right = _frames(spark)
+    got = {r.event_id: r.asof_rid
+           for r in asof_join(left, right, on="user",
+                              tolerance="10 minutes").collect()}
+    # event 4 at 12:50 is 50 min after rid 104: voided; events 1/2 in range
+    assert got == {1: 101, 2: 102, 3: None, 4: None}
+
+
+def test_forward_direction(spark):
+    left, right = _frames(spark)
+    got = {r.event_id: r.asof_rid
+           for r in asof_join(left, right, on="user",
+                              direction="forward").collect()}
+    # earliest right at ts >= left ts
+    assert got == {1: 101, 2: None, 3: 103, 4: None}
+
+
+def test_right_dedup_is_deterministic(spark):
+    left = spark.createDataFrame([(1, 5, _ts(20))],
+                                 "event_id long, user long, ts timestamp")
+    # two right rows at the SAME (user, ts): greatest payload struct wins
+    right = spark.createDataFrame(
+        [(7, 5, _ts(10)), (9, 5, _ts(10))],
+        "rid long, user long, ts timestamp")
+    for _ in range(3):
+        got = asof_join(left, right.repartition(4), on="user").collect()
+        assert got[0].asof_rid == 9
+
+
+def test_all_left_rows_survive(spark):
+    left, right = _frames(spark)
+    assert asof_join(left, right, on="user").count() == left.count()
+    assert asof_join(left, right.limit(0), on="user").count() == 4
+
+
+def test_invalid_direction_raises(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on="user", direction="sideways")
+
+
+def test_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    # deterministic pseudo-random event streams over 7 keys
+    lrows = [(i, i % 7, _ts((i * 13 + 5) % 60, (i * 29) % 60))
+             for i in range(120)]
+    rrows = [(1000 + i, i % 7, _ts((i * 11 + 2) % 60, (i * 17) % 60))
+             for i in range(90)]
+    left = spark.createDataFrame(
+        lrows, "event_id long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "rid long, user long, ts timestamp")
+    got = sorted(
+        (r.event_id, r.asof_rid,
+         None if r.asof_ts is None else r.asof_ts.isoformat())
+        for r in asof_join(left, right, on="user",
+                           tolerance="10 minutes").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(event_id BIGINT, u BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lrows)
+    con.execute("CREATE TABLE r(rid BIGINT, u BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+    want = sorted(
+        (eid, rid, None if mts is None else mts.isoformat())
+        for eid, rid, mts in con.execute("""
+        WITH v AS (SELECT u, ts, max(rid) AS rid FROM r GROUP BY u, ts)
+        SELECT l.event_id, arg_max(v.rid, v.ts), max(v.ts)
+        FROM l LEFT JOIN v ON v.u = l.u AND v.ts <= l.ts
+             AND v.ts >= l.ts - INTERVAL 10 MINUTE
+        GROUP BY l.event_id""").fetchall())
+    assert got == want

@@ -920,3 +920,89 @@ def test_k_truss_big_regime_matches_small(spark, monkeypatch):
     monkeypatch.setattr(ga, "_PIN_DATA_BYTES", 1)
     got = sorted(map(tuple, ga.k_truss(edges, k=3, rounds=3).collect()))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# round 10: node2vec-biased walks
+
+def test_node2vec_p_bias_controls_backtracking(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_walks)
+    # star with a tail: 1 <-> 2, 2 <-> 3.  From 1 the walk must go to 2;
+    # at 2 the choices are return (1) or forward (3).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long")
+    starts = spark.createDataFrame([(1,)], "node long")
+    # 1/p dwarfs 1/q (ratio 1e6): backtrack at every biased step
+    back = {(r.walk, r.step): r.node for r in node2vec_walks(
+        edges, starts, length=4, p="1/1000", q=1000).collect()}
+    assert [back[(1, s)] for s in range(5)] == [1, 2, 1, 2, 1]
+    # 1/q dwarfs return/common: never return to the previous node when
+    # a forward edge exists (2 with prev=3 moves ON to 1, not back to 3;
+    # 3 has only the return edge so the walk must take it)
+    fwd = {(r.walk, r.step): r.node for r in node2vec_walks(
+        edges, starts, length=4, p=1000, q="1/1000").collect()}
+    assert [fwd[(1, s)] for s in range(5)] == [1, 2, 3, 2, 1]
+
+
+def test_node2vec_deterministic_and_first_step_unbiased(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_walks)
+    pairs = [(i, (i * 3 + 1) % 17) for i in range(17)] \
+        + [(i, (i * 5 + 2) % 17) for i in range(17)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    starts = spark.createDataFrame([(0,), (4,), (9,)], "node long")
+    a = sorted(map(tuple, node2vec_walks(edges, starts, length=5,
+                                         p=2, q="0.5").collect()))
+    b = sorted(map(tuple, node2vec_walks(edges.repartition(5), starts,
+                                         length=5, p=2, q="0.5").collect()))
+    assert a == b and len(a) == 3 * 6
+    # step-0 rows are the starts themselves
+    assert {(w, n) for w, s, n in a if s == 0} == {(0, 0), (4, 4), (9, 9)}
+
+
+def test_node2vec_invalid_pq_raises(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_walks)
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    starts = spark.createDataFrame([(1,)], "node long")
+    import pytest as pt
+    with pt.raises(ValueError, match="p and q"):
+        node2vec_walks(edges, starts, p=0)
+
+
+def test_node2vec_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_sql_oracle, node2vec_walks)
+    pairs = sorted({(i % 13, (i * 5 + 3) % 13) for i in range(50)}
+                   | {((i * 7 + 1) % 13, i % 13) for i in range(30)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    starts = spark.createDataFrame([(0,), (3,), (7,), (11,)], "node long")
+    got = sorted(map(tuple, node2vec_walks(
+        edges, starts, length=6, p=4, q="0.25").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(map(tuple, con.execute(node2vec_sql_oracle(
+        "SELECT src, dst FROM e",
+        "SELECT 0 AS node UNION ALL SELECT 3 UNION ALL SELECT 7 "
+        "UNION ALL SELECT 11",
+        length=6, p=4, q="0.25")).fetchall()))
+    assert got == want
+
+
+def test_node2vec_shuffled_regime_matches_broadcast(spark, monkeypatch):
+    import cypher_for_apache_flink_spark.functions.graph_algos as ga
+    pairs = [(i, (i * 3 + 1) % 23) for i in range(23)] \
+        + [(i, (i * 7 + 2) % 23) for i in range(23)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    starts = spark.createDataFrame([(i,) for i in range(0, 23, 4)],
+                                   "node long")
+    want = sorted(map(tuple, ga.node2vec_walks(
+        edges, starts, length=4, p=2, q=3).collect()))
+    monkeypatch.setattr(ga, "_PIN_DATA_BYTES", 1)
+    got = sorted(map(tuple, ga.node2vec_walks(
+        edges, starts, length=4, p=2, q=3).collect()))
+    assert got == want
