@@ -1203,6 +1203,19 @@ def _q_node2vec_walks(spark, sf_dir):
             .orderBy("walk", "step"))
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (round 10): co-purchase edges weighted by how
+    many orders share the pair — rank transfer proportional to
+    out-weight, GDS relationshipWeightProperty semantics."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        pagerank,
+    )
+    w = (_copurchase_edges(spark, sf_dir)
+         .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    return pagerank(w, iterations=3, weight_col="w").select(
+        "node", F.round("rank", 6).alias("rank"))
+
+
 def _q_bm25_retrieval(spark, sf_dir):
     """Okapi BM25 top-k retrieval (round 10, functions/text.py
     bm25_topk): query-term filter pushed below every aggregate, one
@@ -1220,6 +1233,7 @@ _ROUND10_QUERIES = {
     "asof_attribution": _q_asof_attribution,
     "bm25_retrieval": _q_bm25_retrieval,
     "node2vec_walks": _q_node2vec_walks,
+    "pagerank_weighted": _q_pagerank_weighted,
 }
 
 
@@ -1490,10 +1504,14 @@ _ROUND9_STALE = [
 # Round-10 DIRECTLY-touched queries: the size-gated walk frontier, the
 # k_truss big-regime plan, SCC convergence tracking, the k-means 2-D
 # literal distance array, the pointer-doubling cap (near-dup clusters),
-# and the CALL argument-validation path.
+# and the CALL argument-validation path.  skipgram_pairs goes LAST: its
+# own code is unchanged (it only inherits the walk stage), so it is the
+# one row the 50-slot window pushes onto full-replay-only coverage
+# (5 new + 39 stale + these 7 = 51 candidates).
 _ROUND10_DIRECT = [
-    'random_walks', 'skipgram_pairs', 'k_truss', 'scc_components',
+    'random_walks', 'k_truss', 'scc_components',
     'kmeans_embeddings', 'near_dup_clusters', 'call_triangle_count',
+    'skipgram_pairs',
 ]
 
 
@@ -1839,6 +1857,22 @@ def _kmeans_oracle_sql() -> str:
     )
     return kmeans_sql_oracle("SELECT vec_id, embedding FROM embeddings",
                              k=8, iterations=3, dims=64)
+
+
+def _pagerank_weighted_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        pagerank_sql_oracle,
+    )
+    # per-order DISTINCT first: the Spark derivation collect_set-dedups
+    # parts within an order, so a part appearing on two lineitems of one
+    # order contributes ONE co-purchase (same caveat as the PPR oracle)
+    edges_sql = (
+        "SELECT src, dst, count(*) AS w FROM ("
+        "SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, "
+        "b.l_partkey AS dst FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        ") cw GROUP BY src, dst")
+    return pagerank_sql_oracle(edges_sql, iterations=3, weighted=True)
 
 
 def _node2vec_oracle_sql() -> str:
@@ -2579,6 +2613,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "random_walks": _random_walks_oracle_sql(),
         "call_random_walks": _call_random_walks_oracle_sql(),
         "node2vec_walks": _node2vec_oracle_sql(),
+        "pagerank_weighted": _pagerank_weighted_oracle_sql(),
         # as-of join twin: right side deduped per (user, ts) by max id
         # (the engine's greatest-payload-struct tiebreak), match = the
         # arg_max over the tolerance-bounded backward range

@@ -66,6 +66,10 @@ HEADLINE = [
     "random_walks",
     "skipgram_pairs",
     "k_truss",
+    # round 10 surfaces
+    "node2vec_walks",
+    "asof_attribution",
+    "bm25_retrieval",
 ]
 
 
@@ -221,7 +225,8 @@ def main():
         from pyspark.sql import functions as F
 
         from cypher_for_apache_flink_spark.functions.graph_algos import (
-            k_core, k_truss, pagerank, random_walks, triangle_count)
+            k_core, k_truss, node2vec_walks, pagerank, random_walks,
+            triangle_count)
 
         base = entrymod._copurchase_edges(spark, sf_dir) \
             .dropDuplicates(["src", "dst"])
@@ -242,6 +247,13 @@ def main():
                       .limit(16))
             return random_walks(big, starts, length=8)
 
+        def _n2v():
+            starts = (big.select(F.col("src").alias("node"))
+                      .dropDuplicates(["node"])
+                      .orderBy(F.md5(F.col("node").cast("string")))
+                      .limit(16))
+            return node2vec_walks(big, starts, length=8, p=4, q="0.25")
+
         def _truss():
             # quarter-sample (like the headline query's half-sample):
             # the triangle enumeration is the cost driver and scales
@@ -259,6 +271,7 @@ def main():
                 ("k_core", lambda: k_core(big, k=4)),
                 ("triangle_count", lambda: triangle_count(big)),
                 ("random_walks", _walks),
+                ("node2vec_walks", _n2v),
                 ("k_truss_quarter", _truss)]:
             # VERDICT r7 #4: the sf1 wall numbers are not load-invariant
             # (r7's recorded triangle 45.2s reproduced at 33.8s under the

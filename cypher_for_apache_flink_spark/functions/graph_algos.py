@@ -104,13 +104,22 @@ def _repart(df: DataFrame, nparts: int | None, *cols: str) -> DataFrame:
 
 def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             checkpoint_interval: int = 4) -> DataFrame:
+             checkpoint_interval: int = 4,
+             weight_col: str | None = None) -> DataFrame:
     """PageRank over an edge DataFrame; returns (node, rank).
 
     Fixed-iteration power method with uniform teleport and dangling-node
     mass redistribution:
 
         rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/deg(u) + dangling/N)
+
+    With ``weight_col`` (round 10, the GDS relationshipWeightProperty
+    analogue) each out-edge contributes proportionally to its weight:
+    deg(u) becomes u's total out-weight and the transfer term is
+    rank(u) * w(u,v) / wsum(u).  Edges with non-positive weight are
+    dropped (treated as absent -- a zero-weight edge transfers nothing
+    and must not make its target look non-dangling).  The unweighted
+    path is untouched: same expressions, same exchanges, same plan.
 
     Deterministic given the edge set (float summation order aside) --
     verified against an unrolled recursive-CTE SQL oracle at 6 decimal
@@ -128,8 +137,13 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     # is skipped entirely — unconditionally pinning was a measured
     # +102% shuffle / +580% cpu regression there (BENCH_DIFF_r08.md,
     # _pin_parts docstring).
-    edges = edges.select(F.col(src_col).alias("src"),
-                         F.col(dst_col).alias("dst")).persist()
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+    edges = edges.select(*cols)
+    if weight_col is not None:
+        edges = edges.where(F.col("w") > 0)
+    edges = edges.persist()
     nparts = _pin_parts(edges.sparkSession, data=edges)
     if nparts is None \
             and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
@@ -155,7 +169,9 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
         nodes.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = _repart(edges, nparts, "src") \
-        .groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("src").agg(
+            (F.sum("w") if weight_col is not None
+             else F.count(F.lit(1))).alias("deg"))
     # (src, dst, deg) is loop-invariant; persist so each superstep reads a
     # materialized table instead of re-running scan+join+agg.  Same for the
     # set of nodes WITH out-edges — the per-superstep dangling anti-join
@@ -164,14 +180,16 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     out_srcs = deg.select(F.col("src").alias("node")).persist()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    transfer = (F.col("rank") * F.col("w") / F.col("deg")
+                if weight_col is not None
+                else F.col("rank") / F.col("deg"))
     for i in range(iterations):
         contribs = (_repart(out_edges
                             .join(_repart(ranks.withColumnRenamed(
                                 "node", "src"), nparts, "src"), "src"),
                             nparts, "dst")
                     .groupBy("dst")
-                    .agg(F.sum(F.col("rank") / F.col("deg"))
-                         .alias("contrib"))
+                    .agg(F.sum(transfer).alias("contrib"))
                     .withColumnRenamed("dst", "node"))
         dangling = (ranks.join(out_srcs, "node", "left_anti")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
@@ -338,25 +356,34 @@ SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node"""
 
 
 def pagerank_sql_oracle(edges_sql: str, iterations: int = 3,
-                        damping: float = 0.85, round_to: int = 6) -> str:
+                        damping: float = 0.85, round_to: int = 6,
+                        weighted: bool = False) -> str:
     """Unrolled-CTE ANSI-SQL twin of :func:`pagerank` for the DuckDB oracle.
 
-    ``edges_sql`` must select columns (src, dst).  One CTE per superstep --
-    usable for small fixed iteration counts only (the oracle runs at
+    ``edges_sql`` must select columns (src, dst) -- plus ``w`` when
+    ``weighted`` (non-positive weights dropped, deg = out-weight sum,
+    transfer scaled by w, mirroring the engine).  One CTE per superstep
+    -- usable for small fixed iteration counts only (the oracle runs at
     sf=0.01); the DataFrame loop is the scale path.
     """
     d = damping
-    parts = [f"WITH edges AS ({edges_sql})",
+    raw = (f"SELECT src, dst, CAST(w AS DOUBLE) AS w "
+           f"FROM ({edges_sql}) __pr_w WHERE w > 0") if weighted \
+        else edges_sql
+    transfer = "p.rank * e.w / g.deg" if weighted else "p.rank / g.deg"
+    deg_expr = "CAST(sum(w) AS DOUBLE)" if weighted \
+        else "CAST(count(*) AS DOUBLE)"
+    parts = [f"WITH edges AS ({raw})",
              "nodes AS (SELECT src AS node FROM edges "
              "UNION SELECT dst FROM edges)",
              "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-             "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+             f"deg AS (SELECT src, {deg_expr} AS deg "
              "FROM edges GROUP BY src)",
              "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"]
     for i in range(1, iterations + 1):
         prev = f"r{i - 1}"
         parts.append(
-            f"c{i} AS (SELECT e.dst AS node, sum(p.rank / g.deg) AS contrib "
+            f"c{i} AS (SELECT e.dst AS node, sum({transfer}) AS contrib "
             f"FROM edges e JOIN {prev} p ON p.node = e.src "
             f"JOIN deg g ON g.src = e.src GROUP BY e.dst)")
         parts.append(

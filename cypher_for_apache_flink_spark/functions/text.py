@@ -351,12 +351,13 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10, k1: float = 1.2,
     Plan shape (100-TB): the query's terms are a driver-side constant
     list, so the exploded token stream is filtered to them BEFORE any
     aggregation -- the shuffled volume is O(matching tokens), not
-    O(corpus tokens).  Per-doc length rides along the explode (no
-    second join), document frequencies aggregate to |query| rows and
-    broadcast back, the final score is ONE map-side-combinable
-    aggregate to matching-doc rows, and only k rows reach the driver
-    (TakeOrderedAndProject).  Corpus constants (N, total token count)
-    are one scan-level aggregate computed up front.
+    O(corpus tokens) -- and the corpus is scanned/tokenized exactly
+    ONCE.  Per-doc length rides along the explode (no second join),
+    document frequency is a window count over the per-(doc, term) rows
+    (no second aggregate branch, no join), the final score is ONE
+    map-side-combinable aggregate to matching-doc rows, and only k rows
+    reach the driver (TakeOrderedAndProject).  Corpus constants (N,
+    total token count) are one scan-level aggregate computed up front.
     """
     qterms = sorted({t for t in query.lower().split() if t})
     if not qterms:
@@ -378,16 +379,19 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10, k1: float = 1.2,
     tf = (terms.groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf"),
                F.first("__dl").alias("dl")))
-    dfreq = (terms.dropDuplicates([id_col, "term"])
-             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
+    # tf already holds one row per (doc, term), so document frequency is
+    # a window count over it -- the corpus is tokenized/scanned ONCE and
+    # there is no second aggregate branch or join at all; the window
+    # shuffles only the matched doc-term rows on the term key
+    from pyspark.sql import Window
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5)
+                / (dfc + 0.5))
     norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf")
         + k1 * (1 - b + b * F.col("dl") * F.lit(float(n_docs))
                 / F.lit(float(total_tokens))))
-    contrib = tf.join(F.broadcast(dfreq), "term").select(
-        F.col(id_col), (idf * norm).alias("__c"))
+    contrib = tf.select(F.col(id_col), (idf * norm).alias("__c"))
     return (contrib.groupBy(id_col)
             .agg(F.round(F.sum("__c"), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))

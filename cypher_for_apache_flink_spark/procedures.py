@@ -179,8 +179,14 @@ def builtin_graph_procedures() -> list:
         return session.spark.range(1).select(
             F.lit(int(node)).cast("long").alias("node"))
 
-    def _pagerank(session, graph, iterations, damping):
+    def _pagerank(session, graph, iterations, damping, weight_property):
         from .functions.graph_algos import pagerank
+        wp = str(weight_property or "")
+        if wp:
+            return pagerank(graph_edges(graph, weight_prop=wp),
+                            iterations=int(iterations),
+                            damping=float(damping), weight_col="w") \
+                .select("node", "rank")
         return pagerank(graph_edges(graph), iterations=int(iterations),
                         damping=float(damping)) \
             .select("node", "rank")
@@ -294,9 +300,11 @@ def builtin_graph_procedures() -> list:
 
     return [
         graph_procedure(
-            "algo.pageRank(iterations :: INTEGER?, damping :: FLOAT?) "
+            "algo.pageRank(iterations :: INTEGER?, damping :: FLOAT?, "
+            "weightProperty :: STRING?) "
             ":: (node :: INTEGER?, rank :: FLOAT?)", _pagerank,
-            defaults=(("iterations", 10), ("damping", 0.85))),
+            defaults=(("iterations", 10), ("damping", 0.85),
+                      ("weightProperty", ""))),
         graph_procedure(
             "algo.triangleCount() :: (triangles :: INTEGER?)", _triangles),
         graph_procedure(

@@ -2,7 +2,9 @@
 beyond-reference — the reference has no sampling/clustering surface):
 
 1. project a graph from Cypher,
-2. sample deterministic random walks (DeepWalk/node2vec stage),
+2. sample deterministic walks — unbiased (DeepWalk) and second-order
+   biased (node2vec, round 10: p discourages backtracking, q keeps the
+   walk local) — merged into one corpus,
 3. window the walks into skip-gram (center, context) pairs,
 4. cluster the node embedding space with integer-lattice k-means and
    report how training-pair mass distributes over clusters.
@@ -18,7 +20,7 @@ from pyspark.sql import functions as F
 from cypher_for_apache_flink_spark.functions.clustering import kmeans_assign
 from cypher_for_apache_flink_spark.functions.clustering import kmeans
 from cypher_for_apache_flink_spark.functions.graph_algos import (
-    random_walks, skipgram_pairs)
+    node2vec_walks, random_walks, skipgram_pairs)
 from cypher_for_apache_flink_spark.sources.tpch import tpch_graph
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -34,7 +36,15 @@ def main(spark: SparkSession):
     starts = (und.select(F.col("src").alias("node"))
               .dropDuplicates(["node"])
               .orderBy(F.md5(F.col("node").cast("string"))).limit(32))
-    walks = random_walks(und, starts, length=8)
+    uniform = random_walks(und, starts, length=8)
+    # biased pass over the same starts: p=4 avoids immediate backtracks,
+    # q=1/4 pushes outward (DFS-flavored context).  Shift the walk ids so
+    # the two corpora union without colliding.
+    biased = node2vec_walks(und, starts, length=8, p=4, q="0.25")
+    shift = 1 << 40
+    walks = uniform.unionByName(
+        biased.select((F.col("walk") + shift).alias("walk"),
+                      "step", "node"))
     pairs = skipgram_pairs(walks, window=2)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

@@ -414,3 +414,19 @@ def test_node2vec_call_defaults(algo_session):
     got = rows(algo_session, "CALL algo.node2vecWalks()")
     assert len(got) > 0
     assert {s for _, s, _ in got} <= set(range(6))
+
+
+def test_pagerank_call_weighted_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import pagerank
+    got = dict(algo_session.cypher(
+        "CALL algo.pageRank(3, 0.85, 'w')").df.collect())
+    g = next(iter(algo_session.catalog.values()))
+    want = dict(pagerank(graph_edges(g, weight_prop="w"), iterations=3,
+                         damping=0.85, weight_col="w").collect())
+    assert got.keys() == want.keys()
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # weighted != unweighted on this fixture (weights 1..8)
+    unw = dict(algo_session.cypher("CALL algo.pageRank(3, 0.85)").df
+               .collect())
+    assert any(abs(got[n] - unw[n]) > 1e-9 for n in got)

@@ -1006,3 +1006,58 @@ def test_node2vec_shuffled_regime_matches_broadcast(spark, monkeypatch):
     got = sorted(map(tuple, ga.node2vec_walks(
         edges, starts, length=4, p=2, q=3).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 10: weighted PageRank
+
+def test_weighted_pagerank_hand_case(spark):
+    # a -> b (w=3), a -> c (w=1): b receives 3x c's transfer from a
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0)], "src string, dst string, w double")
+    got = _ranks(pagerank(edges, iterations=1, damping=0.85,
+                          weight_col="w"))
+    base = 0.15 / 3
+    # a holds 1/3; transfers 0.85 * (1/3) split 3:1; b,c dangle their mass
+    dangling = (1 / 3 + 1 / 3) / 3  # b and c are dangling at iteration 1
+    assert got["b"] == pytest.approx(
+        base + 0.85 * ((1 / 3) * 0.75 + dangling), abs=1e-12)
+    assert got["c"] == pytest.approx(
+        base + 0.85 * ((1 / 3) * 0.25 + dangling), abs=1e-12)
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 17, 2.5) for i in range(17)]
+        + [(i, (i * 5 + 2) % 17, 2.5) for i in range(17)],
+        "src long, dst long, w double")
+    a = {r.node: round(r.rank, 10)
+         for r in pagerank(edges, iterations=5, weight_col="w").collect()}
+    b = {r.node: round(r.rank, 10)
+         for r in pagerank(edges, iterations=5).collect()}
+    assert a == b
+
+
+def test_weighted_pagerank_drops_nonpositive_edges(spark):
+    # the w=0 edge to d must not count: d stays out of the node set
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("a", "d", 0.0)],
+        "src string, dst string, w double")
+    got = _ranks(pagerank(edges, iterations=3, weight_col="w"))
+    assert set(got) == {"a", "b"}
+
+
+def test_weighted_pagerank_matches_duckdb_oracle(spark):
+    import duckdb
+    edge_list = [("a", "b", 3.0), ("b", "c", 1.5), ("c", "a", 2.0),
+                 ("a", "c", 1.0), ("d", "a", 4.0), ("d", "c", 0.5)]
+    edges = spark.createDataFrame(edge_list,
+                                  "src string, dst string, w double")
+    got = {r.node: round(r.rank, 6)
+           for r in pagerank(edges, iterations=3, weight_col="w").collect()}
+    vals = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in edge_list)
+    sql = pagerank_sql_oracle(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst, w)", iterations=3,
+        weighted=True)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want

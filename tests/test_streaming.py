@@ -347,3 +347,40 @@ def test_streaming_kmeans_assign_parity(spark, tmp_path):
      .start().awaitTermination(120))
     want = sorted(map(tuple, kmeans_assign(df, cents).collect()))
     assert sorted(got) == want
+
+
+def test_streaming_asof_join_parity(spark, tmp_path):
+    """asof_join inside foreachBatch aligns a streaming left side against
+    a static right reference identically to the batch path (round 10) --
+    per-row alignment depends only on the row's own key/ts, so
+    micro-batching cannot change it."""
+    import datetime as dt
+
+    from cypher_for_apache_flink_spark.functions.asof import asof_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 12, m)
+
+    lrows = [(i, i % 5, ts((i * 13 + 5) % 60)) for i in range(40)]
+    rrows = [(100 + i, i % 5, ts((i * 11 + 2) % 60)) for i in range(25)]
+    left = spark.createDataFrame(lrows,
+                                 "event_id long, user long, ts timestamp")
+    right = spark.createDataFrame(rrows,
+                                  "rid long, user long, ts timestamp")
+    src = str(tmp_path / "in")
+    left.write.parquet(src)
+    stream = spark.readStream.schema(left.schema).parquet(src)
+    got = []
+
+    def sink(batch, _bid):
+        got.extend(
+            sorted(map(tuple, asof_join(batch, right, on="user",
+                                        tolerance="15 minutes").collect())))
+
+    (stream.writeStream.foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", str(tmp_path / "ck"))
+     .start().awaitTermination(120))
+    want = sorted(map(tuple, asof_join(left, right, on="user",
+                                       tolerance="15 minutes").collect()))
+    assert sorted(got) == want and len(want) == 40

@@ -54,7 +54,9 @@ def query_families() -> dict[str, list[str]]:
                      "contamination_check"],
         "text": ["text_profile", "top_ngrams", "tfidf_top_terms",
                  "rolling_fingerprints", "repetition_profile", "pii_scrub",
-                 "chunk_documents", "curate_corpus"],
+                 "chunk_documents", "curate_corpus",
+                 "bm25_retrieval"],                      # round 10
+        "asof": ["asof_attribution"],                    # round 10
         "pipeline": ["curate_corpus"],
         "multimodal": ["media_decode"],
         "graph_algos": ["pagerank", "bfs_shortest_paths", "triangle_count",
@@ -66,9 +68,11 @@ def query_families() -> dict[str, list[str]]:
                         "call_triangle_count",
                         # round 9
                         "scc_components", "closeness_centrality",
-                        "random_walks", "skipgram_pairs", "k_truss"],
+                        "random_walks", "skipgram_pairs", "k_truss",
+                        # round 10
+                        "node2vec_walks", "call_random_walks"],
         "clustering": ["kmeans_embeddings"],
-        "procedures": ["call_triangle_count"],
+        "procedures": ["call_triangle_count", "call_random_walks"],
         "streaming": ["events_sessions", "events_sliding_counts",
                       "correlated_events"],
         "ddl": ["ddl_graph"],
@@ -96,6 +100,7 @@ PATH_FAMILIES = {
     PKG + "functions/components.py": ["components"],
     PKG + "functions/sampling.py": ["sampling"],
     PKG + "functions/text.py": ["text"],
+    PKG + "functions/asof.py": ["asof"],
     PKG + "functions/pipeline.py": ["pipeline"],
     PKG + "functions/multimodal.py": ["multimodal"],
     PKG + "functions/graph_algos.py": ["graph_algos"],
