@@ -1228,12 +1228,46 @@ def _q_bm25_retrieval(spark, sf_dir):
 # New in round 10 — the CALL wiring for the round-9 sampling procedure
 # gets its own driver-recorded row (omitted-trailing-argument path),
 # plus the as-of temporal-alignment operator and BM25 retrieval.
+def _q_resample_fill(spark, sf_dir):
+    """Per-user 6-hour resampling of event values with forward gap fill
+    (round 10, functions/timeseries.py) — dense aligned feature rows
+    from the ragged event stream."""
+    from cypher_for_apache_flink_spark.functions.timeseries import (
+        resample_fill_forward,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = resample_fill_forward(ev.where(F.col("user_id") < 40),
+                                "user_id", "ts", "value",
+                                interval="6 hours", agg="avg")
+    return out.select("key", "bucket_us",
+                      F.round("value", 6).alias("value"), "is_gap") \
+        .orderBy("key", "bucket_us")
+
+
+def _q_rolling_events(spark, sf_dir):
+    """Trailing 2-hour per-user value sums at every event (round 10,
+    functions/timeseries.py rolling_time_agg) — one keyed exchange, one
+    numeric RANGE-frame window, no self-join."""
+    from cypher_for_apache_flink_spark.functions.timeseries import (
+        rolling_time_agg,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_time_agg(ev.where(F.col("user_id") < 40),
+                           "user_id", "ts", "value",
+                           window="2 hours", agg="sum")
+    return out.select("key", "ts_us", F.round("value", 6).alias("value"),
+                      F.round("rolling", 6).alias("rolling")) \
+        .orderBy("key", "ts_us", "value")
+
+
 _ROUND10_QUERIES = {
     "call_random_walks": _q_call_random_walks,
     "asof_attribution": _q_asof_attribution,
     "bm25_retrieval": _q_bm25_retrieval,
     "node2vec_walks": _q_node2vec_walks,
     "pagerank_weighted": _q_pagerank_weighted,
+    "resample_fill_forward": _q_resample_fill,
+    "rolling_time_agg": _q_rolling_events,
 }
 
 
@@ -1504,14 +1538,15 @@ _ROUND9_STALE = [
 # Round-10 DIRECTLY-touched queries: the size-gated walk frontier, the
 # k_truss big-regime plan, SCC convergence tracking, the k-means 2-D
 # literal distance array, the pointer-doubling cap (near-dup clusters),
-# and the CALL argument-validation path.  skipgram_pairs goes LAST: its
-# own code is unchanged (it only inherits the walk stage), so it is the
-# one row the 50-slot window pushes onto full-replay-only coverage
-# (5 new + 39 stale + these 7 = 51 candidates).
+# and the CALL argument-validation path.  7 never-recorded round-10
+# queries + 39 stale rows leave FOUR window slots, which go to the four
+# most-changed plans (walk gate, truss tiers, SCC convergence, k-means
+# distance array); near_dup_clusters, call_triangle_count and
+# skipgram_pairs (code unchanged, inherits the walk stage) ride on the
+# committed tools/check_oracle.py full replay.
 _ROUND10_DIRECT = [
-    'random_walks', 'k_truss', 'scc_components',
-    'kmeans_embeddings', 'near_dup_clusters', 'call_triangle_count',
-    'skipgram_pairs',
+    'random_walks', 'k_truss', 'scc_components', 'kmeans_embeddings',
+    'near_dup_clusters', 'call_triangle_count', 'skipgram_pairs',
 ]
 
 
@@ -2614,6 +2649,33 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "call_random_walks": _call_random_walks_oracle_sql(),
         "node2vec_walks": _node2vec_oracle_sql(),
         "pagerank_weighted": _pagerank_weighted_oracle_sql(),
+        # 6-hour buckets = 21600000000 us; same integer bucket keys,
+        # IGNORE NULLS last_value fill over the densified timeline
+        "resample_fill_forward": """
+WITH b AS (SELECT user_id AS key,
+                  (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+                  avg(value) AS v
+           FROM events WHERE user_id < 40 GROUP BY 1, 2),
+ext AS (SELECT key, min(bucket_us) AS lo, max(bucket_us) AS hi
+        FROM b GROUP BY key),
+dense AS (SELECT key, unnest(generate_series(lo, hi, 21600000000))
+                 AS bucket_us FROM ext)
+SELECT d.key, d.bucket_us,
+       round(last_value(b.v IGNORE NULLS) OVER (
+         PARTITION BY d.key ORDER BY d.bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+       b.v IS NULL AS is_gap
+FROM dense d LEFT JOIN b USING (key, bucket_us)
+ORDER BY key, bucket_us""",
+        # 2-hour trailing window = 7200000000 us numeric RANGE frame
+        "rolling_time_agg": """
+SELECT user_id AS key, epoch_us(ts) AS ts_us,
+       round(value, 6) AS value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW), 6)
+         AS rolling
+FROM events WHERE user_id < 40
+ORDER BY key, ts_us, value""",
         # as-of join twin: right side deduped per (user, ts) by max id
         # (the engine's greatest-payload-struct tiebreak), match = the
         # arg_max over the tolerance-bounded backward range

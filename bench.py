@@ -70,6 +70,9 @@ HEADLINE = [
     "node2vec_walks",
     "asof_attribution",
     "bm25_retrieval",
+    "pagerank_weighted",
+    "resample_fill_forward",
+    "rolling_time_agg",
 ]
 
 

@@ -109,3 +109,20 @@ def test_matches_duckdb_oracle(spark):
              AND v.ts >= l.ts - INTERVAL 10 MINUTE
         GROUP BY l.event_id""").fetchall())
     assert got == want
+
+
+def test_asof_plan_single_keyed_window_exchange(spark):
+    """Plan gate (round 10): the as-of core is ONE hash exchange on the
+    key feeding ONE window — a range join would materialize every
+    in-tolerance candidate pair instead."""
+    left, right = _frames(spark)
+    plan = (asof_join(left, right, on="user", tolerance="5 minutes")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1
+    # exchanges: one hashpartitioning(__k) for the window + one for the
+    # right-side (key, ts) dedup aggregate; nothing else
+    import re
+    hashes = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(hashes) == 2, hashes

@@ -100,3 +100,15 @@ SELECT doc_id, round(sum(
 FROM tf JOIN dfq USING (term) CROSS JOIN tot
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 8""").fetchall()]
     assert got == want
+
+
+def test_bm25_plan_scans_corpus_once(spark):
+    """Plan gate (round 10): document frequency is a window over the tf
+    rows, so the corpus parquet/tokenize pipeline appears EXACTLY once —
+    a second scan branch would double the dominant cost at 100 TB."""
+    df, _ = _corpus(spark)
+    plan = (bm25_topk(df, "hash join", k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") \
+        + plan.count("FileScan") == 1
+    assert "TakeOrderedAndProject" in plan

@@ -57,6 +57,8 @@ def query_families() -> dict[str, list[str]]:
                  "chunk_documents", "curate_corpus",
                  "bm25_retrieval"],                      # round 10
         "asof": ["asof_attribution"],                    # round 10
+        "timeseries": ["resample_fill_forward",          # round 10
+                       "rolling_time_agg"],
         "pipeline": ["curate_corpus"],
         "multimodal": ["media_decode"],
         "graph_algos": ["pagerank", "bfs_shortest_paths", "triangle_count",
@@ -70,7 +72,8 @@ def query_families() -> dict[str, list[str]]:
                         "scc_components", "closeness_centrality",
                         "random_walks", "skipgram_pairs", "k_truss",
                         # round 10
-                        "node2vec_walks", "call_random_walks"],
+                        "node2vec_walks", "call_random_walks",
+                        "pagerank_weighted"],
         "clustering": ["kmeans_embeddings"],
         "procedures": ["call_triangle_count", "call_random_walks"],
         "streaming": ["events_sessions", "events_sliding_counts",
@@ -101,6 +104,7 @@ PATH_FAMILIES = {
     PKG + "functions/sampling.py": ["sampling"],
     PKG + "functions/text.py": ["text"],
     PKG + "functions/asof.py": ["asof"],
+    PKG + "functions/timeseries.py": ["timeseries"],
     PKG + "functions/pipeline.py": ["pipeline"],
     PKG + "functions/multimodal.py": ["multimodal"],
     PKG + "functions/graph_algos.py": ["graph_algos"],
