@@ -1260,6 +1260,24 @@ def _q_rolling_events(spark, sf_dir):
         .orderBy("key", "ts_us", "value")
 
 
+_PQ_QUERY_VEC = [((i * 37) % 100) / 100.0 for i in range(64)]
+
+
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (round 10, functions/similarity.py
+    pq_train/pq_encode/pq_topk): 8 subspaces x 16 centroids on the
+    integer lattice, seed codebooks (iterations=0) so the SQL twin can
+    train them relationally; encode is one scan of constant-folded
+    codebook literals, scoring is a driver-computed integer lookup
+    table, and only k rows leave the executors."""
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        pq_encode, pq_topk, pq_train)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, iterations=0)
+    enc = pq_encode(emb, books)
+    return pq_topk(enc, books, _PQ_QUERY_VEC, k=12)
+
+
 _ROUND10_QUERIES = {
     "call_random_walks": _q_call_random_walks,
     "asof_attribution": _q_asof_attribution,
@@ -1268,6 +1286,7 @@ _ROUND10_QUERIES = {
     "pagerank_weighted": _q_pagerank_weighted,
     "resample_fill_forward": _q_resample_fill,
     "rolling_time_agg": _q_rolling_events,
+    "pq_topk": _q_pq_topk,
 }
 
 
@@ -1538,12 +1557,13 @@ _ROUND9_STALE = [
 # Round-10 DIRECTLY-touched queries: the size-gated walk frontier, the
 # k_truss big-regime plan, SCC convergence tracking, the k-means 2-D
 # literal distance array, the pointer-doubling cap (near-dup clusters),
-# and the CALL argument-validation path.  7 never-recorded round-10
-# queries + 39 stale rows leave FOUR window slots, which go to the four
-# most-changed plans (walk gate, truss tiers, SCC convergence, k-means
-# distance array); near_dup_clusters, call_triangle_count and
-# skipgram_pairs (code unchanged, inherits the walk stage) ride on the
-# committed tools/check_oracle.py full replay.
+# and the CALL argument-validation path.  8 never-recorded round-10
+# queries + 39 stale rows leave THREE window slots, which go to the
+# three most-changed plans (walk gate, truss tiers, SCC convergence);
+# kmeans_embeddings (its distance-array rewrite is bit-exactness-pinned
+# by tests and exercised by the in-window pq_topk), near_dup_clusters,
+# call_triangle_count and skipgram_pairs (code unchanged, inherits the
+# walk stage) ride on the committed tools/check_oracle.py full replay.
 _ROUND10_DIRECT = [
     'random_walks', 'k_truss', 'scc_components', 'kmeans_embeddings',
     'near_dup_clusters', 'call_triangle_count', 'skipgram_pairs',
@@ -1908,6 +1928,49 @@ def _pagerank_weighted_oracle_sql() -> str:
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
         ") cw GROUP BY src, dst")
     return pagerank_sql_oracle(edges_sql, iterations=3, weighted=True)
+
+
+def _pq_oracle_sql(m: int = 8, k: int = 16, dims: int = 64,
+                   scale: int = 1000, topk: int = 12) -> str:
+    """DuckDB twin of the pq_topk query: train the seed codebooks
+    relationally (sub-slices of the k smallest ids' quantized vectors),
+    encode every vector by exact integer argmin (ties to the lowest
+    centroid via arg_min over d*k + c — exact because c < k), and score
+    against the same literal query vector."""
+    d = dims // m
+    qq = [int(round(x * scale)) for x in _PQ_QUERY_VEC]
+    q_lit = "[" + ",".join(f"{v}::BIGINT" for v in qq) + "]"
+    return f"""
+WITH q AS (SELECT vec_id AS id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0)
+                              AS BIGINT)) AS qv
+           FROM embeddings),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS c,
+                 qv
+          FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k})),
+subs AS (SELECT CAST(j AS BIGINT) AS j FROM range({m}) t(j)),
+cb AS (SELECT s.j, seeds.c,
+              list_slice(seeds.qv, s.j * {d} + 1, s.j * {d} + {d}) AS cent
+       FROM subs s CROSS JOIN seeds),
+qvec AS (SELECT {q_lit} AS qq),
+lut AS (SELECT cb.j, cb.c,
+               list_sum(list_transform(generate_series(1, {d}),
+                 i -> (qq[CAST(cb.j * {d} + i AS INT)] - cent[i])
+                      * (qq[CAST(cb.j * {d} + i AS INT)] - cent[i])))
+                 AS dist
+        FROM cb CROSS JOIN qvec),
+vd AS (SELECT v.id, cb.j, cb.c,
+              list_sum(list_transform(generate_series(1, {d}),
+                i -> (v.qv[CAST(cb.j * {d} + i AS INT)] - cb.cent[i])
+                     * (v.qv[CAST(cb.j * {d} + i AS INT)] - cb.cent[i])))
+                AS dd
+       FROM q v CROSS JOIN cb),
+enc AS (SELECT id, j, arg_min(c, dd * {k} + c) AS code
+        FROM vd GROUP BY id, j)
+SELECT e.id AS vec_id, CAST(sum(l.dist) AS BIGINT) AS approx_sq_dist
+FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.code
+GROUP BY e.id ORDER BY approx_sq_dist, vec_id LIMIT {topk}"""
 
 
 def _node2vec_oracle_sql() -> str:
@@ -2649,6 +2712,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "call_random_walks": _call_random_walks_oracle_sql(),
         "node2vec_walks": _node2vec_oracle_sql(),
         "pagerank_weighted": _pagerank_weighted_oracle_sql(),
+        "pq_topk": _pq_oracle_sql(),
         # 6-hour buckets = 21600000000 us; same integer bucket keys,
         # IGNORE NULLS last_value fill over the densified timeline
         "resample_fill_forward": """

@@ -73,6 +73,7 @@ HEADLINE = [
     "pagerank_weighted",
     "resample_fill_forward",
     "rolling_time_agg",
+    "pq_topk",
 ]
 
 

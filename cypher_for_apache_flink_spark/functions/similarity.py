@@ -394,3 +394,96 @@ def dequantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     deq = F.transform(F.col(qvec_col),
                       lambda x: x.cast("double") * F.col(scale_col))
     return df.select(F.col(id_col), deq.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 10): the memory-bound tier of the ANN story
+# (brute force -> LSH/IVF bucketing -> int8 -> PQ/ADC).  Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+# ---------------------------------------------------------------------------
+
+def pq_train(df: DataFrame, m: int = 8, k: int = 16, iterations: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             scale: int = 1000) -> list:
+    """Train product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and run the integer-lattice k-means of
+    functions/clustering.py independently in each.  Returns
+    ``codebooks[m][k][dims/m]`` (quantized-lattice ints).
+
+    Everything inherits k-means' determinism contract (k-smallest-id
+    seeds, exact integer distances, Python ``//`` centroid updates), so
+    codebooks are bit-identical across engines/partitionings.  Training
+    scans the input m x (iterations + 1) times -- at corpus scale train
+    on a sample (PQ codebooks need thousands of vectors, not billions);
+    encoding (the full-corpus pass) is :func:`pq_encode`, one scan.
+    """
+    from .clustering import _quantize, kmeans
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    dims = len(first[0])
+    if dims % m != 0:
+        raise ValueError(f"pq_train: dims={dims} not divisible by m={m}")
+    d = dims // m
+    q = df.select(F.col(id_col).alias("id"),
+                  _quantize(F.col(vec_col), scale).alias("q")).persist()
+    try:
+        books = []
+        for j in range(m):
+            sub = q.select("id", F.slice(F.col("q"), j * d + 1, d)
+                           .alias("embedding"))
+            # already on the lattice: scale=1 keeps values as-is
+            _, cents = kmeans(sub, k=k, iterations=iterations,
+                              id_col="id", vec_col="embedding", scale=1)
+            books.append(cents)
+        return books
+    finally:
+        q.unpersist()
+
+
+def pq_encode(df: DataFrame, codebooks: list, id_col: str = "vec_id",
+              vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+    """Encode every vector as ``m`` small centroid indexes: (id, codes)
+    with codes[j] = argmin_c ||sub_j - codebook[j][c]||^2 on the integer
+    lattice, ties to the lowest index (the k-means tie-break).  ONE scan,
+    pure column expressions against constant-folded codebook literals --
+    the 100-TB full-corpus pass, m * log2(k) bits per vector."""
+    from .clustering import _dist_array, _quantize
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    q = _quantize(F.col(vec_col), scale)
+    codes = []
+    for j in range(m):
+        dists = _dist_array(F.slice(q, j * d + 1, d), codebooks[j])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(encoded: DataFrame, codebooks: list, query_vec, k: int = 10,
+            id_col: str = "vec_id", scale: int = 1000) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over :func:`pq_encode` output:
+    the query's distance to every centroid of every subspace is an
+    m x k INTEGER lookup table computed driver-side (exact lattice
+    arithmetic), the per-row score is ``sum_j lut[j][codes[j]]`` via one
+    constant-folded 2-D literal, and only k rows reach the driver
+    (TakeOrderedAndProject, ties to the lowest id).  Returns
+    (id, approx_sq_dist).  No join, no shuffle before the final top-k."""
+    m = len(codebooks)
+    qq = [int(round(float(x) * scale)) for x in query_vec]
+    d = len(codebooks[0][0])
+    if len(qq) != m * d:
+        raise ValueError(
+            f"pq_topk: query has {len(qq)} dims, codebooks expect {m * d}")
+    lut = [[sum((qq[j * d + i] - c[i]) ** 2 for i in range(d))
+            for c in codebooks[j]] for j in range(m)]
+    lut_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{v}L" for v in row) + ")"
+        for row in lut) + ")"
+    # SQL [] indexing is 0-based (unlike element_at): j walks subspaces
+    # 0..m-1 and codes[j] is itself the 0-based centroid index
+    score = F.expr(
+        f"aggregate(transform(sequence(0, {m - 1}), "
+        f"j -> {lut_sql}[j][codes[j]]), 0L, (a, x) -> a + x)")
+    return (encoded.select(F.col(id_col), score.alias("approx_sq_dist"))
+            .orderBy("approx_sq_dist", id_col).limit(k))

@@ -209,3 +209,102 @@ def test_quantize_codes_are_int8(spark):
     mx = qt.select(F.max(F.array_max("qvec")).alias("hi"),
                    F.min(F.array_min("qvec")).alias("lo")).collect()[0]
     assert -127 <= mx["lo"] and mx["hi"] <= 127
+
+
+# ---------------------------------------------------------------------------
+# round 10: product quantization / ADC
+
+def _pq_vecs(spark, n=48, dims=16):
+    rows = [(i, [float(((i * 7 + j * 3) % 19) - 9) for j in range(dims)])
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_pq_train_composes_subspace_kmeans(spark):
+    from cypher_for_apache_flink_spark.functions.clustering import (
+        _quantize, kmeans)
+    from cypher_for_apache_flink_spark.functions.similarity import pq_train
+    from pyspark.sql import functions as F
+    df, _ = _pq_vecs(spark)
+    books = pq_train(df, m=4, k=4, iterations=2)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    q = df.select(F.col("vec_id").alias("id"),
+                  _quantize(F.col("embedding"), 1000).alias("q"))
+    # subspace 2 codebook == kmeans over that slice directly
+    sub = q.select("id", F.slice(F.col("q"), 9, 4).alias("embedding"))
+    _, want = kmeans(sub, k=4, iterations=2, id_col="id", scale=1)
+    assert books[2] == want
+
+
+def test_pq_encode_exact_centroid_gets_its_code(spark):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        pq_encode, pq_train)
+    df, rows = _pq_vecs(spark)
+    books = pq_train(df, m=4, k=4, iterations=0)   # codebooks = 4 seed rows
+    enc = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    # the seed vectors themselves encode to their own centroid index
+    for i in range(4):
+        assert enc[i] == [i, i, i, i]
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c)
+               for c in enc.values())
+
+
+def test_pq_topk_adc_hand_check_and_determinism(spark):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        pq_encode, pq_topk, pq_train)
+    df, rows = _pq_vecs(spark)
+    books = pq_train(df, m=4, k=8, iterations=1)
+    enc = pq_encode(df, books)
+    query = rows[5][1]
+    got = [(r.vec_id, r.approx_sq_dist)
+           for r in pq_topk(enc, books, query, k=5).collect()]
+    # python replay of encode + ADC
+    import itertools
+    qq = [round(x * 1000) for x in query]
+    d = 4
+    lut = [[sum((qq[j * d + i] - c[i]) ** 2 for i in range(d))
+            for c in books[j]] for j in range(4)]
+    want_scores = {}
+    for vid, vec in rows:
+        qv = [round(x * 1000) for x in vec]
+        s = 0
+        for j in range(4):
+            dists = [sum((qv[j * d + i] - c[i]) ** 2 for i in range(d))
+                     for c in books[j]]
+            code = dists.index(min(dists))
+            s += lut[j][code]
+        want_scores[vid] = s
+    want = sorted(want_scores.items(), key=lambda t: (t[1], t[0]))[:5]
+    assert got == want
+    again = [(r.vec_id, r.approx_sq_dist)
+             for r in pq_topk(pq_encode(df.repartition(7), books), books,
+                              query, k=5).collect()]
+    assert again == got
+
+
+def test_pq_separated_clusters_top1_is_true_nearest(spark):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        pq_encode, pq_topk, pq_train)
+    # two far-apart blobs; the ADC top-1 for a probe near blob B must be
+    # a blob-B member
+    rows = [(i, [float(i % 3)] * 8) for i in range(6)] \
+        + [(100 + i, [1000.0 + (i % 3)] * 8) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=4, iterations=2)
+    enc = pq_encode(df, books)
+    top = pq_topk(enc, books, [1000.5] * 8, k=3).collect()
+    assert all(r.vec_id >= 100 for r in top)
+
+
+def test_pq_validation_errors(spark):
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        pq_topk, pq_train)
+    df, _ = _pq_vecs(spark, dims=16)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=5)
+    books = pq_train(df, m=4, k=4, iterations=0)
+    with pytest.raises(ValueError, match="dims"):
+        pq_topk(spark.createDataFrame([(1, [0, 0, 0, 0])],
+                                      "vec_id long, codes array<int>"),
+                books, [0.0] * 8)

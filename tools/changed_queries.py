@@ -47,7 +47,8 @@ def query_families() -> dict[str, list[str]]:
                        "similarity_topk_lsh_indexed",
                        "similarity_topk_ivf_indexed",
                        "similarity_topk_quantized",
-                       "cosine_near_dup_pairs", "cosine_near_dup_lsh"],
+                       "cosine_near_dup_pairs", "cosine_near_dup_lsh",
+                       "pq_topk"],                       # round 10
         "components": ["near_dup_clusters"],
         "sampling": ["sample_stratified", "sample_weighted",
                      "domain_mixture", "pack_sequences",
