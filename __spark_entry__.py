@@ -1534,6 +1534,50 @@ _ROUND9_CHANGED = [
 ]
 
 
+# Round 10 changed queries, derived mechanically:
+# `python tools/changed_queries.py 3968e82..HEAD` (101 names — the
+# plans/planner.py edit is the CALL-path NULL-argument guard only, but
+# the tool conservatively sweeps every planner-backed query for any
+# planner.py diff; graph_algos/clustering/components/similarity/text/
+# procedures edits sweep their families; the eight round-10 queries are
+# new).  Feeds the round-11 window rotation.
+_ROUND10_CHANGED = [
+    'agg_count_distinct', 'agg_global', 'agg_stats', 'agg_tpch_q1',
+    'agg_tpch_q3', 'agg_tpch_q5', 'asof_attribution',
+    'betweenness_sampled', 'bfs_shortest_paths', 'bitwise_functions',
+    'bm25_retrieval', 'call_random_walks', 'call_triangle_count',
+    'case_expression', 'chunk_documents', 'closeness_centrality',
+    'coalesce_function', 'collect_unwind', 'construct_requery',
+    'cosine_near_dup_lsh', 'cosine_near_dup_pairs', 'curate_corpus',
+    'ddl_graph', 'degree_histogram', 'distinct_projection',
+    'driving_table', 'duration_accessors', 'duration_shift',
+    'edge_uniqueness_pairs', 'events_hour_buckets', 'events_temporal',
+    'exists_pattern', 'expand_1hop', 'expand_2hop',
+    'expand_3hop_keyword_types', 'expand_incoming', 'expand_into',
+    'expand_undirected', 'graph_union', 'hits_scores', 'k_core',
+    'k_truss', 'keyword_label_scan', 'kmeans_embeddings',
+    'label_propagation', 'labels_function', 'list_functions',
+    'math_functions', 'near_dup_clusters', 'node2vec_walks',
+    'node_similarity', 'not_exists_pattern', 'optional_first_clause',
+    'optional_match_count', 'optional_match_null', 'order_skip_limit',
+    'orderby_expression', 'pagerank', 'pagerank_weighted',
+    'percentile_disc_global', 'personalized_pagerank', 'pii_scrub',
+    'pq_topk', 'predicate_contains', 'predicate_in', 'predicate_regex',
+    'predicate_string_match', 'random_walks', 'rel_properties',
+    'repetition_profile', 'resample_fill_forward', 'rolling_fingerprints',
+    'rolling_time_agg', 'scan_filter', 'scan_filter_and_or', 'scan_nodes',
+    'scc_components', 'similarity_topk', 'similarity_topk_ivf',
+    'similarity_topk_ivf_indexed', 'similarity_topk_join',
+    'similarity_topk_lsh', 'similarity_topk_lsh_indexed',
+    'similarity_topk_quantized', 'skipgram_pairs', 'string_functions',
+    'text_profile', 'tfidf_top_terms', 'top_ngrams', 'triangle_count',
+    'type_function', 'union_all', 'union_distinct', 'unwind_literal',
+    'unwind_range_filter', 'var_length_1_2', 'var_length_2_2',
+    'var_length_typed', 'var_length_unbounded', 'weighted_shortest_paths',
+    'with_pipeline',
+]
+
+
 # The 39 _ROUND9_CHANGED queries whose driver rows predate their round-9
 # code changes because 79 changed > the 50-row window (VERDICT r9 #3 —
 # its prescribed r10 fix is to LEAD the window with exactly these;

@@ -1757,7 +1757,8 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
             else:
                 fr = _repart(frontier, nparts, "node").hint("shuffle_hash")
             cand = (fr.join(edges, fr["node"] == edges["src"])
-                    .select("walk", "prev", F.col("dst")))
+                    .select("walk", fr["node"].alias("__cur"), "prev",
+                            F.col("dst")))
             cand = cand.join(F.broadcast(probe) if use_broadcast
                              else probe, ["prev", "dst"], "left")
             u = F.conv(F.substring(
@@ -1771,17 +1772,16 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
                  .when(F.col("__common").isNotNull(),
                        F.lit(int(m_common)))
                  .otherwise(F.lit(int(m_forward))))
+            # the next step's prev IS this step's frontier node, constant
+            # within the walk group -- ride the aggregate instead of a
+            # second per-step join back to the frontier
             nxt = (cand.groupBy("walk")
                    .agg(F.max(F.struct((u * m).alias("s"),
                                        F.col("dst").alias("node")))
                         .alias("pick"),
-                        F.first("prev").alias("__unused"))
-                   .select("walk", F.col("pick.node").alias("node")))
-            # carry prev = this step's frontier node
-            nxt = (nxt.join(frontier.select("walk",
-                                            F.col("node").alias("prev")),
-                            "walk")
-                   .select("walk", "node", "prev"))
+                        F.first("__cur").alias("prev"))
+                   .select("walk", F.col("pick.node").alias("node"),
+                           "prev"))
             nxt = nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break
