@@ -126,3 +126,14 @@ def test_asof_plan_single_keyed_window_exchange(spark):
     import re
     hashes = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert len(hashes) == 2, hashes
+
+
+def test_forward_with_tolerance(spark):
+    left, right = _frames(spark)
+    got = {r.event_id: r.asof_rid
+           for r in asof_join(left, right, on="user", direction="forward",
+                              tolerance="3 minutes").collect()}
+    # event 1 at 12:10 -> rid 101 at 12:10 (0 min); event 3 at 12:05 ->
+    # rid 103 at 12:07 (2 min); event 4's nearest future row is beyond
+    # any user-30 right row entirely
+    assert got == {1: 101, 2: None, 3: 103, 4: None}

@@ -17,6 +17,7 @@ EXAMPLES = [
     ("datasource_fs", 1),
     ("incremental_dedup", 1),
     ("embedding_corpus", 1),
+    ("feature_pipeline", 1),
 ]
 
 
