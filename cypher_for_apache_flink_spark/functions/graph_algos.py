@@ -1727,10 +1727,7 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
     edges = base_edges = (edges.select(F.col(src_col).alias("src"),
                                        F.col(dst_col).alias("dst"))
                           .dropDuplicates(["src", "dst"]).persist())
-    # the (prev, dst) common-neighbor probe side
-    probe = edges.select(F.col("src").alias("prev"),
-                         F.col("dst").alias("dst"),
-                         F.lit(True).alias("__common"))
+    probe_p = None
     try:
         frontier = (starts.select(F.col(node_col).alias("walk"))
                     .dropDuplicates(["walk"])
@@ -1750,6 +1747,28 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
                 nparts = max(2 * spark.sparkContext.defaultParallelism, 1)
             if nparts is not None:
                 edges = edges.repartition(nparts, "src").persist()
+        # the (prev, dst) common-neighbor probe side.  Broadcasting the
+        # FULL edge set per step is a scale (and measured wall) disaster
+        # -- the first cut did exactly that and the 12M-edge sf1 spot
+        # ran 64.5s vs random_walks' 7.9s.  Small frontiers instead
+        # SEMI-FILTER the probe to the current nodes' out-edges (one
+        # extra scan of the persisted edges per step, broadcast result
+        # bounded by the frontier fanout); big frontiers lay the probe
+        # out hash(prev, dst) ONCE at the join's partition count so each
+        # step's left join shuffles only the candidate stream.
+        probe = edges.select(F.col("src").alias("prev"),
+                             F.col("dst").alias("dst"),
+                             F.lit(True).alias("__common"))
+        if not use_broadcast:
+            pp = nparts
+            if pp is None:
+                try:
+                    pp = int(edges.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions"))
+                except Exception:
+                    pp = None
+            probe_p = (probe.repartition(pp, "prev", "dst").persist()
+                       if pp is not None else probe.persist())
         trace = frontier.select("walk", F.lit(0).alias("step"), "node")
         for step in range(1, length + 1):
             if use_broadcast:
@@ -1759,8 +1778,14 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
             cand = (fr.join(edges, fr["node"] == edges["src"])
                     .select("walk", fr["node"].alias("__cur"), "prev",
                             F.col("dst")))
-            cand = cand.join(F.broadcast(probe) if use_broadcast
-                             else probe, ["prev", "dst"], "left")
+            if use_broadcast:
+                pf = probe.join(
+                    F.broadcast(frontier.select(
+                        F.col("node").alias("prev"))),
+                    "prev", "left_semi")
+                cand = cand.join(F.broadcast(pf), ["prev", "dst"], "left")
+            else:
+                cand = cand.join(probe_p, ["prev", "dst"], "left")
             u = F.conv(F.substring(
                 F.md5(F.concat_ws("|", F.col("walk").cast("string"),
                                   F.lit(str(step)),
@@ -1790,6 +1815,8 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
             frontier = nxt
         return trace
     finally:
+        if probe_p is not None:
+            probe_p.unpersist()
         if edges is not base_edges:
             edges.unpersist()
         base_edges.unpersist()
