@@ -412,9 +412,11 @@ def pq_train(df: DataFrame, m: int = 8, k: int = 16, iterations: int = 2,
 
     Everything inherits k-means' determinism contract (k-smallest-id
     seeds, exact integer distances, Python ``//`` centroid updates), so
-    codebooks are bit-identical across engines/partitionings.  Training
-    scans the input m x (iterations + 1) times -- at corpus scale train
-    on a sample (PQ codebooks need thousands of vectors, not billions);
+    codebooks are bit-identical across engines/partitionings.
+    ``iterations=0`` (seed codebooks) is ONE TakeOrdered collect of the
+    k smallest ids, sliced driver-side; with Lloyd refinement the input
+    is scanned m x (iterations + 1) times -- at corpus scale train on a
+    sample (PQ codebooks need thousands of vectors, not billions);
     encoding (the full-corpus pass) is :func:`pq_encode`, one scan.
     """
     from .clustering import _quantize, kmeans
@@ -426,7 +428,18 @@ def pq_train(df: DataFrame, m: int = 8, k: int = 16, iterations: int = 2,
         raise ValueError(f"pq_train: dims={dims} not divisible by m={m}")
     d = dims // m
     q = df.select(F.col(id_col).alias("id"),
-                  _quantize(F.col(vec_col), scale).alias("q")).persist()
+                  _quantize(F.col(vec_col), scale).alias("q"))
+    if iterations == 0:
+        # seed codebooks = the k smallest ids' sub-vectors, exactly what
+        # each per-subspace kmeans would seed with -- fetched in ONE
+        # TakeOrdered instead of m separate materializations
+        rows = q.orderBy("id").limit(k).collect()
+        if len(rows) < k:
+            raise ValueError(f"pq_train: k={k} exceeds the {len(rows)} "
+                             "input rows")
+        return [[list(r["q"][j * d:(j + 1) * d]) for r in rows]
+                for j in range(m)]
+    q = q.persist()
     try:
         books = []
         for j in range(m):
@@ -446,18 +459,39 @@ def pq_encode(df: DataFrame, codebooks: list, id_col: str = "vec_id",
     """Encode every vector as ``m`` small centroid indexes: (id, codes)
     with codes[j] = argmin_c ||sub_j - codebook[j][c]||^2 on the integer
     lattice, ties to the lowest index (the k-means tie-break).  ONE scan,
-    pure column expressions against constant-folded codebook literals --
-    the 100-TB full-corpus pass, m * log2(k) bits per vector."""
-    from .clustering import _dist_array, _quantize
+    pure column expressions against codebook constants -- the 100-TB
+    full-corpus pass, m * log2(k) bits per vector.
+
+    The per-centroid distances are UNROLLED arithmetic parsed from one
+    SQL string per subspace, not higher-order-function lambdas: the HOF
+    form evaluates an interpreted lambda per array element -- measured
+    83s per bench run at sf0.1 (m*k*d = 1024 cells/row) vs ~1s unrolled,
+    because explicit multiply-adds stay inside whole-stage codegen.
+    Parsing one string sidesteps the per-literal py4j cost that made the
+    unrolled k-means form slow to PLAN (see clustering._dist_array)."""
+    from .clustering import _quantize
     m = len(codebooks)
     d = len(codebooks[0][0])
-    q = _quantize(F.col(vec_col), scale)
-    codes = []
-    for j in range(m):
-        dists = _dist_array(F.slice(q, j * d + 1, d), codebooks[j])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int"))
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    base = df.select(F.col(id_col),
+                     _quantize(F.col(vec_col), scale).alias("__q"))
+    code_exprs = []
+    for j, book in enumerate(codebooks):
+        dists = ",".join(
+            "(" + "+".join(
+                f"(__q[{j * d + i}]-({int(c[i])}))"
+                f"*(__q[{j * d + i}]-({int(c[i])}))"
+                for i in range(d)) + ")"
+            for c in book)
+        # argmin via ONE fold over the dists array (array_position(
+        # array_min) would build the dists array twice); ties keep the
+        # lowest index because only strictly-smaller distances replace
+        code_exprs.append(
+            f"aggregate(zip_with(array({dists}), "
+            f"sequence(0, {len(book) - 1}), (dd, ii) -> struct(dd, ii)), "
+            f"struct(CAST(9223372036854775807 AS BIGINT) AS dd, "
+            f"-1 AS ii), (acc, x) -> IF(x.dd < acc.dd, x, acc)).ii")
+    codes = F.expr("array(" + ",".join(code_exprs) + ")")
+    return base.select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_topk(encoded: DataFrame, codebooks: list, query_vec, k: int = 10,
@@ -480,10 +514,15 @@ def pq_topk(encoded: DataFrame, codebooks: list, query_vec, k: int = 10,
     lut_sql = "array(" + ",".join(
         "array(" + ",".join(f"{v}L" for v in row) + ")"
         for row in lut) + ")"
-    # SQL [] indexing is 0-based (unlike element_at): j walks subspaces
-    # 0..m-1 and codes[j] is itself the 0-based centroid index
+    # zip_with evaluates the codes array ONCE per row and iterates its
+    # elements -- the first cut wrote transform(sequence(0, m-1),
+    # j -> lut[j][codes[j]]), which re-evaluates the codes expression on
+    # EVERY lambda iteration; with a lazily-composed pq_encode input the
+    # whole unrolled encode tree ran m times per row (measured 26s for
+    # 2,000 rows).  SQL [] indexing is 0-based, matching the 0-based
+    # centroid indexes in codes.
     score = F.expr(
-        f"aggregate(transform(sequence(0, {m - 1}), "
-        f"j -> {lut_sql}[j][codes[j]]), 0L, (a, x) -> a + x)")
+        f"aggregate(zip_with(codes, {lut_sql}, (c, lrow) -> lrow[c]), "
+        f"0L, (a, x) -> a + x)")
     return (encoded.select(F.col(id_col), score.alias("approx_sq_dist"))
             .orderBy("approx_sq_dist", id_col).limit(k))
