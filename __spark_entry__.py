@@ -1260,6 +1260,21 @@ def _q_rolling_events(spark, sf_dir):
         .orderBy("key", "ts_us", "value")
 
 
+def _q_mis(spark, sf_dir):
+    """Maximal independent set (round 10, Luby md5-draw rounds —
+    functions/graph_algos.py maximal_independent_set) over a
+    deterministic quarter-sample of the co-purchase conflict graph:
+    the conflict-free subset selection primitive, rolled up per flag."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        maximal_independent_set,
+    )
+    e = (_copurchase_edges(spark, sf_dir)
+         .where(F.md5(F.concat_ws("|", F.col("src"), F.col("dst")))
+                < "4"))
+    out = maximal_independent_set(e, rounds=8)
+    return out.orderBy("node").select("node", "in_mis")
+
+
 _PQ_QUERY_VEC = [((i * 37) % 100) / 100.0 for i in range(64)]
 
 
@@ -1287,6 +1302,7 @@ _ROUND10_QUERIES = {
     "resample_fill_forward": _q_resample_fill,
     "rolling_time_agg": _q_rolling_events,
     "pq_topk": _q_pq_topk,
+    "mis_conflict_free": _q_mis,
 }
 
 
@@ -1601,13 +1617,16 @@ _ROUND9_STALE = [
 # Round-10 DIRECTLY-touched queries: the size-gated walk frontier, the
 # k_truss big-regime plan, SCC convergence tracking, the k-means 2-D
 # literal distance array, the pointer-doubling cap (near-dup clusters),
-# and the CALL argument-validation path.  8 never-recorded round-10
-# queries + 39 stale rows leave THREE window slots, which go to the
-# three most-changed plans (walk gate, truss tiers, SCC convergence);
-# kmeans_embeddings (its distance-array rewrite is bit-exactness-pinned
-# by tests and exercised by the in-window pq_topk), near_dup_clusters,
-# call_triangle_count and skipgram_pairs (code unchanged, inherits the
-# walk stage) ride on the committed tools/check_oracle.py full replay.
+# and the CALL argument-validation path.  9 never-recorded round-10
+# queries + 39 stale rows leave TWO window slots, which go to the two
+# plan changes the bench measures directly (walk gate, truss tiers);
+# scc_components (the convergence fix only fires on cycles longer than
+# the budget -- pytest's 70-cycle test pins it; the driver row's ring-8
+# fixture can't reach it), kmeans_embeddings (distance-array rewrite
+# bit-exactness-pinned by tests and exercised by the in-window
+# pq_topk), near_dup_clusters, call_triangle_count and skipgram_pairs
+# (code unchanged, inherits the walk stage) ride on the committed
+# tools/check_oracle.py full replay.
 _ROUND10_DIRECT = [
     'random_walks', 'k_truss', 'scc_components', 'kmeans_embeddings',
     'near_dup_clusters', 'call_triangle_count', 'skipgram_pairs',
@@ -1972,6 +1991,18 @@ def _pagerank_weighted_oracle_sql() -> str:
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
         ") cw GROUP BY src, dst")
     return pagerank_sql_oracle(edges_sql, iterations=3, weighted=True)
+
+
+def _mis_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        mis_sql_oracle,
+    )
+    edges_sql = (
+        f"SELECT src, dst FROM ({_COPURCHASE_SQL}) cm "
+        "WHERE md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) "
+        "< '4'")
+    mis = mis_sql_oracle(edges_sql, rounds=8)
+    return f"SELECT node, in_mis FROM ({mis}) m ORDER BY node"
 
 
 def _pq_oracle_sql(m: int = 8, k: int = 16, dims: int = 64,
@@ -2757,6 +2788,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "node2vec_walks": _node2vec_oracle_sql(),
         "pagerank_weighted": _pagerank_weighted_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
+        "mis_conflict_free": _mis_oracle_sql(),
         # 6-hour buckets = 21600000000 us; same integer bucket keys,
         # IGNORE NULLS last_value fill over the densified timeline
         "resample_fill_forward": """

@@ -74,6 +74,7 @@ HEADLINE = [
     "resample_fill_forward",
     "rolling_time_agg",
     "pq_topk",
+    "mis_conflict_free",
 ]
 
 

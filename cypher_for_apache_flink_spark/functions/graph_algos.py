@@ -1851,6 +1851,120 @@ s{t} AS (SELECT walk, node, prev FROM (
             + " UNION ALL ".join(selects))
 
 
+def maximal_independent_set(edges: DataFrame, rounds: int = 16,
+                            src_col: str = "src",
+                            dst_col: str = "dst") -> DataFrame:
+    """Maximal independent set of the UNDIRECTED simple graph (Luby
+    1986, the deterministic md5-draw variant): returns (node, in_mis)
+    for every node -- no two in_mis nodes are adjacent, and every
+    excluded node has an in_mis neighbor.  The pipeline use: selecting
+    a conflict-free subset under a pairwise-conflict relation (near-dup
+    pairs, co-occurrence constraints) in O(log n) rounds.
+
+    Per round every undecided node draws the key (md5(node|round),
+    node) -- the trailing node id makes ties impossible, so the round
+    is deterministic on any engine/partitioning and the SQL oracle
+    replays it verbatim.  A node joins the MIS when its key beats every
+    undecided neighbor's (local-minimum rule); winners and their
+    neighbors leave the undecided set.  Per round: ONE neighbor-min
+    aggregate plus two anti-joins, all node-id-keyed; the active edge
+    set shrinks geometrically (each edge is incident to a local
+    minimum's neighborhood with constant probability -- Luby's
+    argument), which is why ``rounds`` defaults to 16 ~ 2 log2 of any
+    practical component size.  Exhausting the budget warns and returns
+    the remainder as NOT in the set (still independent, possibly not
+    maximal).
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    bi = (edges.select(F.col(src_col).alias("u"),
+                       F.col(dst_col).alias("v"))
+          .where(F.col("u") != F.col("v")))
+    bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+          .dropDuplicates(["u", "v"]).localCheckpoint(eager=True))
+    undecided = (bi.select(F.col("u").alias("node"))
+                 .dropDuplicates(["node"]).localCheckpoint(eager=True))
+    active = bi
+    mis = None
+    exhausted = True
+    for r in range(1, rounds + 1):
+        def key(col):
+            return F.struct(
+                F.md5(F.concat_ws("|", col.cast("string"),
+                                  F.lit(str(r)))).alias("d"),
+                col.alias("n"))
+        nmin = (active.select(F.col("u").alias("node"),
+                              key(F.col("v")).alias("__nk"))
+                .groupBy("node").agg(F.min("__nk").alias("__mn")))
+        winners = (undecided.join(nmin, "node", "left")
+                   .where(F.col("__mn").isNull()
+                          | (key(F.col("node")) < F.col("__mn")))
+                   .select("node").localCheckpoint(eager=True))
+        mis = winners if mis is None else mis.unionByName(winners)
+        mis = mis.localCheckpoint(eager=True)
+        # winners' neighbors are dominated: remove both
+        dominated = (active.join(winners.withColumnRenamed("node", "u"),
+                                 "u", "left_semi")
+                     .select(F.col("v").alias("node")))
+        removed = winners.unionByName(dominated).dropDuplicates(["node"])
+        undecided = (undecided.join(removed, "node", "left_anti")
+                     .localCheckpoint(eager=True))
+        if undecided.isEmpty():
+            exhausted = False
+            break
+        active = (active.join(undecided.withColumnRenamed("node", "u"),
+                              "u", "left_semi")
+                  .join(undecided.withColumnRenamed("node", "v"),
+                        "v", "left_semi").localCheckpoint(eager=True))
+    if exhausted:
+        warnings.warn(
+            f"maximal_independent_set: {undecided.count()} nodes still "
+            f"undecided after rounds={rounds} -- result is independent "
+            "but may not be maximal; raise rounds", stacklevel=2)
+    nodes = (bi.select(F.col("u").alias("node"))
+             .dropDuplicates(["node"]))
+    return (nodes.join(mis.withColumn("__in", F.lit(True)), "node", "left")
+            .select("node", F.coalesce(F.col("__in"), F.lit(False))
+                    .alias("in_mis")))
+
+
+def mis_sql_oracle(edges_sql: str, rounds: int = 16) -> str:
+    """ANSI-SQL twin of :func:`maximal_independent_set`: the same
+    md5-keyed local-minimum rounds unrolled to CTEs.  ``edges_sql``
+    selects (src, dst).  Round CTEs are MATERIALIZED: each references
+    its predecessor several times and an inlining planner would expand
+    the chain exponentially (the k_truss oracle lesson)."""
+    parts = [f"""raw AS ({edges_sql}),
+bi AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+  SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+  UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
+u_0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi),
+m_0 AS (SELECT node FROM u_0 WHERE 1 = 0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+w_{r} AS MATERIALIZED (SELECT x.node FROM u_{r - 1} x LEFT JOIN (
+    SELECT e.u AS node,
+           min({{'d': md5(CAST(e.v AS VARCHAR) || '|{r}'),
+                 'n': e.v}}) AS mn
+    FROM bi e
+    JOIN u_{r - 1} a ON a.node = e.u
+    JOIN u_{r - 1} b ON b.node = e.v
+    GROUP BY e.u) n ON n.node = x.node
+  WHERE n.mn IS NULL
+     OR {{'d': md5(CAST(x.node AS VARCHAR) || '|{r}'), 'n': x.node}}
+        < n.mn),
+m_{r} AS MATERIALIZED (SELECT node FROM m_{r - 1}
+          UNION SELECT node FROM w_{r}),
+u_{r} AS MATERIALIZED (SELECT node FROM u_{r - 1}
+          WHERE node NOT IN (SELECT node FROM w_{r})
+            AND node NOT IN (
+              SELECT e.v FROM bi e
+              JOIN w_{r} w ON w.node = e.u))""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT n.node, m.node IS NOT NULL AS in_mis
+FROM u_0 n LEFT JOIN m_{rounds} m ON m.node = n.node""")
+
+
 def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """k-truss decomposition of the UNDIRECTED graph: the maximal

@@ -286,6 +286,12 @@ def builtin_graph_procedures() -> list:
                               p=str(p), q=str(q)) \
             .select("walk", "step", "node")
 
+    def _mis(session, graph, rounds):
+        from .functions.graph_algos import maximal_independent_set
+        return maximal_independent_set(graph_edges(graph),
+                                       rounds=int(rounds)) \
+            .select("node", "in_mis")
+
     def _k_truss(session, graph, k, rounds):
         from .functions.graph_algos import k_truss
         return k_truss(graph_edges(graph), k=int(k),
@@ -361,6 +367,10 @@ def builtin_graph_procedures() -> list:
             ":: (walk :: INTEGER?, step :: INTEGER?, "
             "node :: INTEGER?)", _node2vec,
             defaults=(("nStarts", 16), ("length", 5), ("p", 1), ("q", 1))),
+        graph_procedure(
+            "algo.mis(rounds :: INTEGER?) "
+            ":: (node :: INTEGER?, in_mis :: BOOLEAN?)", _mis,
+            defaults=(("rounds", 16),)),
         graph_procedure(
             "algo.graphStats() "
             ":: (nodes :: INTEGER?, edges :: INTEGER?, "

@@ -430,3 +430,19 @@ def test_pagerank_call_weighted_matches_library(algo_session):
     unw = dict(algo_session.cypher("CALL algo.pageRank(3, 0.85)").df
                .collect())
     assert any(abs(got[n] - unw[n]) > 1e-9 for n in got)
+
+
+def test_mis_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        maximal_independent_set)
+    got = rows(algo_session, "CALL algo.mis()")
+    g = next(iter(algo_session.catalog.values()))
+    want = sorted(tuple(r) for r in maximal_independent_set(
+        graph_edges(g)).collect())
+    assert got == want and len(got) == 7
+    # independence on the fixture's edges
+    inset = {n for n, f in got if f}
+    fixture_pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5),
+                     (5, 6), (6, 7)]
+    for a, b in fixture_pairs:
+        assert not (a in inset and b in inset)

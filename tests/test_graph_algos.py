@@ -1061,3 +1061,83 @@ def test_weighted_pagerank_matches_duckdb_oracle(spark):
         weighted=True)
     want = dict(duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 10: maximal independent set (Luby, deterministic md5 draws)
+
+def _check_mis(pairs, result):
+    """Independence + maximality against the raw edge list."""
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    inset = {n for n, f in result.items() if f}
+    for a, b in pairs:
+        assert not (a in inset and b in inset and a != b), (a, b)
+    for n, f in result.items():
+        if not f:
+            assert nbrs.get(n, set()) & inset, f"{n} excluded w/o reason"
+
+
+def test_mis_path_and_star(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        maximal_independent_set)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: r.in_mis
+           for r in maximal_independent_set(edges).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 10, 11, 12, 13}
+    _check_mis(pairs, got)
+
+
+def test_mis_deterministic_and_valid_on_random_graph(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        maximal_independent_set)
+    pairs = sorted({(i % 23, (i * 7 + 3) % 23) for i in range(80)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = {r.node: r.in_mis
+         for r in maximal_independent_set(edges).collect()}
+    b = {r.node: r.in_mis
+         for r in maximal_independent_set(edges.repartition(5)).collect()}
+    assert a == b
+    _check_mis(pairs, a)
+
+
+def test_mis_warns_on_exhausted_rounds(spark):
+    import warnings as W
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        maximal_independent_set)
+    pairs = [(i, i + 1) for i in range(30)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = {r.node: r.in_mis
+               for r in maximal_independent_set(edges, rounds=1).collect()}
+    assert any("maximal" in str(w.message) for w in caught)
+    # still independent even if not maximal
+    inset = {n for n, f in got.items() if f}
+    for a, b in pairs:
+        assert not (a in inset and b in inset)
+
+
+def test_mis_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        maximal_independent_set, mis_sql_oracle)
+    pairs = sorted({(i % 17, (i * 5 + 2) % 17) for i in range(60)}
+                   | {((i * 3 + 1) % 17, i % 17) for i in range(40)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted((r.node, r.in_mis)
+                 for r in maximal_independent_set(edges, rounds=6)
+                 .collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(map(tuple, con.execute(
+        mis_sql_oracle("SELECT src, dst FROM e", rounds=6)).fetchall()))
+    assert got == want

@@ -384,3 +384,37 @@ def test_streaming_asof_join_parity(spark, tmp_path):
     want = sorted(map(tuple, asof_join(left, right, on="user",
                                        tolerance="15 minutes").collect()))
     assert sorted(got) == want and len(want) == 40
+
+
+def test_streaming_rolling_agg_parity(spark, tmp_path):
+    """rolling_time_agg inside foreachBatch over a COMPLETE per-key
+    batch equals the batch path (round 10).  The operator is
+    key-windowed, so parity holds whenever a key's history rides in one
+    batch -- the static-reference / replay shape, same contract as the
+    kmeans and asof twins."""
+    import datetime as dt
+
+    from cypher_for_apache_flink_spark.functions.timeseries import (
+        rolling_time_agg)
+
+    rows = [(i % 4, dt.datetime(2024, 1, 1, 12, (i * 17 + 3) % 60),
+             float((i * 5) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, v double")
+    src = str(tmp_path / "in")
+    # one file => one micro-batch: the whole key history arrives together
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    got = []
+
+    def sink(batch, _bid):
+        got.extend(sorted(map(tuple, rolling_time_agg(
+            batch, "user", "ts", "v", window="20 minutes",
+            agg="sum").collect())))
+
+    (stream.writeStream.foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", str(tmp_path / "ck"))
+     .start().awaitTermination(120))
+    want = sorted(map(tuple, rolling_time_agg(
+        df, "user", "ts", "v", window="20 minutes", agg="sum").collect()))
+    assert sorted(got) == want and len(want) == 60

@@ -74,7 +74,7 @@ def query_families() -> dict[str, list[str]]:
                         "random_walks", "skipgram_pairs", "k_truss",
                         # round 10
                         "node2vec_walks", "call_random_walks",
-                        "pagerank_weighted"],
+                        "pagerank_weighted", "mis_conflict_free"],
         "clustering": ["kmeans_embeddings"],
         "procedures": ["call_triangle_count", "call_random_walks"],
         "streaming": ["events_sessions", "events_sliding_counts",
