@@ -1551,12 +1551,12 @@ _ROUND9_CHANGED = [
 
 
 # Round 10 changed queries, derived mechanically:
-# `python tools/changed_queries.py 3968e82..HEAD` (101 names — the
+# `python tools/changed_queries.py 3968e82..HEAD` (102 names — the
 # plans/planner.py edit is the CALL-path NULL-argument guard only, but
 # the tool conservatively sweeps every planner-backed query for any
 # planner.py diff; graph_algos/clustering/components/similarity/text/
-# procedures edits sweep their families; the eight round-10 queries are
-# new).  Feeds the round-11 window rotation.
+# timeseries/asof/procedures edits sweep their families; the nine
+# round-10 queries are new).  Feeds the round-11 window rotation.
 _ROUND10_CHANGED = [
     'agg_count_distinct', 'agg_global', 'agg_stats', 'agg_tpch_q1',
     'agg_tpch_q3', 'agg_tpch_q5', 'asof_attribution',
@@ -1573,16 +1573,17 @@ _ROUND10_CHANGED = [
     'expand_undirected', 'graph_union', 'hits_scores', 'k_core',
     'k_truss', 'keyword_label_scan', 'kmeans_embeddings',
     'label_propagation', 'labels_function', 'list_functions',
-    'math_functions', 'near_dup_clusters', 'node2vec_walks',
-    'node_similarity', 'not_exists_pattern', 'optional_first_clause',
-    'optional_match_count', 'optional_match_null', 'order_skip_limit',
-    'orderby_expression', 'pagerank', 'pagerank_weighted',
-    'percentile_disc_global', 'personalized_pagerank', 'pii_scrub',
-    'pq_topk', 'predicate_contains', 'predicate_in', 'predicate_regex',
-    'predicate_string_match', 'random_walks', 'rel_properties',
-    'repetition_profile', 'resample_fill_forward', 'rolling_fingerprints',
-    'rolling_time_agg', 'scan_filter', 'scan_filter_and_or', 'scan_nodes',
-    'scc_components', 'similarity_topk', 'similarity_topk_ivf',
+    'math_functions', 'mis_conflict_free', 'near_dup_clusters',
+    'node2vec_walks', 'node_similarity', 'not_exists_pattern',
+    'optional_first_clause', 'optional_match_count',
+    'optional_match_null', 'order_skip_limit', 'orderby_expression',
+    'pagerank', 'pagerank_weighted', 'percentile_disc_global',
+    'personalized_pagerank', 'pii_scrub', 'pq_topk', 'predicate_contains',
+    'predicate_in', 'predicate_regex', 'predicate_string_match',
+    'random_walks', 'rel_properties', 'repetition_profile',
+    'resample_fill_forward', 'rolling_fingerprints', 'rolling_time_agg',
+    'scan_filter', 'scan_filter_and_or', 'scan_nodes', 'scc_components',
+    'similarity_topk', 'similarity_topk_ivf',
     'similarity_topk_ivf_indexed', 'similarity_topk_join',
     'similarity_topk_lsh', 'similarity_topk_lsh_indexed',
     'similarity_topk_quantized', 'skipgram_pairs', 'string_functions',
