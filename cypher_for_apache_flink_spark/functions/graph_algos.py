@@ -1779,9 +1779,13 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
                     .select("walk", fr["node"].alias("__cur"), "prev",
                             F.col("dst")))
             if use_broadcast:
+                # filter to the out-edges of the candidates' PREV nodes
+                # (the classification key) -- NOT the current nodes; a
+                # walk's previous node is generally no longer in the
+                # frontier
                 pf = probe.join(
-                    F.broadcast(frontier.select(
-                        F.col("node").alias("prev"))),
+                    F.broadcast(frontier.select("prev").dropna()
+                                .dropDuplicates(["prev"])),
                     "prev", "left_semi")
                 cand = cand.join(F.broadcast(pf), ["prev", "dst"], "left")
             else:

@@ -1141,3 +1141,31 @@ def test_mis_matches_duckdb_oracle(spark):
     want = sorted(map(tuple, con.execute(
         mis_sql_oracle("SELECT src, dst FROM e", rounds=6)).fetchall()))
     assert got == want
+
+
+def test_node2vec_oracle_on_sparse_graph_with_distinct_prev(spark):
+    """Regression (round 10): the common-neighbor probe must be keyed by
+    the walk's PREVIOUS node — on a larger sparse graph the previous
+    node is generally not in the current frontier, which the 13-node
+    oracle test could not distinguish (every node was someone's current
+    node).  Caught by the sf0.01 driver replay."""
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_sql_oracle, node2vec_walks)
+    pairs = sorted({(i % 61, (i * 17 + 5) % 61) for i in range(150)}
+                   | {(i % 61, (i * 29 + 11) % 61) for i in range(90)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    starts = spark.createDataFrame([(i,) for i in range(0, 61, 9)],
+                                   "node long")
+    got = sorted(map(tuple, node2vec_walks(
+        edges, starts, length=8, p=3, q="0.2").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    starts_sql = " UNION ALL ".join(
+        f"SELECT {i} AS node" for i in range(0, 61, 9))
+    want = sorted(map(tuple, con.execute(node2vec_sql_oracle(
+        "SELECT src, dst FROM e", starts_sql,
+        length=8, p=3, q="0.2")).fetchall()))
+    assert got == want
