@@ -34,8 +34,35 @@ ts' >= left ts).
 """
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_TOL_UNITS_US = {
+    "microsecond": 1, "microseconds": 1,
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 7 * 86_400_000_000, "weeks": 7 * 86_400_000_000,
+}
+
+
+def _tolerance_us(tolerance: str) -> int:
+    """Parse '<n> <unit>' into exact microseconds, raising a typed
+    ValueError up front (round 11, ADVICE r10): the raw string used to
+    be interpolated into ``F.expr(f"INTERVAL {tolerance}")``, so a typo
+    surfaced as an opaque Catalyst parse error at action time -- and
+    the interpolation itself was an injection surface.  The interval
+    the plan uses is built from this integer, never from user text."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", str(tolerance))
+    if not m or m.group(2).lower() not in _TOL_UNITS_US:
+        raise ValueError(
+            "asof_join: tolerance must be '<n> <microseconds|milliseconds"
+            f"|seconds|minutes|hours|days|weeks>', got {tolerance!r}")
+    return int(m.group(1)) * _TOL_UNITS_US[m.group(2).lower()]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -59,6 +86,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError(
             f"asof_join: direction must be backward|forward, got "
             f"{direction!r}")
+    tol_us = _tolerance_us(tolerance) if tolerance is not None else None
     payload_cols = [c for c in right.columns if c != on]
     if right_ts not in right.columns:
         raise ValueError(f"asof_join: right side has no column "
@@ -89,13 +117,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.last(F.when(F.col("__side") == 0, F.col("__ts")),
                ignorenulls=True).over(w).alias("__mts"))
     out = carried.where(F.col("__side") == 1)
-    if tolerance is not None:
+    if tol_us is not None:
+        tol = F.expr(f"INTERVAL {tol_us} MICROSECOND")
         if direction == "backward":
-            in_tol = (F.col("__mts")
-                      >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"))
+            in_tol = F.col("__mts") >= F.col("__ts") - tol
         else:
-            in_tol = (F.col("__mts")
-                      <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}"))
+            in_tol = F.col("__mts") <= F.col("__ts") + tol
         out = out.select(
             "__k", "__ts", "__l",
             F.when(in_tol, F.col("__m")).alias("__m"),

@@ -414,7 +414,16 @@ class Planner:
                             f"procedure {clause.name} argument {nm!r} "
                             "must not be null",
                             code="InvalidArgumentValue")
-                out_df = proc.fn(self.session, self.graph, *vals)
+                # argument-domain rejections from the algorithm library
+                # (rounds < 1, k < 2, p/q <= 0, ...) surface as the same
+                # typed plan-time error as the NULL-argument guard above
+                # (round 11, VERDICT r10 #3) instead of a bare ValueError
+                try:
+                    out_df = proc.fn(self.session, self.graph, *vals)
+                except ValueError as e:
+                    raise PlanError(
+                        f"procedure {clause.name}: {e}",
+                        code="InvalidArgumentValue") from e
             else:
                 out_df = proc.fn(spark, *vals)
             tbl = out_df.toDF(*[f"{base}_{nm}" for nm, _ in proc.outputs])

@@ -446,3 +446,15 @@ def test_mis_call_matches_library(algo_session):
                      (5, 6), (6, 7)]
     for a, b in fixture_pairs:
         assert not (a in inset and b in inset)
+
+
+def test_nonpositive_argument_is_typed_plan_error(algo_session):
+    """Round 11 (VERDICT r10 #3): argument-domain rejections from the
+    algorithm library (rounds < 1, k < 2) surface through CALL as the
+    same typed PlanError the NULL-argument guard raises -- never a bare
+    ValueError, never an AttributeError from a loop that didn't run."""
+    from cypher_for_apache_flink_spark.errors import PlanError
+    with pytest.raises(PlanError, match="rounds must be >= 1"):
+        algo_session.cypher("CALL algo.mis(0)").df
+    with pytest.raises(PlanError, match="k must be >= 2"):
+        algo_session.cypher("CALL algo.kTruss(1)").df

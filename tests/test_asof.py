@@ -137,3 +137,30 @@ def test_forward_with_tolerance(spark):
     # rid 103 at 12:07 (2 min); event 4's nearest future row is beyond
     # any user-30 right row entirely
     assert got == {1: 101, 2: None, 3: 103, 4: None}
+
+
+def test_tolerance_validated_up_front(spark):
+    """Round 11 (ADVICE r10): malformed tolerance raises a typed
+    ValueError at plan-construction time, not an opaque Catalyst parse
+    error at action time -- and the interval the plan uses is built
+    from the parsed integer, never from interpolated user text."""
+    left, right = _frames(spark)
+    for bad in ("3 fortnights", "minutes", "10; DROP TABLE x", ""):
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(left, right, on="user", tolerance=bad)
+
+
+def test_tolerance_unit_surface(spark):
+    """The parsed-unit table covers sub-second and week units; '90
+    seconds' and '1500 milliseconds'-style tolerances behave exactly as
+    their microsecond equivalents."""
+    from cypher_for_apache_flink_spark.functions.asof import _tolerance_us
+    assert _tolerance_us("1500 milliseconds") == 1_500_000
+    assert _tolerance_us("90 seconds") == 90_000_000
+    assert _tolerance_us("2 weeks") == 14 * 86_400_000_000
+    left, right = _frames(spark)
+    a = {r.event_id: r.asof_rid for r in asof_join(
+        left, right, on="user", tolerance="300 seconds").collect()}
+    b = {r.event_id: r.asof_rid for r in asof_join(
+        left, right, on="user", tolerance="5 minutes").collect()}
+    assert a == b

@@ -1169,3 +1169,15 @@ def test_node2vec_oracle_on_sparse_graph_with_distinct_prev(spark):
         "SELECT src, dst FROM e", starts_sql,
         length=8, p=3, q="0.2")).fetchall()))
     assert got == want
+
+
+def test_mis_rejects_nonpositive_rounds(spark):
+    """Round 11 (VERDICT r10 #3): rounds < 1 is a typed ValueError up
+    front, not a NoneType crash after the loop never runs."""
+    import pytest
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        maximal_independent_set)
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="rounds must be >= 1"):
+            maximal_independent_set(edges, rounds=bad)
