@@ -1181,3 +1181,42 @@ def test_mis_rejects_nonpositive_rounds(spark):
     for bad in (0, -3):
         with pytest.raises(ValueError, match="rounds must be >= 1"):
             maximal_independent_set(edges, rounds=bad)
+
+
+def test_node2vec_probe_gate_regime_independent(spark, monkeypatch):
+    """Round 11 (VERDICT r10 #1): the middle regime -- a broadcastable
+    frontier whose prev fan-out outgrows the probe budget -- must fall
+    back to the shuffled (prev, dst) probe join and return bit-identical
+    walks.  The budget is patched so a hub-star graph (max out-degree
+    60) trips the n_starts x max_deg bound while the 3-row start set
+    still broadcasts."""
+    import cypher_for_apache_flink_spark.functions.graph_algos as ga
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        node2vec_walks)
+    # hub 0 -> 1..60, spokes chain back onto the hub, plus a path so
+    # walks have real prev-keyed choices
+    pairs = [(0, i) for i in range(1, 61)]
+    pairs += [(i, 0) for i in range(1, 61)]
+    pairs += [(i, i + 1) for i in range(1, 60)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    starts = spark.createDataFrame([(0,), (5,), (30,)], "node long")
+    want = sorted(map(tuple, node2vec_walks(
+        edges, starts, length=4, p=4, q="0.25").collect()))
+    # n_starts*24 = 72 < 2000; edges.count()*24 = 4296 >= 2000;
+    # n_starts*max_deg*24 = 3*60*24 = 4320 >= 2000 -> shuffled probe
+    monkeypatch.setattr(ga, "_PIN_DATA_BYTES", 2000)
+    calls = {"pf": 0}
+    real_broadcast = ga.F.broadcast
+
+    def counting(df):
+        # pf broadcasts carry the __common marker column; frontier and
+        # prev-set broadcasts do not
+        if "__common" in df.columns:
+            calls["pf"] += 1
+        return real_broadcast(df)
+
+    monkeypatch.setattr(ga.F, "broadcast", counting)
+    got = sorted(map(tuple, node2vec_walks(
+        edges, starts, length=4, p=4, q="0.25").collect()))
+    assert calls["pf"] == 0
+    assert got == want
