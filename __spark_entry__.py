@@ -1293,6 +1293,52 @@ def _q_pq_topk(spark, sf_dir):
     return pq_topk(enc, books, _PQ_QUERY_VEC, k=12)
 
 
+def _q_asof_forward(spark, sf_dir):
+    """Forward as-of join (round 11, VERDICT r10 #5): attribute every
+    view event to the same user's NEXT purchase within 1 hour -- the
+    direction="forward" branch of functions/asof.py (earliest right at
+    ts' >= left ts), driver-recorded with the same union+window oracle
+    shape as the backward query."""
+    from cypher_for_apache_flink_spark.functions.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = (ev.where(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("user"), "ts"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("user"), "ts",
+                         F.col("event_id").alias("purchase_id")))
+    j = asof_join(views, purchases, on="user", tolerance="1 hour",
+                  direction="forward")
+    return (j.select(
+        "view_id", "user",
+        F.coalesce(F.col("asof_purchase_id"), F.lit(-1))
+        .alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros(F.col("asof_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+            F.lit(-1)).alias("gap_us"))
+        .orderBy("view_id"))
+
+
+def _q_similarity_topk_ivfpq(spark, sf_dir):
+    """IVFPQ (round 11, VERDICT r10 #6, functions/similarity.py): the
+    100-TB ANN recipe -- IVF partition pruning (4 of 8 list directories
+    via PartitionFilters) + PQ ADC over per-list residuals inside the
+    probed lists.  m=32 x k=32 seed codebooks on the integer lattice
+    (recall@10 = 0.6 vs the exact lattice top-10 on these embeddings);
+    the oracle replays build AND probe relationally, bit-for-bit."""
+    import hashlib
+    import tempfile
+
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_ivfpq, write_ivfpq_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/cfas_ivfpq_index_{tag}"
+    write_ivfpq_index(emb, path, n_lists=8, m=32, k=32)
+    return ann_topk_ivfpq(spark, path, _PQ_QUERY_VEC, k=10, n_probe=4)
+
+
 _ROUND10_QUERIES = {
     "call_random_walks": _q_call_random_walks,
     "asof_attribution": _q_asof_attribution,
@@ -1303,6 +1349,15 @@ _ROUND10_QUERIES = {
     "rolling_time_agg": _q_rolling_events,
     "pq_topk": _q_pq_topk,
     "mis_conflict_free": _q_mis,
+}
+
+
+# New in round 11 — the forward as-of branch (VERDICT r10 #5), the
+# IVFPQ composition (VERDICT r10 #6), and Louvain community detection
+# (VERDICT r10 #7).
+_ROUND11_QUERIES = {
+    "asof_forward": _q_asof_forward,
+    "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
 }
 
 
@@ -1653,8 +1708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(_ROUND8_QUERIES)
     full.update(_ROUND9_QUERIES)
     full.update(_ROUND10_QUERIES)
+    full.update(_ROUND11_QUERIES)
     changed = set(_ROUND9_CHANGED) | set(_ROUND8_CHANGED)
-    prio = (list(_ROUND10_QUERIES)     # never-recorded round-10 queries
+    prio = (list(_ROUND11_QUERIES)     # never-recorded round-11 queries
+            + list(_ROUND10_QUERIES)   # never-recorded round-10 queries
             + _ROUND9_STALE            # tier (b): stale driver rows
             + _ROUND10_DIRECT          # tier (c): directly changed in r10
             + list(_ROUND9_QUERIES)
@@ -2046,6 +2103,77 @@ enc AS (SELECT id, j, arg_min(c, dd * {k} + c) AS code
         FROM vd GROUP BY id, j)
 SELECT e.id AS vec_id, CAST(sum(l.dist) AS BIGINT) AS approx_sq_dist
 FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.code
+GROUP BY e.id ORDER BY approx_sq_dist, vec_id LIMIT {topk}"""
+
+
+def _ivfpq_oracle_sql(n_lists: int = 8, m: int = 32, k: int = 32,
+                      dims: int = 64, scale: int = 1000,
+                      n_probe: int = 4, topk: int = 10) -> str:
+    """DuckDB twin of similarity_topk_ivfpq: replay the whole index
+    build (coarse = the n_lists smallest ids' lattice vectors; exact
+    integer assignment with arg_min ties to the lowest list; residuals;
+    seed codebooks = the k smallest ids' residual sub-slices; per-
+    subspace integer argmin encode) AND the probe (rank lists by exact
+    query-to-coarse distance, take n_probe, per-list residual LUT,
+    ADC sum) relationally.  All arithmetic is exact int64, so the match
+    is bit-for-bit, not approximate."""
+    d = dims // m
+    qq = [int(round(x * scale)) for x in _PQ_QUERY_VEC]
+    q_lit = "[" + ",".join(f"{v}::BIGINT" for v in qq) + "]"
+    return f"""
+WITH q AS (SELECT vec_id AS id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0)
+                              AS BIGINT)) AS qv
+           FROM embeddings),
+coarse AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS l,
+                  qv AS cent
+           FROM (SELECT id, qv FROM q ORDER BY id LIMIT {n_lists})),
+qlit AS (SELECT {q_lit} AS qq),
+ad AS (SELECT v.id, c.l,
+              list_sum(list_transform(generate_series(1, {dims}),
+                i -> (v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]))) AS dd
+       FROM q v CROSS JOIN coarse c),
+asg AS (SELECT id, arg_min(l, dd * {n_lists} + l) AS l
+        FROM ad GROUP BY id),
+res AS (SELECT q.id, asg.l,
+               list_transform(generate_series(1, {dims}),
+                 i -> q.qv[i] - c.cent[i]) AS rv
+        FROM q JOIN asg ON asg.id = q.id JOIN coarse c ON c.l = asg.l),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS c,
+                 rv
+          FROM (SELECT id, rv FROM res ORDER BY id LIMIT {k})),
+subs AS (SELECT CAST(j AS BIGINT) AS j FROM range({m}) t(j)),
+cb AS (SELECT s.j, seeds.c,
+              list_slice(seeds.rv, s.j * {d} + 1, s.j * {d} + {d}) AS cent
+       FROM subs s CROSS JOIN seeds),
+vd AS (SELECT r.id, cb.j, cb.c,
+              list_sum(list_transform(generate_series(1, {d}),
+                i -> (r.rv[CAST(cb.j * {d} + i AS INT)] - cb.cent[i])
+                     * (r.rv[CAST(cb.j * {d} + i AS INT)] - cb.cent[i])))
+                AS dd
+       FROM res r CROSS JOIN cb),
+enc AS (SELECT id, j, arg_min(c, dd * {k} + c) AS code
+        FROM vd GROUP BY id, j),
+qd AS (SELECT c.l,
+              list_sum(list_transform(generate_series(1, {dims}),
+                i -> (qq[i] - c.cent[i]) * (qq[i] - c.cent[i]))) AS dd
+       FROM coarse c CROSS JOIN qlit),
+probe AS (SELECT l FROM qd ORDER BY dd, l LIMIT {n_probe}),
+lut AS (SELECT p.l, cb.j, cb.c,
+               list_sum(list_transform(generate_series(1, {d}),
+                 i -> ((qq[CAST(cb.j * {d} + i AS INT)]
+                        - co.cent[CAST(cb.j * {d} + i AS INT)])
+                       - cb.cent[i])
+                      * ((qq[CAST(cb.j * {d} + i AS INT)]
+                          - co.cent[CAST(cb.j * {d} + i AS INT)])
+                         - cb.cent[i]))) AS dist
+        FROM probe p JOIN coarse co ON co.l = p.l
+        CROSS JOIN cb CROSS JOIN qlit)
+SELECT e.id AS vec_id, CAST(sum(l.dist) AS BIGINT) AS approx_sq_dist
+FROM enc e JOIN asg a ON a.id = e.id
+JOIN probe p ON p.l = a.l
+JOIN lut l ON l.l = a.l AND l.j = e.j AND l.c = e.code
 GROUP BY e.id ORDER BY approx_sq_dist, vec_id LIMIT {topk}"""
 
 
@@ -2831,6 +2959,21 @@ ORDER BY key, ts_us, value""",
             "WHERE p.event_type = 'purchase' "
             "GROUP BY p.event_id, p.user_id, p.ts "
             "ORDER BY purchase_id"),
+        # forward twin (round 11): earliest purchase at ts >= view ts,
+        # right side deduped per (user, ts) by max id as above
+        "asof_forward": (
+            "WITH p AS (SELECT user_id AS u, ts, max(event_id) AS pid "
+            "FROM events WHERE event_type = 'purchase' "
+            "GROUP BY user_id, ts) "
+            "SELECT v.event_id AS view_id, v.user_id AS user, "
+            "COALESCE(arg_min(p.pid, p.ts), -1) AS purchase_id, "
+            "COALESCE(epoch_us(min(p.ts)) - epoch_us(v.ts), -1) AS gap_us "
+            "FROM events v LEFT JOIN p ON p.u = v.user_id "
+            "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR "
+            "WHERE v.event_type = 'view' "
+            "GROUP BY v.event_id, v.user_id, v.ts "
+            "ORDER BY view_id"),
+        "similarity_topk_ivfpq": _ivfpq_oracle_sql(),
         # BM25 twin: same whitespace tokens, Lucene non-negative idf,
         # avgdl expressed exactly as dl * N / total_tokens
         "bm25_retrieval": rf"""

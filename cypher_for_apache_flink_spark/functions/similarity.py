@@ -455,7 +455,8 @@ def pq_train(df: DataFrame, m: int = 8, k: int = 16, iterations: int = 2,
 
 
 def pq_encode(df: DataFrame, codebooks: list, id_col: str = "vec_id",
-              vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+              vec_col: str = "embedding", scale: int = 1000,
+              extra_cols: tuple = ()) -> DataFrame:
     """Encode every vector as ``m`` small centroid indexes: (id, codes)
     with codes[j] = argmin_c ||sub_j - codebook[j][c]||^2 on the integer
     lattice, ties to the lowest index (the k-means tie-break).  ONE scan,
@@ -473,6 +474,7 @@ def pq_encode(df: DataFrame, codebooks: list, id_col: str = "vec_id",
     m = len(codebooks)
     d = len(codebooks[0][0])
     base = df.select(F.col(id_col),
+                     *[F.col(c) for c in extra_cols],
                      _quantize(F.col(vec_col), scale).alias("__q"))
     code_exprs = []
     for j, book in enumerate(codebooks):
@@ -491,7 +493,8 @@ def pq_encode(df: DataFrame, codebooks: list, id_col: str = "vec_id",
             f"struct(CAST(9223372036854775807 AS BIGINT) AS dd, "
             f"-1 AS ii), (acc, x) -> IF(x.dd < acc.dd, x, acc)).ii")
     codes = F.expr("array(" + ",".join(code_exprs) + ")")
-    return base.select(F.col(id_col), codes.alias("codes"))
+    return base.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                       codes.alias("codes"))
 
 
 def pq_topk(encoded: DataFrame, codebooks: list, query_vec, k: int = 10,
@@ -526,3 +529,142 @@ def pq_topk(encoded: DataFrame, codebooks: list, query_vec, k: int = 10,
         f"0L, (a, x) -> a + x)")
     return (encoded.select(F.col(id_col), score.alias("approx_sq_dist"))
             .orderBy("approx_sq_dist", id_col).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composition (round 11): the 100-TB ANN recipe -- IVF partition
+# pruning to n_probe of n_lists parquet directories, then PQ ADC scoring of
+# per-list RESIDUALS inside the probed lists (the standard FAISS IVFPQ
+# shape, Jegou et al. 2011 §V).  Everything stays on the integer lattice:
+# coarse centroids are the n_lists smallest ids' quantized vectors,
+# assignment/residual/codebook/ADC arithmetic is exact int64, so a DuckDB
+# oracle replays the index build AND the probe bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def ivfpq_build(df: DataFrame, n_lists: int = 8, m: int = 8, k: int = 16,
+                scale: int = 1000, id_col: str = "vec_id",
+                vec_col: str = "embedding"):
+    """Build the IVFPQ encoding: returns (encoded_df, coarse, codebooks)
+    where encoded_df = (id, __ivf_list, codes), ``coarse[n_lists][dims]``
+    are the lattice coarse centroids and ``codebooks[m][k][dims/m]`` the
+    PQ codebooks trained on RESIDUALS (vector - assigned coarse centroid).
+
+    Determinism contract: coarse centroids = the n_lists smallest ids'
+    quantized vectors (one TakeOrdered collect); assignment = exact
+    integer argmin with ties to the lowest list; residuals are exact
+    lattice differences; codebooks inherit :func:`pq_train`'s seeding
+    (the k smallest ids' residual sub-slices).  Cost: the coarse
+    distance array is ONE ``transform`` over a constant-folded 2-D
+    literal (the k-means r10 lesson -- O(1) Catalyst tree), residual +
+    encode ride the same single scan; nothing driver-side beyond the
+    n_lists + k seed rows.
+    """
+    from .clustering import _quantize
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("ivfpq_build: empty input")
+    dims = len(first[0])
+    if dims % m != 0:
+        raise ValueError(f"ivfpq_build: dims={dims} not divisible by m={m}")
+    q = df.select(F.col(id_col).alias("id"),
+                  _quantize(F.col(vec_col), scale).alias("__q"))
+    seed_rows = q.orderBy("id").limit(n_lists).collect()
+    if len(seed_rows) < n_lists:
+        raise ValueError(f"ivfpq_build: n_lists={n_lists} exceeds the "
+                         f"{len(seed_rows)} input rows")
+    coarse = [list(r["__q"]) for r in seed_rows]
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+        for c in coarse) + ")"
+    # exact integer argmin over ONE fold; ties keep the lowest list id
+    # (only strictly-smaller distances replace) -- same shape as
+    # pq_encode's per-subspace argmin
+    assign = F.expr(
+        f"aggregate(zip_with(transform({cents_sql}, c -> "
+        f"aggregate(zip_with(__q, c, (a, b) -> (a - b) * (a - b)), 0L, "
+        f"(acc, x) -> acc + x)), sequence(0, {n_lists - 1}), "
+        f"(dd, ii) -> struct(dd, ii)), "
+        f"struct(CAST(9223372036854775807 AS BIGINT) AS dd, -1 AS ii), "
+        f"(acc, x) -> IF(x.dd < acc.dd, x, acc)).ii")
+    res = (q.withColumn("__ivf_list", assign.cast("int"))
+           .select("id", "__ivf_list",
+                   F.expr(f"zip_with(__q, element_at({cents_sql}, "
+                          f"__ivf_list + 1), (a, b) -> a - b)")
+                   .alias("res")))
+    res = res.persist()
+    try:
+        codebooks = pq_train(res, m=m, k=k, iterations=0,
+                             id_col="id", vec_col="res", scale=1)
+        encoded = pq_encode(res, codebooks, id_col="id", vec_col="res",
+                            scale=1, extra_cols=("__ivf_list",))
+        # the build's two collects (coarse seeds, codebook seeds) are
+        # done; materialize the encoding off the persisted residuals
+        # before releasing them
+        encoded = encoded.localCheckpoint(eager=True)
+    finally:
+        res.unpersist()
+    return encoded, coarse, codebooks
+
+
+def write_ivfpq_index(df: DataFrame, path: str, n_lists: int = 8,
+                      m: int = 8, k: int = 16, scale: int = 1000,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Persist the IVFPQ index partitioned by ``__ivf_list`` (probes
+    prune to n_probe directories via PartitionFilters); coarse centroids
+    and codebooks ride the JSON sidecar.  Storage per vector is
+    m x log2(k) bits of codes -- the memory-bound tier."""
+    encoded, coarse, codebooks = ivfpq_build(
+        df, n_lists=n_lists, m=m, k=k, scale=scale,
+        id_col=id_col, vec_col=vec_col)
+    (encoded.withColumnRenamed("id", id_col)
+     .write.mode("overwrite").partitionBy("__ivf_list").parquet(path))
+    _write_meta(df.sparkSession, path, {
+        "kind": "ivfpq", "n_lists": n_lists, "m": m, "k": k,
+        "scale": scale, "id_col": id_col,
+        "coarse": [[int(v) for v in c] for c in coarse],
+        "codebooks": [[[int(v) for v in c] for c in book]
+                      for book in codebooks]})
+
+
+def ann_topk_ivfpq(spark, path: str, query_vec, k: int = 10,
+                   n_probe: int = 4) -> DataFrame:
+    """IVFPQ top-k over a persisted index: rank coarse centroids
+    driver-side by exact integer distance (ties to the lowest list),
+    prune the scan to the ``n_probe`` nearest list directories, and
+    ADC-score inside them -- the query's PER-LIST residual distance to
+    every codebook centroid is an n_probe x m x k integer lookup table
+    shipped as one constant-folded CASE over ``__ivf_list``, so scoring
+    is zero-shuffle and only k rows reach the driver
+    (TakeOrderedAndProject, ties to the lowest id).  Returns
+    (id, approx_sq_dist) -- approximate squared L2 on the lattice.
+    """
+    meta = _read_meta(spark, path)
+    m, kk, scale = meta["m"], meta["k"], meta["scale"]
+    coarse = meta["coarse"]
+    books = meta["codebooks"]
+    d = len(books[0][0])
+    qq = [int(round(float(x) * scale)) for x in query_vec]
+    if len(qq) != m * d:
+        raise ValueError(f"ann_topk_ivfpq: query has {len(qq)} dims, "
+                         f"index expects {m * d}")
+    ranked = sorted(range(len(coarse)),
+                    key=lambda l: (sum((a - b) ** 2
+                                       for a, b in zip(qq, coarse[l])), l))
+    probe = [int(l) for l in ranked[:n_probe]]
+    luts = {}
+    for l in probe:
+        rq = [a - b for a, b in zip(qq, coarse[l])]
+        luts[l] = [[sum((rq[j * d + i] - c[i]) ** 2 for i in range(d))
+                    for c in books[j]] for j in range(m)]
+    case_sql = "CASE __ivf_list " + " ".join(
+        "WHEN {} THEN array({})".format(l, ",".join(
+            "array(" + ",".join(f"{v}L" for v in row) + ")"
+            for row in luts[l])) for l in probe) + " END"
+    score = F.expr(
+        f"aggregate(zip_with(codes, {case_sql}, (c, lrow) -> lrow[c]), "
+        f"0L, (a, x) -> a + x)")
+    cand = spark.read.parquet(path).where(F.col("__ivf_list").isin(probe))
+    return (cand.select(F.col(meta["id_col"]),
+                        score.alias("approx_sq_dist"))
+            .orderBy("approx_sq_dist", meta["id_col"]).limit(k))

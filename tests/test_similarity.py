@@ -308,3 +308,91 @@ def test_pq_validation_errors(spark):
         pq_topk(spark.createDataFrame([(1, [0, 0, 0, 0])],
                                       "vec_id long, codes array<int>"),
                 books, [0.0] * 8)
+
+
+# --- IVFPQ (round 11) -------------------------------------------------------
+
+def test_ivfpq_roundtrip_prunes_and_is_deterministic(spark, emb, tmp_path):
+    """Round 11 (VERDICT r10 #6): the persisted IVFPQ index prunes the
+    probe scan to the probed list directories (PartitionFilters on
+    __ivf_list) and the whole build+probe is deterministic across
+    partitionings."""
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_ivfpq, write_ivfpq_index)
+    qvec = [((i * 37) % 100) / 100.0 for i in range(64)]
+    p1 = str(tmp_path / "ivfpq_a")
+    p2 = str(tmp_path / "ivfpq_b")
+    write_ivfpq_index(emb, p1, n_lists=8, m=8, k=16)
+    write_ivfpq_index(emb.repartition(3), p2, n_lists=8, m=8, k=16)
+    got = ann_topk_ivfpq(spark, p1, qvec, k=10, n_probe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert lines and "__ivf_list" in lines[0], plan
+    a = [(r["vec_id"], r["approx_sq_dist"]) for r in got.collect()]
+    b = [(r["vec_id"], r["approx_sq_dist"])
+         for r in ann_topk_ivfpq(spark, p2, qvec, k=10, n_probe=4).collect()]
+    assert a == b
+    assert len(a) == 10
+
+
+def test_ivfpq_full_probe_matches_pure_pq_on_residuals(spark, emb, tmp_path):
+    """With n_probe = n_lists nothing is pruned: every corpus vector is
+    ADC-scored, and the score of each vector equals the integer lattice
+    distance computed through its own list's LUT -- cross-checked row by
+    row against a driver-side replay of the meta (coarse + codebooks)."""
+    import json
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_ivfpq, _read_meta)
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        write_ivfpq_index)
+    qvec = [((i * 37) % 100) / 100.0 for i in range(64)]
+    path = str(tmp_path / "ivfpq_full")
+    small = emb.where("vec_id < 300")
+    write_ivfpq_index(small, path, n_lists=4, m=8, k=16)
+    meta = _read_meta(spark, path)
+    got = {r["vec_id"]: r["approx_sq_dist"]
+           for r in ann_topk_ivfpq(spark, path, qvec, k=300,
+                                   n_probe=4).collect()}
+    qq = [int(round(x * meta["scale"])) for x in qvec]
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == small.count()
+    d = len(meta["codebooks"][0][0])
+    for r in rows:
+        l = r["__ivf_list"]
+        rq = [a - b for a, b in zip(qq, meta["coarse"][l])]
+        want = sum(
+            sum((rq[j * d + i] - meta["codebooks"][j][c][i]) ** 2
+                for i in range(d))
+            for j, c in enumerate(r["codes"]))
+        if r["vec_id"] in got:
+            assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_ivfpq_recall_vs_exact_lattice(spark, emb, tmp_path):
+    """Recall@10 of the 4-of-8-probe IVFPQ against the EXACT integer
+    lattice L2 top-10 on the bench embeddings -- the approximation must
+    stay useful (the FAISS-shape sanity bar, not a tuning target)."""
+    from pyspark.sql import functions as F
+    from cypher_for_apache_flink_spark.functions.similarity import (
+        ann_topk_ivfpq, write_ivfpq_index)
+    qvec = [((i * 37) % 100) / 100.0 for i in range(64)]
+    qq = [int(round(x * 1000)) for x in qvec]
+    path = str(tmp_path / "ivfpq_recall")
+    # m=32 (2-dim subspaces) x k=32: the measured sweet spot for the
+    # UNTRAINED (seed-codebook) build -- recall@10 = 0.6 with 4 of 8
+    # lists probed on the bench embeddings (m=8/k=16 seeds give 0.2;
+    # Lloyd refinement helps more but would make the SQL oracle replay
+    # the whole kmeans loop)
+    write_ivfpq_index(emb, path, n_lists=8, m=32, k=32)
+    approx = {r["vec_id"] for r in
+              ann_topk_ivfpq(spark, path, qvec, k=10, n_probe=4).collect()}
+    q_lit = "array(" + ",".join(f"{v}L" for v in qq) + ")"
+    exact = {r["vec_id"] for r in emb.select(
+        "vec_id",
+        F.expr(f"aggregate(zip_with(transform(embedding, "
+               f"x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)), "
+               f"{q_lit}, (a, b) -> (a - b) * (a - b)), 0L, "
+               f"(acc, x) -> acc + x)").alias("dd"))
+        .orderBy("dd", "vec_id").limit(10).collect()}
+    recall = len(approx & exact) / 10.0
+    assert recall >= 0.5, (recall, sorted(approx), sorted(exact))
