@@ -1355,9 +1355,23 @@ _ROUND10_QUERIES = {
 # New in round 11 — the forward as-of branch (VERDICT r10 #5), the
 # IVFPQ composition (VERDICT r10 #6), and Louvain community detection
 # (VERDICT r10 #7).
+def _q_louvain(spark, sf_dir):
+    """Community detection (round 11, VERDICT r10 #7, functions/
+    graph_algos.py louvain): deterministic modularity-greedy
+    agglomeration by mutual-best merge over a quarter-sample of the
+    co-purchase graph -- exact int64 gain scores, md5-free determinism
+    (ties to the smaller community id), unrolled SQL oracle."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    e = (_copurchase_edges(spark, sf_dir)
+         .where(F.md5(F.concat_ws("|", F.col("src"), F.col("dst")))
+                < "4"))
+    return louvain(e, rounds=6).orderBy("node").select("node", "community")
+
+
 _ROUND11_QUERIES = {
     "asof_forward": _q_asof_forward,
     "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
+    "louvain_communities": _q_louvain,
 }
 
 
@@ -2061,6 +2075,18 @@ def _mis_oracle_sql() -> str:
         "< '4'")
     mis = mis_sql_oracle(edges_sql, rounds=8)
     return f"SELECT node, in_mis FROM ({mis}) m ORDER BY node"
+
+
+def _louvain_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        louvain_sql_oracle,
+    )
+    edges_sql = (
+        f"SELECT src, dst FROM ({_COPURCHASE_SQL}) cm "
+        "WHERE md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) "
+        "< '4'")
+    lv = louvain_sql_oracle(edges_sql, rounds=6)
+    return f"SELECT node, community FROM ({lv}) l ORDER BY node"
 
 
 def _pq_oracle_sql(m: int = 8, k: int = 16, dims: int = 64,
@@ -2918,6 +2944,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "pagerank_weighted": _pagerank_weighted_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "mis_conflict_free": _mis_oracle_sql(),
+        "louvain_communities": _louvain_oracle_sql(),
         # 6-hour buckets = 21600000000 us; same integer bucket keys,
         # IGNORE NULLS last_value fill over the densified timeline
         "resample_fill_forward": """

@@ -2016,6 +2016,154 @@ SELECT n.node, m.node IS NOT NULL AS in_mis
 FROM u_0 n LEFT JOIN m_{rounds} m ON m.node = n.node""")
 
 
+def louvain(edges: DataFrame, rounds: int = 8,
+            src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Deterministic modularity-greedy community detection over the
+    UNDIRECTED simple graph: parallel agglomerative merging by MUTUAL
+    BEST partner (the CNM greedy of Clauset-Newman-Moore 2004,
+    parallelized the matching way Louvain's coarsening phase is in
+    distributed implementations).  Returns (node, community) for every
+    node in the edge list; community ids are the minimum member id.
+
+    Per round every community scores merging with each ADJACENT
+    community by the EXACT integer modularity-gain score
+    2m x e2(A, B) - 2 x tot(A) x tot(B) -- the float Delta-Q of a merge
+    multiplied through by the positive constant 4m^2 (e2 = directed
+    edge count between A and B = twice the undirected count; tot = sum
+    of member degrees) -- and picks the best positive-gain partner,
+    ties toward the smaller community id.  Pairs that pick EACH OTHER
+    merge, taking the smaller id.  Mutual-best matching is what makes
+    the synchronous rounds sound: a merge is symmetric (no two-node
+    label swap) and monotone (communities only coarsen), so the loop
+    cannot oscillate or label-chase -- the failure modes of synchronous
+    per-node local moving -- and it terminates the first round no
+    positive-gain mutual pair exists.  All comparisons are pure int64:
+    no float argmax to flip at an ULP, identical assignments on any
+    engine/partitioning, and an ANSI-SQL oracle replays the rounds
+    verbatim (:func:`louvain_sql_oracle`).
+
+    Per round: ONE edge-keyed community-pair count (e2), ONE
+    community-keyed degree sum (tot), ONE min-struct best-partner pick
+    per community and one tiny mutual self-join on the (already
+    aggregated) community pairs -- all map-side combinable, no windows,
+    no collects; assignments are localCheckpointed per round so lineage
+    stays flat.  Communities at least halve in count every merging
+    round in the worst case of a perfect matching, so ``rounds``
+    defaults to 8 ~ log2 of any practical community size; exhausting
+    the budget with positive-gain merges still pending warns rather
+    than silently returning a mid-flight assignment.
+    """
+    if rounds < 1:
+        raise ValueError(f"louvain: rounds must be >= 1, got {rounds}")
+    bi = (edges.select(F.col(src_col).alias("u"),
+                       F.col(dst_col).alias("v"))
+          .where(F.col("u") != F.col("v")))
+    bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+          .dropDuplicates(["u", "v"]).persist())
+    try:
+        deg = (bi.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+               .withColumnRenamed("u", "node").localCheckpoint(eager=True))
+        two_m = bi.count()
+        if two_m == 0:
+            spark = edges.sparkSession
+            return spark.createDataFrame([], "node long, community long")
+        comm = deg.select("node", F.col("node").alias("c"))
+        comm = comm.localCheckpoint(eager=True)
+        converged = False
+        for _ in range(rounds):
+            ctot = (comm.join(deg, "node")
+                    .groupBy("c").agg(F.sum("k").alias("tot")))
+            ce = (bi
+                  .join(comm.select(F.col("node").alias("u"),
+                                    F.col("c").alias("ca")), "u")
+                  .join(comm.select(F.col("node").alias("v"),
+                                    F.col("c").alias("cb")), "v")
+                  .where(F.col("ca") != F.col("cb"))
+                  .groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("e2")))
+            scored = (ce
+                      .join(ctot.select(F.col("c").alias("ca"),
+                                        F.col("tot").alias("ta")), "ca")
+                      .join(ctot.select(F.col("c").alias("cb"),
+                                        F.col("tot").alias("tb")), "cb")
+                      .withColumn(
+                          "score",
+                          F.lit(int(two_m)) * F.col("e2").cast("long")
+                          - F.lit(2) * F.col("ta").cast("long")
+                          * F.col("tb").cast("long"))
+                      .where(F.col("score") > 0))
+            best = (scored.groupBy("ca")
+                    .agg(F.min(F.struct((-F.col("score")).alias("s"),
+                                        F.col("cb").alias("b")))
+                         .alias("p"))
+                    .select("ca", F.col("p.b").alias("cb")))
+            merges = (best.join(best.select(F.col("ca").alias("cb"),
+                                            F.col("cb").alias("ca2")),
+                                "cb")
+                      .where(F.col("ca2") == F.col("ca"))
+                      .select("ca", "cb"))
+            mapping = (merges.select(
+                F.col("ca").alias("c"),
+                F.least(F.col("ca"), F.col("cb")).alias("__new")))
+            n_merges = mapping.where(F.col("c") != F.col("__new")).count()
+            if n_merges == 0:
+                converged = True
+                break
+            comm = (comm.join(mapping, "c", "left")
+                    .select("node", F.coalesce(F.col("__new"), F.col("c"))
+                            .alias("c")))
+            comm = comm.localCheckpoint(eager=True)
+        if not converged:
+            warnings.warn(
+                f"louvain: positive-gain merges still pending after "
+                f"rounds={rounds} -- communities are mid-flight; raise "
+                "rounds", stacklevel=2)
+        return comm.select("node", F.col("c").alias("community"))
+    finally:
+        bi.unpersist()
+
+
+def louvain_sql_oracle(edges_sql: str, rounds: int = 8) -> str:
+    """ANSI-SQL twin of :func:`louvain`: the same exact-integer
+    mutual-best merge rounds unrolled to CTEs, MATERIALIZED for the same
+    reason as :func:`mis_sql_oracle`.  ``edges_sql`` selects
+    (src, dst)."""
+    parts = [f"""raw AS ({edges_sql}),
+bi AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+  SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+  UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
+deg AS MATERIALIZED (SELECT u AS node, count(*) AS k FROM bi GROUP BY u),
+tm AS MATERIALIZED (SELECT count(*) AS m2 FROM bi),
+c_0 AS MATERIALIZED (SELECT node, node AS c FROM deg)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+ct_{r} AS MATERIALIZED (SELECT cm.c, sum(d.k) AS tot
+  FROM c_{r - 1} cm JOIN deg d USING (node) GROUP BY cm.c),
+sc_{r} AS MATERIALIZED (
+  SELECT ca.c AS ca, cb.c AS cb,
+         CAST(tm.m2 * count(*)
+              - 2 * max(ta.tot) * max(tb.tot) AS BIGINT) AS score
+  FROM bi e
+  JOIN c_{r - 1} ca ON ca.node = e.u
+  JOIN c_{r - 1} cb ON cb.node = e.v
+  JOIN ct_{r} ta ON ta.c = ca.c
+  JOIN ct_{r} tb ON tb.c = cb.c
+  CROSS JOIN tm
+  WHERE ca.c <> cb.c
+  GROUP BY ca.c, cb.c, tm.m2),
+bs_{r} AS MATERIALIZED (
+  SELECT ca, (min({{'s': -score, 'b': cb}})).b AS cb
+  FROM sc_{r} WHERE score > 0 GROUP BY ca),
+mg_{r} AS MATERIALIZED (
+  SELECT a.ca AS c, least(a.ca, a.cb) AS newc
+  FROM bs_{r} a JOIN bs_{r} b ON b.ca = a.cb AND b.cb = a.ca),
+c_{r} AS MATERIALIZED (
+  SELECT cm.node, COALESCE(m.newc, cm.c) AS c
+  FROM c_{r - 1} cm LEFT JOIN mg_{r} m ON m.c = cm.c)""")
+    return ("WITH " + ",".join(parts)
+            + f" SELECT node, c AS community FROM c_{rounds}")
+
+
 def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """k-truss decomposition of the UNDIRECTED graph: the maximal

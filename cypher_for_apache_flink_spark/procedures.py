@@ -292,6 +292,11 @@ def builtin_graph_procedures() -> list:
                                        rounds=int(rounds)) \
             .select("node", "in_mis")
 
+    def _louvain(session, graph, rounds):
+        from .functions.graph_algos import louvain
+        return louvain(graph_edges(graph), rounds=int(rounds)) \
+            .select("node", "community")
+
     def _k_truss(session, graph, k, rounds):
         from .functions.graph_algos import k_truss
         return k_truss(graph_edges(graph), k=int(k),
@@ -371,6 +376,10 @@ def builtin_graph_procedures() -> list:
             "algo.mis(rounds :: INTEGER?) "
             ":: (node :: INTEGER?, in_mis :: BOOLEAN?)", _mis,
             defaults=(("rounds", 16),)),
+        graph_procedure(
+            "algo.louvain(rounds :: INTEGER?) "
+            ":: (node :: INTEGER?, community :: INTEGER?)", _louvain,
+            defaults=(("rounds", 8),)),
         graph_procedure(
             "algo.graphStats() "
             ":: (nodes :: INTEGER?, edges :: INTEGER?, "

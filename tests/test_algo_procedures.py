@@ -458,3 +458,24 @@ def test_nonpositive_argument_is_typed_plan_error(algo_session):
         algo_session.cypher("CALL algo.mis(0)").df
     with pytest.raises(PlanError, match="k must be >= 2"):
         algo_session.cypher("CALL algo.kTruss(1)").df
+
+
+def test_louvain_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    got = rows(algo_session,
+               "CALL algo.louvain(6) YIELD node, community "
+               "RETURN node, community")
+    g = next(iter(algo_session.catalog.values()))
+    want = sorted(tuple(r) for r in
+                  louvain(graph_edges(g), rounds=6).collect())
+    assert got == want
+    # communities actually partition the fixture (two triangle clusters)
+    comm = dict(got)
+    assert comm[1] == comm[2]
+    assert comm[4] == comm[5]
+
+
+def test_louvain_call_bad_rounds_is_typed(algo_session):
+    from cypher_for_apache_flink_spark.errors import PlanError
+    with pytest.raises(PlanError, match="rounds must be >= 1"):
+        algo_session.cypher("CALL algo.louvain(0)").df

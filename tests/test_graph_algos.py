@@ -1220,3 +1220,75 @@ def test_node2vec_probe_gate_regime_independent(spark, monkeypatch):
         edges, starts, length=4, p=4, q="0.25").collect()))
     assert calls["pf"] == 0
     assert got == want
+
+
+# --- Louvain (round 11) -----------------------------------------------------
+
+def _two_cliques(spark):
+    # two 4-cliques joined by one bridge edge: the canonical community
+    # fixture -- modularity-greedy must split them at the bridge
+    pairs = []
+    for base in (0, 10):
+        ns = [base + i for i in range(4)]
+        pairs += [(a, b) for a in ns for b in ns if a < b]
+    pairs.append((3, 10))
+    return pairs, spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_louvain_separates_cliques(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    pairs, edges = _two_cliques(spark)
+    got = {r.node: r.community for r in louvain(edges, rounds=8).collect()}
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12, 13}
+    a = {got[n] for n in (0, 1, 2, 3)}
+    b = {got[n] for n in (10, 11, 12, 13)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_louvain_deterministic_across_partitionings(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    pairs = sorted({(i % 29, (i * 11 + 5) % 29) for i in range(120)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = sorted(map(tuple, louvain(edges, rounds=6).collect()))
+    b = sorted(map(tuple, louvain(edges.repartition(7), rounds=6).collect()))
+    assert a == b
+
+
+def test_louvain_empty_input_and_bad_rounds(spark):
+    import pytest
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert louvain(empty).count() == 0
+    with pytest.raises(ValueError, match="rounds must be >= 1"):
+        louvain(empty, rounds=0)
+
+
+def test_louvain_warns_when_budget_exhausted(spark):
+    import warnings as W
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    # a long even cycle keeps synchronous local moving busy well past
+    # one round
+    pairs = [(i, (i + 1) % 20) for i in range(20)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        louvain(edges, rounds=1).collect()
+    assert any("louvain" in str(w.message) for w in caught)
+
+
+def test_louvain_matches_sql_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        louvain, louvain_sql_oracle)
+    pairs = sorted({((i * 7) % 31, (i * 13 + 2) % 31) for i in range(90)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted(map(tuple, louvain(edges, rounds=4).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(map(tuple, con.execute(
+        louvain_sql_oracle("SELECT src, dst FROM e", rounds=4)
+        + " ORDER BY node").fetchall()))
+    assert got == want
