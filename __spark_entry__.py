@@ -1703,12 +1703,71 @@ _ROUND10_DIRECT = [
 ]
 
 
+# The 56 _ROUND10_CHANGED queries whose driver rows predate their
+# round-10 code changes (mechanically: sorted(set(_ROUND10_CHANGED) -
+# set(CORRECTNESS_r10.json))).  Feeds the round-11 rotation tiers.
+_ROUND10_STALE = [
+    'agg_count_distinct', 'agg_global', 'agg_tpch_q3', 'agg_tpch_q5',
+    'betweenness_sampled', 'bfs_shortest_paths', 'call_triangle_count',
+    'case_expression', 'chunk_documents', 'closeness_centrality',
+    'construct_requery', 'cosine_near_dup_lsh', 'cosine_near_dup_pairs',
+    'curate_corpus', 'degree_histogram', 'distinct_projection',
+    'driving_table', 'duration_accessors', 'duration_shift',
+    'events_temporal', 'expand_2hop', 'expand_into', 'hits_scores',
+    'k_core', 'kmeans_embeddings', 'label_propagation', 'list_functions',
+    'math_functions', 'near_dup_clusters', 'node_similarity',
+    'optional_first_clause', 'pagerank', 'percentile_disc_global',
+    'personalized_pagerank', 'pii_scrub', 'rel_properties',
+    'repetition_profile', 'rolling_fingerprints', 'scan_filter_and_or',
+    'scc_components', 'similarity_topk', 'similarity_topk_ivf',
+    'similarity_topk_ivf_indexed', 'similarity_topk_join',
+    'similarity_topk_lsh', 'similarity_topk_lsh_indexed',
+    'similarity_topk_quantized', 'skipgram_pairs', 'string_functions',
+    'text_profile', 'tfidf_top_terms', 'top_ngrams', 'triangle_count',
+    'type_function', 'var_length_unbounded', 'weighted_shortest_paths',
+]
+
+# The 29 queries entering round 11 with driver rows OLDER THAN TWO
+# ROUNDS (recorded r5/r6/r8 -- VERDICT r10 #2 names exactly these).
+# They lead tier (b) of the round-11 window so that after r11 no
+# query's driver row is older than two rounds.
+_AGED_ROWS_R11 = [
+    # r5 rows
+    'text_profile', 'similarity_topk_lsh_indexed',
+    'similarity_topk_ivf_indexed', 'similarity_topk_quantized',
+    'events_sliding_counts', 'correlated_events', 'top_ngrams',
+    'tfidf_top_terms', 'sample_weighted', 'cosine_near_dup_lsh',
+    # r6 rows
+    'similarity_topk', 'similarity_topk_lsh', 'similarity_topk_ivf',
+    'similarity_topk_join', 'cosine_near_dup_pairs', 'sample_stratified',
+    'domain_mixture', 'pack_sequences', 'contamination_check',
+    'curate_corpus', 'rolling_fingerprints', 'repetition_profile',
+    'pii_scrub', 'chunk_documents', 'events_sessions',
+    # r8 rows
+    'any_minmax_mixed', 'any_distinct_mixed', 'any_union_mixed',
+    'duplicate_spans',
+]
+
+# Round-11 DIRECTLY-touched queries with existing (r10) driver rows:
+# node2vec's probe-broadcast gate, MIS argument validation, the
+# resample densification bound, the asof tolerance parse, pq_encode's
+# extra_cols pass-through, and the CALL plan path (ValueError ->
+# PlanError mapping in plans/planner.py).
+_ROUND11_DIRECT = [
+    'node2vec_walks', 'mis_conflict_free', 'resample_fill_forward',
+    'asof_attribution', 'pq_topk', 'call_random_walks',
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness for the first 50 entries only.
-    # Round-10 rotation (VERDICT r9 #3): (a) never-recorded round-10
-    # queries, (b) the 39 round-9-changed queries whose driver rows are
-    # stale, (c) queries directly changed in round 10, (d) the r8/r9
-    # sweep tiers, (e) rest.
+    # Round-11 rotation (VERDICT r10 #2): (a) never-recorded round-11
+    # queries, (b) the 29 queries whose driver rows are older than two
+    # rounds (r5/r6/r8), (c) queries directly changed in round 11,
+    # (d) the round-10-changed queries riding on r9 rows, (e) the
+    # earlier tiers.  (a)+(b)+(c) = 38, so 12 of tier (d)'s 39 make the
+    # window; the remainder is re-verified by the committed full
+    # tools/check_oracle.py replay this round.
     full = dict(_EXTRA_QUERIES)
     for name in _DEFERRED_VARIANTS:
         full[name] = _CYPHER_QUERIES[name]
@@ -1723,11 +1782,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(_ROUND9_QUERIES)
     full.update(_ROUND10_QUERIES)
     full.update(_ROUND11_QUERIES)
-    changed = set(_ROUND9_CHANGED) | set(_ROUND8_CHANGED)
-    prio = (list(_ROUND11_QUERIES)     # never-recorded round-11 queries
-            + list(_ROUND10_QUERIES)   # never-recorded round-10 queries
-            + _ROUND9_STALE            # tier (b): stale driver rows
-            + _ROUND10_DIRECT          # tier (c): directly changed in r10
+    changed = set(_ROUND10_CHANGED) | set(_ROUND9_CHANGED)
+    prio = (list(_ROUND11_QUERIES)     # (a) never-recorded round-11
+            + _AGED_ROWS_R11           # (b) rows older than two rounds
+            + _ROUND11_DIRECT          # (c) directly changed in r11
+            + _ROUND10_STALE           # (d) r10-changed on r9 rows
+            + list(_ROUND10_QUERIES)
+            + _ROUND9_STALE
+            + _ROUND10_DIRECT
             + list(_ROUND9_QUERIES)
             + _ROUND8_STALE
             + _ROUND9_DIRECT

@@ -75,6 +75,10 @@ HEADLINE = [
     "rolling_time_agg",
     "pq_topk",
     "mis_conflict_free",
+    # round 11 surfaces
+    "asof_forward",
+    "similarity_topk_ivfpq",
+    "louvain_communities",
 ]
 
 

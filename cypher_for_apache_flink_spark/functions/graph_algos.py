@@ -2061,13 +2061,29 @@ def louvain(edges: DataFrame, rounds: int = 8,
     bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
           .dropDuplicates(["u", "v"]).persist())
+    base_bi = bi
     try:
-        deg = (bi.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
-               .withColumnRenamed("u", "node").localCheckpoint(eager=True))
         two_m = bi.count()
         if two_m == 0:
             spark = edges.sparkSession
             return spark.createDataFrame([], "node long, community long")
+        # same size-gated exchange pin as the pagerank/random_walks
+        # loops: lay the edge side out hash(u) ONCE when the input is
+        # big (or the session partition count is mismatched), so each
+        # round's first community join reuses the persisted layout and
+        # only the assignment stream shuffles; for bench-sized inputs
+        # the gate leaves the plan to AQE (the unconditional-pin lesson,
+        # BENCH_DIFF_r08.md)
+        spark = edges.sparkSession
+        nparts = _pin_parts(spark, data=bi)
+        if nparts is None \
+                and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never" \
+                and two_m * 16 >= _PIN_DATA_BYTES:
+            nparts = max(2 * spark.sparkContext.defaultParallelism, 1)
+        if nparts is not None:
+            bi = bi.repartition(nparts, "u").persist()
+        deg = (bi.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+               .withColumnRenamed("u", "node").localCheckpoint(eager=True))
         comm = deg.select("node", F.col("node").alias("c"))
         comm = comm.localCheckpoint(eager=True)
         converged = False
@@ -2120,7 +2136,9 @@ def louvain(edges: DataFrame, rounds: int = 8,
                 "rounds", stacklevel=2)
         return comm.select("node", F.col("c").alias("community"))
     finally:
-        bi.unpersist()
+        if bi is not base_bi:
+            bi.unpersist()
+        base_bi.unpersist()
 
 
 def louvain_sql_oracle(edges_sql: str, rounds: int = 8) -> str:
