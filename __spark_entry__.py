@@ -1748,6 +1748,49 @@ _AGED_ROWS_R11 = [
     'duplicate_spans',
 ]
 
+# Round 11 changed queries, derived mechanically:
+# `python tools/changed_queries.py 8f6cef7..HEAD` (94 names -- the
+# plans/planner.py edit is the CALL ValueError->PlanError mapping only,
+# but the tool conservatively sweeps every planner-backed query for any
+# planner.py diff; graph_algos/similarity/asof/timeseries/procedures
+# edits sweep their families; the three round-11 queries are new).
+# Feeds the round-12 window rotation.
+_ROUND11_CHANGED = [
+    'agg_count_distinct', 'agg_global', 'agg_stats', 'agg_tpch_q1',
+    'agg_tpch_q3', 'agg_tpch_q5', 'asof_attribution', 'asof_forward',
+    'betweenness_sampled', 'bfs_shortest_paths', 'bitwise_functions',
+    'call_random_walks', 'call_triangle_count', 'case_expression',
+    'closeness_centrality', 'coalesce_function', 'collect_unwind',
+    'construct_requery', 'cosine_near_dup_lsh', 'cosine_near_dup_pairs',
+    'ddl_graph', 'degree_histogram', 'distinct_projection',
+    'driving_table', 'duration_accessors', 'duration_shift',
+    'edge_uniqueness_pairs', 'events_hour_buckets', 'events_temporal',
+    'exists_pattern', 'expand_1hop', 'expand_2hop',
+    'expand_3hop_keyword_types', 'expand_incoming', 'expand_into',
+    'expand_undirected', 'graph_union', 'hits_scores', 'k_core',
+    'k_truss', 'keyword_label_scan', 'label_propagation',
+    'labels_function', 'list_functions', 'louvain_communities',
+    'math_functions', 'mis_conflict_free', 'node2vec_walks',
+    'node_similarity', 'not_exists_pattern', 'optional_first_clause',
+    'optional_match_count', 'optional_match_null', 'order_skip_limit',
+    'orderby_expression', 'pagerank', 'pagerank_weighted',
+    'percentile_disc_global', 'personalized_pagerank', 'pq_topk',
+    'predicate_contains', 'predicate_in', 'predicate_regex',
+    'predicate_string_match', 'random_walks', 'rel_properties',
+    'resample_fill_forward', 'rolling_time_agg', 'scan_filter',
+    'scan_filter_and_or', 'scan_nodes', 'scc_components',
+    'similarity_topk', 'similarity_topk_ivf',
+    'similarity_topk_ivf_indexed', 'similarity_topk_ivfpq',
+    'similarity_topk_join', 'similarity_topk_lsh',
+    'similarity_topk_lsh_indexed', 'similarity_topk_quantized',
+    'skipgram_pairs', 'string_functions', 'triangle_count',
+    'type_function', 'union_all', 'union_distinct', 'unwind_literal',
+    'unwind_range_filter', 'var_length_1_2', 'var_length_2_2',
+    'var_length_typed', 'var_length_unbounded',
+    'weighted_shortest_paths', 'with_pipeline',
+]
+
+
 # Round-11 DIRECTLY-touched queries with existing (r10) driver rows:
 # node2vec's probe-broadcast gate, MIS argument validation, the
 # resample densification bound, the asof tolerance parse, pq_encode's

@@ -48,7 +48,8 @@ def query_families() -> dict[str, list[str]]:
                        "similarity_topk_ivf_indexed",
                        "similarity_topk_quantized",
                        "cosine_near_dup_pairs", "cosine_near_dup_lsh",
-                       "pq_topk"],                       # round 10
+                       "pq_topk",                        # round 10
+                       "similarity_topk_ivfpq"],         # round 11
         "components": ["near_dup_clusters"],
         "sampling": ["sample_stratified", "sample_weighted",
                      "domain_mixture", "pack_sequences",
@@ -57,7 +58,8 @@ def query_families() -> dict[str, list[str]]:
                  "rolling_fingerprints", "repetition_profile", "pii_scrub",
                  "chunk_documents", "curate_corpus",
                  "bm25_retrieval"],                      # round 10
-        "asof": ["asof_attribution"],                    # round 10
+        "asof": ["asof_attribution",
+                 "asof_forward"],                        # round 11
         "timeseries": ["resample_fill_forward",          # round 10
                        "rolling_time_agg"],
         "pipeline": ["curate_corpus"],
@@ -74,7 +76,9 @@ def query_families() -> dict[str, list[str]]:
                         "random_walks", "skipgram_pairs", "k_truss",
                         # round 10
                         "node2vec_walks", "call_random_walks",
-                        "pagerank_weighted", "mis_conflict_free"],
+                        "pagerank_weighted", "mis_conflict_free",
+                        # round 11
+                        "louvain_communities"],
         "clustering": ["kmeans_embeddings"],
         "procedures": ["call_triangle_count", "call_random_walks"],
         "streaming": ["events_sessions", "events_sliding_counts",
