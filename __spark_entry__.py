@@ -1288,6 +1288,12 @@ def _q_pq_topk(spark, sf_dir):
     from cypher_for_apache_flink_spark.functions.similarity import (
         pq_encode, pq_topk, pq_train)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the single-file test parquet arrives in one partition; spread the
+    # encode (the expensive full-corpus pass) across the cluster -- the
+    # same underpartitioned-input fix as ivfpq_build (round 11)
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
     books = pq_train(emb, m=8, k=16, iterations=0)
     enc = pq_encode(emb, books)
     return pq_topk(enc, books, _PQ_QUERY_VEC, k=12)
@@ -1358,14 +1364,14 @@ _ROUND10_QUERIES = {
 def _q_louvain(spark, sf_dir):
     """Community detection (round 11, VERDICT r10 #7, functions/
     graph_algos.py louvain): deterministic modularity-greedy
-    agglomeration by mutual-best merge over a quarter-sample of the
-    co-purchase graph -- exact int64 gain scores, md5-free determinism
-    (ties to the smaller community id), unrolled SQL oracle."""
+    star contraction over a quarter-sample of the co-purchase graph --
+    exact int64 gain scores, md5-coin head/tail rounds, unrolled SQL
+    oracle replaying every round bit-for-bit."""
     from cypher_for_apache_flink_spark.functions.graph_algos import louvain
     e = (_copurchase_edges(spark, sf_dir)
          .where(F.md5(F.concat_ws("|", F.col("src"), F.col("dst")))
                 < "4"))
-    return louvain(e, rounds=6).orderBy("node").select("node", "community")
+    return louvain(e, rounds=16).orderBy("node").select("node", "community")
 
 
 _ROUND11_QUERIES = {
@@ -2190,7 +2196,7 @@ def _louvain_oracle_sql() -> str:
         f"SELECT src, dst FROM ({_COPURCHASE_SQL}) cm "
         "WHERE md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) "
         "< '4'")
-    lv = louvain_sql_oracle(edges_sql, rounds=6)
+    lv = louvain_sql_oracle(edges_sql, rounds=16)
     return f"SELECT node, community FROM ({lv}) l ORDER BY node"
 
 

@@ -2016,42 +2016,85 @@ SELECT n.node, m.node IS NOT NULL AS in_mis
 FROM u_0 n LEFT JOIN m_{rounds} m ON m.node = n.node""")
 
 
-def louvain(edges: DataFrame, rounds: int = 8,
+def _ckpt_sever(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager) PLUS a statistics reset -- the loop-state
+    materialization every iterative algorithm here should use.
+
+    ``Dataset.localCheckpoint`` severs the logical plan and the RDD
+    lineage, but it CARRIES the checkpointed plan's Catalyst statistics
+    onto the new LogicalRDD leaf.  Join size estimates are PRODUCTS of
+    their children's ``sizeInBytes``, so a loop that checkpoints a
+    frame built from k joins of last round's checkpoints multiplies the
+    carried estimates every round: the estimate's BIT LENGTH grows
+    geometrically, and from ~round 8 the driver spends its time in
+    BigInteger.multiplyToomCook3 inside stats propagation -- measured
+    on this workload as walls of 0.8s -> 3s -> 23s -> 204s per round
+    with FLAT task counts and executor cpu, ending in a driver OOM.
+    (This, not executor work, is the iterated-loop pathology previous
+    rounds worked around with round caps.)
+
+    The fix: rebuild the Dataset over the checkpointed rows WITHOUT the
+    carried stats (``internalCreateDataFrame`` leaves ``originStats``
+    empty, so the leaf reports the flat ``defaultSizeInBytes`` and
+    per-round products stay constant-width).  AQE re-plans every
+    exchange from RUNTIME sizes, so the lost estimate costs nothing on
+    the loops that use this.  Falls back to the plain checkpoint if the
+    internal constructor is unavailable."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        njdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(njdf, spark)
+    except Exception:
+        return ck
+
+
+def louvain(edges: DataFrame, rounds: int = 16,
             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Deterministic modularity-greedy community detection over the
-    UNDIRECTED simple graph: parallel agglomerative merging by MUTUAL
-    BEST partner (the CNM greedy of Clauset-Newman-Moore 2004,
-    parallelized the matching way Louvain's coarsening phase is in
-    distributed implementations).  Returns (node, community) for every
-    node in the edge list; community ids are the minimum member id.
+    UNDIRECTED simple graph: agglomerative STAR CONTRACTION -- per
+    round, communities are split head/tail by a deterministic md5 coin,
+    every tail community with a positive-gain best head neighbor merges
+    into it (many-to-one), and the graph contracts (Louvain's phase 2).
+    Returns (node, community) for every node in the edge list;
+    community ids are canonicalized to the minimum member id at the
+    end, so labels are partition- and history-independent.
 
-    Per round every community scores merging with each ADJACENT
-    community by the EXACT integer modularity-gain score
-    2m x e2(A, B) - 2 x tot(A) x tot(B) -- the float Delta-Q of a merge
-    multiplied through by the positive constant 4m^2 (e2 = directed
-    edge count between A and B = twice the undirected count; tot = sum
-    of member degrees) -- and picks the best positive-gain partner,
-    ties toward the smaller community id.  Pairs that pick EACH OTHER
-    merge, taking the smaller id.  Mutual-best matching is what makes
-    the synchronous rounds sound: a merge is symmetric (no two-node
-    label swap) and monotone (communities only coarsen), so the loop
-    cannot oscillate or label-chase -- the failure modes of synchronous
-    per-node local moving -- and it terminates the first round no
-    positive-gain mutual pair exists.  All comparisons are pure int64:
-    no float argmax to flip at an ULP, identical assignments on any
-    engine/partitioning, and an ANSI-SQL oracle replays the rounds
-    verbatim (:func:`louvain_sql_oracle`).
+    The merge gain is the EXACT integer 4m x e(A, B) - 2 tot(A) tot(B)
+    -- the float Delta-Q of merging A and B (e/m - tot_A tot_B / 2m^2)
+    multiplied through by the positive constant 2m^2 (e = undirected
+    cross-edge count, tracked as contracted edge weights; tot = summed
+    member degrees, tracked as its own table so self-loop bookkeeping
+    never arises) -- ties toward the smaller head id.  All comparisons
+    are pure int64: identical assignments on any engine/partitioning,
+    and an ANSI-SQL oracle replays the rounds verbatim
+    (:func:`louvain_sql_oracle`).
 
-    Per round: ONE edge-keyed community-pair count (e2), ONE
-    community-keyed degree sum (tot), ONE min-struct best-partner pick
-    per community and one tiny mutual self-join on the (already
-    aggregated) community pairs -- all map-side combinable, no windows,
-    no collects; assignments are localCheckpointed per round so lineage
-    stays flat.  Communities at least halve in count every merging
-    round in the worst case of a perfect matching, so ``rounds``
-    defaults to 8 ~ log2 of any practical community size; exhausting
-    the budget with positive-gain merges still pending warns rather
-    than silently returning a mid-flight assignment.
+    Why star contraction: synchronous per-node local moving oscillates
+    (two mutually-preferring singletons swap labels forever) and
+    label-chases (a node moves toward a community whose members left
+    the same round); strict MUTUAL-best pair matching fixes both but
+    coalesces at O(1) pairs per hub per round -- measured ~360 merges
+    per round on 18k communities of a co-purchase quarter sample,
+    hundreds of rounds to converge.  The head/tail coin breaks the
+    symmetry instead: every tail with a positive head partner merges
+    each round (9,962 of 20k first-round communities on the same
+    input), convergence in ~12 rounds, and determinism survives because
+    the coin is md5(community|round).  Merging into a head is safe from
+    swap/chase cycles -- heads never move.
+
+    Per round: ONE score join on the contracted edges, ONE min-struct
+    best pick, three mapping joins (mapping, totals, edges) -- all
+    community-id-keyed; no windows, no collects.  State is severed per
+    round with :func:`_ckpt_sever` (localCheckpoint + stats reset), so
+    round cost tracks the SHRINKING contracted graph instead of
+    compounding -- the full sf0.1 quarter-sample run converges in ~15s
+    where the un-severed loop hit 204s PER ROUND by round 10.
+    Converged = a merge-free round with an EMPTY positive-gain pair set
+    (checked only on merge-free rounds); exhausting ``rounds`` first
+    warns rather than silently returning a mid-flight assignment.
     """
     if rounds < 1:
         raise ValueError(f"louvain: rounds must be >= 1, got {rounds}")
@@ -2061,125 +2104,136 @@ def louvain(edges: DataFrame, rounds: int = 8,
     bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
           .dropDuplicates(["u", "v"]).persist())
-    base_bi = bi
     try:
         two_m = bi.count()
         if two_m == 0:
             spark = edges.sparkSession
             return spark.createDataFrame([], "node long, community long")
-        # same size-gated exchange pin as the pagerank/random_walks
-        # loops: lay the edge side out hash(u) ONCE when the input is
-        # big (or the session partition count is mismatched), so each
-        # round's first community join reuses the persisted layout and
-        # only the assignment stream shuffles; for bench-sized inputs
-        # the gate leaves the plan to AQE (the unconditional-pin lesson,
-        # BENCH_DIFF_r08.md)
-        spark = edges.sparkSession
-        nparts = _pin_parts(spark, data=bi)
-        if nparts is None \
-                and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never" \
-                and two_m * 16 >= _PIN_DATA_BYTES:
-            nparts = max(2 * spark.sparkContext.defaultParallelism, 1)
-        if nparts is not None:
-            bi = bi.repartition(nparts, "u").persist()
-        deg = (bi.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
-               .withColumnRenamed("u", "node").localCheckpoint(eager=True))
-        comm = deg.select("node", F.col("node").alias("c"))
-        comm = comm.localCheckpoint(eager=True)
+        # contracted-state init: communities ARE nodes, so the community
+        # multigraph is the edge list at weight 1 and the totals are the
+        # degrees; the raw edges are never rejoined after this.
+        ew = _ckpt_sever(bi.select(F.col("u").alias("a"),
+                                   F.col("v").alias("b"),
+                                   F.lit(1).cast("long").alias("w")))
+        ctot = _ckpt_sever(
+            bi.groupBy("u").agg(F.count(F.lit(1)).cast("long")
+                                .alias("tot"))
+            .select(F.col("u").alias("c"), "tot"))
+        mapping = _ckpt_sever(bi.select(F.col("u").alias("node"))
+                              .dropDuplicates(["node"])
+                              .withColumn("c", F.col("node")))
         converged = False
-        for _ in range(rounds):
-            ctot = (comm.join(deg, "node")
-                    .groupBy("c").agg(F.sum("k").alias("tot")))
-            ce = (bi
-                  .join(comm.select(F.col("node").alias("u"),
-                                    F.col("c").alias("ca")), "u")
-                  .join(comm.select(F.col("node").alias("v"),
-                                    F.col("c").alias("cb")), "v")
-                  .where(F.col("ca") != F.col("cb"))
-                  .groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("e2")))
-            scored = (ce
-                      .join(ctot.select(F.col("c").alias("ca"),
-                                        F.col("tot").alias("ta")), "ca")
-                      .join(ctot.select(F.col("c").alias("cb"),
-                                        F.col("tot").alias("tb")), "cb")
+        for r in range(1, rounds + 1):
+            scored = (ew
+                      .join(ctot.select(F.col("c").alias("a"),
+                                        F.col("tot").alias("ta")), "a")
+                      .join(ctot.select(F.col("c").alias("b"),
+                                        F.col("tot").alias("tb")), "b")
                       .withColumn(
                           "score",
-                          F.lit(int(two_m)) * F.col("e2").cast("long")
-                          - F.lit(2) * F.col("ta").cast("long")
-                          * F.col("tb").cast("long"))
+                          F.lit(2 * int(two_m)) * F.col("w")
+                          - F.lit(2) * F.col("ta") * F.col("tb"))
                       .where(F.col("score") > 0))
-            best = (scored.groupBy("ca")
-                    .agg(F.min(F.struct((-F.col("score")).alias("s"),
-                                        F.col("cb").alias("b")))
-                         .alias("p"))
-                    .select("ca", F.col("p.b").alias("cb")))
-            merges = (best.join(best.select(F.col("ca").alias("cb"),
-                                            F.col("cb").alias("ca2")),
-                                "cb")
-                      .where(F.col("ca2") == F.col("ca"))
-                      .select("ca", "cb"))
-            mapping = (merges.select(
-                F.col("ca").alias("c"),
-                F.least(F.col("ca"), F.col("cb")).alias("__new")))
-            n_merges = mapping.where(F.col("c") != F.col("__new")).count()
-            if n_merges == 0:
-                converged = True
-                break
-            comm = (comm.join(mapping, "c", "left")
-                    .select("node", F.coalesce(F.col("__new"), F.col("c"))
-                            .alias("c")))
-            comm = comm.localCheckpoint(eager=True)
+
+            def head(col):
+                return F.substring(
+                    F.md5(F.concat_ws("|", col.cast("string"),
+                                      F.lit(str(r)))), 1, 1) < "8"
+
+            best = _ckpt_sever(
+                scored.where(~head(F.col("a")) & head(F.col("b")))
+                .groupBy("a")
+                .agg(F.min(F.struct((-F.col("score")).alias("s"),
+                                    F.col("b").alias("b"))).alias("p"))
+                .select(F.col("a").alias("c"),
+                        F.col("p.b").alias("__new")))
+            if best.isEmpty():
+                # merge-free round: converged only if NO positive pair
+                # exists at all (the coin can strand a round)
+                if scored.isEmpty():
+                    converged = True
+                    break
+                continue
+            mapping = _ckpt_sever(
+                mapping.join(best, "c", "left")
+                .select("node", F.coalesce(F.col("__new"), F.col("c"))
+                        .alias("c")))
+            ctot = _ckpt_sever(
+                ctot.join(best, "c", "left")
+                .groupBy(F.coalesce(F.col("__new"), F.col("c"))
+                         .alias("c"))
+                .agg(F.sum("tot").alias("tot")))
+            ma = best.select(F.col("c").alias("a"),
+                             F.col("__new").alias("__na"))
+            mb = best.select(F.col("c").alias("b"),
+                             F.col("__new").alias("__nb"))
+            ew = _ckpt_sever(
+                ew.join(ma, "a", "left").join(mb, "b", "left")
+                .select(F.coalesce(F.col("__na"), F.col("a")).alias("a"),
+                        F.coalesce(F.col("__nb"), F.col("b")).alias("b"),
+                        "w")
+                .where(F.col("a") != F.col("b"))
+                .groupBy("a", "b").agg(F.sum("w").alias("w")))
         if not converged:
             warnings.warn(
-                f"louvain: positive-gain merges still pending after "
-                f"rounds={rounds} -- communities are mid-flight; raise "
-                "rounds", stacklevel=2)
-        return comm.select("node", F.col("c").alias("community"))
+                f"louvain: positive-gain merges may still be pending "
+                f"after rounds={rounds} -- communities can be "
+                "mid-flight; raise rounds", stacklevel=2)
+        # canonical labels: the minimum member id of each community
+        canon = mapping.groupBy("c").agg(F.min("node").alias("community"))
+        return mapping.join(canon, "c").select("node", "community")
     finally:
-        if bi is not base_bi:
-            bi.unpersist()
-        base_bi.unpersist()
+        bi.unpersist()
 
 
-def louvain_sql_oracle(edges_sql: str, rounds: int = 8) -> str:
+def louvain_sql_oracle(edges_sql: str, rounds: int = 16) -> str:
     """ANSI-SQL twin of :func:`louvain`: the same exact-integer
-    mutual-best merge rounds unrolled to CTEs, MATERIALIZED for the same
-    reason as :func:`mis_sql_oracle`.  ``edges_sql`` selects
-    (src, dst)."""
+    head/tail star-contraction rounds unrolled to CTEs, MATERIALIZED
+    for the same reason as :func:`mis_sql_oracle`.  ``edges_sql``
+    selects (src, dst)."""
     parts = [f"""raw AS ({edges_sql}),
 bi AS MATERIALIZED (SELECT DISTINCT u, v FROM (
   SELECT src AS u, dst AS v FROM raw WHERE src <> dst
   UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
-deg AS MATERIALIZED (SELECT u AS node, count(*) AS k FROM bi GROUP BY u),
 tm AS MATERIALIZED (SELECT count(*) AS m2 FROM bi),
-c_0 AS MATERIALIZED (SELECT node, node AS c FROM deg)"""]
+e_0 AS MATERIALIZED (SELECT u AS a, v AS b, CAST(1 AS BIGINT) AS w
+                     FROM bi),
+t_0 AS MATERIALIZED (SELECT u AS c, CAST(count(*) AS BIGINT) AS tot
+                     FROM bi GROUP BY u),
+m_0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM bi)"""]
     for r in range(1, rounds + 1):
         parts.append(f"""
-ct_{r} AS MATERIALIZED (SELECT cm.c, sum(d.k) AS tot
-  FROM c_{r - 1} cm JOIN deg d USING (node) GROUP BY cm.c),
-sc_{r} AS MATERIALIZED (
-  SELECT ca.c AS ca, cb.c AS cb,
-         CAST(tm.m2 * count(*)
-              - 2 * max(ta.tot) * max(tb.tot) AS BIGINT) AS score
-  FROM bi e
-  JOIN c_{r - 1} ca ON ca.node = e.u
-  JOIN c_{r - 1} cb ON cb.node = e.v
-  JOIN ct_{r} ta ON ta.c = ca.c
-  JOIN ct_{r} tb ON tb.c = cb.c
-  CROSS JOIN tm
-  WHERE ca.c <> cb.c
-  GROUP BY ca.c, cb.c, tm.m2),
 bs_{r} AS MATERIALIZED (
-  SELECT ca, (min({{'s': -score, 'b': cb}})).b AS cb
-  FROM sc_{r} WHERE score > 0 GROUP BY ca),
-mg_{r} AS MATERIALIZED (
-  SELECT a.ca AS c, least(a.ca, a.cb) AS newc
-  FROM bs_{r} a JOIN bs_{r} b ON b.ca = a.cb AND b.cb = a.ca),
-c_{r} AS MATERIALIZED (
-  SELECT cm.node, COALESCE(m.newc, cm.c) AS c
-  FROM c_{r - 1} cm LEFT JOIN mg_{r} m ON m.c = cm.c)""")
-    return ("WITH " + ",".join(parts)
-            + f" SELECT node, c AS community FROM c_{rounds}")
+  SELECT a AS c, (min({{'s': -score, 'b': b}})).b AS newc
+  FROM (
+    SELECT e.a, e.b,
+           CAST(2 * tm.m2 * e.w - 2 * ta.tot * tb.tot AS BIGINT) AS score
+    FROM e_{r - 1} e
+    JOIN t_{r - 1} ta ON ta.c = e.a
+    JOIN t_{r - 1} tb ON tb.c = e.b
+    CROSS JOIN tm) s
+  WHERE score > 0
+    AND substr(md5(CAST(a AS VARCHAR) || '|{r}'), 1, 1) >= '8'
+    AND substr(md5(CAST(b AS VARCHAR) || '|{r}'), 1, 1) < '8'
+  GROUP BY a),
+m_{r} AS MATERIALIZED (
+  SELECT m.node, COALESCE(g.newc, m.c) AS c
+  FROM m_{r - 1} m LEFT JOIN bs_{r} g ON g.c = m.c),
+t_{r} AS MATERIALIZED (
+  SELECT COALESCE(g.newc, t.c) AS c, sum(t.tot) AS tot
+  FROM t_{r - 1} t LEFT JOIN bs_{r} g ON g.c = t.c GROUP BY 1),
+e_{r} AS MATERIALIZED (
+  SELECT a, b, sum(w) AS w FROM (
+    SELECT COALESCE(ga.newc, e.a) AS a, COALESCE(gb.newc, e.b) AS b, e.w
+    FROM e_{r - 1} e
+    LEFT JOIN bs_{r} ga ON ga.c = e.a
+    LEFT JOIN bs_{r} gb ON gb.c = e.b) z
+  WHERE a <> b GROUP BY a, b)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT m.node, cn.community
+FROM m_{rounds} m
+JOIN (SELECT c, min(node) AS community FROM m_{rounds} GROUP BY c) cn
+  ON cn.c = m.c""")
 
 
 def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,

@@ -568,6 +568,14 @@ def ivfpq_build(df: DataFrame, n_lists: int = 8, m: int = 8, k: int = 16,
         raise ValueError(f"ivfpq_build: dims={dims} not divisible by m={m}")
     q = df.select(F.col(id_col).alias("id"),
                   _quantize(F.col(vec_col), scale).alias("__q"))
+    # assignment + residual + encode are the expensive full-corpus pass;
+    # a small single-file parquet corpus arrives in ONE partition and
+    # would run it on one task (measured 4.3s of the 10.8s bench wall).
+    # Spread it once -- at warehouse scale the input is already wider
+    # than the cluster and this no-ops.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < par:
+        q = q.repartition(par)
     seed_rows = q.orderBy("id").limit(n_lists).collect()
     if len(seed_rows) < n_lists:
         raise ValueError(f"ivfpq_build: n_lists={n_lists} exceeds the "
