@@ -2111,10 +2111,23 @@ def louvain(edges: DataFrame, rounds: int = 16,
             return spark.createDataFrame([], "node long, community long")
         # contracted-state init: communities ARE nodes, so the community
         # multigraph is the edge list at weight 1 and the totals are the
-        # degrees; the raw edges are never rejoined after this.
+        # degrees; the raw edges are never rejoined after this.  The
+        # edge state is laid out in row-bounded partitions (~150k (a,b)
+        # keys per task): the contraction's groupBy over NEAR-UNIQUE
+        # keys builds a hash map the size of its input partition, and
+        # 12M keys over 32 tasks spilled 4.1 GB in the partial/final
+        # aggregates before this bound.
+        spark = edges.sparkSession
+        par = spark.sparkContext.defaultParallelism
+
+        def _parts(rows):
+            return max(par, int(rows) // 150_000 + 1)
+
         ew = _ckpt_sever(bi.select(F.col("u").alias("a"),
                                    F.col("v").alias("b"),
-                                   F.lit(1).cast("long").alias("w")))
+                                   F.lit(1).cast("long").alias("w"))
+                         .repartition(_parts(two_m), "a", "b"))
+        ew_rows = two_m
         ctot = _ckpt_sever(
             bi.groupBy("u").agg(F.count(F.lit(1)).cast("long")
                                 .alias("tot"))
@@ -2122,13 +2135,30 @@ def louvain(edges: DataFrame, rounds: int = 16,
         mapping = _ckpt_sever(bi.select(F.col("u").alias("node"))
                               .dropDuplicates(["node"])
                               .withColumn("c", F.col("node")))
+        # the severed leaves deliberately report no size estimate (see
+        # _ckpt_sever), so the STATIC planner would sort-merge the big
+        # contracted-edge side against the tiny community tables (4.6 GB
+        # of sort spill measured at 12M edges).  Gate explicitly on the
+        # one exact fact we have: the community/totals/merge tables are
+        # all bounded by the node count, so below the standard budget
+        # they broadcast; above it the joins are hinted shuffle_hash
+        # (sorting per round is pure overhead for a loop that contracts
+        # the state anyway -- the k_truss lesson).
+        n_nodes = mapping.count()
+        bcast = n_nodes * 16 < _PIN_DATA_BYTES
+
+        def small(df):
+            return F.broadcast(df) if bcast else df.hint("shuffle_hash")
+
         converged = False
         for r in range(1, rounds + 1):
             scored = (ew
-                      .join(ctot.select(F.col("c").alias("a"),
-                                        F.col("tot").alias("ta")), "a")
-                      .join(ctot.select(F.col("c").alias("b"),
-                                        F.col("tot").alias("tb")), "b")
+                      .join(small(ctot.select(F.col("c").alias("a"),
+                                              F.col("tot").alias("ta"))),
+                            "a")
+                      .join(small(ctot.select(F.col("c").alias("b"),
+                                              F.col("tot").alias("tb"))),
+                            "b")
                       .withColumn(
                           "score",
                           F.lit(2 * int(two_m)) * F.col("w")
@@ -2140,6 +2170,12 @@ def louvain(edges: DataFrame, rounds: int = 16,
                     F.md5(F.concat_ws("|", col.cast("string"),
                                       F.lit(str(r)))), 1, 1) < "8"
 
+            # min(struct) plans as SortAggregate (struct ordering has no
+            # hash-agg buffer), but the candidate stream rides ew's
+            # row-bounded partitions, so the per-task sorts stay in
+            # memory -- measured 0 spill at 12M edges, and the
+            # single-pass pick beats a two-phase hash-agg argmax that
+            # would re-evaluate the scoring join (tried: +60% cpu)
             best = _ckpt_sever(
                 scored.where(~head(F.col("a")) & head(F.col("b")))
                 .groupBy("a")
@@ -2155,11 +2191,11 @@ def louvain(edges: DataFrame, rounds: int = 16,
                     break
                 continue
             mapping = _ckpt_sever(
-                mapping.join(best, "c", "left")
+                mapping.join(small(best), "c", "left")
                 .select("node", F.coalesce(F.col("__new"), F.col("c"))
                         .alias("c")))
             ctot = _ckpt_sever(
-                ctot.join(best, "c", "left")
+                ctot.join(small(best), "c", "left")
                 .groupBy(F.coalesce(F.col("__new"), F.col("c"))
                          .alias("c"))
                 .agg(F.sum("tot").alias("tot")))
@@ -2167,13 +2203,19 @@ def louvain(edges: DataFrame, rounds: int = 16,
                              F.col("__new").alias("__na"))
             mb = best.select(F.col("c").alias("b"),
                              F.col("__new").alias("__nb"))
+            # the contraction aggregate's hash maps are bounded by the
+            # explicit (a, b) repartition: its keys are near-unique, so
+            # partition count must track the (shrinking) edge state --
+            # ew is checkpointed, making the count one cheap job
             ew = _ckpt_sever(
-                ew.join(ma, "a", "left").join(mb, "b", "left")
+                ew.join(small(ma), "a", "left").join(small(mb), "b", "left")
                 .select(F.coalesce(F.col("__na"), F.col("a")).alias("a"),
                         F.coalesce(F.col("__nb"), F.col("b")).alias("b"),
                         "w")
                 .where(F.col("a") != F.col("b"))
+                .repartition(_parts(ew_rows), "a", "b")
                 .groupBy("a", "b").agg(F.sum("w").alias("w")))
+            ew_rows = ew.count()
         if not converged:
             warnings.warn(
                 f"louvain: positive-gain merges may still be pending "
@@ -2181,7 +2223,7 @@ def louvain(edges: DataFrame, rounds: int = 16,
                 "mid-flight; raise rounds", stacklevel=2)
         # canonical labels: the minimum member id of each community
         canon = mapping.groupBy("c").agg(F.min("node").alias("community"))
-        return mapping.join(canon, "c").select("node", "community")
+        return mapping.join(small(canon), "c").select("node", "community")
     finally:
         bi.unpersist()
 
