@@ -1374,10 +1374,26 @@ def _q_louvain(spark, sf_dir):
     return louvain(e, rounds=16).orderBy("node").select("node", "community")
 
 
+def _q_fastrp(spark, sf_dir):
+    """FastRP node embeddings (round 11, functions/graph_algos.py
+    fastrp_embeddings): integer-exact very-sparse random projection +
+    3 neighbor-sum smoothing rounds over the co-purchase graph, the
+    per-iteration weighted sum exploded to (node, dim, val) so the
+    unrolled long-format SQL oracle replays it bit-for-bit."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        fastrp_embeddings,
+    )
+    emb = fastrp_embeddings(_copurchase_edges(spark, sf_dir),
+                            dims=8, iterations=3, weights=(1, 1, 2))
+    return (emb.select("node", F.posexplode("emb").alias("dim", "val"))
+            .orderBy("node", "dim"))
+
+
 _ROUND11_QUERIES = {
     "asof_forward": _q_asof_forward,
     "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
     "louvain_communities": _q_louvain,
+    "fastrp_embeddings": _q_fastrp,
 }
 
 
@@ -1773,7 +1789,8 @@ _ROUND11_CHANGED = [
     'edge_uniqueness_pairs', 'events_hour_buckets', 'events_temporal',
     'exists_pattern', 'expand_1hop', 'expand_2hop',
     'expand_3hop_keyword_types', 'expand_incoming', 'expand_into',
-    'expand_undirected', 'graph_union', 'hits_scores', 'k_core',
+    'expand_undirected', 'fastrp_embeddings', 'graph_union',
+    'hits_scores', 'k_core',
     'k_truss', 'keyword_label_scan', 'label_propagation',
     'labels_function', 'list_functions', 'louvain_communities',
     'math_functions', 'mis_conflict_free', 'node2vec_walks',
@@ -2198,6 +2215,15 @@ def _louvain_oracle_sql() -> str:
         "< '4'")
     lv = louvain_sql_oracle(edges_sql, rounds=16)
     return f"SELECT node, community FROM ({lv}) l ORDER BY node"
+
+
+def _fastrp_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        fastrp_sql_oracle,
+    )
+    rp = fastrp_sql_oracle(_COPURCHASE_SQL, dims=8, iterations=3,
+                           weights=(1, 1, 2))
+    return f"SELECT node, dim, val FROM ({rp}) r ORDER BY node, dim"
 
 
 def _pq_oracle_sql(m: int = 8, k: int = 16, dims: int = 64,
@@ -3056,6 +3082,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "pq_topk": _pq_oracle_sql(),
         "mis_conflict_free": _mis_oracle_sql(),
         "louvain_communities": _louvain_oracle_sql(),
+        "fastrp_embeddings": _fastrp_oracle_sql(),
         # 6-hour buckets = 21600000000 us; same integer bucket keys,
         # IGNORE NULLS last_value fill over the densified timeline
         "resample_fill_forward": """

@@ -2466,3 +2466,157 @@ e_{i + 1} AS MATERIALIZED (
 SELECT e.a AS src, e.b AS dst,
        CAST(COALESCE(s.support, 0) AS BIGINT) AS support
 FROM e_{rounds} e LEFT JOIN sup_{rounds} s ON s.a = e.a AND s.b = e.b""")
+
+
+def fastrp_embeddings(edges: DataFrame, dims: int = 16, iterations: int = 3,
+                      weights: tuple | None = None, normalize: bool = False,
+                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """FastRP node embeddings (Chen et al. 2019, "Fast and Accurate
+    Network Embeddings via Very Sparse Random Projection") over the
+    UNDIRECTED simple graph: every node draws a very sparse random
+    projection vector, ``iterations`` rounds of neighbor averaging
+    smooth it over the k-step neighborhood, and the final embedding is
+    the per-iteration weighted sum.  Returns (node, emb) with ``emb``
+    an ``array<bigint>`` (default) or ``array<double>``
+    (``normalize=True``).
+
+    The GDS-family staple the walk surfaces don't cover: node2vec/
+    skipgram need a downstream trainer to turn walks into vectors;
+    FastRP IS the embedding — two node-id-keyed exchanges per
+    iteration, no sampling, no training loop.
+
+    Determinism: the projection entry for (node, dim) is drawn from the
+    first 8 md5 hex digits of ``node|dim`` — bucket h%4 = 0 maps to +1,
+    1 maps to -1, else 0 (density 1/2; the paper's 1/sqrt(s) scaling is
+    a positive constant and is dropped — it cancels under cosine and
+    under L2 normalization).  With ``normalize=False`` every iteration
+    is a pure int64 neighbor SUM, so results are bit-exact on any
+    engine/partitioning/retry and an ANSI-SQL oracle replays them
+    verbatim (:func:`fastrp_sql_oracle`); the magnitude after k
+    iterations is bounded by the k-step walk count (<= max_degree^k),
+    so keep ``iterations * log2(max_degree)`` under ~62 bits — at
+    hub degree 1e6 that is 3 iterations, the default.  With
+    ``normalize=True`` iterations take the neighbor MEAN (degree
+    normalization, beta = -1 in the paper's notation) and the weighted
+    sum is L2-normalized — values stay O(1) at any scale and hubs stop
+    dominating; floats, so pytest-gated rather than oracle-gated.
+
+    Per iteration: ONE join of the embedding frame onto the
+    bidirectional edge list keyed on the neighbor id and ONE hash
+    aggregate of ``dims`` element sums keyed on the node id — the
+    aggregate state is O(dims) per node, map-side combinable, and the
+    element sums compile into whole-stage codegen (an O(dims) Catalyst
+    tree per iteration, NOT O(dims x iterations): each round is severed
+    with :func:`_ckpt_sever`, which also keeps join-size estimates
+    flat).  Structural twins (identical neighborhoods) get identical
+    embeddings from iteration 1 on, because their own (hash-distinct)
+    projection vector never re-enters the sum.
+    """
+    if not 1 <= int(dims) <= 512:
+        raise ValueError(f"fastrp_embeddings: dims must be in [1, 512] "
+                         f"(O(dims) codegen tree per round), got {dims}")
+    if iterations < 1:
+        raise ValueError(f"fastrp_embeddings: iterations must be >= 1, "
+                         f"got {iterations}")
+    if weights is None:
+        weights = (1,) * iterations
+    weights = tuple(weights)
+    if len(weights) != iterations:
+        raise ValueError(f"fastrp_embeddings: need one weight per "
+                         f"iteration, got {len(weights)} weights for "
+                         f"{iterations} iterations")
+    if not normalize and not all(float(w).is_integer() for w in weights):
+        raise ValueError("fastrp_embeddings: weights must be integers "
+                         "when normalize=False (the bit-exact path)")
+    dims = int(dims)
+    spark = edges.sparkSession
+    out_t = "double" if normalize else "bigint"
+    bi = (edges.select(F.col(src_col).alias("u"),
+                       F.col(dst_col).alias("v"))
+          .where(F.col("u") != F.col("v")))
+    bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+          .dropDuplicates(["u", "v"]).persist())
+    try:
+        if bi.count() == 0:
+            return spark.createDataFrame(
+                [], f"node long, emb array<{out_t}>")
+
+        def _entry(d):
+            h = F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.col("node").cast("string"),
+                                  F.lit(str(d)))), 1, 8),
+                16, 10).cast("long") % 4
+            e = (F.when(h == 0, F.lit(1)).when(h == 1, F.lit(-1))
+                 .otherwise(F.lit(0)).cast("long"))
+            return e.cast("double") if normalize else e
+
+        cur = _ckpt_sever(
+            bi.select(F.col("u").alias("node")).dropDuplicates(["node"])
+            .select("node", F.array(*[_entry(d) for d in range(dims)])
+                    .alias("emb")))
+        agg = F.avg if normalize else F.sum
+        iters = []
+        for _ in range(iterations):
+            cur = _ckpt_sever(
+                bi.join(cur.withColumnRenamed("node", "v"), "v")
+                .groupBy(F.col("u").alias("node"))
+                .agg(*[agg(F.col("emb")[d]).cast(out_t).alias(f"_d{d}")
+                       for d in range(dims)])
+                .select("node", F.array(*[F.col(f"_d{d}")
+                                          for d in range(dims)])
+                        .alias("emb")))
+            iters.append(cur)
+        acc = iters[0].select(
+            "node", F.transform(
+                "emb", lambda x: (x * F.lit(weights[0])).cast(out_t))
+            .alias("emb"))
+        for w, it in zip(weights[1:], iters[1:]):
+            acc = (acc.join(it.withColumnRenamed("emb", "__e"), "node")
+                   .select("node", F.zip_with(
+                       "emb", "__e",
+                       lambda a, b: (a + b * F.lit(w)).cast(out_t))
+                       .alias("emb")))
+        if normalize:
+            nrm = F.sqrt(F.aggregate(
+                "emb", F.lit(0.0), lambda a, x: a + x * x))
+            acc = acc.select(
+                "node", F.when(nrm > 0, F.transform(
+                    "emb", lambda x: x / nrm))
+                .otherwise(F.col("emb")).alias("emb"))
+        return acc
+    finally:
+        bi.unpersist()
+
+
+def fastrp_sql_oracle(edges_sql: str, dims: int = 16, iterations: int = 3,
+                      weights: tuple | None = None) -> str:
+    """ANSI-SQL twin of :func:`fastrp_embeddings` (normalize=False) in
+    LONG format: returns (node, dim, val) — compare against the engine
+    output exploded with ``posexplode(emb)``.  ``edges_sql`` selects
+    (src, dst)."""
+    if weights is None:
+        weights = (1,) * iterations
+    parts = [f"""raw AS ({edges_sql}),
+bi AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+  SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+  UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
+dm AS (SELECT unnest(generate_series(0, {int(dims) - 1})) AS dim),
+v_0 AS MATERIALIZED (
+  SELECT n.node, d.dim,
+         CAST(CASE (('0x' || substr(md5(CAST(n.node AS VARCHAR) || '|' ||
+                CAST(d.dim AS VARCHAR)), 1, 8))::BIGINT) % 4
+              WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS BIGINT) AS val
+  FROM (SELECT DISTINCT u AS node FROM bi) n CROSS JOIN dm d)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+v_{k} AS MATERIALIZED (
+  SELECT e.u AS node, v.dim, CAST(sum(v.val) AS BIGINT) AS val
+  FROM bi e JOIN v_{k - 1} v ON v.node = e.v GROUP BY 1, 2)""")
+    total = " + ".join(f"{int(w)} * v_{k}.val"
+                       for k, w in enumerate(weights, start=1))
+    joins = "".join(f" JOIN v_{k} USING (node, dim)"
+                    for k in range(2, iterations + 1))
+    return ("WITH " + ",".join(parts) + f"""
+SELECT v_1.node, v_1.dim, CAST({total} AS BIGINT) AS val
+FROM v_1{joins}""")

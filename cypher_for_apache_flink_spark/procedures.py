@@ -303,6 +303,12 @@ def builtin_graph_procedures() -> list:
                        rounds=int(rounds)) \
             .select("src", "dst", "support")
 
+    def _fastrp(session, graph, dims, iterations):
+        from .functions.graph_algos import fastrp_embeddings
+        return (fastrp_embeddings(graph_edges(graph), dims=int(dims),
+                                  iterations=int(iterations))
+                .select("node", F.posexplode("emb").alias("dim", "value")))
+
     def _closeness(session, graph, n_sources):
         from .functions.graph_algos import closeness_centrality
         return closeness_centrality(graph_edges(graph),
@@ -380,6 +386,11 @@ def builtin_graph_procedures() -> list:
             "algo.louvain(rounds :: INTEGER?) "
             ":: (node :: INTEGER?, community :: INTEGER?)", _louvain,
             defaults=(("rounds", 8),)),
+        graph_procedure(
+            "algo.fastRP(dims :: INTEGER?, iterations :: INTEGER?) "
+            ":: (node :: INTEGER?, dim :: INTEGER?, "
+            "value :: INTEGER?)", _fastrp,
+            defaults=(("dims", 16), ("iterations", 3))),
         graph_procedure(
             "algo.graphStats() "
             ":: (nodes :: INTEGER?, edges :: INTEGER?, "

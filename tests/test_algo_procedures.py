@@ -479,3 +479,25 @@ def test_louvain_call_bad_rounds_is_typed(algo_session):
     from cypher_for_apache_flink_spark.errors import PlanError
     with pytest.raises(PlanError, match="rounds must be >= 1"):
         algo_session.cypher("CALL algo.louvain(0)").df
+
+
+def test_fastrp_call_matches_library(algo_session):
+    from pyspark.sql import functions as F
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        fastrp_embeddings)
+    got = rows(algo_session,
+               "CALL algo.fastRP(4, 2) YIELD node, dim, value "
+               "RETURN node, dim, value")
+    g = next(iter(algo_session.catalog.values()))
+    want = sorted(tuple(r) for r in
+                  fastrp_embeddings(graph_edges(g), dims=4, iterations=2)
+                  .select("node", F.posexplode("emb").alias("dim", "val"))
+                  .collect())
+    assert got == want
+    assert len(got) == 7 * 4
+
+
+def test_fastrp_call_bad_dims_is_typed(algo_session):
+    from cypher_for_apache_flink_spark.errors import PlanError
+    with pytest.raises(PlanError, match="dims must be in"):
+        algo_session.cypher("CALL algo.fastRP(0, 2)").df

@@ -1292,3 +1292,76 @@ def test_louvain_matches_sql_oracle(spark):
         louvain_sql_oracle("SELECT src, dst FROM e", rounds=4)
         + " ORDER BY node").fetchall()))
     assert got == want
+
+
+def test_fastrp_matches_sql_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from pyspark.sql import functions as F
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        fastrp_embeddings, fastrp_sql_oracle)
+    pairs = sorted({((i * 7) % 31, (i * 13 + 2) % 31) for i in range(90)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted(map(tuple, fastrp_embeddings(
+        edges, dims=4, iterations=2, weights=(1, 2))
+        .select("node", F.posexplode("emb").alias("dim", "val"))
+        .collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(map(tuple, con.execute(
+        fastrp_sql_oracle("SELECT src, dst FROM e", dims=4,
+                          iterations=2, weights=(1, 2))).fetchall()))
+    assert got == want
+
+
+def test_fastrp_deterministic_across_partitionings(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        fastrp_embeddings)
+    pairs = sorted({(i % 29, (i * 11 + 5) % 29) for i in range(120)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = sorted((r.node, tuple(r.emb)) for r in
+               fastrp_embeddings(edges, dims=6).collect())
+    b = sorted((r.node, tuple(r.emb)) for r in
+               fastrp_embeddings(edges.repartition(7), dims=6).collect())
+    assert a == b
+
+
+def test_fastrp_structural_twins_and_unit_norm(spark):
+    """Nodes with identical neighborhoods embed identically (their own
+    hash-distinct projection never re-enters the neighbor sum), and the
+    normalized variant returns unit-norm float vectors."""
+    from pyspark.sql import functions as F
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        fastrp_embeddings)
+    # 1 and 2 both connect to exactly {3, 4, 5}; never to each other
+    pairs = [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5), (3, 4)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    emb = {r.node: tuple(r.emb) for r in
+           fastrp_embeddings(edges, dims=8, iterations=3).collect()}
+    assert emb[1] == emb[2]
+    assert emb[1] != emb[3]
+    norms = (fastrp_embeddings(edges, dims=8, iterations=2,
+                               normalize=True, weights=(0.5, 1.5))
+             .select(F.round(F.sqrt(F.aggregate(
+                 "emb", F.lit(0.0), lambda a, x: a + x * x)), 9)
+                 .alias("n")).collect())
+    assert {r.n for r in norms} == {1.0}
+
+
+def test_fastrp_empty_input_and_bad_args(spark):
+    import pytest as PT
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        fastrp_embeddings)
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = fastrp_embeddings(empty)
+    assert out.count() == 0 and out.columns == ["node", "emb"]
+    with PT.raises(ValueError, match="dims must be in"):
+        fastrp_embeddings(empty, dims=0)
+    with PT.raises(ValueError, match="iterations must be >= 1"):
+        fastrp_embeddings(empty, iterations=0)
+    with PT.raises(ValueError, match="one weight per iteration"):
+        fastrp_embeddings(empty, iterations=2, weights=(1,))
+    with PT.raises(ValueError, match="weights must be integers"):
+        fastrp_embeddings(empty, iterations=1, weights=(0.5,))
