@@ -1389,11 +1389,29 @@ def _q_fastrp(spark, sf_dir):
             .orderBy("node", "dim"))
 
 
+def _q_resample_interp(spark, sf_dir):
+    """Per-user 6-hour resampling with LINEAR interpolation (round 11,
+    functions/timeseries.py resample_interpolate) — the gap-fill twin
+    of resample_fill_forward for continuous signals; same dense grid,
+    one window pass computing both bracketing observations."""
+    from cypher_for_apache_flink_spark.functions.timeseries import (
+        resample_interpolate,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = resample_interpolate(ev.where(F.col("user_id") < 40),
+                               "user_id", "ts", "value",
+                               interval="6 hours", agg="avg")
+    return out.select("key", "bucket_us",
+                      F.round("value", 6).alias("value"), "is_gap") \
+        .orderBy("key", "bucket_us")
+
+
 _ROUND11_QUERIES = {
     "asof_forward": _q_asof_forward,
     "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
     "louvain_communities": _q_louvain,
     "fastrp_embeddings": _q_fastrp,
+    "resample_interpolate": _q_resample_interp,
 }
 
 
@@ -1800,7 +1818,8 @@ _ROUND11_CHANGED = [
     'percentile_disc_global', 'personalized_pagerank', 'pq_topk',
     'predicate_contains', 'predicate_in', 'predicate_regex',
     'predicate_string_match', 'random_walks', 'rel_properties',
-    'resample_fill_forward', 'rolling_time_agg', 'scan_filter',
+    'resample_fill_forward', 'resample_interpolate',
+    'rolling_time_agg', 'scan_filter',
     'scan_filter_and_or', 'scan_nodes', 'scc_components',
     'similarity_topk', 'similarity_topk_ivf',
     'similarity_topk_ivf_indexed', 'similarity_topk_ivfpq',
@@ -3101,6 +3120,36 @@ SELECT d.key, d.bucket_us,
        b.v IS NULL AS is_gap
 FROM dense d LEFT JOIN b USING (key, bucket_us)
 ORDER BY key, bucket_us""",
+        # linear-interpolation twin: NULL-guarded bracketing structs
+        # (a struct with a NULL field is itself NOT NULL, so IGNORE
+        # NULLS needs the CASE), then the distance-weighted ramp
+        "resample_interpolate": """
+WITH b AS (SELECT user_id AS key,
+                  (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+                  avg(value) AS v
+           FROM events WHERE user_id < 40 GROUP BY 1, 2),
+ext AS (SELECT key, min(bucket_us) AS lo, max(bucket_us) AS hi
+        FROM b GROUP BY key),
+dense AS (SELECT key, unnest(generate_series(lo, hi, 21600000000))
+                 AS bucket_us FROM ext),
+j AS (SELECT d.key, d.bucket_us, b.v,
+        last_value(CASE WHEN b.v IS NULL THEN NULL
+                   ELSE {'b': d.bucket_us, 'v': b.v} END
+                   IGNORE NULLS) OVER (
+          PARTITION BY d.key ORDER BY d.bucket_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(CASE WHEN b.v IS NULL THEN NULL
+                    ELSE {'b': d.bucket_us, 'v': b.v} END
+                    IGNORE NULLS) OVER (
+          PARTITION BY d.key ORDER BY d.bucket_us
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM dense d LEFT JOIN b USING (key, bucket_us))
+SELECT key, bucket_us,
+       round(CASE WHEN v IS NOT NULL THEN v
+             ELSE pv.v + (nv.v - pv.v) * (bucket_us - pv.b)
+                  / (nv.b - pv.b) END, 6) AS value,
+       v IS NULL AS is_gap
+FROM j ORDER BY key, bucket_us""",
         # 2-hour trailing window = 7200000000 us numeric RANGE frame
         "rolling_time_agg": """
 SELECT user_id AS key, epoch_us(ts) AS ts_us,

@@ -80,8 +80,71 @@ def resample_fill_forward(df: DataFrame, key_col: str, ts_col: str,
     bucket count, and the bound (default 1M buckets = an ~8 MB array
     row).  Pass ``None`` to disable.
     """
+    joined = _dense_buckets(df, key_col, ts_col, value_col, interval,
+                            agg, max_buckets_per_key,
+                            "resample_fill_forward")
+    w = (Window.partitionBy("key").orderBy("bucket_us")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "key", "bucket_us",
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNull().alias("is_gap"))
+
+
+def resample_interpolate(df: DataFrame, key_col: str, ts_col: str,
+                         value_col: str, interval: str = "15 minutes",
+                         agg: str = "avg",
+                         max_buckets_per_key: int | None = 1_000_000
+                         ) -> DataFrame:
+    """Per-key fixed-interval resampling with LINEAR interpolation: the
+    gap-fill twin of :func:`resample_fill_forward` for continuous
+    signals (sensor curves, prices) where a step function distorts --
+    each missing bucket takes the value linearly interpolated between
+    the nearest observed buckets on either side, weighted by bucket
+    distance.  Returns (key, bucket_us, value DOUBLE, is_gap).
+
+    Interpolation is TOTAL: each key's timeline runs from its first to
+    its last OBSERVED bucket, so every gap has an observation on both
+    sides -- no edge extrapolation, no NULLs (pandas' ``interpolate
+    (method="time")`` inside the observed span).
+
+    Same single-pass shape as fill-forward: the dense grid (shared
+    machinery, same enforced ``max_buckets_per_key`` bound), then ONE
+    per-key window pass computing the trailing and leading observed
+    (bucket, value) structs -- two frames over one sort, no self-join,
+    no per-gap search.
+    """
+    joined = _dense_buckets(df, key_col, ts_col, value_col, interval,
+                            agg, max_buckets_per_key,
+                            "resample_interpolate")
+    obs = F.when(F.col("__v").isNotNull(),
+                 F.struct(F.col("bucket_us").alias("b"),
+                          F.col("__v").cast("double").alias("v")))
+    wp = (Window.partitionBy("key").orderBy("bucket_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("key").orderBy("bucket_us")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    prev = F.last(obs, ignorenulls=True).over(wp)
+    nxt = F.first(obs, ignorenulls=True).over(wn)
+    val = (F.when(F.col("__v").isNotNull(), F.col("__v").cast("double"))
+           .otherwise(prev["v"] + (nxt["v"] - prev["v"])
+                      * (F.col("bucket_us") - prev["b"])
+                      / (nxt["b"] - prev["b"])))
+    return joined.select("key", "bucket_us", val.alias("value"),
+                         F.col("__v").isNull().alias("is_gap"))
+
+
+def _dense_buckets(df: DataFrame, key_col: str, ts_col: str,
+                   value_col: str, interval: str, agg: str,
+                   max_buckets_per_key: int | None,
+                   caller: str) -> DataFrame:
+    """Shared resampling core: aggregate to (key, bucket_us, __v)
+    bucket rows, densify each key's [first, last] observed-bucket span
+    with one per-key ``sequence`` explode (bounded by the ENFORCED
+    ``max_buckets_per_key`` -- see :func:`resample_fill_forward`), and
+    left-join the observations back so gap rows carry ``__v`` NULL."""
     if agg not in _AGGS:
-        raise ValueError(f"resample_fill_forward: agg must be one of "
+        raise ValueError(f"{caller}: agg must be one of "
                          f"{sorted(_AGGS)}, got {agg!r}")
     step = interval_us(interval)
     bucket = (F.floor(_us(ts_col) / step) * step).cast("long")
@@ -98,7 +161,7 @@ def resample_fill_forward(df: DataFrame, key_col: str, ts_col: str,
                      + 1).cast("long")
         guard = F.assert_true(
             n_buckets <= F.lit(int(max_buckets_per_key)),
-            F.concat(F.lit("resample_fill_forward: key "),
+            F.concat(F.lit(f"{caller}: key "),
                      F.col("key").cast("string"), F.lit(" spans "),
                      n_buckets.cast("string"),
                      F.lit(f" buckets at interval {interval!r} > "
@@ -107,13 +170,7 @@ def resample_fill_forward(df: DataFrame, key_col: str, ts_col: str,
         spans = spans.where(guard.isNull())
     dense = spans.select("key", F.explode(F.sequence(
         F.col("__lo"), F.col("__hi"), F.lit(step))).alias("bucket_us"))
-    joined = dense.join(agged, ["key", "bucket_us"], "left")
-    w = (Window.partitionBy("key").orderBy("bucket_us")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return joined.select(
-        "key", "bucket_us",
-        F.last("__v", ignorenulls=True).over(w).alias("value"),
-        F.col("__v").isNull().alias("is_gap"))
+    return dense.join(agged, ["key", "bucket_us"], "left")
 
 
 def rolling_time_agg(df: DataFrame, key_col: str, ts_col: str,

@@ -157,3 +157,93 @@ def test_resample_bucket_bound_enforced(spark):
     assert resample_fill_forward(
         df, "user", "ts", "v", interval="1 minute",
         max_buckets_per_key=None).count() == n
+
+
+def test_interpolate_hand_case(spark):
+    from cypher_for_apache_flink_spark.functions.timeseries import (
+        resample_interpolate)
+    # observations at buckets 0 and 45: the two silent 15-minute buckets
+    # between take 1/3 and 2/3 of the ramp from 15.0 to 45.0
+    rows = [(1, _ts(2), 10.0), (1, _ts(7), 20.0), (1, _ts(48), 45.0)]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, v double")
+    got = sorted(map(tuple, resample_interpolate(
+        df, "user", "ts", "v", interval="15 minutes").collect()))
+    b0 = BASE
+    assert got == [
+        (1, b0, 15.0, False),                 # avg(10, 20)
+        (1, b0 + 15 * US_MIN, 25.0, True),    # 15 + (45-15)/3
+        (1, b0 + 30 * US_MIN, 35.0, True),    # 15 + 2*(45-15)/3
+        (1, b0 + 45 * US_MIN, 45.0, False),
+    ]
+
+
+def test_interpolate_total_and_per_key(spark):
+    from cypher_for_apache_flink_spark.functions.timeseries import (
+        resample_interpolate)
+    rows = [(k, _ts((k * 7 + i * 13) % 60), float(k * 10 + i))
+            for k in range(4) for i in range(5)]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, v double")
+    out = resample_interpolate(df, "user", "ts", "v",
+                               interval="5 minutes").collect()
+    # total inside each key's observed span: no NULLs, edges observed
+    assert all(r.value is not None for r in out)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    for rs in by_key.values():
+        rs.sort(key=lambda r: r.bucket_us)
+        assert not rs[0].is_gap and not rs[-1].is_gap
+
+
+def test_interpolate_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.timeseries import (
+        resample_interpolate)
+    rows = [(i % 5, _ts((i * 13 + i * i) % 60), float((i * 7) % 23))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, v double")
+    got = sorted((r.key, r.bucket_us, round(r.value, 6), r.is_gap)
+                 for r in resample_interpolate(
+                     df, "user", "ts", "v", interval="10 minutes")
+                 .collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(u BIGINT, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute("""
+WITH b AS (SELECT u AS key, (epoch_us(ts) // 600000000) * 600000000
+                  AS bucket_us, avg(v) AS v
+           FROM e GROUP BY 1, 2),
+ext AS (SELECT key, min(bucket_us) AS lo, max(bucket_us) AS hi
+        FROM b GROUP BY key),
+dense AS (SELECT key, unnest(generate_series(lo, hi, 600000000))
+                 AS bucket_us FROM ext),
+j AS (SELECT d.key, d.bucket_us, b.v,
+        last_value(CASE WHEN b.v IS NULL THEN NULL
+                   ELSE {'b': d.bucket_us, 'v': b.v} END
+                   IGNORE NULLS) OVER (
+          PARTITION BY d.key ORDER BY d.bucket_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(CASE WHEN b.v IS NULL THEN NULL
+                    ELSE {'b': d.bucket_us, 'v': b.v} END
+                    IGNORE NULLS) OVER (
+          PARTITION BY d.key ORDER BY d.bucket_us
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM dense d LEFT JOIN b USING (key, bucket_us))
+SELECT key, bucket_us,
+       round(CASE WHEN v IS NOT NULL THEN v
+             ELSE pv.v + (nv.v - pv.v) * (bucket_us - pv.b)
+                  / (nv.b - pv.b) END, 6) AS value,
+       v IS NULL AS is_gap
+FROM j""").fetchall()))
+    assert got == want
+
+
+def test_interpolate_bucket_bound_enforced(spark):
+    from cypher_for_apache_flink_spark.functions.timeseries import (
+        resample_interpolate)
+    rows = [(1, dt.datetime(2024, 1, 1), 1.0),
+            (1, dt.datetime(2024, 3, 1), 2.0)]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, v double")
+    with pytest.raises(Exception, match="resample_interpolate: key 1"):
+        resample_interpolate(df, "user", "ts", "v", interval="1 second",
+                             max_buckets_per_key=1000).collect()
