@@ -79,6 +79,8 @@ HEADLINE = [
     "asof_forward",
     "similarity_topk_ivfpq",
     "louvain_communities",
+    "fastrp_embeddings",
+    "resample_interpolate",
 ]
 
 

@@ -6,21 +6,25 @@ beyond-reference — the reference has no sampling/clustering surface):
    biased (node2vec, round 10: p discourages backtracking, q keeps the
    walk local) — merged into one corpus,
 3. window the walks into skip-gram (center, context) pairs,
-4. cluster the node embedding space with integer-lattice k-means and
-   report how training-pair mass distributes over clusters.
+4. embed the projected graph directly with FastRP (round 11 — no
+   trainer needed: normalized very-sparse random projection smoothed
+   over the neighborhood), cluster the embedding space with
+   integer-lattice k-means, and report how training-pair mass
+   distributes over embedding clusters.
 
 Every stage is a DataFrame transform — walks reproduce on any engine or
-retry (md5 draws), pairs are one self-join, clustering shuffles k rows
-per iteration.  The embeddings here come from the synthetic test table;
-in production they'd be the output of the trainer this corpus feeds.
+retry (md5 draws), pairs are one self-join, FastRP is two keyed
+exchanges per iteration, clustering shuffles k rows per iteration.
+The skip-gram corpus and the FastRP embeddings are complementary
+outputs over the SAME graph: the corpus feeds an external trainer, the
+FastRP vectors are usable immediately (and here organize the corpus).
 """
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from cypher_for_apache_flink_spark.functions.clustering import kmeans_assign
 from cypher_for_apache_flink_spark.functions.clustering import kmeans
 from cypher_for_apache_flink_spark.functions.graph_algos import (
-    node2vec_walks, random_walks, skipgram_pairs)
+    fastrp_embeddings, node2vec_walks, random_walks, skipgram_pairs)
 from cypher_for_apache_flink_spark.sources.tpch import tpch_graph
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -47,15 +51,14 @@ def main(spark: SparkSession):
                       "step", "node"))
     pairs = skipgram_pairs(walks, window=2)
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    _, centroids = kmeans(emb, k=4, iterations=3)
-    # pretend the walked node ids index the embedding table (synthetic
-    # data: both are dense id spaces) — bucket each pair's center node
-    scored = kmeans_assign(
-        pairs.select((F.abs(F.hash("center"))
-                      % emb.count()).alias("vec_id")).join(
-            emb, "vec_id"),
-        centroids, id_col="vec_id")
+    # FastRP embeds the projected graph itself — unit-norm vectors, so
+    # the k-means lattice quantization (scale=1000) keeps 3 digits
+    emb = fastrp_embeddings(und, dims=16, iterations=2, normalize=True)
+    assignments, _ = kmeans(emb, k=4, iterations=3,
+                            id_col="node", vec_col="emb")
+    scored = pairs.join(
+        assignments.select(F.col("id").alias("center"), "cluster"),
+        "center")
     return (scored.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("cluster"))
