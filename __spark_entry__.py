@@ -1326,6 +1326,35 @@ def _q_asof_forward(spark, sf_dir):
         .orderBy("view_id"))
 
 
+def _q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (round 11, functions/asof.py): attach to each
+    view event the temporally CLOSEST purchase of the same user within
+    45 minutes, either direction, distance ties backward — one sort,
+    two frames, no range-join pair blow-up."""
+    from cypher_for_apache_flink_spark.functions.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = (ev.where(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("user"), "ts"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("user"), "ts",
+                         F.col("event_id").alias("purchase_id")))
+    j = asof_join(views, purchases, on="user", tolerance="45 minutes",
+                  direction="nearest")
+    # matchless sentinels (nullable ints round-trip as float64 through
+    # the pandas fetch): -1 for ids, and a gap beyond the +/-2.7e9 us
+    # tolerance band so it cannot collide with a real signed gap
+    return (j.select(
+        "view_id", "user",
+        F.coalesce(F.col("asof_purchase_id"), F.lit(-1))
+        .alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros(F.col("asof_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+            F.lit(-4_000_000_000)).alias("gap_us"))
+        .orderBy("view_id"))
+
+
 def _q_similarity_topk_ivfpq(spark, sf_dir):
     """IVFPQ (round 11, VERDICT r10 #6, functions/similarity.py): the
     100-TB ANN recipe -- IVF partition pruning (4 of 8 list directories
@@ -1412,6 +1441,7 @@ _ROUND11_QUERIES = {
     "louvain_communities": _q_louvain,
     "fastrp_embeddings": _q_fastrp,
     "resample_interpolate": _q_resample_interp,
+    "asof_nearest": _q_asof_nearest,
 }
 
 
@@ -1798,6 +1828,7 @@ _AGED_ROWS_R11 = [
 _ROUND11_CHANGED = [
     'agg_count_distinct', 'agg_global', 'agg_stats', 'agg_tpch_q1',
     'agg_tpch_q3', 'agg_tpch_q5', 'asof_attribution', 'asof_forward',
+    'asof_nearest',
     'betweenness_sampled', 'bfs_shortest_paths', 'bitwise_functions',
     'call_random_walks', 'call_triangle_count', 'case_expression',
     'closeness_centrality', 'coalesce_function', 'collect_unwind',
@@ -3187,6 +3218,28 @@ ORDER BY key, ts_us, value""",
             "WHERE v.event_type = 'view' "
             "GROUP BY v.event_id, v.user_id, v.ts "
             "ORDER BY view_id"),
+        # nearest twin (round 11): closest purchase within the
+        # symmetric 45-minute band, distance ties backward -- the
+        # struct-min key is (abs gap, forward flag); NULL-guarded so
+        # matchless views keep NULL purchase_id/gap_us
+        "asof_nearest": """
+WITH p AS (SELECT user_id AS u, ts, max(event_id) AS pid
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, ts),
+v AS (SELECT event_id AS view_id, user_id AS u, ts
+      FROM events WHERE event_type = 'view'),
+m AS (SELECT v.view_id, v.u, v.ts,
+        min(CASE WHEN p.pid IS NULL THEN NULL
+            ELSE {'g': abs(epoch_us(p.ts) - epoch_us(v.ts)),
+                  'fwd': CASE WHEN p.ts > v.ts THEN 1 ELSE 0 END,
+                  'pid': p.pid, 'rus': epoch_us(p.ts)} END) AS mm
+      FROM v LEFT JOIN p ON p.u = v.u
+        AND p.ts BETWEEN v.ts - INTERVAL 45 MINUTE
+                     AND v.ts + INTERVAL 45 MINUTE
+      GROUP BY v.view_id, v.u, v.ts)
+SELECT view_id, u AS user, COALESCE(mm.pid, -1) AS purchase_id,
+       COALESCE(mm.rus - epoch_us(ts), -4000000000) AS gap_us
+FROM m ORDER BY view_id""",
         "similarity_topk_ivfpq": _ivfpq_oracle_sql(),
         # BM25 twin: same whitespace tokens, Lucene non-negative idf,
         # avgdl expressed exactly as dl * N / total_tokens

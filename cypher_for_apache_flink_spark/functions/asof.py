@@ -30,7 +30,10 @@ distribution; salting the union input helps the same way it helps any
 keyed window.
 
 ``direction="forward"`` mirrors the ordering (earliest right at
-ts' >= left ts).
+ts' >= left ts).  ``direction="nearest"`` (round 11) computes both
+carries under ONE sort -- two frames over the same ordering -- and
+picks the closer in-tolerance side per row, distance ties backward
+(pandas merge_asof parity).
 """
 from __future__ import annotations
 
@@ -82,10 +85,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     Deterministic: right rows sharing (key, ts) collapse to the
     greatest payload struct, so results never depend on partitioning.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: direction must be backward|forward, got "
-            f"{direction!r}")
+            f"asof_join: direction must be backward|forward|nearest, "
+            f"got {direction!r}")
     tol_us = _tolerance_us(tolerance) if tolerance is not None else None
     payload_cols = [c for c in right.columns if c != on]
     if right_ts not in right.columns:
@@ -107,6 +110,49 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                   "__k", "__ts", F.lit(1).alias("__side"), "__l",
                   F.lit(None).cast(r.schema["__p"].dataType)
                   .alias("__p"))))
+    if direction == "nearest":
+        # ONE sort, TWO frames (round 11): the backward frame keeps <=
+        # semantics (right sorts before left at equal ts), the forward
+        # frame under the SAME ordering is strictly-greater -- safe,
+        # because an equal-ts match is distance 0 and the backward
+        # carry already holds it.  Tolerance voids each side BEFORE
+        # the pick (the nearest IN-tolerance candidate wins, like
+        # pandas merge_asof); distance ties break backward.
+        w_b = (Window.partitionBy("__k")
+               .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        w_f = (Window.partitionBy("__k")
+               .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+               .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        rts = F.when(F.col("__side") == 0, F.col("__ts"))
+        carried = tagged.select(
+            "__k", "__ts", "__side", "__l",
+            F.last("__p", ignorenulls=True).over(w_b).alias("__bm"),
+            F.last(rts, ignorenulls=True).over(w_b).alias("__bts"),
+            F.first("__p", ignorenulls=True).over(w_f).alias("__fm"),
+            F.first(rts, ignorenulls=True).over(w_f).alias("__fts"))
+        out = carried.where(F.col("__side") == 1)
+        bm, bts = F.col("__bm"), F.col("__bts")
+        fm, fts = F.col("__fm"), F.col("__fts")
+        if tol_us is not None:
+            tol = F.expr(f"INTERVAL {tol_us} MICROSECOND")
+            b_ok = bts >= F.col("__ts") - tol
+            f_ok = fts <= F.col("__ts") + tol
+            bm, bts = F.when(b_ok, bm), F.when(b_ok, bts)
+            fm, fts = F.when(f_ok, fm), F.when(f_ok, fts)
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        lts = us(F.col("__ts"))
+        pick_b = fts.isNull() | (bts.isNotNull()
+                                 & ((lts - us(bts)) <= (us(fts) - lts)))
+        out = out.select(
+            "__k", "__ts", "__l",
+            F.when(pick_b, bm).otherwise(fm).alias("__m"),
+            F.when(pick_b, bts).otherwise(fts).alias("__mts"))
+        cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+        cols += [F.col(f"__m.{c}").alias(f"{right_prefix}{c}")
+                 for c in payload_cols if c != right_ts]
+        cols.append(F.col("__mts").alias(f"{right_prefix}{right_ts}"))
+        return out.select(*cols)
     ts_ord = F.col("__ts").asc() if direction == "backward" \
         else F.col("__ts").desc()
     w = (Window.partitionBy("__k").orderBy(ts_ord, F.col("__side").asc())

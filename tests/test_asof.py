@@ -164,3 +164,80 @@ def test_tolerance_unit_surface(spark):
     b = {r.event_id: r.asof_rid for r in asof_join(
         left, right, on="user", tolerance="5 minutes").collect()}
     assert a == b
+
+
+def test_nearest_direction(spark):
+    left, right = _frames(spark)
+    got = {r.event_id: (r.asof_rid, r.asof_ts)
+           for r in asof_join(left, right, on="user",
+                              direction="nearest").collect()}
+    # event 1 at 12:10: rid 101 AT 12:10 is distance 0 — beats 100/102
+    assert got[1] == (101, _ts(10))
+    # event 2 at 12:30: backward 102@12:25 (5 min) vs nothing forward
+    assert got[2] == (102, _ts(25))
+    # event 3 at 12:05: nothing backward, forward 103@12:07 matches
+    assert got[3] == (103, _ts(7))
+    # event 4 at 12:50: only backward 104@12:00
+    assert got[4] == (104, _ts(0))
+
+
+def test_nearest_tie_breaks_backward(spark):
+    left = spark.createDataFrame([(1, 10, _ts(10))],
+                                 "event_id long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, _ts(8)), (101, 10, _ts(12))],
+        "rid long, user long, ts timestamp")
+    got = asof_join(left, right, on="user",
+                    direction="nearest").collect()[0]
+    assert (got.asof_rid, got.asof_ts) == (100, _ts(8))
+
+
+def test_nearest_tolerance_voids_both_sides(spark):
+    # backward 6 min away, forward 8 min away: a 5-minute tolerance
+    # voids both (tolerance is symmetric, so the nearer side being out
+    # implies the farther is too); an 8-minute tolerance readmits both
+    # and the nearer backward candidate wins
+    left = spark.createDataFrame([(1, 10, _ts(30))],
+                                 "event_id long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, _ts(24)), (101, 10, _ts(38))],
+        "rid long, user long, ts timestamp")
+    got = asof_join(left, right, on="user", direction="nearest",
+                    tolerance="5 minutes").collect()[0]
+    assert got.asof_rid is None and got.asof_ts is None
+    got = asof_join(left, right, on="user", direction="nearest",
+                    tolerance="8 minutes").collect()[0]
+    assert (got.asof_rid, got.asof_ts) == (100, _ts(24))
+
+
+def test_nearest_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    rows_l = [(i, i % 7, _ts((i * 13) % 60, i % 60)) for i in range(60)]
+    rows_r = [(100 + i, i % 7, _ts((i * 11 + 3) % 60, (i * 17) % 60))
+              for i in range(80)]
+    left = spark.createDataFrame(rows_l,
+                                 "event_id long, user long, ts timestamp")
+    right = spark.createDataFrame(rows_r,
+                                  "rid long, user long, ts timestamp")
+    got = sorted((r.event_id, r.asof_rid) for r in asof_join(
+        left, right, on="user", direction="nearest",
+        tolerance="10 minutes").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(event_id BIGINT, u BIGINT, ts TIMESTAMP)")
+    con.execute("CREATE TABLE r(rid BIGINT, u BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", rows_l)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rows_r)
+    # dedup right per (u, ts) by max rid (greatest-struct tiebreak),
+    # then argmin over (abs gap, backward-first, right ts) candidates
+    want = sorted(map(tuple, con.execute("""
+WITH rd AS (SELECT u, ts, max(rid) AS rid FROM r GROUP BY u, ts)
+SELECT l.event_id,
+       (min(CASE WHEN rd.rid IS NULL THEN NULL
+            ELSE {'g': abs(epoch_us(rd.ts) - epoch_us(l.ts)),
+                  'fwd': CASE WHEN rd.ts > l.ts THEN 1 ELSE 0 END,
+                  'rid': rd.rid} END)).rid
+FROM l LEFT JOIN rd ON rd.u = l.u
+  AND rd.ts BETWEEN l.ts - INTERVAL 10 MINUTE
+               AND l.ts + INTERVAL 10 MINUTE
+GROUP BY l.event_id""").fetchall()))
+    assert got == want
