@@ -1435,6 +1435,21 @@ def _q_resample_interp(spark, sf_dir):
         .orderBy("key", "bucket_us")
 
 
+def _q_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient (round 11, functions/
+    graph_algos.py local_clustering): triangles, true degree, and
+    2T/(d(d-1)) over the co-purchase graph -- rides triangle_count's
+    degree-ordered intersection core, one extra explode + node-keyed
+    sum."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        local_clustering,
+    )
+    out = local_clustering(_copurchase_edges(spark, sf_dir))
+    return (out.select("node", "triangles", "degree",
+                       F.round("coeff", 6).alias("coeff"))
+            .orderBy("node"))
+
+
 _ROUND11_QUERIES = {
     "asof_forward": _q_asof_forward,
     "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
@@ -1442,6 +1457,7 @@ _ROUND11_QUERIES = {
     "fastrp_embeddings": _q_fastrp,
     "resample_interpolate": _q_resample_interp,
     "asof_nearest": _q_asof_nearest,
+    "local_clustering": _q_local_clustering,
 }
 
 
@@ -1841,7 +1857,8 @@ _ROUND11_CHANGED = [
     'expand_undirected', 'fastrp_embeddings', 'graph_union',
     'hits_scores', 'k_core',
     'k_truss', 'keyword_label_scan', 'label_propagation',
-    'labels_function', 'list_functions', 'louvain_communities',
+    'labels_function', 'list_functions', 'local_clustering',
+    'louvain_communities',
     'math_functions', 'mis_conflict_free', 'node2vec_walks',
     'node_similarity', 'not_exists_pattern', 'optional_first_clause',
     'optional_match_count', 'optional_match_null', 'order_skip_limit',
@@ -2274,6 +2291,15 @@ def _fastrp_oracle_sql() -> str:
     rp = fastrp_sql_oracle(_COPURCHASE_SQL, dims=8, iterations=3,
                            weights=(1, 1, 2))
     return f"SELECT node, dim, val FROM ({rp}) r ORDER BY node, dim"
+
+
+def _local_clustering_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        local_clustering_sql_oracle,
+    )
+    lc = local_clustering_sql_oracle(_COPURCHASE_SQL)
+    return (f"SELECT node, triangles, degree, round(coeff, 6) AS coeff "
+            f"FROM ({lc}) l ORDER BY node")
 
 
 def _pq_oracle_sql(m: int = 8, k: int = 16, dims: int = 64,
@@ -3133,6 +3159,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "mis_conflict_free": _mis_oracle_sql(),
         "louvain_communities": _louvain_oracle_sql(),
         "fastrp_embeddings": _fastrp_oracle_sql(),
+        "local_clustering": _local_clustering_oracle_sql(),
         # 6-hour buckets = 21600000000 us; same integer bucket keys,
         # IGNORE NULLS last_value fill over the densified timeline
         "resample_fill_forward": """

@@ -81,6 +81,8 @@ HEADLINE = [
     "louvain_communities",
     "fastrp_embeddings",
     "resample_interpolate",
+    "asof_nearest",
+    "local_clustering",
 ]
 
 

@@ -408,9 +408,15 @@ def _normalize_undirected(edges: DataFrame, src_col: str,
             .dropDuplicates(["u", "v"]))
 
 
-def triangle_count(edges: DataFrame, src_col: str = "src",
-                   dst_col: str = "dst") -> DataFrame:
-    """Global triangle count of the undirected graph; one row ``n_triangles``.
+def _oriented_intersections(edges: DataFrame, src_col: str,
+                            dst_col: str):
+    """Shared degree-ordered triangle core for :func:`triangle_count`
+    and :func:`local_clustering`: returns ``(j, deg, und, oriented)``
+    where ``j`` carries (a, b, nb_a, nb_b) for every oriented edge --
+    the common neighbors ``array_intersect(nb_a, nb_b)`` are that
+    edge's triangle closers -- ``deg`` is the true undirected (node,
+    deg) table, and ``und``/``oriented`` are the PERSISTED frames the
+    caller must put on its result's CacheLease.
 
     Degree-ordered adjacency intersection: orient every undirected edge
     from its lower-(degree, id) endpoint to the higher one — each triangle
@@ -522,6 +528,17 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     j = j1.join(adj.select(F.col("a").alias("__jb"),
                            F.col("nb").alias("nb_b")),
                 F.col("b") == F.col("__jb"))
+    return j, deg, und, oriented
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Global triangle count of the undirected graph; one row
+    ``n_triangles``.  Strategy and measured gates live in
+    :func:`_oriented_intersections` (degree-ordered adjacency
+    intersection; wedge-join rejected at 30x slower)."""
+    j, _deg, und, oriented = _oriented_intersections(edges, src_col,
+                                                     dst_col)
     out = j.agg(F.coalesce(
         F.sum(F.size(F.array_intersect(F.col("nb_a"), F.col("nb_b")))),
         F.lit(0)).cast("long").alias("n_triangles"))
@@ -531,6 +548,82 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     lease.add(oriented)
     out._cypher_cache_lease = lease
     return out
+
+
+def local_clustering(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient
+    over the undirected simple graph: (node, triangles, degree, coeff)
+    with coeff = 2*triangles / (degree*(degree-1)) and 0.0 below degree
+    2 -- the GDS localClusteringCoefficient surface.
+
+    Rides the SAME degree-ordered intersection core as
+    :func:`triangle_count` (one oriented adjacency join pass, no wedge
+    blow-up, hub out-neighborhoods bounded O(sqrt(m))): each oriented
+    edge (a, b) contributes |common| to a and b and 1 to every common
+    neighbor -- ONE explode over a three-part contribution array, then
+    one node-keyed sum.  Every triangle is seen exactly once, so each
+    member collects exactly one contribution from it.  The coefficient
+    divides by the TRUE undirected degree (the core's pre-orientation
+    degree table), not the oriented out-degree.
+    """
+    j, deg, und, oriented = _oriented_intersections(edges, src_col,
+                                                    dst_col)
+    cm = j.select("a", "b",
+                  F.array_intersect("nb_a", "nb_b").alias("cm"))
+    contrib = (cm.select(F.explode(F.concat(
+        F.array(F.struct(F.col("a").alias("node"),
+                         F.size("cm").alias("t")),
+                F.struct(F.col("b").alias("node"),
+                         F.size("cm").alias("t"))),
+        F.transform("cm", lambda c: F.struct(
+            c.alias("node"), F.lit(1).alias("t"))))).alias("x"))
+        .select("x.node", "x.t"))
+    tri = (contrib.groupBy("node")
+           .agg(F.sum("t").cast("long").alias("triangles")))
+    out = (deg.join(tri, "node", "left")
+           .select("node",
+                   F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+                   .alias("triangles"),
+                   F.col("deg").cast("long").alias("degree"),
+                   F.when(F.col("deg") >= 2,
+                          F.lit(2.0) * F.coalesce(F.col("triangles"),
+                                                  F.lit(0))
+                          / (F.col("deg") * (F.col("deg") - 1)))
+                   .otherwise(F.lit(0.0)).alias("coeff")))
+    from ..cache import CacheLease
+    lease = CacheLease()
+    lease.add(und)
+    lease.add(oriented)
+    out._cypher_cache_lease = lease
+    return out
+
+
+def local_clustering_sql_oracle(edges_sql: str) -> str:
+    """ANSI-SQL twin of :func:`local_clustering` (id-ordered triangle
+    enumeration -- per-node membership is orientation-independent).
+    Float coeff: round both sides before comparing."""
+    return f"""
+WITH __lc_in AS ({edges_sql}),
+ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM __lc_in WHERE src <> dst),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v),
+t AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) z GROUP BY node),
+deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT u AS node FROM ue UNION ALL SELECT v FROM ue) z
+        GROUP BY node)
+SELECT d.node, COALESCE(t.triangles, 0) AS triangles,
+       CAST(d.degree AS BIGINT) AS degree,
+       CASE WHEN d.degree >= 2
+            THEN 2.0 * COALESCE(t.triangles, 0)
+                 / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN t ON t.node = d.node"""
 
 
 def triangle_sql_oracle(edges_sql: str) -> str:

@@ -303,6 +303,11 @@ def builtin_graph_procedures() -> list:
                        rounds=int(rounds)) \
             .select("src", "dst", "support")
 
+    def _local_clustering(session, graph):
+        from .functions.graph_algos import local_clustering
+        return local_clustering(graph_edges(graph)) \
+            .select("node", "triangles", "degree", "coeff")
+
     def _fastrp(session, graph, dims, iterations):
         from .functions.graph_algos import fastrp_embeddings
         return (fastrp_embeddings(graph_edges(graph), dims=int(dims),
@@ -386,6 +391,10 @@ def builtin_graph_procedures() -> list:
             "algo.louvain(rounds :: INTEGER?) "
             ":: (node :: INTEGER?, community :: INTEGER?)", _louvain,
             defaults=(("rounds", 8),)),
+        graph_procedure(
+            "algo.localClustering() "
+            ":: (node :: INTEGER?, triangles :: INTEGER?, "
+            "degree :: INTEGER?, coeff :: FLOAT?)", _local_clustering),
         graph_procedure(
             "algo.fastRP(dims :: INTEGER?, iterations :: INTEGER?) "
             ":: (node :: INTEGER?, dim :: INTEGER?, "

@@ -501,3 +501,19 @@ def test_fastrp_call_bad_dims_is_typed(algo_session):
     from cypher_for_apache_flink_spark.errors import PlanError
     with pytest.raises(PlanError, match="dims must be in"):
         algo_session.cypher("CALL algo.fastRP(0, 2)").df
+
+
+def test_local_clustering_call_matches_library(algo_session):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        local_clustering)
+    got = rows(algo_session,
+               "CALL algo.localClustering() "
+               "YIELD node, triangles, degree, coeff "
+               "RETURN node, triangles, degree, coeff")
+    g = next(iter(algo_session.catalog.values()))
+    want = sorted(tuple(r) for r in
+                  local_clustering(graph_edges(g)).collect())
+    assert got == want
+    comm = {n: (t, d, c) for n, t, d, c in got}
+    # node 3 sits in both fixture triangles: 2 triangles, degree 4
+    assert comm[3][:2] == (2, 4)

@@ -1365,3 +1365,50 @@ def test_fastrp_empty_input_and_bad_args(spark):
         fastrp_embeddings(empty, iterations=2, weights=(1,))
     with PT.raises(ValueError, match="weights must be integers"):
         fastrp_embeddings(empty, iterations=1, weights=(0.5,))
+
+
+def test_local_clustering_hand_case(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        local_clustering)
+    # triangle 1-2-3 plus pendant 3-4: coeffs 1, 1, 1/3, 0
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: (r.triangles, r.degree, round(r.coeff, 6))
+           for r in local_clustering(edges).collect()}
+    assert got == {1: (1, 2, 1.0), 2: (1, 2, 1.0),
+                   3: (1, 3, round(1 / 3, 6)), 4: (0, 1, 0.0)}
+
+
+def test_local_clustering_matches_sql_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        local_clustering, local_clustering_sql_oracle)
+    # modulus edges plus an explicit 5-clique so triangles exist
+    pairs = sorted({(i % 17, (i * i + 1) % 17) for i in range(120)}
+                   | {(a, b) for a in range(5) for b in range(a + 1, 5)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted((r.node, r.triangles, r.degree, round(r.coeff, 6))
+                 for r in local_clustering(edges).collect())
+    assert any(t > 0 for _, t, _, _ in got)   # fixture sanity
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", pairs)
+    want = sorted((n, t, d, round(c, 6)) for n, t, d, c in con.execute(
+        local_clustering_sql_oracle("SELECT src, dst FROM g")).fetchall())
+    assert got == want
+
+
+def test_local_clustering_totals_match_triangle_count(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        local_clustering, triangle_count)
+    pairs, edges = _two_cliques(spark)
+    per_node = local_clustering(edges).collect()
+    total = triangle_count(edges).collect()[0].n_triangles
+    # every triangle contributes once to each of its three members
+    assert sum(r.triangles for r in per_node) == 3 * total
+    # interior clique members have coefficient 1; the two bridge
+    # endpoints (3 and 10) see 3 triangles over degree 4 -> 0.5
+    by = {r.node: round(r.coeff, 9) for r in per_node}
+    assert by[3] == by[10] == 0.5
+    assert all(v == 1.0 for n, v in by.items() if n not in (3, 10))
