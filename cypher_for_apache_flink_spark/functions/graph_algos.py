@@ -2648,11 +2648,27 @@ def fastrp_embeddings(edges: DataFrame, dims: int = 16, iterations: int = 3,
             bi.select(F.col("u").alias("node")).dropDuplicates(["node"])
             .select("node", F.array(*[_entry(d) for d in range(dims)])
                     .alias("emb")))
+        # The severed embedding frame reports no Catalyst stats, so the
+        # STATIC planner sort-merges every iteration's join -- sorting
+        # the 2m-row wide neighbor stream is pure spill fuel (measured
+        # 3.2 GB spill at 12M edges x dims=32 before this gate).  The
+        # state size is KNOWN exactly (n nodes x (dims+1) longs):
+        # broadcast the embedding frame under the 64 MiB budget, hint
+        # shuffle_hash above it (the wide stream never sorts either
+        # way; at billions of nodes the frame shuffles node-keyed).
+        n_nodes = cur.count()
+        small_state = n_nodes * (dims + 1) * 8 <= _PIN_DATA_BYTES
+
+        def _emb_side(frame):
+            return F.broadcast(frame) if small_state \
+                else frame.hint("shuffle_hash")
+
         agg = F.avg if normalize else F.sum
         iters = []
         for _ in range(iterations):
             cur = _ckpt_sever(
-                bi.join(cur.withColumnRenamed("node", "v"), "v")
+                bi.join(_emb_side(cur.withColumnRenamed("node", "v")),
+                        "v")
                 .groupBy(F.col("u").alias("node"))
                 .agg(*[agg(F.col("emb")[d]).cast(out_t).alias(f"_d{d}")
                        for d in range(dims)])
@@ -2665,7 +2681,8 @@ def fastrp_embeddings(edges: DataFrame, dims: int = 16, iterations: int = 3,
                 "emb", lambda x: (x * F.lit(weights[0])).cast(out_t))
             .alias("emb"))
         for w, it in zip(weights[1:], iters[1:]):
-            acc = (acc.join(it.withColumnRenamed("emb", "__e"), "node")
+            acc = (acc.join(_emb_side(it.withColumnRenamed("emb", "__e")),
+                            "node")
                    .select("node", F.zip_with(
                        "emb", "__e",
                        lambda a, b: (a + b * F.lit(w)).cast(out_t))

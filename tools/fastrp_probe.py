@@ -65,17 +65,21 @@ def main():
     n_edges = big.count()
 
     cells = []
-    for name, kw in (("fastrp_x10_int", {}),
-                     ("fastrp_x10_norm", {"normalize": True})):
+    # dims=32 keeps the 200k-node state at 53 MB -- the broadcast
+    # regime; dims=48 pushes it to 78 MB, past the 64 MiB gate -- the
+    # shuffle_hash fallback regime is exercised, not assumed.
+    for name, dims, kw in (("fastrp_x10_int", 32, {}),
+                           ("fastrp_x10_norm", 32, {"normalize": True}),
+                           ("fastrp_x10_int_shuffled", 48, {})):
         before = {k for k, _ in _stage_keys(spark)}
         t0 = time.time()
-        out = fastrp_embeddings(big, dims=32, iterations=3, **kw)
+        out = fastrp_embeddings(big, dims=dims, iterations=3, **kw)
         n_nodes = out.count()
         wall = round(time.time() - t0, 2)
         m = _stage_metrics_delta(spark, before)
         cells.append({
             "cell": name, "n_edges": n_edges, "n_nodes": n_nodes,
-            "dims": 32, "iterations": 3, "wall_s": wall,
+            "dims": dims, "iterations": 3, "wall_s": wall,
             "cpu_ms": m["executor_cpu_ms"],
             "shuffle_write_bytes": m["shuffle_write_bytes"],
             "spill_bytes": m["spill_bytes"],
