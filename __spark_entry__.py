@@ -1898,9 +1898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries, (b) the 29 queries whose driver rows are older than two
     # rounds (r5/r6/r8), (c) queries directly changed in round 11,
     # (d) the round-10-changed queries riding on r9 rows, (e) the
-    # earlier tiers.  (a)+(b)+(c) = 38, so 12 of tier (d)'s 39 make the
-    # window; the remainder is re-verified by the committed full
-    # tools/check_oracle.py replay this round.
+    # earlier tiers.  (a)+(b)+(c) = 42 (7 new round-11 queries), so 8
+    # of tier (d)'s 39 make the window; the remainder is re-verified by
+    # the committed full tools/check_oracle.py replay this round.
     full = dict(_EXTRA_QUERIES)
     for name in _DEFERRED_VARIANTS:
         full[name] = _CYPHER_QUERIES[name]

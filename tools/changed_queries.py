@@ -59,9 +59,11 @@ def query_families() -> dict[str, list[str]]:
                  "chunk_documents", "curate_corpus",
                  "bm25_retrieval"],                      # round 10
         "asof": ["asof_attribution",
-                 "asof_forward"],                        # round 11
+                 "asof_forward",                         # round 11
+                 "asof_nearest"],                        # round 11
         "timeseries": ["resample_fill_forward",          # round 10
-                       "rolling_time_agg"],
+                       "rolling_time_agg",
+                       "resample_interpolate"],          # round 11
         "pipeline": ["curate_corpus"],
         "multimodal": ["media_decode"],
         "graph_algos": ["pagerank", "bfs_shortest_paths", "triangle_count",
@@ -78,7 +80,8 @@ def query_families() -> dict[str, list[str]]:
                         "node2vec_walks", "call_random_walks",
                         "pagerank_weighted", "mis_conflict_free",
                         # round 11
-                        "louvain_communities"],
+                        "louvain_communities",
+                        "fastrp_embeddings", "local_clustering"],
         "clustering": ["kmeans_embeddings"],
         "procedures": ["call_triangle_count", "call_random_walks"],
         "streaming": ["events_sessions", "events_sliding_counts",
