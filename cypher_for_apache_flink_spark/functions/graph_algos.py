@@ -2145,7 +2145,8 @@ def _ckpt_sever(df: DataFrame) -> DataFrame:
 
 
 def louvain(edges: DataFrame, rounds: int = 16,
-            src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+            src_col: str = "src", dst_col: str = "dst",
+            weight_col: str | None = None) -> DataFrame:
     """Deterministic modularity-greedy community detection over the
     UNDIRECTED simple graph: agglomerative STAR CONTRACTION -- per
     round, communities are split head/tail by a deterministic md5 coin,
@@ -2188,20 +2189,50 @@ def louvain(edges: DataFrame, rounds: int = 16,
     Converged = a merge-free round with an EMPTY positive-gain pair set
     (checked only on merge-free rounds); exhausting ``rounds`` first
     warns rather than silently returning a mid-flight assignment.
+
+    ``weight_col`` (round 11, GDS relationshipWeightProperty parity):
+    an INTEGER edge-weight column -- parallel (u, v) rows SUM, w <= 0
+    edges drop (the pagerank_weighted convention), 2m becomes the total
+    bidirectional weight and totals become weighted degrees; the gain
+    stays pure int64, so the weighted oracle replays it bit-for-bit
+    too.  Float weights are rejected: quantize to a lattice first
+    (the k-means scale discipline) -- exactness is the contract here.
+    Keep total weight under ~2^31 so 2 x (2m)^2 fits int64 (the same
+    bound the unweighted gain puts on the edge count).
     """
     if rounds < 1:
         raise ValueError(f"louvain: rounds must be >= 1, got {rounds}")
-    bi = (edges.select(F.col(src_col).alias("u"),
-                       F.col(dst_col).alias("v"))
-          .where(F.col("u") != F.col("v")))
-    bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
-          .dropDuplicates(["u", "v"]).persist())
+    if weight_col is not None:
+        from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                       ShortType)
+        wt = edges.schema[weight_col].dataType
+        if not isinstance(wt, (ByteType, ShortType, IntegerType,
+                               LongType)):
+            raise ValueError(
+                f"louvain: weight_col must be an integer column for "
+                f"exact gains (got {wt.simpleString()}); quantize "
+                "float weights to a lattice first")
+        e0 = (edges.select(F.col(src_col).alias("u"),
+                           F.col(dst_col).alias("v"),
+                           F.col(weight_col).cast("long").alias("w"))
+              .where((F.col("u") != F.col("v")) & (F.col("w") > 0)))
+        bi = (e0.unionByName(e0.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v"), "w"))
+              .groupBy("u", "v").agg(F.sum("w").alias("w")).persist())
+    else:
+        bi = (edges.select(F.col(src_col).alias("u"),
+                           F.col(dst_col).alias("v"))
+              .where(F.col("u") != F.col("v")))
+        bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+              .dropDuplicates(["u", "v"])
+              .withColumn("w", F.lit(1).cast("long")).persist())
     try:
-        two_m = bi.count()
-        if two_m == 0:
+        n_bi_rows = bi.count()
+        if n_bi_rows == 0:
             spark = edges.sparkSession
             return spark.createDataFrame([], "node long, community long")
+        two_m = n_bi_rows if weight_col is None else             bi.agg(F.sum("w")).collect()[0][0]
         # contracted-state init: communities ARE nodes, so the community
         # multigraph is the edge list at weight 1 and the totals are the
         # degrees; the raw edges are never rejoined after this.  The
@@ -2217,13 +2248,11 @@ def louvain(edges: DataFrame, rounds: int = 16,
             return max(par, int(rows) // 150_000 + 1)
 
         ew = _ckpt_sever(bi.select(F.col("u").alias("a"),
-                                   F.col("v").alias("b"),
-                                   F.lit(1).cast("long").alias("w"))
-                         .repartition(_parts(two_m), "a", "b"))
-        ew_rows = two_m
+                                   F.col("v").alias("b"), "w")
+                         .repartition(_parts(n_bi_rows), "a", "b"))
+        ew_rows = n_bi_rows
         ctot = _ckpt_sever(
-            bi.groupBy("u").agg(F.count(F.lit(1)).cast("long")
-                                .alias("tot"))
+            bi.groupBy("u").agg(F.sum("w").alias("tot"))
             .select(F.col("u").alias("c"), "tot"))
         mapping = _ckpt_sever(bi.select(F.col("u").alias("node"))
                               .dropDuplicates(["node"])
@@ -2321,12 +2350,27 @@ def louvain(edges: DataFrame, rounds: int = 16,
         bi.unpersist()
 
 
-def louvain_sql_oracle(edges_sql: str, rounds: int = 16) -> str:
+def louvain_sql_oracle(edges_sql: str, rounds: int = 16,
+                       weighted: bool = False) -> str:
     """ANSI-SQL twin of :func:`louvain`: the same exact-integer
     head/tail star-contraction rounds unrolled to CTEs, MATERIALIZED
     for the same reason as :func:`mis_sql_oracle`.  ``edges_sql``
-    selects (src, dst)."""
-    parts = [f"""raw AS ({edges_sql}),
+    selects (src, dst), or (src, dst, w) with ``weighted=True`` --
+    parallel rows sum, w <= 0 drops, 2m/totals go weighted (the engine
+    path's exact twin)."""
+    if weighted:
+        init = f"""raw AS ({edges_sql}),
+bi AS MATERIALIZED (SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+  SELECT src AS u, dst AS v, w FROM raw WHERE src <> dst AND w > 0
+  UNION ALL SELECT dst, src, w FROM raw WHERE src <> dst AND w > 0) z
+  GROUP BY u, v),
+tm AS MATERIALIZED (SELECT sum(w) AS m2 FROM bi),
+e_0 AS MATERIALIZED (SELECT u AS a, v AS b, w FROM bi),
+t_0 AS MATERIALIZED (SELECT u AS c, CAST(sum(w) AS BIGINT) AS tot
+                     FROM bi GROUP BY u),
+m_0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM bi)"""
+    else:
+        init = f"""raw AS ({edges_sql}),
 bi AS MATERIALIZED (SELECT DISTINCT u, v FROM (
   SELECT src AS u, dst AS v FROM raw WHERE src <> dst
   UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
@@ -2335,7 +2379,8 @@ e_0 AS MATERIALIZED (SELECT u AS a, v AS b, CAST(1 AS BIGINT) AS w
                      FROM bi),
 t_0 AS MATERIALIZED (SELECT u AS c, CAST(count(*) AS BIGINT) AS tot
                      FROM bi GROUP BY u),
-m_0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM bi)"""]
+m_0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM bi)"""
+    parts = [init]
     for r in range(1, rounds + 1):
         parts.append(f"""
 bs_{r} AS MATERIALIZED (

@@ -292,8 +292,23 @@ def builtin_graph_procedures() -> list:
                                        rounds=int(rounds)) \
             .select("node", "in_mis")
 
-    def _louvain(session, graph, rounds):
+    def _louvain(session, graph, rounds, weight_property):
         from .functions.graph_algos import louvain
+        wp = str(weight_property or "")
+        if wp:
+            # graph properties are double-typed; the exact-gain path
+            # needs integers, so verify integralness (one cheap probe)
+            # instead of silently truncating
+            ed = graph_edges(graph, weight_prop=wp)
+            if not ed.where(F.col("w") != F.floor(F.col("w"))) \
+                    .isEmpty():
+                raise ValueError(
+                    f"louvain: weightProperty {wp!r} has non-integral "
+                    "values; quantize to a lattice first (exact int64 "
+                    "gains are the determinism contract)")
+            return louvain(ed.withColumn("w", F.col("w").cast("long")),
+                           rounds=int(rounds), weight_col="w") \
+                .select("node", "community")
         return louvain(graph_edges(graph), rounds=int(rounds)) \
             .select("node", "community")
 
@@ -388,9 +403,10 @@ def builtin_graph_procedures() -> list:
             ":: (node :: INTEGER?, in_mis :: BOOLEAN?)", _mis,
             defaults=(("rounds", 16),)),
         graph_procedure(
-            "algo.louvain(rounds :: INTEGER?) "
+            "algo.louvain(rounds :: INTEGER?, "
+            "weightProperty :: STRING?) "
             ":: (node :: INTEGER?, community :: INTEGER?)", _louvain,
-            defaults=(("rounds", 8),)),
+            defaults=(("rounds", 8), ("weightProperty", ""))),
         graph_procedure(
             "algo.localClustering() "
             ":: (node :: INTEGER?, triangles :: INTEGER?, "

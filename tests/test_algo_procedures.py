@@ -517,3 +517,34 @@ def test_local_clustering_call_matches_library(algo_session):
     comm = {n: (t, d, c) for n, t, d, c in got}
     # node 3 sits in both fixture triangles: 2 triangles, degree 4
     assert comm[3][:2] == (2, 4)
+
+
+def test_louvain_call_weighted(algo_session):
+    # the fixture's w property is 1.0..8.0 — integral doubles pass the
+    # integralness probe and reproduce the library result
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    got = rows(algo_session,
+               "CALL algo.louvain(6, 'w') YIELD node, community "
+               "RETURN node, community")
+    g = next(iter(algo_session.catalog.values()))
+    from pyspark.sql import functions as F
+    ed = graph_edges(g, weight_prop="w") \
+        .withColumn("w", F.col("w").cast("long"))
+    want = sorted(tuple(r) for r in
+                  louvain(ed, rounds=6, weight_col="w").collect())
+    assert got == want
+
+
+def test_louvain_call_weighted_rejects_fractional(algo_session, spark):
+    from cypher_for_apache_flink_spark.errors import PlanError
+    from cypher_for_apache_flink_spark.graph import PropertyGraph
+    from cypher_for_apache_flink_spark.session import CypherSession
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    rels = spark.createDataFrame([(10, 1, 2, 0.5)],
+                                 "id long, source long, target long, "
+                                 "w double")
+    sess = CypherSession.for_graph(
+        PropertyGraph({frozenset(["N"]): nodes}, {"L": rels},
+                      name="fracw"))
+    with pytest.raises(PlanError, match="non-integral"):
+        sess.cypher("CALL algo.louvain(2, 'w')").df

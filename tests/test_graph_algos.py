@@ -1412,3 +1412,50 @@ def test_local_clustering_totals_match_triangle_count(spark):
     by = {r.node: round(r.coeff, 9) for r in per_node}
     assert by[3] == by[10] == 0.5
     assert all(v == 1.0 for n, v in by.items() if n not in (3, 10))
+
+
+def test_louvain_weighted_matches_sql_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        louvain, louvain_sql_oracle)
+    rows = sorted({((i * 7) % 23, (i * 13 + 2) % 23, (i % 5) + 1)
+                   for i in range(80)})
+    rows = [(a, b, w) for a, b, w in rows if a != b]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = sorted(map(tuple, louvain(edges, rounds=4,
+                                    weight_col="w").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(src BIGINT, dst BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO g VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        louvain_sql_oracle("SELECT src, dst, w FROM g", rounds=4,
+                           weighted=True) + " ORDER BY node").fetchall()))
+    assert got == want
+
+
+def test_louvain_weight_changes_the_split(spark):
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    # a 4-cycle with one heavy diagonal-ish pair: unweighted louvain
+    # sees a symmetric cycle; weighting edge (1,2) and (3,4) heavily
+    # must pull {1,2} and {3,4} together
+    rows = [(1, 2, 10), (2, 3, 1), (3, 4, 10), (4, 1, 1)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r.node: r.community
+           for r in louvain(edges, rounds=8, weight_col="w").collect()}
+    assert got[1] == got[2] and got[3] == got[4]
+    assert got[1] != got[3]
+
+
+def test_louvain_weighted_rejects_floats_and_drops_nonpositive(spark):
+    import pytest as PT
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    fed = spark.createDataFrame([(1, 2, 1.5)],
+                                "src long, dst long, w double")
+    with PT.raises(ValueError, match="integer column"):
+        louvain(fed, weight_col="w")
+    # w <= 0 edges drop entirely: only the positive edge remains
+    ed = spark.createDataFrame([(1, 2, 0), (2, 3, -4), (4, 5, 2)],
+                               "src long, dst long, w long")
+    got = {r.node for r in louvain(ed, rounds=2,
+                                   weight_col="w").collect()}
+    assert got == {4, 5}
