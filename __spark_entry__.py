@@ -1450,6 +1450,31 @@ def _q_local_clustering(spark, sf_dir):
             .orderBy("node"))
 
 
+def _q_louvain_weighted(spark, sf_dir):
+    """Weighted community detection (round 11): louvain over the
+    quarter-sampled co-purchase graph with edge weight = the number of
+    orders sharing the pair -- integer weights go straight into the
+    exact int64 gain, same md5-coin star contraction, weighted SQL
+    oracle replays every round bit-for-bit."""
+    from cypher_for_apache_flink_spark.functions.graph_algos import louvain
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey"))
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    ps = F.col("ps")
+    pairs = F.flatten(F.transform(
+        ps, lambda x, i: F.transform(
+            F.slice(ps, i + 2, F.size(ps)),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    e = (grp.select(F.explode(pairs).alias("p"))
+         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+         .where(F.md5(F.concat_ws("|", F.col("src"), F.col("dst")))
+                < "4")
+         .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    return (louvain(e, rounds=16, weight_col="w")
+            .orderBy("node").select("node", "community"))
+
+
 _ROUND11_QUERIES = {
     "asof_forward": _q_asof_forward,
     "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
@@ -1458,6 +1483,7 @@ _ROUND11_QUERIES = {
     "resample_interpolate": _q_resample_interp,
     "asof_nearest": _q_asof_nearest,
     "local_clustering": _q_local_clustering,
+    "louvain_weighted": _q_louvain_weighted,
 }
 
 
@@ -1858,7 +1884,7 @@ _ROUND11_CHANGED = [
     'hits_scores', 'k_core',
     'k_truss', 'keyword_label_scan', 'label_propagation',
     'labels_function', 'list_functions', 'local_clustering',
-    'louvain_communities',
+    'louvain_communities', 'louvain_weighted',
     'math_functions', 'mis_conflict_free', 'node2vec_walks',
     'node_similarity', 'not_exists_pattern', 'optional_first_clause',
     'optional_match_count', 'optional_match_null', 'order_skip_limit',
@@ -1898,7 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries, (b) the 29 queries whose driver rows are older than two
     # rounds (r5/r6/r8), (c) queries directly changed in round 11,
     # (d) the round-10-changed queries riding on r9 rows, (e) the
-    # earlier tiers.  (a)+(b)+(c) = 42 (7 new round-11 queries), so 8
+    # earlier tiers.  (a)+(b)+(c) = 43 (8 new round-11 queries), so 7
     # of tier (d)'s 39 make the window; the remainder is re-verified by
     # the committed full tools/check_oracle.py replay this round.
     full = dict(_EXTRA_QUERIES)
@@ -2270,6 +2296,25 @@ def _mis_oracle_sql() -> str:
         "< '4'")
     mis = mis_sql_oracle(edges_sql, rounds=8)
     return f"SELECT node, in_mis FROM ({mis}) m ORDER BY node"
+
+
+def _louvain_weighted_oracle_sql() -> str:
+    from cypher_for_apache_flink_spark.functions.graph_algos import (
+        louvain_sql_oracle,
+    )
+    # count DISTINCT orders per pair (the engine derives pairs from a
+    # per-order collect_set, so a part repeated across lineitems of one
+    # order still contributes exactly one co-occurrence)
+    edges_sql = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+        "count(DISTINCT a.l_orderkey) AS w "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "WHERE md5(CAST(a.l_partkey AS VARCHAR) || '|' || "
+        "CAST(b.l_partkey AS VARCHAR)) < '4' "
+        "GROUP BY a.l_partkey, b.l_partkey")
+    lv = louvain_sql_oracle(edges_sql, rounds=16, weighted=True)
+    return f"SELECT node, community FROM ({lv}) l ORDER BY node"
 
 
 def _louvain_oracle_sql() -> str:
@@ -3158,6 +3203,7 @@ GROUP BY doc_id HAVING count(*) >= 3""",
         "pq_topk": _pq_oracle_sql(),
         "mis_conflict_free": _mis_oracle_sql(),
         "louvain_communities": _louvain_oracle_sql(),
+        "louvain_weighted": _louvain_weighted_oracle_sql(),
         "fastrp_embeddings": _fastrp_oracle_sql(),
         "local_clustering": _local_clustering_oracle_sql(),
         # 6-hour buckets = 21600000000 us; same integer bucket keys,

@@ -80,7 +80,7 @@ def query_families() -> dict[str, list[str]]:
                         "node2vec_walks", "call_random_walks",
                         "pagerank_weighted", "mis_conflict_free",
                         # round 11
-                        "louvain_communities",
+                        "louvain_communities", "louvain_weighted",
                         "fastrp_embeddings", "local_clustering"],
         "clustering": ["kmeans_embeddings"],
         "procedures": ["call_triangle_count", "call_random_walks"],
