@@ -241,3 +241,19 @@ FROM l LEFT JOIN rd ON rd.u = l.u
                AND l.ts + INTERVAL 10 MINUTE
 GROUP BY l.event_id""").fetchall()))
     assert got == want
+
+
+def test_nearest_plan_single_sort_single_window(spark):
+    """Plan gate (round 11): nearest computes BOTH carries under one
+    ordering — Spark merges the two frames into ONE Window node over
+    one keyed exchange; no second sort, no range join."""
+    left, right = _frames(spark)
+    plan = (asof_join(left, right, on="user", direction="nearest",
+                      tolerance="5 minutes")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1
+    import re
+    hashes = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(hashes) == 2, hashes
