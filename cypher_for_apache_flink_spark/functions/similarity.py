@@ -180,16 +180,56 @@ def _query_signature(query_vec, planes_mat) -> int:
 # ---------------------------------------------------------------------------
 
 def _write_meta(spark, path: str, meta: dict) -> None:
+    """Write the sidecar driver-side through the Hadoop FileSystem API
+    (works on any scheme the cluster can reach) instead of a Spark JSON
+    write: one row through the DataFrame writer costs a full job plus
+    commit protocol -- measured 4.5-5.6s per index build at sf0.1, the
+    single largest slice of the ivfpq bench query -- vs milliseconds
+    for a direct stream.  File name and line format stay exactly what
+    the old writer produced, so existing indexes keep reading."""
     import json
-    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-        .coalesce(1).write.mode("overwrite").json(path + "/_ann_meta")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dirp = jvm.org.apache.hadoop.fs.Path(path + "/_ann_meta")
+    fs = dirp.getFileSystem(conf)
+    fs.mkdirs(dirp)
+    filep = jvm.org.apache.hadoop.fs.Path(path + "/_ann_meta/part-00000.json")
+    out = fs.create(filep, True)
+    line = json.dumps({"meta": json.dumps(meta)}) + "\n"
+    out.write(bytearray(line.encode("utf-8")))
+    out.close()
 
 
 def _read_meta(spark, path: str) -> dict:
+    """Driver-side sidecar read (same FS API as :func:`_write_meta`):
+    no Spark job on the probe path.  Reads the first ``part-*`` file in
+    the dir, so sidecars written by the old DataFrame writer still
+    load."""
     import json
-    row = spark.read.json(path + "/_ann_meta",
-                          schema="meta string").collect()[0]
-    return json.loads(row["meta"])
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dirp = jvm.org.apache.hadoop.fs.Path(path + "/_ann_meta")
+    fs = dirp.getFileSystem(conf)
+    statuses = fs.listStatus(dirp)
+    data = None
+    for i in range(len(statuses)):
+        name = statuses[i].getPath().getName()
+        if name.startswith("part-"):
+            stream = fs.open(statuses[i].getPath())
+            try:
+                data = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8")
+            finally:
+                stream.close()
+            break
+    if data is None:
+        raise ValueError(f"_read_meta: no part file under "
+                         f"{path}/_ann_meta")
+    for line in data.splitlines():
+        line = line.strip()
+        if line:
+            return json.loads(json.loads(line)["meta"])
+    raise ValueError(f"_read_meta: empty sidecar under {path}/_ann_meta")
 
 
 def write_lsh_index(df: DataFrame, path: str, dims: int, planes: int = 8,
@@ -625,7 +665,14 @@ def write_ivfpq_index(df: DataFrame, path: str, n_lists: int = 8,
     encoded, coarse, codebooks = ivfpq_build(
         df, n_lists=n_lists, m=m, k=k, scale=scale,
         id_col=id_col, vec_col=vec_col)
+    # REBALANCE by the partition key before the write (guide: compact
+    # output files): without it every (encode partition x list) pair
+    # emits its own tiny file -- 32 x 8 = 256 files at sf0.1, each a
+    # few KB, and the probe pays per-file open cost.  The AQE rebalance
+    # coalesces small lists into shared tasks and still splits a
+    # skewed list at warehouse scale.
     (encoded.withColumnRenamed("id", id_col)
+     .hint("rebalance", "__ivf_list")
      .write.mode("overwrite").partitionBy("__ivf_list").parquet(path))
     _write_meta(df.sparkSession, path, {
         "kind": "ivfpq", "n_lists": n_lists, "m": m, "k": k,
