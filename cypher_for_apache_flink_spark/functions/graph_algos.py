@@ -2227,6 +2227,8 @@ def louvain(edges: DataFrame, rounds: int = 16,
                                        F.col("u").alias("v")))
               .dropDuplicates(["u", "v"])
               .withColumn("w", F.lit(1).cast("long")).persist())
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1)
     try:
         n_bi_rows = bi.count()
         if n_bi_rows == 0:
@@ -2245,7 +2247,18 @@ def louvain(edges: DataFrame, rounds: int = 16,
         par = spark.sparkContext.defaultParallelism
 
         def _parts(rows):
-            return max(par, int(rows) // 150_000 + 1)
+            # Row-bounded above (the ~150k-keys-per-task spill bound),
+            # SIZE-ADAPTIVE below (round 11): the contracted state
+            # shrinks geometrically, and a checkpointed frame KEEPS its
+            # partition count -- AQE never re-coalesces it -- so late
+            # rounds were paying 32-task stages for a few thousand
+            # rows (measured: ~0.35s per 32-task round stage at sf0.1
+            # where the same work fits in 1-2 tasks).  Above ~20k rows
+            # per core the two bounds coincide with the old value, so
+            # the large-graph regime (and the sf1 probe cells) plans
+            # identically.
+            big = max(par, int(rows) // 150_000 + 1)
+            return max(1, min(big, int(rows) // 50_000 + 1))
 
         ew = _ckpt_sever(bi.select(F.col("u").alias("a"),
                                    F.col("v").alias("b"), "w")
@@ -2273,6 +2286,13 @@ def louvain(edges: DataFrame, rounds: int = 16,
             return F.broadcast(df) if bcast else df.hint("shuffle_hash")
 
         converged = False
+        # Per-round merge tables, composed into the node mapping AFTER
+        # the loop (round 11): the loop itself never reads the mapping,
+        # so updating it per round was one eager checkpoint job over
+        # every node per round for nothing.  Each best table is already
+        # severed, so the end-of-loop composition is a flat chain of
+        # small-side joins over severed leaves -- no stats compounding.
+        merges = []
         for r in range(1, rounds + 1):
             scored = (ew
                       .join(small(ctot.select(F.col("c").alias("a"),
@@ -2312,19 +2332,24 @@ def louvain(edges: DataFrame, rounds: int = 16,
                     converged = True
                     break
                 continue
-            mapping = _ckpt_sever(
-                mapping.join(small(best), "c", "left")
-                .select("node", F.coalesce(F.col("__new"), F.col("c"))
-                        .alias("c")))
-            ctot = _ckpt_sever(
-                ctot.join(small(best), "c", "left")
-                .groupBy(F.coalesce(F.col("__new"), F.col("c"))
-                         .alias("c"))
-                .agg(F.sum("tot").alias("tot")))
+            merges.append(best)
             ma = best.select(F.col("c").alias("a"),
                              F.col("__new").alias("__na"))
             mb = best.select(F.col("c").alias("b"),
                              F.col("__new").alias("__nb"))
+            # ctot and ew both depend only on `best` plus last round's
+            # severed state, never on each other -- so their eager
+            # checkpoints run as CONCURRENT jobs from a 2-thread pool
+            # (guide-style independent-job overlap): the totals update
+            # back-fills cores while the bigger contraction plans and
+            # shuffles.  Actions are thread-safe; each future carries
+            # its own plan.
+            ctot_f = pool.submit(
+                lambda c=ctot, b=best: _ckpt_sever(
+                    c.join(small(b), "c", "left")
+                    .groupBy(F.coalesce(F.col("__new"), F.col("c"))
+                             .alias("c"))
+                    .agg(F.sum("tot").alias("tot"))))
             # the contraction aggregate's hash maps are bounded by the
             # explicit (a, b) repartition: its keys are near-unique, so
             # partition count must track the (shrinking) edge state --
@@ -2338,15 +2363,26 @@ def louvain(edges: DataFrame, rounds: int = 16,
                 .repartition(_parts(ew_rows), "a", "b")
                 .groupBy("a", "b").agg(F.sum("w").alias("w")))
             ew_rows = ew.count()
+            ctot = ctot_f.result()
         if not converged:
             warnings.warn(
                 f"louvain: positive-gain merges may still be pending "
                 f"after rounds={rounds} -- communities can be "
                 "mid-flight; raise rounds", stacklevel=2)
+        # compose the per-round merges into the node mapping (one flat
+        # chain of small-side joins -- see the `merges` comment above)
+        for b in merges:
+            mapping = (mapping.join(small(b), "c", "left")
+                       .select("node",
+                               F.coalesce(F.col("__new"), F.col("c"))
+                               .alias("c")))
+        if merges:
+            mapping = _ckpt_sever(mapping)
         # canonical labels: the minimum member id of each community
         canon = mapping.groupBy("c").agg(F.min("node").alias("community"))
         return mapping.join(small(canon), "c").select("node", "community")
     finally:
+        pool.shutdown(wait=True)
         bi.unpersist()
 
 
