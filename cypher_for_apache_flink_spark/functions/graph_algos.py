@@ -1513,20 +1513,30 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
                     .select(F.col("dst").alias("node"),
                             F.col("label"))
                     .groupBy("node").agg(F.min("label").alias("label")))
-            improved = (cand.join(
-                labels.withColumnRenamed("label", "__old"), "node")
-                .where(F.col("label") < F.col("__old"))
-                .select("node", "label").localCheckpoint(eager=True))
+            # ONE materialization per iteration (round 11): the new
+            # labels and the improvement flag ride the same left join
+            # -- label'(v) = min(label(v), cand(v)) -- so the old
+            # improved-checkpoint + anti-join + union + second
+            # checkpoint (3 eager jobs and 3 shuffles per iteration)
+            # collapses to one severed frame; the frontier and the
+            # convergence probe are cheap filters over its partitions.
+            nxt = _ckpt_sever(
+                labels.join(cand.withColumnRenamed("label", "__c"),
+                            "node", "left")
+                .select("node",
+                        F.least(F.col("label"),
+                                F.coalesce(F.col("__c"), F.col("label")))
+                        .alias("label"),
+                        (F.col("__c") < F.col("label")).alias("__imp")))
+            improved = nxt.where(F.col("__imp"))
             if improved.isEmpty():
                 return labels, True
             if applied >= fixpoint_iters:
                 # budget exhausted WITH a non-empty improvement frontier
                 # in hand: the labels are under-propagated
                 return labels, False
-            labels = (labels.join(improved.select("node"), "node",
-                                  "left_anti")
-                      .unionByName(improved).localCheckpoint(eager=True))
-            frontier = improved
+            labels = nxt.select("node", "label")
+            frontier = improved.select("node", "label")
             applied += 1
 
     truncated = False
