@@ -102,6 +102,21 @@ def _repart(df: DataFrame, nparts: int | None, *cols: str) -> DataFrame:
     return df if nparts is None else df.repartition(nparts, *cols)
 
 
+def _scan_coalesce(df: DataFrame, n_rows: int,
+                   rows_per_part: int = 150_000) -> DataFrame:
+    """Size-derived ``coalesce`` for a persisted frame an iterative loop
+    scans every step (round 11): a cached co-purchase edge set arrives
+    in 32-64 derivation partitions, and each per-step broadcast-join
+    probe then pays ~0.1s of fixed per-task cost (task deser, codegen
+    init, block locks) per partition per step -- measured 50-75s of
+    executor CPU on the sf0.1 walk queries whose actual probe work is
+    milliseconds.  ``coalesce`` is NARROW (no shuffle, reads the cached
+    blocks) and cannot increase the partition count, so above
+    ``rows_per_part`` rows/partition it is a no-op and the large-graph
+    regime is untouched."""
+    return df.coalesce(max(1, int(n_rows) // rows_per_part + 1))
+
+
 def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              checkpoint_interval: int = 4,
@@ -1671,6 +1686,12 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
         n_starts = frontier.count()
         use_broadcast = n_starts * 16 < _PIN_DATA_BYTES
         nparts = None
+        if use_broadcast:
+            # every step scans the persisted edges as the probe side of
+            # a broadcast join; coalesce that repeated scan to a
+            # size-derived partition count (the count materializes the
+            # cache the first step would have paid for anyway)
+            edges = _scan_coalesce(edges, edges.count())
         if not use_broadcast:
             spark = edges.sparkSession
             nparts = _pin_parts(spark, data=edges)
@@ -1864,6 +1885,14 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
         n_starts = frontier.count()
         use_broadcast = n_starts * 24 < _PIN_DATA_BYTES
         nparts = None
+        n_edges = None
+        if use_broadcast:
+            # both per-step edge scans (candidate join + pf semi-filter)
+            # probe the persisted edges; coalesce the repeated scan to a
+            # size-derived partition count.  The count doubles as the
+            # probe gate's first fact below.
+            n_edges = edges.count()
+            edges = _scan_coalesce(edges, n_edges)
         if not use_broadcast:
             spark = edges.sparkSession
             nparts = _pin_parts(spark, data=edges)
@@ -1896,7 +1925,7 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
         # the candidate stream (the big-frontier regime's layout).
         probe_broadcast = False
         if use_broadcast:
-            if edges.count() * 24 < _PIN_DATA_BYTES:
+            if n_edges * 24 < _PIN_DATA_BYTES:
                 probe_broadcast = True
             else:
                 max_deg = (edges.groupBy("src")
