@@ -2068,7 +2068,10 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 16,
     undecided = (bi.select(F.col("u").alias("node"))
                  .dropDuplicates(["node"]).localCheckpoint(eager=True))
     active = bi
-    mis = None
+    # per-round winner tables, unioned AFTER the loop (round 11): the
+    # loop never reads the accumulated set, so checkpointing the union
+    # every round was one eager job per round for nothing
+    winner_tables = []
     exhausted = True
     for r in range(1, rounds + 1):
         def key(col):
@@ -2083,8 +2086,7 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 16,
                    .where(F.col("__mn").isNull()
                           | (key(F.col("node")) < F.col("__mn")))
                    .select("node").localCheckpoint(eager=True))
-        mis = winners if mis is None else mis.unionByName(winners)
-        mis = mis.localCheckpoint(eager=True)
+        winner_tables.append(winners)
         # winners' neighbors are dominated: remove both
         dominated = (active.join(winners.withColumnRenamed("node", "u"),
                                  "u", "left_semi")
@@ -2099,6 +2101,9 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 16,
                               "u", "left_semi")
                   .join(undecided.withColumnRenamed("node", "v"),
                         "v", "left_semi").localCheckpoint(eager=True))
+    mis = winner_tables[0]
+    for w in winner_tables[1:]:
+        mis = mis.unionByName(w)
     if exhausted:
         warnings.warn(
             f"maximal_independent_set: {undecided.count()} nodes still "
