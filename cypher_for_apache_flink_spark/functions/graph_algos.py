@@ -2752,13 +2752,20 @@ def fastrp_embeddings(edges: DataFrame, dims: int = 16, iterations: int = 3,
     bi = (edges.select(F.col(src_col).alias("u"),
                        F.col(dst_col).alias("v"))
           .where(F.col("u") != F.col("v")))
-    bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
-          .dropDuplicates(["u", "v"]).persist())
+    bi = bi_persisted = (
+        bi.unionByName(bi.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        .dropDuplicates(["u", "v"]).persist())
     try:
-        if bi.count() == 0:
+        n_bi = bi.count()
+        if n_bi == 0:
             return spark.createDataFrame(
                 [], f"node long, emb array<{out_t}>")
+        # every iteration scans the persisted bidirectional edge set as
+        # the probe side of the embedding join; coalesce the repeated
+        # scan to a size-derived partition count (narrow, no-op at
+        # >=150k rows/partition -- see _scan_coalesce)
+        bi = _scan_coalesce(bi, n_bi)
 
         def _entry(d):
             h = F.conv(F.substring(
@@ -2821,7 +2828,7 @@ def fastrp_embeddings(edges: DataFrame, dims: int = 16, iterations: int = 3,
                 .otherwise(F.col("emb")).alias("emb"))
         return acc
     finally:
-        bi.unpersist()
+        bi_persisted.unpersist()
 
 
 def fastrp_sql_oracle(edges_sql: str, dims: int = 16, iterations: int = 3,
