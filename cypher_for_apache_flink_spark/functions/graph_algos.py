@@ -158,7 +158,8 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     edges = edges.select(*cols)
     if weight_col is not None:
         edges = edges.where(F.col("w") > 0)
-    edges = edges.persist()
+    edges = edges_p = edges.persist()
+    n_edges = None
     nparts = _pin_parts(edges.sparkSession, data=edges)
     if nparts is None \
             and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
@@ -167,9 +168,16 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
         # sf1 spot); when the estimate said "small", confirm with an
         # exact count of the persisted edge set.  The count is one
         # cache-materializing job the setup scans would pay anyway.
-        if edges.count() * 16 >= _PIN_DATA_BYTES:
+        n_edges = edges.count()
+        if n_edges * 16 >= _PIN_DATA_BYTES:
             nparts = max(2 * edges.sparkSession.sparkContext
                          .defaultParallelism, 1)
+        else:
+            # Unpinned small/medium regime: the setup scans and every
+            # superstep re-read this cache, whose partition count AQE
+            # can never coalesce (cached plans keep their layout) --
+            # size the scan once like the walk loops do (round 11)
+            edges = _scan_coalesce(edges, n_edges)
     nodes = _repart(edges.select(F.col("src").alias("node"))
                     .union(edges.select(F.col("dst").alias("node"))),
                     nparts, "node") \
@@ -178,11 +186,13 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     # count is a deliberate single action: it materializes the cache AND
     # yields N for the teleport term (an iterative algorithm runs a job per
     # superstep anyway — this is not a hidden extra).
-    nodes = nodes.cache()
+    nodes = nodes_p = nodes.cache()
     n = nodes.count()
     if n == 0:
         nodes.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    if nparts is None:
+        nodes = _scan_coalesce(nodes, n)
     deg = _repart(edges, nparts, "src") \
         .groupBy("src").agg(
             (F.sum("w") if weight_col is not None
@@ -191,8 +201,15 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     # materialized table instead of re-running scan+join+agg.  Same for the
     # set of nodes WITH out-edges — the per-superstep dangling anti-join
     # would otherwise re-aggregate the raw edge scan every iteration.
-    out_edges = _repart(edges, nparts, "src").join(deg, "src").persist()
-    out_srcs = deg.select(F.col("src").alias("node")).persist()
+    out_edges = out_edges_p = \
+        _repart(edges, nparts, "src").join(deg, "src").persist()
+    out_srcs = out_srcs_p = deg.select(F.col("src").alias("node")).persist()
+    if nparts is None:
+        # same row counts as the cached edge/node sets -- reuse those
+        # counts instead of materializing two more counting jobs
+        if n_edges is not None:
+            out_edges = _scan_coalesce(out_edges, n_edges)
+        out_srcs = _scan_coalesce(out_srcs, n)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     transfer = (F.col("rank") * F.col("w") / F.col("deg")
@@ -223,10 +240,10 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     out = ranks.select("node", F.col("rank").alias("rank"))
     from ..cache import CacheLease
     lease = CacheLease()
-    lease.add(edges)
-    lease.add(nodes)
-    lease.add(out_edges)
-    lease.add(out_srcs)
+    lease.add(edges_p)
+    lease.add(nodes_p)
+    lease.add(out_edges_p)
+    lease.add(out_srcs_p)
     out._cypher_cache_lease = lease
     return out
 
