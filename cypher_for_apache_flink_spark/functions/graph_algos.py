@@ -485,10 +485,10 @@ def _oriented_intersections(edges: DataFrame, src_col: str,
     s, d = F.col(src_col), F.col(dst_col)
     # normalize inline (not via _normalize_undirected) so the distinct
     # can run on a pinned hash(u, v) exchange the dedup aggregate reuses
-    und = (_repart(edges.select(F.least(s, d).alias("u"),
-                                F.greatest(s, d).alias("v"))
-                   .where(F.col("u") < F.col("v")), nparts, "u", "v")
-           .dropDuplicates(["u", "v"]).persist())
+    und = und_p = (_repart(edges.select(F.least(s, d).alias("u"),
+                                        F.greatest(s, d).alias("v"))
+                           .where(F.col("u") < F.col("v")), nparts, "u", "v")
+                   .dropDuplicates(["u", "v"]).persist())
     # Exact data-size decision off the PERSISTED normalized edge set
     # (round 9, VERDICT r8 #1 "kill the sf1 spill").  The count is one
     # cheap job that materializes a cache every downstream consumer
@@ -503,6 +503,13 @@ def _oriented_intersections(edges: DataFrame, src_col: str,
             and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
         nparts = max(2 * edges.sparkSession.sparkContext
                      .defaultParallelism, 1)
+    if nparts is None:
+        # Small/medium unpinned regime: several consumers (the degree
+        # aggregate's reused exchange, the orientation join chain) scan
+        # this cache, whose derivation partition count AQE can never
+        # re-coalesce — size the scan once from the exact count (round
+        # 11, same discipline as the walk loops / pagerank)
+        und = _scan_coalesce(und, n_und)
     # The intersection-join strategy is hinted EXPLICITLY in both
     # regimes — sized thresholds would otherwise flip with the cache
     # state (materializing und above makes Catalyst's estimates
@@ -545,10 +552,16 @@ def _oriented_intersections(edges: DataFrame, src_col: str,
     # rank = (deg, id) totally orders nodes; orient low -> high
     ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
     rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
-    oriented = _repart(withdeg.select(
+    oriented = oriented_p = _repart(withdeg.select(
         F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("b")),
         nparts, "a").persist()
+    if nparts is None:
+        # one oriented row per undirected edge — reuse n_und, no extra
+        # counting job; denser rows/part than und because this cache
+        # feeds the CPU-heavy adjacency-intersection probe, which still
+        # wants real parallelism
+        oriented = _scan_coalesce(oriented, n_und, rows_per_part=50_000)
     # groupBy("a") and the first join reuse oriented's hash(a) partitioning
     adj = (oriented.groupBy("a")
            .agg(F.sort_array(F.collect_list("b")).alias("nb")))
@@ -560,7 +573,9 @@ def _oriented_intersections(edges: DataFrame, src_col: str,
     j = j1.join(adj.select(F.col("a").alias("__jb"),
                            F.col("nb").alias("nb_b")),
                 F.col("b") == F.col("__jb"))
-    return j, deg, und, oriented
+    # return the PERSISTED handles (not the coalesced scan wrappers) so
+    # the caller's CacheLease unpersists the actual cached plans
+    return j, deg, und_p, oriented_p
 
 
 def triangle_count(edges: DataFrame, src_col: str = "src",
