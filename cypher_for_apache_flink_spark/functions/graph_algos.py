@@ -201,8 +201,16 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     # materialized table instead of re-running scan+join+agg.  Same for the
     # set of nodes WITH out-edges — the per-superstep dangling anti-join
     # would otherwise re-aggregate the raw edge scan every iteration.
+    # deg is bounded by the counted node set; when that is comfortably
+    # broadcast material, hint it so materializing out_edges is a narrow
+    # map over the edge cache instead of a sort-merge that re-shuffles
+    # every edge once more (measured at sf0.1: the SMJ exchange doubled
+    # the query's shuffle bytes, 48.8 -> 102.1 MB).  Large graphs (node
+    # set over the gate) keep the shuffled join — deg is O(|V|) there,
+    # not broadcast material.
+    deg_side = deg if n * 16 >= _PIN_DATA_BYTES else F.broadcast(deg)
     out_edges = out_edges_p = \
-        _repart(edges, nparts, "src").join(deg, "src").persist()
+        _repart(edges, nparts, "src").join(deg_side, "src").persist()
     out_srcs = out_srcs_p = deg.select(F.col("src").alias("node")).persist()
     if nparts is None:
         # same row counts as the cached edge/node sets -- reuse those
@@ -215,11 +223,20 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     transfer = (F.col("rank") * F.col("w") / F.col("deg")
                 if weight_col is not None
                 else F.col("rank") / F.col("deg"))
+    # With the caches alive, Catalyst's growing join-output estimates
+    # flip the per-superstep contribs join to sort-merge, and under AQE
+    # the out_edges exchange is MATERIALIZED before the runtime
+    # broadcast downgrade can help — every iteration re-shuffled the
+    # whole cached edge set (measured +42 MB/3 iterations at sf0.1).
+    # ranks is exactly n rows; broadcast it explicitly below the same
+    # node-count gate as deg, so the hot join streams the cache with no
+    # exchange.  Large graphs keep the node-id-keyed shuffle.
+    bcast_ranks = n * 16 < _PIN_DATA_BYTES
     for i in range(iterations):
-        contribs = (_repart(out_edges
-                            .join(_repart(ranks.withColumnRenamed(
-                                "node", "src"), nparts, "src"), "src"),
-                            nparts, "dst")
+        rside = ranks.withColumnRenamed("node", "src")
+        rside = (F.broadcast(rside) if bcast_ranks
+                 else _repart(rside, nparts, "src"))
+        contribs = (_repart(out_edges.join(rside, "src"), nparts, "dst")
                     .groupBy("dst")
                     .agg(F.sum(transfer).alias("contrib"))
                     .withColumnRenamed("dst", "node"))
@@ -829,7 +846,14 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     if max_neighbor_degree is not None:
         small = deg.where(F.col("deg") <= max_neighbor_degree) \
             .select(F.col("node").alias("nbr"))
-        wedge_src = adj.join(F.broadcast(small), "nbr").persist()
+        # hash(nbr)-partition BEFORE persisting: the wedge join below is
+        # a self-join of this cache on nbr, and a cached frame keeps its
+        # layout forever — co-partitioning here makes BOTH join inputs
+        # exchange-free (one exchange paid at materialization replaces
+        # two on the hot path, guide §2.4), and the cache comes out in
+        # right-sized shuffle partitions instead of derivation layout
+        wedge_src = (adj.join(F.broadcast(small), "nbr")
+                     .repartition("nbr").persist())
     a = wedge_src.select(F.col("node").alias("a"), "nbr")
     b = wedge_src.select(F.col("node").alias("b"), "nbr")
     shared = (a.join(b, "nbr").where(F.col("a") < F.col("b"))
@@ -903,9 +927,12 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     node ids.
     """
     # persisted: setup scans the (possibly expensively derived) edge set
-    # several times before the loop — see pagerank
-    edges = edges.select(F.col(src_col).alias("src"),
-                         F.col(dst_col).alias("dst")).persist()
+    # several times before the loop — see pagerank.  The count sizes the
+    # cached scan (no-op above the rows/part bound) and materializes a
+    # cache the setup pays for anyway (round 11).
+    edges = edges_p = edges.select(F.col(src_col).alias("src"),
+                                   F.col(dst_col).alias("dst")).persist()
+    edges = _scan_coalesce(edges, edges.count())
     srcs = sources.select(F.col(node_col).alias("node")) \
         .dropDuplicates(["node"])
     nodes = (edges.select(F.col("src").alias("node"))
@@ -914,22 +941,39 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
              .dropDuplicates(["node"]))
     n_src = srcs.count()
     if n_src == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
+        out = nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
+        from ..cache import CacheLease
+        lease = CacheLease()
+        lease.add(edges_p)
+        out._cypher_cache_lease = lease
+        return out
     # (node, tele) is read every superstep: cache + count materializes
     nodes = (nodes.join(srcs.withColumn("__s", F.lit(1)), "node",
                         "left_outer")
              .select("node", F.when(F.col("__s").isNotNull(),
                                     F.lit(1.0 / n_src))
                      .otherwise(F.lit(0.0)).alias("tele"))).cache()
-    nodes.count()
+    nodes = nodes_p = nodes
+    n = nodes.count()
+    nodes = _scan_coalesce(nodes, n)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    out_edges = edges.join(deg, "src").persist()
-    out_srcs = deg.select(F.col("src").alias("node")).persist()
+    # see pagerank: broadcast the node-bounded deg side when small so
+    # materializing out_edges is a narrow map over the edge cache
+    deg_side = deg if n * 16 >= _PIN_DATA_BYTES else F.broadcast(deg)
+    out_edges = out_edges_p = edges.join(deg_side, "src").persist()
+    out_srcs = out_srcs_p = \
+        deg.select(F.col("src").alias("node")).persist()
 
     ranks = nodes.select("node", F.col("tele").alias("rank"))
+    # see pagerank: broadcast the n-row ranks side below the node-count
+    # gate so no superstep re-shuffles the cached out_edges
+    bcast_ranks = n * 16 < _PIN_DATA_BYTES
     for i in range(iterations):
+        rside = ranks.withColumnRenamed("node", "src")
+        if bcast_ranks:
+            rside = F.broadcast(rside)
         contribs = (out_edges
-                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(rside, "src")
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") / F.col("deg"))
                          .alias("contrib"))
@@ -950,10 +994,10 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     out = ranks.select("node", "rank")
     from ..cache import CacheLease
     lease = CacheLease()
-    lease.add(edges)
-    lease.add(nodes)
-    lease.add(out_edges)
-    lease.add(out_srcs)
+    lease.add(edges_p)
+    lease.add(nodes_p)
+    lease.add(out_edges_p)
+    lease.add(out_srcs_p)
     out._cypher_cache_lease = lease
     return out
 
@@ -1128,8 +1172,14 @@ def hits(edges: DataFrame, iterations: int = 5, src_col: str = "src",
     oracle at 6 decimals.  Beyond-reference: the reference has no
     algorithm surface at all.
     """
-    edges = edges.select(F.col(src_col).alias("src"),
-                         F.col(dst_col).alias("dst")).persist()
+    edges = edges_p = edges.select(F.col(src_col).alias("src"),
+                                   F.col(dst_col).alias("dst")).persist()
+    # The loop scans this cache twice per superstep in its derivation
+    # partition layout (never re-coalesced for cached plans); size the
+    # scan once from an exact count — one job that materializes a cache
+    # the first superstep pays for anyway, no-op above the rows/part
+    # bound so the large-graph regime plans identically (round 11).
+    edges = _scan_coalesce(edges, edges.count())
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .dropDuplicates(["node"])).persist()
@@ -1139,7 +1189,7 @@ def hits(edges: DataFrame, iterations: int = 5, src_col: str = "src",
                            F.lit(1.0).alias("authority"))
         from ..cache import CacheLease
         lease = CacheLease()
-        lease.add(edges)
+        lease.add(edges_p)
         lease.add(nodes)
         out._cypher_cache_lease = lease
         return out
@@ -1196,7 +1246,7 @@ def hits(edges: DataFrame, iterations: int = 5, src_col: str = "src",
                    .alias("hub"),
                    (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("an"))
                    .alias("authority")))
-    lease.add(edges)
+    lease.add(edges_p)
     lease.add(nodes)
     out._cypher_cache_lease = lease
     return out
