@@ -2586,45 +2586,45 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
     support counted within the final subgraph.
 
     Iterative peeling (the triangle analogue of :func:`k_core`): per
-    round, (1) enumerate triangles a<b<c with two node-id-ordered
-    adjacency joins plus one existence semi-join, (2) per-edge support =
-    one map-side-combinable count over the three edge projections of
-    each triangle, (3) drop edges below k-2 and repeat until no edge
-    falls or ``rounds`` is exhausted (a warning, not silence -- peeling
-    cascades).  Every join is keyed on node ids (bucketed edge tables
-    make the triangle joins exchange-free); the triangle stream is never
-    collected, only aggregated.  The SQL oracle
-    (:func:`k_truss_sql_oracle`) unrolls the same rounds, so mid-
-    convergence states also compare equal.
+    round, (1) enumerate triangles via DEGREE-ORDERED ADJACENCY
+    INTERSECTION (round 11 -- the same core as :func:`triangle_count`:
+    orient each edge from its (degree, id)-smaller endpoint, collect
+    out-neighborhoods bounded O(sqrt(m)), and the common out-neighbors
+    of an oriented edge (a, b) are exactly its triangle closers), (2)
+    per-edge support = one map-side-combinable sum over the three edge
+    contributions of each triangle -- the apex edge (a, b) takes
+    |common| at once, each closer c adds 1 to (a, c) and (b, c) -- (3)
+    drop edges below k-2 and repeat until no edge falls or ``rounds``
+    is exhausted (a warning, not silence -- peeling cascades).  The
+    triangle stream is never collected, only aggregated, and the
+    triangle SET (so every support count) is orientation-invariant, so
+    the SQL oracle (:func:`k_truss_sql_oracle`), which enumerates by
+    plain node id, replays the rounds exactly.
 
-    Join strategy is SIZE-GATED per round with TWO tiers (round 10,
-    VERDICT r9 #2 -- the sf1 quarter-sample spot spilled 2.86 GB under
-    un-hinted sort-merge joins).  Each round counts the checkpointed
-    edge set (one cheap job) and:
+    Through round 10 the enumeration was the wedge-join form (p->q
+    join q->r plus a closing-edge semi-join); that materializes the
+    O(m^1.5)-bounded wedge stream through a shuffle per round, the
+    same shape :func:`_oriented_intersections` had measured 30x slower
+    than adjacency intersection on the sf0.1 co-purchase graph.  The
+    r10 two-tier SHJ/pin gate existed to keep that wedge stream from
+    spilling (2.86 GB at the 3M-edge quarter probe); with the wedge
+    stream gone the join strategy gate collapses to the proven
+    triangle_count shape:
 
-    - at >= ``_PIN_DATA_BYTES/4`` (16 MiB ~ 1M edges) the two
-      triangle-enumeration joins are hinted ``shuffle_hash`` --
-      sort-merge must sort the oriented-edge candidate stream on both
-      sides, pure spill fuel.  The enumeration stream is ~3x the raw
-      edge volume plus the q-join fan-out, which is why this tier
-      engages 4x earlier than triangle_count's adjacency gate: the
-      3M-edge quarter probe sat just UNDER the 64 MiB gate and spilled
-      2.86 GB; with SHJ hints alone it runs 0 spill / cpu -22% / peak
-      task memory -82% (tools/probes/walk_probe_r10.json,
-      ktruss_quarter vs ktruss_quarter_shj).
-    - at >= ``_PIN_DATA_BYTES`` the wide exchanges are additionally
-      pinned to 2x parallelism (the triangle_count x10 evidence).
-      Pinning BELOW that tier was measured counterproductive on the
-      same quarter input: 0 spill either way but wall +41% / cpu +44%
-      vs SHJ-only (ktruss_quarter_big cell) -- 4x the tasks for data
-      that fits the session layout.
+    - SMALL graphs (checkpointed edge count < ``_PIN_DATA_BYTES`` at
+      16 B/edge) broadcast the per-round adjacency (bounded at tens of
+      MB by the gate) and the degree sides -- no sort, no wedge
+      shuffle, no spill by construction.
+    - LARGE graphs hint the adjacency joins ``shuffle_hash``
+      (sort-merge would sort the wide array rows on both sides -- the
+      measured 9.2 GB-spill pathology of the triangle core) and pin
+      the wide exchanges to 2x parallelism (the triangle_count x10
+      evidence); degrees stay node-id-keyed shuffles (O(|V|) rows is
+      not broadcast material at billions).
 
-    The degree joins broadcast below the pin tier (deg is O(#nodes)
-    rows -- MBs at probe scale, not broadcast material at billions).
-    The per-round ``orient`` frame feeds three consumers (both
-    enumeration sides + the closing-edge probe) and is persisted for
-    the round, released as soon as the round's support aggregate is
-    materialized.
+    The per-round ``orient`` frame feeds two consumers (the adjacency
+    build + the probe side) and is persisted for the round, released
+    as soon as the round's support aggregate is materialized.
     """
     if k < 2:
         raise ValueError("k_truss: k must be >= 2")
@@ -2643,22 +2643,26 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
         # exact data-size decision off the checkpointed edge set -- one
         # cheap job; Catalyst estimates decay on evicted caches (see
         # triangle_count) and the peel shrinks e every round, so the
-        # regime is re-decided per round.  Two tiers (see docstring):
-        # SHJ hints from _PIN_DATA_BYTES/4, exchange pinning from
-        # _PIN_DATA_BYTES.
-        e_bytes = e.count() * 16
-        use_shj = e_bytes >= _PIN_DATA_BYTES // 4
-        big = e_bytes >= _PIN_DATA_BYTES
+        # regime is re-decided per round.  One tier (see docstring):
+        # broadcast adjacency below _PIN_DATA_BYTES, SHJ hints +
+        # exchange pinning from it.
+        n_e = e.count()
+        big = n_e * 16 >= _PIN_DATA_BYTES
         np_ = sess_pin
         if np_ is None and big \
                 and os.environ.get("SPARK_GRAFT_FORCE_PIN", "") != "never":
             np_ = max(2 * spark.sparkContext.defaultParallelism, 1)
-        # DEGREE-ORDERED enumeration (same orientation trick as
+        if np_ is None:
+            # the checkpointed edge set keeps its derivation partition
+            # count forever (AQE never re-coalesces it) -- size the
+            # round's scans from the count we just paid for, like every
+            # other small-regime loop in this module (round 11)
+            e = _scan_coalesce(e, n_e)
+        # DEGREE-ORDERED orientation (same trick as
         # :func:`triangle_count`): orient every edge from the
-        # (degree, id)-smaller endpoint, so each triangle p<q<r is found
-        # exactly once as p->q join q->r with p->r present, and every
-        # out-neighborhood is bounded by O(sqrt(m)) -- hub nodes never
-        # explode the join.  The oracle enumerates by plain node id
+        # (degree, id)-smaller endpoint -- every out-neighborhood is
+        # bounded by O(sqrt(m)), so hub nodes never explode the
+        # adjacency arrays.  The oracle enumerates by plain node id
         # instead; the triangle SET (and so every support count) is
         # orientation-invariant.
         deg = (_repart(e.select(F.col("a").alias("n"))
@@ -2675,31 +2679,47 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 8,
         ea = _repart(ea, np_, "b").join(_deg_side("b", "db"), "b")
         lo_first = (F.col("da") < F.col("db")) | (
             (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-        orient = ea.select(
+        orient = orient_p = _repart(ea.select(
             F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v")) \
-            .persist()
-        x = orient.select(F.col("u").alias("p"), F.col("v").alias("q"))
-        y = orient.select(F.col("u").alias("q2"), F.col("v").alias("r"))
-        closing = orient.select(F.col("u").alias("p"),
-                                F.col("v").alias("r"))
-        if use_shj:
-            y = y.hint("shuffle_hash")
-            closing = closing.hint("shuffle_hash")
-        tri = (_repart(x, np_, "q")
-               .join(y, F.col("q") == F.col("q2")).select("p", "q", "r"))
-        tri = _repart(tri, np_, "p", "r").join(closing, ["p", "r"],
-                                               "left_semi")
-        # project back to undirected (min-id, max-id) edge keys
-        def side(m, n):
-            return tri.select(F.least(m, n).alias("a"),
-                              F.greatest(m, n).alias("b"))
-        sides = (side(F.col("p"), F.col("q"))
-                 .unionAll(side(F.col("p"), F.col("r")))
-                 .unionAll(side(F.col("q"), F.col("r"))))
-        sup = _repart(sides, np_, "a", "b").groupBy("a", "b").agg(
-            F.count(F.lit(1)).alias("support"))
-        return sup, orient
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v")),
+            np_, "u").persist()
+        if np_ is None:
+            # one oriented row per edge; reuse the round's exact count
+            orient = _scan_coalesce(orient, n_e, rows_per_part=50_000)
+        # groupBy("u") reuses orient's hash(u) layout in the pinned
+        # regime; the common out-neighbors of oriented (u, v) are the
+        # round's triangle closers for that edge
+        adj = (orient.groupBy("u")
+               .agg(F.sort_array(F.collect_list("v")).alias("nb")))
+        adj = adj.hint("shuffle_hash") if big else F.broadcast(adj)
+        j1 = _repart(orient
+                     .join(adj.select(F.col("u").alias("__ja"),
+                                      F.col("nb").alias("nb_u")),
+                           F.col("u") == F.col("__ja")), np_, "v")
+        j = j1.join(adj.select(F.col("u").alias("__jb"),
+                               F.col("nb").alias("nb_v")),
+                    F.col("v") == F.col("__jb"))
+        cm = j.select("u", "v",
+                      F.array_intersect("nb_u", "nb_v").alias("cm"))
+        # per-triangle edge contributions as undirected (min, max) keys:
+        # the apex edge (u, v) closes |cm| triangles at once, each
+        # closer c contributes 1 to (u, c) and (v, c)
+        contrib = (cm.select(F.explode(F.concat(
+            F.array(F.struct(F.least("u", "v").alias("a"),
+                             F.greatest("u", "v").alias("b"),
+                             F.size("cm").cast("long").alias("t"))),
+            F.flatten(F.transform("cm", lambda c: F.array(
+                F.struct(F.least(F.col("u"), c).alias("a"),
+                         F.greatest(F.col("u"), c).alias("b"),
+                         F.lit(1).cast("long").alias("t")),
+                F.struct(F.least(F.col("v"), c).alias("a"),
+                         F.greatest(F.col("v"), c).alias("b"),
+                         F.lit(1).cast("long").alias("t"))))))).alias("x"))
+            .select("x.a", "x.b", "x.t")
+            .where(F.col("t") > 0))
+        sup = _repart(contrib, np_, "a", "b").groupBy("a", "b").agg(
+            F.sum("t").alias("support"))
+        return sup, orient_p
 
     converged = False
     final = None
