@@ -743,6 +743,23 @@ _COPURCHASE_SQL = (
     "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey")
 
 
+def _sym_copurchase(spark, sf_dir):
+    """Symmetrized co-purchase edges from ONE derivation (round 11).
+
+    The walk queries need both orientations of every co-purchase pair.
+    ``e.unionAll(reverse(e))`` plans the lineitem groupBy + pair-explode
+    derivation TWICE (two scans, two shuffles per materialization);
+    exploding each pair into both directions emits the identical row
+    multiset from a single derivation pass.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    both = F.explode(F.array(
+        F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+        F.struct(F.col("dst").alias("s"), F.col("src").alias("d"))))
+    return (e.select(both.alias("p"))
+            .select(F.col("p.s").alias("src"), F.col("p.d").alias("dst")))
+
+
 def _q_triangle_count(spark, sf_dir):
     """Degree-ordered triangle count of the part co-purchase graph."""
     from cypher_for_apache_flink_spark.functions.graph_algos import (
@@ -1103,12 +1120,18 @@ def _q_random_walks(spark, sf_dir):
     from cypher_for_apache_flink_spark.functions.graph_algos import (
         random_walks,
     )
-    e = _copurchase_edges(spark, sf_dir)
-    edges = e.unionAll(e.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst")))
+    # ONE derivation pass (round 11): persist the symmetrized edge set so
+    # the start-set materialization and the walk loop's own scans all read
+    # the same cache instead of re-running the co-purchase derivation
+    # (measured: the union+uncached form paid it three times per run).
+    # Safe to release right after the call: every trace row is
+    # localCheckpoint-materialized inside random_walks.
+    edges = _sym_copurchase(spark, sf_dir).persist()
     starts = (edges.select(F.col("src").alias("node"))
               .where(F.col("src") % 97 == 1).dropDuplicates(["node"]))
-    return random_walks(edges, starts, length=6).orderBy("walk", "step")
+    out = random_walks(edges, starts, length=6).orderBy("walk", "step")
+    edges.unpersist()
+    return out
 
 
 def _q_k_truss(spark, sf_dir):
@@ -1136,12 +1159,12 @@ def _q_skipgram_pairs(spark, sf_dir):
     from cypher_for_apache_flink_spark.functions.graph_algos import (
         random_walks, skipgram_pairs,
     )
-    e = _copurchase_edges(spark, sf_dir)
-    edges = e.unionAll(e.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst")))
+    # same one-derivation persist discipline as _q_random_walks
+    edges = _sym_copurchase(spark, sf_dir).persist()
     starts = (edges.select(F.col("src").alias("node"))
               .where(F.col("src") % 97 == 1).dropDuplicates(["node"]))
     walks = random_walks(edges, starts, length=6)
+    edges.unpersist()
     return (skipgram_pairs(walks, window=2)
             .groupBy("center", "context").agg(F.count(F.lit(1)).alias("n"))
             .orderBy("center", "context"))
@@ -1216,13 +1239,17 @@ def _q_node2vec_walks(spark, sf_dir):
     from cypher_for_apache_flink_spark.functions.graph_algos import (
         node2vec_walks,
     )
-    e = _copurchase_edges(spark, sf_dir)
-    edges = e.unionAll(e.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst")))
+    # same one-derivation persist discipline as _q_random_walks (the
+    # loop's own persisted state is the DEDUPED edge set, a different
+    # frame, so its internal persist stays; this cache only serves the
+    # start-set and dedup materializations and is released right after)
+    edges = _sym_copurchase(spark, sf_dir).persist()
     starts = (edges.select(F.col("src").alias("node"))
               .where(F.col("src") % 89 == 1).dropDuplicates(["node"]))
-    return (node2vec_walks(edges, starts, length=6, p=4, q="0.25")
-            .orderBy("walk", "step"))
+    out = (node2vec_walks(edges, starts, length=6, p=4, q="0.25")
+           .orderBy("walk", "step"))
+    edges.unpersist()
+    return out
 
 
 def _q_pagerank_weighted(spark, sf_dir):

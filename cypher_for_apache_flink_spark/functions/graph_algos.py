@@ -1753,10 +1753,16 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
     12M-edge graph completes in the shuffled regime with no broadcast.
     """
     # loop-invariant: persist so a derived edge table (e.g. the
-    # co-purchase groupBy+explode) is computed once, not once per step
-    edges = base_edges = (edges.select(F.col(src_col).alias("src"),
-                                       F.col(dst_col).alias("dst"))
-                          .persist())
+    # co-purchase groupBy+explode) is computed once, not once per step.
+    # When the CALLER already persisted the input (the entry queries do,
+    # round 11), the projection on top substitutes that cache on every
+    # scan -- a second persist of the same rows would only double the
+    # storage footprint, so it is skipped and release stays the caller's.
+    lvl = edges.storageLevel
+    pre_persisted = lvl.useMemory or lvl.useDisk
+    sel = edges.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"))
+    edges = base_edges = sel if pre_persisted else sel.persist()
     try:
         frontier = (starts.select(F.col(node_col).alias("walk"))
                     .dropDuplicates(["walk"])
@@ -1815,7 +1821,8 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
     finally:
         if edges is not base_edges:
             edges.unpersist()
-        base_edges.unpersist()
+        if not pre_persisted:
+            base_edges.unpersist()
 
 
 def random_walks_sql_oracle(edges_sql: str, starts_sql: str,
