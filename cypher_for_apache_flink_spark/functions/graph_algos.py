@@ -102,6 +102,27 @@ def _repart(df: DataFrame, nparts: int | None, *cols: str) -> DataFrame:
     return df if nparts is None else df.repartition(nparts, *cols)
 
 
+def _mirror(df: DataFrame, ucol: str = "u", vcol: str = "v",
+            carry: tuple = ()) -> DataFrame:
+    """Both orientations of every edge row from ONE pass over ``df``
+    (round 11): ``df.unionByName(df-reversed)`` plans the input subtree
+    TWICE, so an expensive derived edge table (a fact-table self-join or
+    groupBy+pair-explode) is computed twice inside the job that
+    materializes the mirrored set.  Exploding each row into (u, v) and
+    (v, u) emits the identical row multiset from a single pass; ``carry``
+    columns (e.g. a weight) ride along unchanged.  Every consumer in this
+    module aggregates or deduplicates the result, so the different
+    within-partition row order cannot affect results."""
+    u, v = F.col(ucol), F.col(vcol)
+    cc = [F.col(c).alias(c) for c in carry]
+    both = F.explode(F.array(
+        F.struct(u.alias(ucol), v.alias(vcol), *cc),
+        F.struct(v.alias(ucol), u.alias(vcol), *cc)))
+    return (df.select(both.alias("__m"))
+            .select(*[F.col(f"__m.{c}").alias(c)
+                      for c in (ucol, vcol, *carry)]))
+
+
 def _scan_coalesce(df: DataFrame, n_rows: int,
                    rows_per_part: int = 150_000) -> DataFrame:
     """Size-derived ``coalesce`` for a persisted frame an iterative loop
@@ -833,9 +854,10 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
         from .dedup import DEFAULT_SKEW_CAP
         max_neighbor_degree = DEFAULT_SKEW_CAP
     und = _normalize_undirected(edges, src_col, dst_col)
-    adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-           .unionAll(und.select(F.col("v").alias("node"),
-                                F.col("u").alias("nbr")))).persist()
+    # both orientations from ONE pass -- see _mirror (round 11)
+    adj = (_mirror(und)
+           .select(F.col("u").alias("node"),
+                   F.col("v").alias("nbr"))).persist()
     # deg feeds three consumers (hub filter + both denominator joins) and
     # wedge_src two (both wedge sides, each paying the broadcast build) —
     # persisting them evaluates each subtree once per query instead of
@@ -1085,9 +1107,10 @@ def label_propagation(edges: DataFrame, iterations: int = 5,
     # save) while the setup repartition pays a full extra pass.  The
     # irreducible per-superstep shuffle is the (node, label) count
     # aggregate below, which partially aggregates map-side.
-    adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-           .unionAll(und.select(F.col("v").alias("node"),
-                                F.col("u").alias("nbr")))
+    # both orientations from ONE pass over the (possibly expensive
+    # derived) normalized edge set -- see _mirror (round 11)
+    adj = (_mirror(und)
+           .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .localCheckpoint(eager=True))
     labels = (adj.select("node").dropDuplicates(["node"])
               .withColumn("lbl", F.col("node"))
@@ -2151,8 +2174,8 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 16,
     bi = (edges.select(F.col(src_col).alias("u"),
                        F.col(dst_col).alias("v"))
           .where(F.col("u") != F.col("v")))
-    bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
+    # both orientations from ONE pass -- see _mirror (round 11)
+    bi = (_mirror(bi)
           .dropDuplicates(["u", "v"]).localCheckpoint(eager=True))
     undecided = (bi.select(F.col("u").alias("node"))
                  .dropDuplicates(["node"]).localCheckpoint(eager=True))
@@ -2349,15 +2372,14 @@ def louvain(edges: DataFrame, rounds: int = 16,
                            F.col(dst_col).alias("v"),
                            F.col(weight_col).cast("long").alias("w"))
               .where((F.col("u") != F.col("v")) & (F.col("w") > 0)))
-        bi = (e0.unionByName(e0.select(F.col("v").alias("u"),
-                                       F.col("u").alias("v"), "w"))
+        # both orientations from ONE pass -- see _mirror (round 11)
+        bi = (_mirror(e0, carry=("w",))
               .groupBy("u", "v").agg(F.sum("w").alias("w")).persist())
     else:
         bi = (edges.select(F.col(src_col).alias("u"),
                            F.col(dst_col).alias("v"))
               .where(F.col("u") != F.col("v")))
-        bi = (bi.unionByName(bi.select(F.col("v").alias("u"),
-                                       F.col("u").alias("v")))
+        bi = (_mirror(bi)
               .dropDuplicates(["u", "v"])
               .withColumn("w", F.lit(1).cast("long")).persist())
     from concurrent.futures import ThreadPoolExecutor
@@ -2861,10 +2883,9 @@ def fastrp_embeddings(edges: DataFrame, dims: int = 16, iterations: int = 3,
     bi = (edges.select(F.col(src_col).alias("u"),
                        F.col(dst_col).alias("v"))
           .where(F.col("u") != F.col("v")))
+    # both orientations from ONE pass -- see _mirror (round 11)
     bi = bi_persisted = (
-        bi.unionByName(bi.select(F.col("v").alias("u"),
-                                 F.col("u").alias("v")))
-        .dropDuplicates(["u", "v"]).persist())
+        _mirror(bi).dropDuplicates(["u", "v"]).persist())
     try:
         n_bi = bi.count()
         if n_bi == 0:
