@@ -1666,10 +1666,22 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
                .join(remaining.withColumnRenamed("node", "dst"),
                      "dst", "left_semi"))
         sub = sub.localCheckpoint(eager=True)
-        fwd, fwd_ok = _min_label_fixpoint(remaining, sub)
-        bwd, bwd_ok = _min_label_fixpoint(
-            remaining, sub.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
+        # the forward and backward fixpoints are INDEPENDENT given the
+        # checkpointed subgraph (both read only `remaining` + `sub`), and
+        # each is a sequential chain of tiny driver-latency-bound jobs --
+        # run them as two concurrent driver threads (guide-style
+        # independent-job overlap, round 11) so one chain's scheduling
+        # gaps back-fill the other's.  Determinism is untouched: each
+        # fixpoint's result is a pure function of its inputs.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fwd_f = pool.submit(_min_label_fixpoint, remaining, sub)
+            bwd_f = pool.submit(
+                _min_label_fixpoint, remaining,
+                sub.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+            fwd, fwd_ok = fwd_f.result()
+            bwd, bwd_ok = bwd_f.result()
         if not (fwd_ok and bwd_ok):
             # assigning off under-propagated labels would carve a partial
             # SCC and wrongly singleton-ize its leftovers next round; a
