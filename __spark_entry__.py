@@ -918,8 +918,14 @@ def _q_node_similarity(spark, sf_dir):
     edges = docs.select(
         F.concat(F.lit("D"), F.col("doc_id").cast("string")).alias("src"),
         F.explode(word_shingles(F.col("text"), 3)).alias("dst"))
-    pairs = neighborhood_jaccard_pairs(edges, threshold=0.5,
-                                       max_neighbor_degree=100)
+    # node_filter pushes the doc-side restriction BELOW the persisted
+    # wedge frame (round 11, guide §2.3/§5): only doc-doc pairs are
+    # wanted, and without it the wedge join enumerates (and the cache
+    # stores) every shingle-shingle candidate too; the trailing where()
+    # is the result-equivalence made explicit (it keeps every row).
+    pairs = neighborhood_jaccard_pairs(
+        edges, threshold=0.5, max_neighbor_degree=100,
+        node_filter=lambda c: c.startswith("D"))
     return _carry_lease(pairs, pairs.where(F.col("a").startswith("D")
                                            & F.col("b").startswith("D")))
 

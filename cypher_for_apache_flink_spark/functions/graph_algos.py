@@ -832,7 +832,8 @@ def k_core_sql_oracle(edges_sql: str, k: int = 3, rounds: int = 12) -> str:
 
 def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
                                src_col: str = "src", dst_col: str = "dst",
-                               max_neighbor_degree="auto") -> DataFrame:
+                               max_neighbor_degree="auto",
+                               node_filter=None) -> DataFrame:
     """Node-similarity pairs by Jaccard over undirected neighbor sets
     (the GDS nodeSimilarity shape).  Returns (a, b, jaccard) with a < b
     and jaccard >= threshold.
@@ -849,6 +850,22 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     leaves the numerator, so capped jaccard values are LOWER BOUNDS of
     the exact ones (pairs whose overlap is hub-only can be missed) — the
     standard recall/cost trade at scale.
+
+    ``node_filter`` (round 11, guide §2.3/§5): an optional
+    ``Column -> Column`` predicate over the node id, applied to BOTH
+    wedge sides before they are persisted.  Result-equivalent to
+    post-filtering the output with ``node_filter(a) & node_filter(b)``
+    — each pair's jaccard depends only on its shared-neighbor count and
+    the two FULL degrees, and all three are computed the same way for
+    the surviving pairs — but pushed INSIDE the cache boundary: Catalyst
+    can push a caller's post-filter into every *scan* of the persisted
+    wedge frame, yet the cache itself still stores (and the wedge join
+    still shuffles partial aggregates over) every excluded node's rows.
+    On a bipartite graph queried for one side (the node_similarity
+    entry: doc-shingle edges, doc-doc pairs wanted) the excluded side's
+    wedges are the bulk of the candidate stream.  Degrees in the
+    denominator still count ALL neighbors — the predicate restricts
+    which pairs are *emitted*, never what a pair's jaccard is.
     """
     if max_neighbor_degree == "auto":
         from .dedup import DEFAULT_SKEW_CAP
@@ -865,17 +882,23 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     # spread (VERDICT r6 #5)
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).persist()
     wedge_src = adj
-    if max_neighbor_degree is not None:
-        small = deg.where(F.col("deg") <= max_neighbor_degree) \
-            .select(F.col("node").alias("nbr"))
+    if max_neighbor_degree is not None or node_filter is not None:
+        wedge_src = adj
+        if max_neighbor_degree is not None:
+            small = deg.where(F.col("deg") <= max_neighbor_degree) \
+                .select(F.col("node").alias("nbr"))
+            wedge_src = wedge_src.join(F.broadcast(small), "nbr")
+        if node_filter is not None:
+            # push the caller's node predicate below the persist: the
+            # cache stores only rows that can appear in an emitted pair
+            wedge_src = wedge_src.where(node_filter(F.col("node")))
         # hash(nbr)-partition BEFORE persisting: the wedge join below is
         # a self-join of this cache on nbr, and a cached frame keeps its
         # layout forever — co-partitioning here makes BOTH join inputs
         # exchange-free (one exchange paid at materialization replaces
         # two on the hot path, guide §2.4), and the cache comes out in
         # right-sized shuffle partitions instead of derivation layout
-        wedge_src = (adj.join(F.broadcast(small), "nbr")
-                     .repartition("nbr").persist())
+        wedge_src = wedge_src.repartition("nbr").persist()
     a = wedge_src.select(F.col("node").alias("a"), "nbr")
     b = wedge_src.select(F.col("node").alias("b"), "nbr")
     shared = (a.join(b, "nbr").where(F.col("a") < F.col("b"))

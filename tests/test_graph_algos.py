@@ -327,6 +327,40 @@ def test_neighborhood_jaccard_cap_prunes_only_candidates(spark):
     assert 0 < capped[(1, 2)] <= uncapped[(1, 2)]
 
 
+def test_neighborhood_jaccard_node_filter_equals_post_filter(spark):
+    # bipartite doc-shingle shape (the node_similarity entry): pushing
+    # the doc-side predicate below the persisted wedge frame must emit
+    # EXACTLY the post-filtered pairs, with identical jaccard values
+    # (full degrees in the denominator either way)
+    from pyspark.sql import functions as F
+    import random
+    rng = random.Random(7)
+    edge_list = list({(f"D{rng.randint(1, 12)}", f"s{rng.randint(1, 15)}")
+                      for _ in range(70)})
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    full = neighborhood_jaccard_pairs(edges, threshold=0.2,
+                                      max_neighbor_degree=100)
+    want = {(r.a, r.b, r.jaccard)
+            for r in full.where(F.col("a").startswith("D")
+                                & F.col("b").startswith("D")).collect()}
+    got = {(r.a, r.b, r.jaccard)
+           for r in neighborhood_jaccard_pairs(
+               edges, threshold=0.2, max_neighbor_degree=100,
+               node_filter=lambda c: c.startswith("D")).collect()}
+    assert got == want and len(got) > 0
+    # and without the hub cap (the node_filter-only persist branch)
+    want_nc = {(r.a, r.b, r.jaccard)
+               for r in neighborhood_jaccard_pairs(
+                   edges, threshold=0.2, max_neighbor_degree=None)
+               .where(F.col("a").startswith("D")
+                      & F.col("b").startswith("D")).collect()}
+    got_nc = {(r.a, r.b, r.jaccard)
+              for r in neighborhood_jaccard_pairs(
+                  edges, threshold=0.2, max_neighbor_degree=None,
+                  node_filter=lambda c: c.startswith("D")).collect()}
+    assert got_nc == want_nc and len(got_nc) > 0
+
+
 # ---------------------------------------------------------------------------
 # Personalized PageRank
 # ---------------------------------------------------------------------------
