@@ -173,24 +173,27 @@ def main():
         warmups = 3 if noisy else 1
         q_runs = runs + 2 if noisy else runs
         protocols[name] = {"warmups": warmups, "samples": q_runs}
-        prepersisted = None
-        if name == "node_similarity":
-            # r5 nit: node_similarity re-derived (and re-persisted) the
-            # co-purchase graph inside every run — the dominant residual
-            # spread source.  Cache the derivation once for this query's
-            # runs (the query's identical logical fragment hits the cache
-            # manager); cleared with everything else afterwards.
-            prepersisted = entrymod._copurchase_edges(spark, sf_dir).cache()
-            prepersisted.count()
-            protocols[name]["derived_graph_prepersisted"] = True
+        # (round 11) the r5-era node_similarity co-purchase prepersist is
+        # gone: the query has derived its graph from the DOCUMENT corpus
+        # since the doc-shingle flagship landed, so the cached co-purchase
+        # fragment was never read by any of its runs — the protocol tag
+        # claimed a prepersisted graph that did not exist.  Removing dead
+        # ballast cannot change what the runs compute; every run still
+        # derives the doc-shingle graph inside the timed region.
         samples, n = [], 0
         for i in range(q_runs + warmups):
             last = i == q_runs + warmups - 1
             if last:
                 before = {k for k, _ in _stage_keys(spark)}
+            # label the run's jobs so UI/status-store dumps are readable
+            # (guide §1.5); set before the timed region starts
+            spark.sparkContext.setJobDescription(
+                f"bench {name} run {i - warmups}" if i >= warmups
+                else f"bench {name} warmup {i}")
             t0 = time.time()
             n = len(qs[name](spark, sf_dir).collect())
             dt = time.time() - t0
+            spark.sparkContext.setJobDescription(None)
             if last:
                 # physical totals of ONE warm run (deterministic given
                 # plan + data — the cross-round regression signal)
@@ -205,8 +208,6 @@ def main():
         # perturb the NEXT query's samples; the forced full GC pays the
         # collection debt of the freed blocks NOW instead of as a major
         # pause in the middle of the next query's first sample
-        if prepersisted is not None:
-            prepersisted.unpersist()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         samples.sort()
