@@ -1941,7 +1941,8 @@ _ROUND11_CHANGED = [
     'k_truss', 'keyword_label_scan', 'label_propagation',
     'labels_function', 'list_functions', 'local_clustering',
     'louvain_communities', 'louvain_weighted',
-    'math_functions', 'mis_conflict_free', 'node2vec_walks',
+    'math_functions', 'mis_conflict_free', 'near_dup_clusters',
+    'node2vec_walks',
     'node_similarity', 'not_exists_pattern', 'optional_first_clause',
     'optional_match_count', 'optional_match_null', 'order_skip_limit',
     'orderby_expression', 'pagerank', 'pagerank_weighted',
@@ -1973,16 +1974,37 @@ _ROUND11_DIRECT = [
     'asof_attribution', 'pq_topk', 'call_random_walks',
 ]
 
+# Round-11 OPTIMIZATION-pass restructures (the second half of the round):
+# queries whose internals were rewritten for performance with results
+# proven identical against the oracle — the riskiest rows of the round,
+# so they outrank the aged-but-unchanged tier in the 50-row window
+# (VERDICT r6 #2: changed queries MUST NOT ride stale green rows).
+# k_truss: wedge-join -> adjacency-intersection support counts;
+# node_similarity: lease fix + co-partitioned wedge + node-filter
+# pushdown; walks: single shared derivation + sized cached scans;
+# pagerank family/hits: revived caches + counted-gate broadcasts +
+# sized scans; triangle/label_propagation/near_dup_clusters: shared
+# mirror + sized triangle-core scans + lease forwarding; scc:
+# concurrent fixpoints over one materialization per iteration.
+_ROUND11_OPT = [
+    'k_truss', 'node_similarity', 'scc_components', 'random_walks',
+    'skipgram_pairs', 'pagerank', 'pagerank_weighted',
+    'personalized_pagerank', 'hits_scores', 'triangle_count',
+    'label_propagation', 'near_dup_clusters',
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness for the first 50 entries only.
-    # Round-11 rotation (VERDICT r10 #2): (a) never-recorded round-11
-    # queries, (b) the 29 queries whose driver rows are older than two
-    # rounds (r5/r6/r8), (c) queries directly changed in round 11,
-    # (d) the round-10-changed queries riding on r9 rows, (e) the
-    # earlier tiers.  (a)+(b)+(c) = 43 (8 new round-11 queries), so 7
-    # of tier (d)'s 39 make the window; the remainder is re-verified by
-    # the committed full tools/check_oracle.py replay this round.
+    # Round-11 rotation (VERDICT r10 #2 + VERDICT r6 #2): (a) the 8
+    # never-recorded round-11 queries, (a') the 12 optimization-pass
+    # restructures (changed internals MUST NOT ride stale green rows —
+    # the hardest invariant, so they outrank age), (c) the 6
+    # build-half directly-changed queries, then (b) the stalest aged
+    # rows (r5/r6 era) until the window fills.  Every query outside
+    # the window — including the r8-era aged tail — is re-verified by
+    # the committed full tools/check_oracle.py replay at final HEAD
+    # (tools/probes/check_oracle_r11_final.txt, 135/135).
     full = dict(_EXTRA_QUERIES)
     for name in _DEFERRED_VARIANTS:
         full[name] = _CYPHER_QUERIES[name]
@@ -1999,8 +2021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(_ROUND11_QUERIES)
     changed = set(_ROUND10_CHANGED) | set(_ROUND9_CHANGED)
     prio = (list(_ROUND11_QUERIES)     # (a) never-recorded round-11
+            + _ROUND11_OPT             # (a') optimization-pass restructures
+            + _ROUND11_DIRECT          # (c) directly changed in r11 build
             + _AGED_ROWS_R11           # (b) rows older than two rounds
-            + _ROUND11_DIRECT          # (c) directly changed in r11
             + _ROUND10_STALE           # (d) r10-changed on r9 rows
             + list(_ROUND10_QUERIES)
             + _ROUND9_STALE
