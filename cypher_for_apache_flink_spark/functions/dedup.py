@@ -36,13 +36,23 @@ def word_shingles(text, n: int = 3):
     Docs with fewer than ``n`` tokens yield an empty array: sequence(1, 0)
     DESCENDS in Spark, so without the guard slice(toks, 0, n) throws at
     runtime on the first empty document in the corpus.
+
+    The token array is let-bound (``bind_once``) so the regex-split subtree
+    evaluates once per row, not once per shingle position — the inlined form
+    was O(tokens^2) per doc and measured 8.2x slower at sf0.1 (round 12;
+    results bit-identical, pinned by tests/test_expr_binding.py).
     """
-    toks = tokens(text)
-    cnt = F.size(toks) - (n - 1)
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
-    return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+    from .util import bind_once
+
+    def grams_of(tks):
+        cnt = F.size(tks) - (n - 1)
+        grams = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tks, i, n))))
+        return F.when(cnt > 0, grams).otherwise(
+            F.array().cast("array<string>"))
+
+    return bind_once(tokens(text), grams_of)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -121,12 +131,19 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 def minhash_from_shingles(sh, num_hashes: int = 8):
     """MinHash signature over an (already computed) shingle array column:
     per seed i, min over shingles of md5(i || shingle).  Hex-string minima —
-    portable across engines."""
+    portable across engines.
+
+    ``sh`` is let-bound so a caller passing an inline shingle SUBTREE (not a
+    stored column) pays its evaluation once, not once per seed (round 12;
+    results identical — tests/test_expr_binding.py)."""
+    from .util import bind_once
+
     def seed_hash(i):
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
 
-    return F.array(*[F.array_min(F.transform(sh, seed_hash(i)))
-                     for i in range(num_hashes)])
+    return bind_once(sh, lambda arr: F.array(
+        *[F.array_min(F.transform(arr, seed_hash(i)))
+          for i in range(num_hashes)]))
 
 
 def minhash_signature(text, n: int = 3, num_hashes: int = 8):
@@ -480,6 +497,25 @@ def stream_dedup_against_index(spark, docs: DataFrame, path: str, sink,
     return docs.writeStream.foreachBatch(_process)
 
 
+def _span_windows(text, n: int):
+    """(pos, md5) structs for every ``n``-token window of the text, token
+    array let-bound (round 12 — the inlined form re-split the text per
+    window position; results identical, tests/test_expr_binding.py)."""
+    from .util import bind_once
+
+    def wins_of(tks):
+        cnt = F.size(tks) - (n - 1)
+        w = F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(tks, i, n))).alias("h")))
+        return F.when(cnt > 0, w).otherwise(
+            F.array().cast("array<struct<pos:bigint,h:string>>"))
+
+    return bind_once(tokens(text), wins_of)
+
+
 def duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
@@ -503,16 +539,8 @@ def duplicate_spans(df: DataFrame, n: int = 20, min_count: int = 2,
     bounded by per-document token counts — no suffix array, no global
     sort, nothing driver-side.
     """
-    toks = tokens(F.col(text_col))
-    cnt = F.size(toks) - (n - 1)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-        lambda i: F.struct(
-            (i - 1).cast("long").alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("h")))
-    wins = F.when(cnt > 0, wins).otherwise(
-        F.array().cast("array<struct<pos:bigint,h:string>>"))
-    ex = (df.select(F.col(id_col), F.explode(wins).alias("w"))
+    ex = (df.select(F.col(id_col),
+                    F.explode(_span_windows(F.col(text_col), n)).alias("w"))
           .select(id_col, F.col("w.pos").alias("pos"),
                   F.col("w.h").alias("h"))
           .persist())   # two consumers: the count and the probe side

@@ -102,13 +102,21 @@ def fingerprint(text: Column) -> Column:
 
 def rolling_fingerprints(text: Column, window: int = 4) -> Column:
     """Winnowing-style rolling fingerprints: md5 over each ``window``-token
-    span; returns the 4 lexicographically smallest (document sketch)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    spans = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))))
-    return F.slice(F.array_sort(spans), 1, 4)
+    span; returns the 4 lexicographically smallest (document sketch).
+
+    Token array let-bound (round 12): the inlined form re-evaluated the
+    regex-split subtree per span position — O(tokens^2).  Results identical
+    (tests/test_expr_binding.py)."""
+    from .util import bind_once
+
+    def spans_of(tks):
+        n = F.size(tks)
+        spans = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tks, i, window))))
+        return F.slice(F.array_sort(spans), 1, 4)
+
+    return bind_once(tokens(text), spans_of)
 
 
 def text_profile(df: DataFrame, text_col: str = "text",
