@@ -59,7 +59,8 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
         prop = (labels.join(neighbor_min, "node", "left")
                 .select("node",
                         F.least(F.col("cc"),
-                                F.coalesce("ncc", "cc")).alias("cc")))
+                                F.coalesce("ncc", "cc")).alias("cc"),
+                        F.col("cc").alias("__old")))
         if it < doubling_rounds:
             # pointer doubling: cc <- min(cc, cc[cc]).  Labels are node
             # ids, and "m labels v" means m and v share a component, so
@@ -74,13 +75,26 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
                               "left")
                     .select("node",
                             F.least(F.col("cc"),
-                                    F.coalesce("__v", "cc")).alias("cc")))
-        new_labels = prop.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.cc") != F.col("o.cc"))
-                   .limit(1).count())
-        labels = new_labels
+                                    F.coalesce("__v", "cc")).alias("cc"),
+                            "__old"))
+        # Convergence probe fused into the checkpoint (round 12): labels
+        # only ever DECREASE, so "changed" is computable inline as
+        # cc != old cc — the old probe was a labels⋈labels join plus a
+        # second action per round; now the changed-count rides the job
+        # that materializes the lazy checkpoint.  Same predicate, same
+        # rounds, identical labels.
+        new_labels = prop.select(
+            "node", "cc",
+            (F.col("cc") != F.col("__old")).alias("__chg")) \
+            .localCheckpoint(eager=False)
+        # one RDD-count job materializes the lazy checkpoint AND counts
+        # the changed rows (a DataFrame.count() is a 2-job AQE aggregate)
+        chg = new_labels.where(F.col("__chg"))
+        try:
+            changed = chg._jdf.queryExecution().toRdd().count()
+        except Exception:
+            changed = chg.count()
+        labels = new_labels.select("node", "cc")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -318,8 +318,8 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
                .withColumn("dist", F.lit(hop).cast("long")))
         if hop % checkpoint_interval == 0 or hop == max_hops:
             # truncate lineage AND decide termination with one materialize
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            nxt, n_nxt = _ckpt_count(nxt)
+            if n_nxt == 0:
                 break
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -371,8 +371,8 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
                     .where(F.col("__old").isNull()
                            | (F.col("cost") < F.col("__old")))
                     .select("node", "cost"))
-        improved = improved.localCheckpoint(eager=True)
-        if improved.isEmpty():
+        improved, n_improved = _ckpt_count(improved)
+        if n_improved == 0:
             converged = True
             break
         dist = (dist.join(improved.select("node"), "node", "left_anti")
@@ -781,9 +781,9 @@ def k_core(edges: DataFrame, k: int = 3, src_col: str = "src",
                          "left_semi")
                .join(keep.withColumnRenamed("node", "v"), "v", "left_semi"))
         # materialize every round: the fixpoint test needs a count anyway,
-        # and the checkpoint truncates the per-round lineage
-        nxt = nxt.coalesce(nparts).localCheckpoint(eager=True)
-        n_next = nxt.count()
+        # and the checkpoint truncates the per-round lineage — count and
+        # checkpoint ride ONE job (round 12, _ckpt_count)
+        nxt, n_next = _ckpt_count(nxt.coalesce(nparts))
         live = nxt
         converged = n_next == n_live
         n_live = n_next
@@ -1391,9 +1391,9 @@ def betweenness(edges: DataFrame, sources: DataFrame | None = None,
         nxt = (level.join(edges, level["v"] == edges["src"])
                .select("s", F.col("dst").alias("v"), "sigma")
                .groupBy("s", "v").agg(F.sum("sigma").alias("sigma"))
-               .join(visited, ["s", "v"], "left_anti")
-               .localCheckpoint(eager=True))
-        if nxt.isEmpty():
+               .join(visited, ["s", "v"], "left_anti"))
+        nxt, n_nxt = _ckpt_count(nxt)
+        if n_nxt == 0:
             break
         levels.append(nxt)
         visited = visited.unionByName(nxt.select("s", "v")) \
@@ -1530,8 +1530,8 @@ def closeness_centrality(edges: DataFrame, sources: DataFrame | None = None,
                .join(visited.select("root", "node"),
                      ["root", "node"], "left_anti")
                .withColumn("dist", F.lit(depth).cast("long")))
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        nxt, n_nxt = _ckpt_count(nxt)
+        if n_nxt == 0:
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -1663,16 +1663,20 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
             # checkpoint (3 eager jobs and 3 shuffles per iteration)
             # collapses to one severed frame; the frontier and the
             # convergence probe are cheap filters over its partitions.
-            nxt = _ckpt_sever(
+            # the improved-count rides the checkpoint job (round 12,
+            # _ckpt_sever_count with a predicate): the isEmpty probe was
+            # a second driver round-trip per fixpoint iteration
+            nxt, n_imp = _ckpt_sever_count(
                 labels.join(cand.withColumnRenamed("label", "__c"),
                             "node", "left")
                 .select("node",
                         F.least(F.col("label"),
                                 F.coalesce(F.col("__c"), F.col("label")))
                         .alias("label"),
-                        (F.col("__c") < F.col("label")).alias("__imp")))
+                        (F.col("__c") < F.col("label")).alias("__imp")),
+                pred=F.col("__imp"))
             improved = nxt.where(F.col("__imp"))
-            if improved.isEmpty():
+            if n_imp == 0:
                 return labels, True
             if applied >= fixpoint_iters:
                 # budget exhausted WITH a non-empty improvement frontier
@@ -1719,9 +1723,9 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 8,
         assigned = (done if assigned is None
                     else assigned.unionByName(done))
         assigned = assigned.localCheckpoint(eager=True)
-        remaining = (both.where(F.col("label") != F.col("__b"))
-                     .select("node").localCheckpoint(eager=True))
-        if remaining.isEmpty():
+        remaining, n_remaining = _ckpt_count(
+            both.where(F.col("label") != F.col("__b")).select("node"))
+        if n_remaining == 0:
             return assigned
     n_left = remaining.count()
     if truncated:
@@ -1867,8 +1871,8 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
                                        F.col("dst").alias("node")))
                         .alias("pick"))
                    .select("walk", F.col("pick.node").alias("node")))
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            nxt, n_nxt = _ckpt_count(nxt)
+            if n_nxt == 0:
                 break
             trace = trace.unionByName(
                 nxt.select("walk", F.lit(step).alias("step"), "node"))
@@ -2132,8 +2136,8 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame, length: int = 5,
                         F.first("__cur").alias("prev"))
                    .select("walk", F.col("pick.node").alias("node"),
                            "prev"))
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            nxt, n_nxt = _ckpt_count(nxt)
+            if n_nxt == 0:
                 break
             trace = trace.unionByName(
                 nxt.select("walk", F.lit(step).alias("step"), "node"))
@@ -2239,9 +2243,9 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 16,
                                  "u", "left_semi")
                      .select(F.col("v").alias("node")))
         removed = winners.unionByName(dominated).dropDuplicates(["node"])
-        undecided = (undecided.join(removed, "node", "left_anti")
-                     .localCheckpoint(eager=True))
-        if undecided.isEmpty():
+        undecided, n_undecided = _ckpt_count(
+            undecided.join(removed, "node", "left_anti"))
+        if n_undecided == 0:
             exhausted = False
             break
         active = (active.join(undecided.withColumnRenamed("node", "u"),
@@ -2333,6 +2337,46 @@ def _ckpt_sever(df: DataFrame) -> DataFrame:
         return DataFrame(njdf, spark)
     except Exception:
         return ck
+
+
+def _ckpt_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Plain localCheckpoint + row count, with the count taken on the
+    checkpointed RDD directly.  The eager-checkpoint-then-isEmpty (or
+    -then-``DataFrame.count()``) idiom the fixpoint loops used paid 3-4
+    driver round-trips per iteration for one materialization — a
+    ``DataFrame.count()`` is itself a 2-job AQE aggregate every call,
+    while ``RDD.count()`` over the (lazily) checkpointed rows is ONE job
+    that also forces the checkpoint (round 12, guide §5 driver actions;
+    results identical by construction — measured jobs per
+    materialize+test: 3 -> 2, per materialize+count: 4 -> 2)."""
+    ck = df.localCheckpoint(eager=False)
+    try:
+        n = ck._jdf.queryExecution().toRdd().count()
+    except Exception:
+        n = ck.count()
+    return ck, n
+
+
+def _ckpt_sever_count(df: DataFrame, pred=None) -> tuple[DataFrame, int]:
+    """:func:`_ckpt_sever` PLUS a row count — one RDD count job forces
+    the lazy checkpoint AND yields the cardinality the loops need for
+    emptiness tests / size-adaptive partitioning (see :func:`_ckpt_count`
+    for the job accounting; round 12).  With ``pred``, the count is of
+    the MATCHING rows only (the count job still materializes every
+    partition of the checkpoint — a filtered RDD count is not
+    short-circuiting)."""
+    ck = df.localCheckpoint(eager=False)
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        probe = ck if pred is None else ck.where(pred)
+        n = probe._jdf.queryExecution().toRdd().count()
+        njdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(njdf, spark), n
+    except Exception:
+        probe = ck if pred is None else ck.where(pred)
+        return ck, probe.count()
 
 
 def louvain(edges: DataFrame, rounds: int = 16,
@@ -2457,9 +2501,6 @@ def louvain(edges: DataFrame, rounds: int = 16,
         ctot = _ckpt_sever(
             bi.groupBy("u").agg(F.sum("w").alias("tot"))
             .select(F.col("u").alias("c"), "tot"))
-        mapping = _ckpt_sever(bi.select(F.col("u").alias("node"))
-                              .dropDuplicates(["node"])
-                              .withColumn("c", F.col("node")))
         # the severed leaves deliberately report no size estimate (see
         # _ckpt_sever), so the STATIC planner would sort-merge the big
         # contracted-edge side against the tiny community tables (4.6 GB
@@ -2469,7 +2510,10 @@ def louvain(edges: DataFrame, rounds: int = 16,
         # they broadcast; above it the joins are hinted shuffle_hash
         # (sorting per round is pure overhead for a loop that contracts
         # the state anyway -- the k_truss lesson).
-        n_nodes = mapping.count()
+        mapping, n_nodes = _ckpt_sever_count(
+            bi.select(F.col("u").alias("node"))
+            .dropDuplicates(["node"])
+            .withColumn("c", F.col("node")))
         bcast = n_nodes * 16 < _PIN_DATA_BYTES
 
         def small(df):
@@ -2508,14 +2552,17 @@ def louvain(edges: DataFrame, rounds: int = 16,
             # memory -- measured 0 spill at 12M edges, and the
             # single-pass pick beats a two-phase hash-agg argmax that
             # would re-evaluate the scoring join (tried: +60% cpu)
-            best = _ckpt_sever(
+            # checkpoint + emptiness test fused into ONE job (round 12,
+            # _ckpt_sever_count): isEmpty on the severed frame was a
+            # second driver round-trip per round
+            best, n_best = _ckpt_sever_count(
                 scored.where(~head(F.col("a")) & head(F.col("b")))
                 .groupBy("a")
                 .agg(F.min(F.struct((-F.col("score")).alias("s"),
                                     F.col("b").alias("b"))).alias("p"))
                 .select(F.col("a").alias("c"),
                         F.col("p.b").alias("__new")))
-            if best.isEmpty():
+            if n_best == 0:
                 # merge-free round: converged only if NO positive pair
                 # exists at all (the coin can strand a round)
                 if scored.isEmpty():
@@ -2543,8 +2590,8 @@ def louvain(edges: DataFrame, rounds: int = 16,
             # the contraction aggregate's hash maps are bounded by the
             # explicit (a, b) repartition: its keys are near-unique, so
             # partition count must track the (shrinking) edge state --
-            # ew is checkpointed, making the count one cheap job
-            ew = _ckpt_sever(
+            # the count rides the checkpoint job (round 12)
+            ew, ew_rows = _ckpt_sever_count(
                 ew.join(small(ma), "a", "left").join(small(mb), "b", "left")
                 .select(F.coalesce(F.col("__na"), F.col("a")).alias("a"),
                         F.coalesce(F.col("__nb"), F.col("b")).alias("b"),
@@ -2552,7 +2599,6 @@ def louvain(edges: DataFrame, rounds: int = 16,
                 .where(F.col("a") != F.col("b"))
                 .repartition(_parts(ew_rows), "a", "b")
                 .groupBy("a", "b").agg(F.sum("w").alias("w")))
-            ew_rows = ew.count()
             ctot = ctot_f.result()
         if not converged:
             warnings.warn(
