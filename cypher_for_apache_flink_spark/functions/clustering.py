@@ -113,16 +113,31 @@ def kmeans(df: DataFrame, k: int = 8, iterations: int = 4,
         assigned = None
         for _ in range(iterations):
             assigned = assign(q)
-            # ONE shuffle to k rows: per-dim sums are map-side combinable
-            sums = (assigned.groupBy("cluster").agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[F.sum(F.col("q")[i]).alias(f"__s{i}")
-                  for i in range(dims)]))
+            # ONE shuffle to k x dims rows: the update step is a NARROW
+            # posexplode + (cluster, pos) sum instead of the former
+            # 64-column-wide aggregate (round 12) — the wide plan cost
+            # ~0.5s of per-iteration planning/codegen for 3 columns of
+            # real data (measured: the query dropped 4.0-4.8s -> 2.1-2.7s
+            # at sf0.1 with bit-identical centroids,
+            # tools/probes/kmeans_update_variants.py).  Still map-side
+            # combinable to k*dims rows per partition; the per-element
+            # hash-agg overhead is bounded by the assignment step's
+            # k*dims distance arithmetic, which dominates per-row cost
+            # at any scale.
+            sums = (assigned.select("cluster",
+                                    F.posexplode("q").alias("pos", "x"))
+                    .groupBy("cluster", "pos")
+                    .agg(F.sum("x").alias("s"),
+                         F.count(F.lit(1)).alias("n")))
+            rows = sums.collect()  # bounded: k * dims rows
             # floor division semantics must match the oracle's
             # FLOOR(sum/count): Python's // already floors
-            new = {int(r["cluster"]):
-                   [int(r[f"__s{i}"]) // int(r["__n"]) for i in range(dims)]
-                   for r in sums.collect()}  # bounded: k rows
+            new: dict[int, list[int]] = {}
+            for r in rows:
+                new.setdefault(int(r["cluster"]), [0] * dims)
+            for r in rows:
+                new[int(r["cluster"])][int(r["pos"])] = \
+                    int(r["s"]) // int(r["n"])
             centroids = [new.get(j, centroids[j]) for j in range(k)]
         final = assign(q).select(
             "id", "cluster",
