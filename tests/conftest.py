@@ -3,6 +3,29 @@ import os
 import pytest
 from pyspark.sql import SparkSession
 
+# Tests measured >= 3s in the round-12 full-suite duration profile (62 min
+# total; these 272 ids account for ~40 min of it).  They are marked `slow`
+# at collection time and EXCLUDED from the default run (pytest.ini addopts)
+# so that a plain `pytest tests/` finishes inside a CI/driver time budget;
+# run them with `-m slow`, or everything with `-m "slow or not slow"`.
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_LIST) as f:
+            slow_ids = {ln.strip() for ln in f if ln.strip()}
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if not nodeid.startswith("tests/"):
+            # ids are rootdir-relative in the committed list; normalize
+            # when pytest is invoked from inside tests/
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
