@@ -870,11 +870,18 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     if max_neighbor_degree == "auto":
         from .dedup import DEFAULT_SKEW_CAP
         max_neighbor_degree = DEFAULT_SKEW_CAP
-    und = _normalize_undirected(edges, src_col, dst_col)
-    # both orientations from ONE pass -- see _mirror (round 11)
+    # Persist the COMPACT normalized edge set (round 12): the mirrored
+    # adjacency was cached before, but it is exactly 2x und's rows and
+    # both of its consumers (deg, wedge source) aggregate or re-shuffle
+    # anyway — mirroring is a narrow explode each consumer can replay
+    # from the half-size cache, so the cache fill, its storage, and
+    # every scan move half the bytes.
+    und = _normalize_undirected(edges, src_col, dst_col).persist()
+    # both orientations from ONE pass -- see _mirror (round 11); a cheap
+    # view over the cached und, NOT materialized separately
     adj = (_mirror(und)
            .select(F.col("u").alias("node"),
-                   F.col("v").alias("nbr"))).persist()
+                   F.col("v").alias("nbr")))
     # deg feeds three consumers (hub filter + both denominator joins) and
     # wedge_src two (both wedge sides, each paying the broadcast build) —
     # persisting them evaluates each subtree once per query instead of
@@ -882,23 +889,23 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     # spread (VERDICT r6 #5)
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).persist()
     wedge_src = adj
-    if max_neighbor_degree is not None or node_filter is not None:
-        wedge_src = adj
-        if max_neighbor_degree is not None:
-            small = deg.where(F.col("deg") <= max_neighbor_degree) \
-                .select(F.col("node").alias("nbr"))
-            wedge_src = wedge_src.join(F.broadcast(small), "nbr")
-        if node_filter is not None:
-            # push the caller's node predicate below the persist: the
-            # cache stores only rows that can appear in an emitted pair
-            wedge_src = wedge_src.where(node_filter(F.col("node")))
-        # hash(nbr)-partition BEFORE persisting: the wedge join below is
-        # a self-join of this cache on nbr, and a cached frame keeps its
-        # layout forever — co-partitioning here makes BOTH join inputs
-        # exchange-free (one exchange paid at materialization replaces
-        # two on the hot path, guide §2.4), and the cache comes out in
-        # right-sized shuffle partitions instead of derivation layout
-        wedge_src = wedge_src.repartition("nbr").persist()
+    if max_neighbor_degree is not None:
+        small = deg.where(F.col("deg") <= max_neighbor_degree) \
+            .select(F.col("node").alias("nbr"))
+        wedge_src = wedge_src.join(F.broadcast(small), "nbr")
+    if node_filter is not None:
+        # push the caller's node predicate below the persist: the
+        # cache stores only rows that can appear in an emitted pair
+        wedge_src = wedge_src.where(node_filter(F.col("node")))
+    # hash(nbr)-partition BEFORE persisting: the wedge join below is
+    # a self-join of this cache on nbr, and a cached frame keeps its
+    # layout forever — co-partitioning here makes BOTH join inputs
+    # exchange-free (one exchange paid at materialization replaces
+    # two on the hot path, guide §2.4), and the cache comes out in
+    # right-sized shuffle partitions instead of derivation layout
+    # (round 12: now applied in the unfiltered branch too — it was the
+    # only branch left reading the derivation layout)
+    wedge_src = wedge_src.repartition("nbr").persist()
     a = wedge_src.select(F.col("node").alias("a"), "nbr")
     b = wedge_src.select(F.col("node").alias("b"), "nbr")
     shared = (a.join(b, "nbr").where(F.col("a") < F.col("b"))
@@ -913,10 +920,9 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
            .select("a", "b", "jaccard"))
     from ..cache import CacheLease
     lease = CacheLease()
-    lease.add(adj)
+    lease.add(und)
     lease.add(deg)
-    if wedge_src is not adj:
-        lease.add(wedge_src)
+    lease.add(wedge_src)
     out._cypher_cache_lease = lease
     return out
 
