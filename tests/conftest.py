@@ -3,8 +3,8 @@ import os
 import pytest
 from pyspark.sql import SparkSession
 
-# Tests measured >= 3s in the round-12 full-suite duration profile (62 min
-# total; these 272 ids account for ~40 min of it).  They are marked `slow`
+# Tests measured >= 2.4s in the round-12 full-suite duration profile (62
+# min total; these 330 ids account for ~42 min of it).  They are marked `slow`
 # at collection time and EXCLUDED from the default run (pytest.ini addopts)
 # so that a plain `pytest tests/` finishes inside a CI/driver time budget;
 # run them with `-m slow`, or everything with `-m "slow or not slow"`.
