@@ -877,9 +877,18 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     # from the half-size cache, so the cache fill, its storage, and
     # every scan move half the bytes.
     und = _normalize_undirected(edges, src_col, dst_col).persist()
+    # one count materializes the cache BEFORE its two consumers (deg and
+    # the wedge fill) can race a concurrent double-fill, and sizes the
+    # partition layouts below (round 12)
+    n_und = und.count()
     # both orientations from ONE pass -- see _mirror (round 11); a cheap
-    # view over the cached und, NOT materialized separately
-    adj = (_mirror(und)
+    # view over the cached und, NOT materialized separately.  Scans are
+    # size-coalesced (round 12, _scan_coalesce): the cache arrives in
+    # shuffle.partitions-many derivation partitions regardless of size,
+    # and every 32-task stage over a few thousand rows/task pays fixed
+    # per-task cost; no-op >=150k rows/part so the large-graph regime is
+    # untouched.
+    adj = (_mirror(_scan_coalesce(und, 2 * n_und))
            .select(F.col("u").alias("node"),
                    F.col("v").alias("nbr")))
     # deg feeds three consumers (hub filter + both denominator joins) and
@@ -904,8 +913,18 @@ def neighborhood_jaccard_pairs(edges: DataFrame, threshold: float = 0.5,
     # two on the hot path, guide §2.4), and the cache comes out in
     # right-sized shuffle partitions instead of derivation layout
     # (round 12: now applied in the unfiltered branch too — it was the
-    # only branch left reading the derivation layout)
-    wedge_src = wedge_src.repartition("nbr").persist()
+    # only branch left reading the derivation layout).  The partition
+    # COUNT is size-adaptive like louvain's _parts (round 12): a cached
+    # frame keeps its layout forever and AQE never re-coalesces it, so
+    # the explicit count must track the data — >=150k rows/part large
+    # bound (the spill-safe tier), 50k/part scale-down floor; above
+    # ~50k rows/core both bounds coincide with shuffle.partitions and
+    # the large-graph regime plans identically.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    m_rows = 2 * n_und
+    wedge_parts = max(1, min(max(par, m_rows // 150_000 + 1),
+                             m_rows // 50_000 + 1))
+    wedge_src = wedge_src.repartition(wedge_parts, "nbr").persist()
     a = wedge_src.select(F.col("node").alias("a"), "nbr")
     b = wedge_src.select(F.col("node").alias("b"), "nbr")
     shared = (a.join(b, "nbr").where(F.col("a") < F.col("b"))
