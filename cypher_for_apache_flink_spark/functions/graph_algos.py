@@ -2365,21 +2365,12 @@ def _ckpt_sever(df: DataFrame) -> DataFrame:
 
 
 def _ckpt_count(df: DataFrame) -> tuple[DataFrame, int]:
-    """Plain localCheckpoint + row count, with the count taken on the
-    checkpointed RDD directly.  The eager-checkpoint-then-isEmpty (or
-    -then-``DataFrame.count()``) idiom the fixpoint loops used paid 3-4
-    driver round-trips per iteration for one materialization — a
-    ``DataFrame.count()`` is itself a 2-job AQE aggregate every call,
-    while ``RDD.count()`` over the (lazily) checkpointed rows is ONE job
-    that also forces the checkpoint (round 12, guide §5 driver actions;
-    results identical by construction — measured jobs per
-    materialize+test: 3 -> 2, per materialize+count: 4 -> 2)."""
-    ck = df.localCheckpoint(eager=False)
-    try:
-        n = ck._jdf.queryExecution().toRdd().count()
-    except Exception:
-        n = ck.count()
-    return ck, n
+    """Plain localCheckpoint + row count in ONE RDD-count job — see
+    :func:`..functions.util.ckpt_count` (shared with the Cypher
+    shortestPath plan loop; measured jobs per materialize+test: 3 -> 2,
+    per materialize+count: 4 -> 2)."""
+    from .util import ckpt_count
+    return ckpt_count(df)
 
 
 def _ckpt_sever_count(df: DataFrame, pred=None) -> tuple[DataFrame, int]:

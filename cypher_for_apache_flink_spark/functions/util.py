@@ -6,6 +6,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ckpt_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """localCheckpoint + row count in ONE job: the lazy checkpoint is
+    forced by an ``RDD.count()`` over the checkpointed rows.  The
+    eager-checkpoint-then-isEmpty (or -then-``DataFrame.count()``) idiom
+    the fixpoint loops used paid 3-4 driver round-trips per iteration for
+    one materialization — ``DataFrame.count()`` is itself a 2-job AQE
+    aggregate every call (round 12, guide §5 driver actions; results
+    identical by construction)."""
+    ck = df.localCheckpoint(eager=False)
+    try:
+        n = ck._jdf.queryExecution().toRdd().count()
+    except Exception:
+        n = ck.count()
+    return ck, n
+
+
 def bind_once(col: Column, f) -> Column:
     """Let-binding for column expressions: evaluate ``col`` once per row and
     pass the bound value to ``f`` as a lambda variable.

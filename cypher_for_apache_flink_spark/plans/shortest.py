@@ -30,6 +30,7 @@ import dataclasses
 from pyspark.sql import functions as F
 
 from ..errors import PlanError
+from ..functions.util import ckpt_count
 from ..ir import expr as E
 from ..operators.header import column_name, _san
 from ..operators.records import Records
@@ -208,38 +209,43 @@ def plan_shortest_path(pl, records, part: A.PatternPart,
 
     spark = pl.session.spark
     sources = pairs.select("a").dropDuplicates()
-    frontier = sources.select(
+    # checkpoint + cardinality in ONE RDD-count job each (round 12,
+    # util.ckpt_count): the loop's per-level emptiness tests then read
+    # the already-known counts instead of scheduling isEmpty probes —
+    # the eager-ckpt-then-isEmpty idiom cost 3 driver round-trips per
+    # materialization
+    frontier, n_frontier = ckpt_count(sources.select(
         "a", F.col("a").alias("node"),
         F.array().cast("array<long>").alias("rels"),
-        F.array(F.col("a")).alias("nodes")).localCheckpoint(eager=True)
+        F.array(F.col("a")).alias("nodes")))
     visited = sources.select("a", F.col("a").alias("node")) \
         .localCheckpoint(eager=True)
-    remaining = pairs.localCheckpoint(eager=True)
+    remaining, n_remaining = ckpt_count(pairs)
     found = None        # (a, b, rels, nodes)
 
-    def record_found(cand, remaining):
+    def record_found(cand, remaining, n_remaining):
         nonlocal found
         hits = cand.join(remaining,
                          (cand["a"] == remaining["a"])
                          & (cand["node"] == remaining["b"]),
                          "left_semi") \
             .select("a", F.col("node").alias("b"), "rels", "nodes")
-        hits = hits.localCheckpoint(eager=True)
-        if hits.isEmpty():
-            return remaining
+        hits, n_hits = ckpt_count(hits)
+        if n_hits == 0:
+            return remaining, n_remaining
         found = hits if found is None else found.unionByName(hits)
-        remaining = remaining.join(
+        return ckpt_count(remaining.join(
             hits.select("a", "b").dropDuplicates(), ["a", "b"],
-            "left_anti").localCheckpoint(eager=True)
-        return remaining
+            "left_anti"))
 
     if lo == 0:
-        remaining = record_found(frontier, remaining)
+        remaining, n_remaining = record_found(frontier, remaining,
+                                              n_remaining)
 
     level = 0
     while edges is not None and level < hi:
         level += 1
-        if remaining.isEmpty() or frontier.isEmpty():
+        if n_remaining == 0 or n_frontier == 0:
             break
         nxt = (frontier.join(edges, frontier["node"] == edges["src"])
                .select("a", F.col("dst").alias("node"),
@@ -247,17 +253,19 @@ def plan_shortest_path(pl, records, part: A.PatternPart,
                        F.concat("nodes", F.array("dst")).alias("nodes")))
         nxt = nxt.join(visited, ["a", "node"], "left_anti")
         # finished sources stop expanding
-        nxt = nxt.join(remaining.select("a").dropDuplicates(), ["a"],
-                       "left_semi").localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        nxt, n_nxt = ckpt_count(
+            nxt.join(remaining.select("a").dropDuplicates(), ["a"],
+                     "left_semi"))
+        if n_nxt == 0:
             break
         if level >= lo:
-            remaining = record_found(nxt, remaining)
+            remaining, n_remaining = record_found(nxt, remaining,
+                                                  n_remaining)
         visited = visited.unionByName(
             nxt.select("a", "node").dropDuplicates()) \
             .localCheckpoint(eager=True)
-        frontier = nxt
-    if level >= _MAX_LEVELS and not remaining.isEmpty():
+        frontier, n_frontier = nxt, n_nxt
+    if level >= _MAX_LEVELS and n_remaining > 0:
         raise PlanError(
             f"shortestPath() did not converge within {_MAX_LEVELS} levels",
             code="ShortestPathBound")
