@@ -1993,6 +1993,29 @@ _ROUND11_OPT = [
     'label_propagation', 'near_dup_clusters',
 ]
 
+# Round-12 OPTIMIZATION restructures: queries whose internals this
+# round's commits changed, results proven identical against the oracle
+# (VERDICT r6 #2: changed queries MUST NOT ride stale green rows).
+# HOF let-binding (word_shingles / rolling_fingerprints /
+# duplicate_spans windows / minhash): every shingle-pipeline consumer;
+# checkpoint+count fusion (_ckpt_count/_ckpt_sever_count/ckpt_count):
+# every fixpoint/BFS loop incl. the Cypher shortestPath plan and
+# connected_components' inline convergence flag; kmeans' narrow
+# posexplode update; node_similarity's compact-cache + size-adaptive
+# wedge layout.
+_ROUND12_OPT = [
+    'node_similarity', 'kmeans_embeddings', 'louvain_communities',
+    'louvain_weighted', 'scc_components', 'k_core',
+    'bfs_shortest_paths', 'shortest_path_pairs',
+    'weighted_shortest_paths', 'betweenness_sampled',
+    'closeness_centrality', 'random_walks', 'node2vec_walks',
+    'skipgram_pairs', 'call_random_walks', 'mis_conflict_free',
+    'near_dup_clusters', 'minhash_lsh_pairs', 'near_dup_incremental',
+    'dedup_incremental', 'curate_corpus', 'contamination_check',
+    'duplicate_spans', 'rolling_fingerprints', 'ngram_jaccard_pairs',
+    'top_ngrams',
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness for the first 50 entries only.
@@ -2020,8 +2043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(_ROUND10_QUERIES)
     full.update(_ROUND11_QUERIES)
     changed = set(_ROUND10_CHANGED) | set(_ROUND9_CHANGED)
-    prio = (list(_ROUND11_QUERIES)     # (a) never-recorded round-11
-            + _ROUND11_OPT             # (a') optimization-pass restructures
+    prio = (_ROUND12_OPT               # round-12 restructures first
+            + list(_ROUND11_QUERIES)   # (a) never-recorded round-11
+            + _ROUND11_OPT             # (a') r11 optimization restructures
             + _ROUND11_DIRECT          # (c) directly changed in r11 build
             + _AGED_ROWS_R11           # (b) rows older than two rounds
             + _ROUND10_STALE           # (d) r10-changed on r9 rows
